@@ -1,0 +1,64 @@
+"""Benchmark: run every catalog query at $SPARK_GRAFT_SF_DIR (default sf0.1)
+and print ONE JSON line with per-query wall-clock seconds.
+
+Each query is fully executed via the ``noop`` sink (whole plan runs on
+executors, nothing collected to the driver), timed end-to-end including
+planning. A warm-up pass on a trivial scan amortizes one-time JVM/codegen
+startup out of the first query's number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nursing_home_data_etl_pipeline_spark.plans import catalog  # noqa: E402
+from nursing_home_data_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench")
+    # Warm up the JVM / parquet reader once outside any timed region.
+    try:
+        execute(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    except Exception as ex:
+        print(f"bench warm-up failed (bad SPARK_GRAFT_SF_DIR?): {ex!r}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name, entry in sorted(catalog.entries().items()):
+        t0 = time.time()
+        try:
+            execute(entry.spark(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:
+            timings[name] = -1.0
+            print(f"bench error in {name}: {ex!r}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,126 @@
+"""Universal cleaning operators (SURVEY.md §2.2 P1-P3, §2.6 F1-F3).
+
+Reference behavior: ``script/nh-etl-universal-cleaning.py`` normalizes column
+names (:35-39), applies a case-insensitive semantic rename map (:23-30,46-52),
+and trims every (string) column (:41-44).
+
+Engine design difference (deliberate — reference bug B7): the reference loops
+``withColumnRenamed``/``withColumn`` per column, building O(columns) nested
+plan nodes which blows up analysis time on wide frames (the CMS provider file
+is ~100 columns). Every operator here emits a SINGLE ``select`` / ``toDF``:
+one Project node regardless of width. Same semantics, constant-depth plan —
+this is what survives a 100x-wider schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def col_exact(name: str):
+    """Column reference by exact name — backtick-quoted so raw headers
+    containing ``.`` (or other specials) are not parsed as struct access."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+#: CMS source name -> warehouse name, as in nh-etl-universal-cleaning.py:23-30.
+DEFAULT_RENAME_MAP: dict[str, str] = {
+    "cms_certification_number_ccn": "facility_number",
+    "provider_name": "facility_name",
+    "provider_address": "facility_address",
+    "provider_type": "facility_type",
+    "deficiency_tag_number": "deficiency_tag",
+    "scope_severity_code": "severity_level",
+}
+
+
+def normalize_name(name: str) -> str:
+    """Normalize one column name: strip, lower, specials -> ``_``.
+
+    Exact reference semantics (nh-etl-universal-cleaning.py:37): whitespace
+    stripped, lowercased, ``" " / - .`` each become ``_``, and parentheses
+    are *removed* (not replaced).
+    """
+    out = name.strip().lower()
+    out = out.replace("(", "").replace(")", "")
+    for ch in (" ", "/", "-", "."):
+        out = out.replace(ch, "_")
+    return out
+
+
+def normalize_column_names(df: DataFrame) -> DataFrame:
+    """P1: rename every column to its normalized form (single plan node).
+
+    Raises on post-normalization collisions (e.g. ``"a b"`` and ``"a_b"``)
+    instead of silently producing a duplicate-name frame.
+    """
+    cleaned = [normalize_name(c) for c in df.columns]
+    dupes = {c for c in cleaned if cleaned.count(c) > 1}
+    if dupes:
+        raise ValueError(f"column-name normalization collides on {sorted(dupes)}")
+    return df.toDF(*cleaned)
+
+
+def rename_columns(df: DataFrame, rename_map: dict[str, str] | None = None) -> DataFrame:
+    """P2: case-insensitive semantic rename (nh-etl-universal-cleaning.py:46-52).
+
+    Keys are matched against ``lower(strip(col))``; absent keys are ignored.
+    """
+    rename_map = DEFAULT_RENAME_MAP if rename_map is None else rename_map
+    wanted = {k.lower().strip(): v for k, v in rename_map.items()}
+    new_names = [wanted.get(c.lower().strip(), c) for c in df.columns]
+    if new_names == df.columns:
+        return df
+    return df.toDF(*new_names)
+
+
+def trim_all(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """P3/F1: trim whitespace on every (or the given) string column.
+
+    Reference trims *all* columns because its ingest is all-string
+    (nh-etl-universal-cleaning.py:41-44); the engine only touches StringType
+    columns so the operator is safe on typed frames too. One Project node.
+    """
+    targets = set(columns) if columns is not None else {
+        f.name for f in df.schema.fields if f.dataType.typeName() == "string"
+    }
+    return df.select(
+        *[
+            F.trim(col_exact(c)).alias(c) if c in targets else col_exact(c).alias(c)
+            for c in df.columns
+        ]
+    )
+
+
+def cast_all_to_string(df: DataFrame) -> DataFrame:
+    """Untyped-ingest parity: the reference reads CSV with no inferSchema so
+    every source column is StringType (nh-etl-universal-cleaning.py:75).
+    Casting a typed frame to all-string reproduces that data model.
+    """
+    return df.select(*[col_exact(c).cast("string").alias(c) for c in df.columns])
+
+
+def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """F3: typed-cast escape hatch (column -> Spark SQL type name).
+
+    The reference has only two typed columns (row_id long, etl_date date);
+    real deployments promote string staging columns to proper types here so
+    downstream aggregation/pushdown operates on native types.
+    """
+    return df.select(
+        *[
+            col_exact(c).cast(casts[c]).alias(c) if c in casts else col_exact(c).alias(c)
+            for c in df.columns
+        ]
+    )
+
+
+def clean_table(
+    df: DataFrame,
+    rename_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """The full universal-cleaning transform: normalize names -> semantic
+    rename -> trim values (nh-etl-universal-cleaning.py:81-83). Metadata
+    stamping (row_id/etl_date) is separate — see :mod:`.ids`.
+    """
+    return trim_all(rename_columns(normalize_column_names(df), rename_map))

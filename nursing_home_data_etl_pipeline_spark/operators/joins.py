@@ -1,0 +1,96 @@
+"""Join operators (SURVEY.md §2.3 J1-J4).
+
+The reference uses only left equi-joins on ``facility_number``
+(``nh-etl-provider-transform.py:84-88,104-108``) plus a driver-side manifest
+anti-join (``sync-drive-to-s3.py:47-48,109-111``) and Snowflake ``MERGE``
+procedures (``README.md:238-269``). The engine exposes all of those as
+DataFrame compositions and adds the general join surface.
+
+Scale notes
+-----------
+- ``left_enrich`` broadcasts the enrich side when told it is dimension-sized:
+  at 100 TB the fact side never shuffles for a dim join. Catalyst would
+  auto-broadcast under ``autoBroadcastJoinThreshold`` (10 MB default) but an
+  explicit hint is deterministic and survives stale/no statistics.
+- ``merge_scd1`` is a single full-shuffle join on the PK + overwrite — the
+  plain-Parquet equivalent of MERGE. On a real deployment both sides should
+  be bucketed by PK so the merge join is co-located (no shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .projections import drop_columns_if_present
+
+#: Denormalized columns dropped from enrich sides before joining
+#: (provider-transform.py:31,85,105).
+DEFAULT_DENORM_COLS = ("facility_name", "facility_address", "city_town", "zip_code")
+
+
+def left_enrich(
+    df: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    drop_from_other: Sequence[str] = (),
+    broadcast_other: bool = True,
+) -> DataFrame:
+    """J1/J2: left equi-join against an enrichment table, dropping the enrich
+    side's denormalized duplicates first (provider-transform.py:84-88).
+    """
+    other = drop_columns_if_present(other, drop_from_other)
+    if broadcast_other:
+        other = F.broadcast(other)
+    return df.join(other, on=on, how="left")
+
+
+def anti_join(df: DataFrame, other: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J3: rows of ``df`` with no match in ``other`` (NOT EXISTS).
+
+    The relational form of the reference's manifest dedup: files whose
+    ``file_id`` is not in the ingest ledger (sync-drive-to-s3.py:109-111).
+    """
+    return df.join(other, on=on, how="left_anti")
+
+
+def semi_join(df: DataFrame, other: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Rows of ``df`` with at least one match in ``other`` (EXISTS)."""
+    return df.join(other, on=on, how="left_semi")
+
+
+def merge_scd1(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """J4: SCD-type-1 upsert on plain Parquet — source rows win, unmatched
+    target rows survive. Replaces the Snowflake ``SP_MERGE_DIM_*`` procedures
+    (reference README.md:238-269) without requiring a MERGE-capable format.
+
+    Implementation: ``source UNION ALL (target ANTI JOIN source ON keys)``.
+    One shuffle on the keys (or zero if both sides are bucketed on them);
+    output schema is the target's column set, by name.
+
+    Requires source to be unique per key (a MERGE precondition); violations
+    should be resolved upstream with :func:`latest_per_key`.
+    """
+    keys = list(keys)
+    updates = source.select(*target.columns)
+    keep = target.join(source.select(*keys), on=keys, how="left_anti")
+    return updates.unionByName(keep)
+
+
+def latest_per_key(
+    df: DataFrame, keys: Sequence[str], order_col: str
+) -> DataFrame:
+    """Resolve multi-row-per-key sources to the latest row by ``order_col``
+    (deterministic MERGE input). max_by keeps this a single hash aggregate —
+    no window sort needed.
+    """
+    keys = list(keys)
+    others = [c for c in df.columns if c not in keys]
+    agg = [F.expr(f"max_by({c}, {order_col})").alias(c) for c in others]
+    return df.groupBy(*keys).agg(*agg).select(*df.columns)

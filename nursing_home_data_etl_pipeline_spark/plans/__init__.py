@@ -1,0 +1,11 @@
+"""Query catalog: every implemented operator exposed as a named query with a
+DuckDB oracle twin (the driver-contract surface in ``__spark_entry__.py``).
+Importing this package registers all query modules.
+"""
+
+from . import catalog
+from . import queries_parity  # noqa: F401  (registers on import)
+from . import queries_analytics  # noqa: F401
+from . import queries_northstar  # noqa: F401
+
+__all__ = ["catalog"]

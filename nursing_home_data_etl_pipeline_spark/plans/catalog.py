@@ -1,0 +1,54 @@
+"""Registry mapping query names -> (Spark callable, DuckDB oracle SQL).
+
+Contract (driver's verify, see repo ``__spark_entry__.py``): the Spark
+callable takes ``(spark, sf_dir)`` and returns a DataFrame; the oracle is
+ANSI SQL DuckDB runs over the same parquet tables registered as views. The
+driver compares row count + schema + an order-insensitive value hash, sorting
+columns by name — so every computed column is aliased identically on both
+sides, and floating aggregates are rounded identically on both sides to keep
+the hash deterministic across summation orders.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    name: str
+    spark: SparkQuery
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, CatalogEntry] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a query to the catalog."""
+
+    def wrap(fn: SparkQuery) -> SparkQuery:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate catalog entry {name!r}")
+        _REGISTRY[name] = CatalogEntry(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def entries() -> dict[str, CatalogEntry]:
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {n: e.spark for n, e in _REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {n: e.oracle for n, e in _REGISTRY.items() if e.oracle is not None}

@@ -1,0 +1,294 @@
+"""Reference-parity queries (SURVEY.md §2.1-2.6) over the driver test tables.
+
+Role mapping (FIXTURES.md §2): ``customer`` plays the wide provider_info
+entity table, ``nation``/``region`` the small enrich dims (survey_summary),
+``orders`` the multi-row-per-key penalties table, ``lineitem`` the
+facility x measure fact grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cleaning import cast_all_to_string, clean_table
+from ..operators.ids import with_dense_id, with_etl_date
+from ..operators.joins import anti_join, left_enrich, merge_scd1
+from ..operators.projections import select_columns, select_columns_matching
+from ..sources.readers import read_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# P1+P2+P3+F1: universal cleaning (nh-etl-universal-cleaning.py:35-52,81-83)
+# ---------------------------------------------------------------------------
+
+#: Dirty CMS-style headers mapped onto the customer table — exercises name
+#: normalization (specials/case), the semantic rename map (CCN ->
+#: facility_number), and whole-row trim, exactly the universal-cleaning path.
+_DIRTY_CUSTOMER_HEADERS = [
+    " CMS Certification Number (CCN) ",  # -> cms_certification_number_ccn -> facility_number
+    "Provider Name",  # -> provider_name -> facility_name
+    "Nation-Key",  # -> nation_key
+    "Account.Balance",  # -> account_balance
+    "Market Segment/Code",  # -> market_segment_code
+]
+
+
+@register(
+    "clean_normalize",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR)    AS facility_number,
+           c_name                        AS facility_name,
+           CAST(c_nationkey AS VARCHAR)  AS nation_key,
+           CAST(c_acctbal AS VARCHAR)    AS account_balance,
+           c_mktsegment                  AS market_segment_code
+    FROM customer
+    """,
+    doc="Universal cleaning: dirty headers -> normalized names, semantic "
+    "rename map, all-string ingest parity, whole-row trim "
+    "(nh-etl-universal-cleaning.py:23-52,81-83).",
+)
+def clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = read_table(spark, sf_dir, "customer").toDF(*_DIRTY_CUSTOMER_HEADERS)
+    raw = cast_all_to_string(raw)
+    # Pad one column with whitespace so trim provably does work.
+    raw = raw.withColumn(
+        "Provider Name", F.concat(F.lit("  "), F.col("`Provider Name`"), F.lit("   "))
+    )
+    return clean_table(raw)
+
+
+# ---------------------------------------------------------------------------
+# P4: explicit projection + W1 stable id + F2 etl_date
+# (nh-etl-provider-transform.py:36-62,121-122)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "facility_projection",
+    oracle="""
+    SELECT c_custkey                              AS facility_number,
+           c_name                                 AS facility_name,
+           c_mktsegment                           AS market_segment,
+           c_acctbal                              AS account_balance,
+           ROW_NUMBER() OVER (ORDER BY c_custkey) AS row_id,
+           CURRENT_DATE                           AS etl_date
+    FROM customer
+    """,
+    doc="Explicit dimension projection with dense row_id + etl_date stamp "
+    "(nh-etl-provider-transform.py:36-62,121-122; fixes bug B5 with a "
+    "deterministic dense id).",
+)
+def facility_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "customer")
+    dim = select_columns(
+        df.select(
+            F.col("c_custkey").alias("facility_number"),
+            F.col("c_name").alias("facility_name"),
+            F.col("c_mktsegment").alias("market_segment"),
+            F.col("c_acctbal").alias("account_balance"),
+        ),
+        ["facility_number", "facility_name", "market_segment", "account_balance"],
+    )
+    return with_etl_date(with_dense_id(dim, order_by=["facility_number"]))
+
+
+# ---------------------------------------------------------------------------
+# P7: name-predicate projection (nh-etl-provider-transform.py:68-82)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "name_predicate_projection",
+    oracle="""
+    SELECT l_discount, l_extendedprice, l_linenumber, l_orderkey, l_tax
+    FROM lineitem
+    """,
+    doc="Schema-level filter: keep columns whose NAME matches a keyword set, "
+    "plus the PK; deterministic sorted column order "
+    "(nh-etl-provider-transform.py:68-82; SURVEY §7.3d).",
+)
+def name_predicate_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "lineitem")
+    return select_columns_matching(
+        df,
+        keywords=("price", "discount", "tax"),
+        always_include=("l_orderkey", "l_linenumber"),
+        sort_output=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: left equi-join enrich chain (nh-etl-provider-transform.py:84-88)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "left_join_enrich",
+    oracle="""
+    SELECT c.c_custkey  AS facility_number,
+           c.c_name     AS facility_name,
+           c.c_acctbal  AS account_balance,
+           n.n_name     AS nation_name,
+           r.r_name     AS region_name
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="Left equi-join enrichment against broadcast dimension tables "
+    "(nh-etl-provider-transform.py:84-88); two-hop chain, both sides "
+    "broadcast so the fact side never shuffles.",
+)
+def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    region = read_table(spark, sf_dir, "region").withColumnRenamed(
+        "r_regionkey", "n_regionkey"
+    )
+    out = left_enrich(customer, nation, on="c_nationkey")
+    out = left_enrich(out, region, on="n_regionkey")
+    return out.select(
+        F.col("c_custkey").alias("facility_number"),
+        F.col("c_name").alias("facility_name"),
+        F.col("c_acctbal").alias("account_balance"),
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: left join with fan-out (nh-etl-provider-transform.py:104-108)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "left_join_fanout",
+    oracle="""
+    SELECT c.c_custkey    AS facility_number,
+           c.c_name       AS facility_name,
+           o.o_orderkey   AS penalty_id,
+           o.o_totalprice AS penalty_amount,
+           o.o_orderstatus AS penalty_status
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    doc="Left join against a multi-row-per-key detail table — fan-out plus "
+    "unmatched-left null semantics (nh-etl-provider-transform.py:104-108, "
+    "penalties may repeat per facility).",
+)
+def left_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    # Detail side is larger than the entity side: do NOT broadcast it.
+    out = left_enrich(customer, orders, on="c_custkey", broadcast_other=False)
+    return out.select(
+        F.col("c_custkey").alias("facility_number"),
+        F.col("c_name").alias("facility_name"),
+        F.col("o_orderkey").alias("penalty_id"),
+        F.col("o_totalprice").alias("penalty_amount"),
+        F.col("o_orderstatus").alias("penalty_status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/S7: manifest anti-join (sync-drive-to-s3.py:47-48,109-111)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "manifest_anti_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    )
+    """,
+    doc="Incremental-ingest dedup as a relational anti-join: keep rows whose "
+    "key is absent from the ledger (sync-drive-to-s3.py:47-48,109-111).",
+)
+def manifest_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    ledger = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return anti_join(lineitem, ledger, on="l_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: SCD1 merge (reference README.md:238-269, SP_MERGE_DIM_*)
+# ---------------------------------------------------------------------------
+
+_SCD1_ORACLE = """
+WITH source AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM source
+UNION ALL
+SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
+FROM customer t
+WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.c_custkey = t.c_custkey)
+"""
+
+
+@register(
+    "scd1_merge",
+    oracle=_SCD1_ORACLE,
+    doc="SCD-type-1 upsert on plain Parquet: source rows win, unmatched "
+    "target rows survive — replaces Snowflake SP_MERGE_DIM_* "
+    "(reference README.md:238-269) as anti-join + unionByName.",
+)
+def scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = read_table(spark, sf_dir, "customer")
+    source = target.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+    )
+    return merge_scd1(target, source, keys=["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# A2/S6: validation gate as a query (validate_staging.py:15-47)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "validation_counts",
+    oracle="""
+    SELECT 'customer' AS domain, COUNT(*) AS row_count, COUNT(*) > 0 AS non_empty FROM customer
+    UNION ALL
+    SELECT 'nation', COUNT(*), COUNT(*) > 0 FROM nation
+    UNION ALL
+    SELECT 'orders', COUNT(*), COUNT(*) > 0 FROM orders
+    UNION ALL
+    SELECT 'lineitem', COUNT(*), COUNT(*) > 0 FROM lineitem
+    """,
+    doc="Required-input gate: per-domain non-emptiness (validate_staging.py:"
+    "15-47) expressed as a unioned count query.",
+)
+def validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for name in ("customer", "nation", "orders", "lineitem"):
+        parts.append(
+            read_table(spark, sf_dir, name)
+            .agg(F.count(F.lit(1)).alias("row_count"))
+            .select(
+                F.lit(name).alias("domain"),
+                F.col("row_count"),
+                (F.col("row_count") > 0).alias("non_empty"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,37 @@
+"""Scan operators (SURVEY.md §2.1 S1, S2, S10).
+
+Reference reads: header CSV with no schema inference — every column string
+(``nh-etl-universal-cleaning.py:75``) — and staged Parquet
+(``nh-etl-provider-transform.py:27,84,104``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv_untyped(spark: SparkSession, path: str) -> DataFrame:
+    """S1: folder of CSVs -> one DataFrame, first row = header, all columns
+    StringType. Deliberately no ``inferSchema`` — matching the reference's
+    dynamic/positional-by-header data model AND avoiding the extra full pass
+    over the data that inference costs at scale.
+    """
+    return spark.read.option("header", True).csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S2/S10: columnar scan with predicate pushdown + column pruning."""
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Convenience scan for the driver test tables (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def is_empty(df: DataFrame) -> bool:
+    """A1: emptiness guard. The reference uses ``df.rdd.isEmpty()``
+    (nh-etl-universal-cleaning.py:77) which forces RDD conversion and kills
+    the vectorized parquet fast path; ``df.isEmpty()`` plans a LIMIT 1.
+    """
+    return df.isEmpty()

@@ -1,0 +1,64 @@
+"""Sink operators (SURVEY.md §2.1 S3, S4).
+
+Reference writes: full-refresh Parquet overwrite per domain
+(``nh-etl-universal-cleaning.py:89``; ``nh-etl-provider-transform.py:62,123``)
+and an error-zone dump on failure (``nh-etl-universal-cleaning.py:95-102``).
+
+Reference bugs fixed here:
+- B1: the reference's error sink writes the *transformed* frame (or raises
+  ``NameError`` when the read itself failed). The engine's error sink takes
+  the frame explicitly and tolerates ``None`` (read-failed case) by writing a
+  diagnostics record instead.
+- The ``.option("header", True)`` on a parquet write (cleaning:89) is a no-op
+  and is dropped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import traceback
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """S3: Parquet sink. ``partition_by`` is the 100 TB lever the reference
+    lacks (SURVEY.md §4.3) — partitioned layout gives downstream readers
+    partition pruning; AQE coalescing keeps file counts sane.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_error(
+    df: DataFrame | None,
+    error_path: str,
+    context: str,
+    exc: BaseException | None = None,
+) -> None:
+    """S4: quarantine the failing input frame (if any) plus a diagnostics
+    sidecar. Unlike the reference (bug B1) this never references an unbound
+    frame and records the actual exception.
+    """
+    os.makedirs(error_path, exist_ok=True)
+    diag = {
+        "context": context,
+        "error": repr(exc) if exc else None,
+        "traceback": traceback.format_exc() if exc else None,
+    }
+    with open(os.path.join(error_path, "_diagnostics.json"), "w") as f:
+        json.dump(diag, f, indent=2)
+    if df is not None:
+        try:
+            df.write.mode("overwrite").parquet(os.path.join(error_path, "data"))
+        except Exception:  # the frame itself may be the unreadable thing
+            pass

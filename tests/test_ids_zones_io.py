@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from nursing_home_data_etl_pipeline_spark.operators.ids import (
+    with_dense_id,
+    with_etl_metadata,
+    with_fast_id,
+)
+from nursing_home_data_etl_pipeline_spark.sources.readers import (
+    is_empty,
+    read_csv_untyped,
+    read_parquet,
+)
+from nursing_home_data_etl_pipeline_spark.sources.writers import write_error, write_parquet
+from nursing_home_data_etl_pipeline_spark.zones import ZoneLayout
+
+
+def test_fast_id_unique(spark):
+    df = spark.range(100).repartition(4)
+    out = with_fast_id(df)
+    assert out.select("row_id").distinct().count() == 100
+
+
+def test_dense_id_stable(spark):
+    df = spark.createDataFrame([(30,), (10,), (20,)], ["k"])
+    rows = with_dense_id(df, order_by=["k"]).orderBy("k").collect()
+    assert [(r.k, r.row_id) for r in rows] == [(10, 1), (20, 2), (30, 3)]
+
+
+def test_etl_metadata(spark):
+    row = with_etl_metadata(spark.createDataFrame([(1,)], ["k"]), order_by=["k"]).collect()[0]
+    assert row.row_id == 1 and isinstance(row.etl_date, datetime.date)
+
+
+def test_zone_layout(tmp_path):
+    z = ZoneLayout(str(tmp_path))
+    z.ensure()
+    assert z.staging("provider_info").endswith("/staging/provider_info")
+    os.makedirs(z.source("d2"))
+    os.makedirs(z.source("d1"))
+    assert z.list_domains("source") == ["d1", "d2"]
+    with pytest.raises(ValueError):
+        z.path("nope")
+
+
+def test_csv_untyped_roundtrip(spark, tmp_path):
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.csv").write_text("Provider Name,Rating\n  x ,5\n")
+    df = read_csv_untyped(spark, str(p))
+    assert [f.dataType.typeName() for f in df.schema.fields] == ["string", "string"]
+    assert df.columns == ["Provider Name", "Rating"]
+
+
+def test_parquet_sink_and_empty_guard(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    out = str(tmp_path / "t")
+    write_parquet(df, out)
+    back = read_parquet(spark, out)
+    assert back.count() == 1
+    assert not is_empty(back)
+    assert is_empty(back.filter("k > 1"))
+
+
+def test_error_sink_without_frame(tmp_path):
+    # Bug B1 regression: error sink must work when the read itself failed.
+    write_error(None, str(tmp_path / "err"), "read failed", ValueError("boom"))
+    assert (tmp_path / "err" / "_diagnostics.json").exists()
+
+
+def test_error_sink_with_frame(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], ["k"])
+    write_error(df, str(tmp_path / "err"), "transform failed", RuntimeError("x"))
+    assert (tmp_path / "err" / "data").exists()

@@ -1,0 +1,55 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from nursing_home_data_etl_pipeline_spark.plans.verify import (  # noqa: E402
+    compare_query,
+    duckdb_connection,
+)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from nursing_home_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    con = duckdb_connection(sf_dir)
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            problems = compare_query(spark, con, fn, oracles.get(name), sf_dir)
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: error {str(ex)[:300]}")
+            continue
+        dt = time.time() - t0
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(p[:400] for p in problems))
+        elif name not in oracles:
+            print(f"ok?   {name}: rows-only ({dt:.1f}s)")
+        else:
+            print(f"PASS  {name} ({dt:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
