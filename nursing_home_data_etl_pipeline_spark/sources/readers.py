@@ -8,6 +8,7 @@ Reference reads: header CSV with no schema inference — every column string
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_csv_untyped(spark: SparkSession, path: str) -> DataFrame:
@@ -25,7 +26,20 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Convenience scan for the driver test tables (TESTDATA.md)."""
+    """Convenience scan for the driver test tables (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright. We opt into reading nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong`` — dynamic SQL conf, safe to
+    set on any session) and truncate to microseconds with exact integer
+    division, yielding a normal TimestampType column.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,116 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nursing_home_data_etl_pipeline_spark.operators.aggregates import (
+    approx_stats,
+    cube_agg,
+    pivot_agg,
+    rollup_agg,
+    salted_group_agg,
+    unpivot_stack,
+)
+from nursing_home_data_etl_pipeline_spark.operators.setops import (
+    except_,
+    except_all,
+    intersect,
+    intersect_all,
+    union_all,
+    union_distinct,
+)
+from nursing_home_data_etl_pipeline_spark.operators.windows import (
+    sessionize,
+    top_k_global,
+    top_k_per_group,
+    with_lag_delta,
+)
+
+
+def test_rollup_and_cube_counts(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)], ["k1", "k2", "v"]
+    )
+    aggs = [F.sum("v").alias("s")]
+    # rollup: 3 leaf + 2 k1-subtotals + 1 total = 6
+    assert rollup_agg(df, ["k1", "k2"], aggs).count() == 6
+    # cube adds k2-subtotals: 6 + 2 = 8
+    assert cube_agg(df, ["k1", "k2"], aggs).count() == 8
+
+
+def test_pivot_explicit_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)], ["k", "q", "v"]
+    )
+    out = pivot_agg(df, ["k"], "q", [1, 2], F.sum("v"))
+    rows = {r.k: (r["1"], r["2"]) for r in out.collect()}
+    assert rows == {"a": (10.0, 20.0), "b": (5.0, None)}
+
+
+def test_unpivot_roundtrip(spark):
+    df = spark.createDataFrame([(1, 2.0, 3.0)], ["id", "m1", "m2"])
+    out = unpivot_stack(df, ["id"], ["m1", "m2"]).collect()
+    assert {(r.metric, r.value) for r in out} == {("m1", 2.0), ("m2", 3.0)}
+
+
+def test_approx_stats_accuracy(spark):
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("u"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    row = approx_stats(df, ["g"], "u", "v").collect()[0]
+    assert abs(row.approx_distinct - 1000) / 1000 < 0.1
+    assert abs(row.approx_percentiles[0] - 500.0) < 50
+
+
+def test_salted_group_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("k", float(i)) for i in range(100)] + [("j", 1.0)], ["k", "v"]
+    )
+    out = {r.k: (r.sum_v, r.n_rows) for r in salted_group_agg(df, ["k"], ["v"]).collect()}
+    assert out["k"] == (sum(range(100)), 100)
+    assert out["j"] == (1.0, 1)
+
+
+def test_topk_per_group_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 2, 5.0), ("g", 3, 5.0)], ["g", "id", "v"]
+    )
+    out = top_k_per_group(
+        df, ["g"], [F.col("v").desc(), F.col("id")], k=2
+    ).collect()
+    assert [r.id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_topk_global(spark):
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    out = top_k_global(df, [F.col("v").desc(), F.col("id")], k=3).collect()
+    assert [r.id for r in out] == [6, 13, 20]
+
+
+def test_lag_delta_first_null(spark):
+    df = spark.createDataFrame([("u", 1, 10.0), ("u", 2, 13.0)], ["u", "i", "v"])
+    out = {r.i: r.delta for r in with_lag_delta(df, ["u"], [F.col("i")], "v").collect()}
+    assert out[1] is None and out[2] == 3.0
+
+
+def test_sessionize_gap_boundary(spark):
+    # events at t=0, t=gap (no new session: gap not > gap), t=gap*2+1 (new)
+    rows = [(1, 0), (1, 1800), (1, 3601 + 1800)]
+    df = spark.createDataFrame(rows, ["user_id", "sec"]).select(
+        "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    out = sessionize(df, "user_id", "ts", gap_seconds=1800)
+    ids = [r.session_id for r in out.orderBy("ts").collect()]
+    assert ids == [1, 1, 2]
+
+
+def test_set_ops(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], ["k"])
+    b = spark.createDataFrame([(2,), (3,)], ["k"])
+    assert union_all(a, b).count() == 5
+    assert union_distinct(a, b).count() == 3
+    assert {r.k for r in intersect(a, b).collect()} == {2}
+    assert intersect_all(a, b).count() == 1
+    assert {r.k for r in except_(a, b).collect()} == {1}
+    assert except_all(a, b).count() == 2
