@@ -1,0 +1,149 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All of these are column expressions over built-in ``pyspark.sql.functions``
+— JVM-side, whole-stage-codegen'd, zero Python in the hot path. That is the
+difference between "works" and "works on 100 TB of text": a row-at-a-time
+Python UDF here would be 10-100x slower and pin the pipeline on Python
+worker serde.
+
+The reference pipeline has no row-level text functions (SURVEY.md §2.6 —
+its string work is driver-side column-NAME normalization), so this module is
+pure capability-gap surface for the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: word pieces or single non-space punctuation.
+TOKEN_PATTERN = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+
+#: Tiny embedded stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "für", "nicht"),
+}
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization -> array<string> (empty array for blank text)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text)).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count: word pieces + punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def avg_word_len(text: Column) -> Column:
+    """Mean word length, rounded to 6 (deterministic across engines)."""
+    w = words(text)
+    total = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(total / F.greatest(F.size(w), F.lit(1)), 6)
+
+
+def distinct_word_ratio(text: Column) -> Column:
+    """Lexical diversity: |set(words)| / |words| — low values flag boilerplate
+    and repetition-heavy documents."""
+    w = words(text)
+    return F.round(
+        F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1)).cast("double"),
+        6,
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars."""
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[^a-zA-Z0-9_\s]", "")
+    )
+    return F.round(
+        n_punct / F.greatest(F.length(text), F.lit(1)).cast("double"), 6
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of words that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    w = words(F.lower(text))
+    n_hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    return F.round(
+        n_hits / F.greatest(F.size(w), F.lit(1)).cast("double"), 6
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality score in [0, 1]: length sweet spot,
+    lexical diversity, low punctuation noise. Deterministic, engine-portable
+    arithmetic (rounded at the end).
+    """
+    n_words = F.size(words(text)).cast("double")
+    length_score = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(words(text))) / F.greatest(
+        F.size(words(text)), F.lit(1)
+    ).cast("double")
+    noise = F.length(text) - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9_\s]", ""))
+    noise_score = F.lit(1.0) - F.least(
+        noise / F.greatest(F.length(text), F.lit(1)).cast("double") * 5, F.lit(1.0)
+    )
+    return F.round((length_score + diversity + noise_score) / 3, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts;
+    'und' (undetermined) when no list scores above zero. Ties break by
+    language code order — deterministic.
+    """
+    w = words(F.lower(text))
+
+    def hit_counter(sws: tuple[str, ...]):
+        sw_arr = F.array(*[F.lit(s) for s in sws])
+        # single-arg lambda: PySpark treats a 2-arg lambda as (value, index)
+        return F.size(F.filter(w, lambda x: F.array_contains(sw_arr, x)))
+
+    scores = [(lang, hit_counter(sws)) for lang, sws in sorted(STOPWORDS.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for lang, score in reversed(scores):  # earlier langs win ties
+        out = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lower, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (hex string).
+    Portable across engines; used as the exact-dedup key."""
+    return F.md5(normalize_text(text))
+
+
+def word_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct word k-grams (space-joined) -> array<string>. Documents
+    shorter than k words yield a single whole-text shingle so they still
+    participate in dedup."""
+    w = words(normalize_text(text))
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    return F.array_distinct(sh)

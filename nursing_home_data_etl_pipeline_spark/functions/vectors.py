@@ -1,0 +1,35 @@
+"""Vector math over ``array<float>`` embedding columns — pure built-in
+higher-order functions (zip_with / aggregate), fully JVM-side.
+
+No Python UDF and no MLlib dependency: at 100 TB the embedding column stays
+in Tungsten rows and the dot products run inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product in double precision (left-to-right fold — deterministic
+    summation order, unlike a shuffle-order-dependent SUM)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_rounded(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Cosine rounded for deterministic cross-engine comparison AND
+    deterministic top-k tie-breaking (rank on the rounded value)."""
+    return F.round(cosine(a, b), decimals)

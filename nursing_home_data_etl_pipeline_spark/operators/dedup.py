@@ -1,0 +1,305 @@
+"""Deduplication operators for training-data pipelines (north star).
+
+Five strategies, each with a different cost/recall point:
+
+- :func:`exact_dedup` — hash-groupBy on a content fingerprint. One shuffle,
+  exact, the default first pass at any scale.
+- :func:`minhash_signatures` + :func:`lsh_candidate_pairs` — MinHash + LSH
+  banding: near-dup candidate generation WITHOUT the O(n^2) pair join. Cost
+  is O(docs x shingles) + a band-bucket self-join that only materializes
+  colliding pairs. This is the 100 TB near-dup path.
+- :func:`simhash_signatures` + :func:`simhash_near_pairs` — 60-bit SimHash
+  with banded Hamming search.
+- :func:`ngram_jaccard_pairs` — exact Jaccard over shingle sets, computed
+  only for pairs that share at least one shingle (inverted-index join), with
+  a hot-shingle cap to bound worst-case blowup.
+- embedding near-dup: see :mod:`.similarity` (cosine >= threshold pairs).
+
+Portability note: every hash used here is md5 (hex string), not Spark's
+murmur3 ``F.hash`` — md5 is bit-identical in any engine, which is what makes
+the DuckDB oracle twins possible. MinHash takes the *lexicographic* min of
+the per-seed md5 hex — order statistics on a uniform hash are seed-stable
+regardless of the integer interpretation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, word_shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup on the normalized-content fingerprint: keeps the min-id
+    row per fingerprint. min_by keeps it a single hash aggregate (one
+    shuffle on the fingerprint — never a window over the whole corpus).
+    """
+    keyed = df.withColumn("_fp", fingerprint(F.col(text_col)))
+    others = [c for c in df.columns if c != id_col]
+    return (
+        keyed.groupBy("_fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            *[F.expr(f"min_by({c}, {id_col})").alias(c) for c in others],
+        )
+        .select(*df.columns)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_expr(seed: int, shingle: Column) -> Column:
+    return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature: for each of ``num_hashes`` seeds, the
+    lexicographic min of ``md5(seed|shingle)`` over the document's distinct
+    word-k-gram shingles. Output: (id_col, mh_0..mh_{n-1}).
+
+    Plan shape: explode shingles -> one hash aggregate with n min()s. Linear
+    in total shingle count, one shuffle on doc id.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_shingle"),
+    )
+    aggs = [
+        F.min(_minhash_expr(s, F.col("_shingle"))).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; documents agreeing on ALL rows of any band
+    become a candidate pair. Jaccard ~ (1/bands)^(bands/num_hashes) is the
+    ~50%-recall threshold (12 hashes / 4 bands -> ~0.63).
+
+    Implementation: unpivot to (band_idx, band_key) and self-join on the
+    band bucket — only colliding pairs materialize, never the n^2 grid.
+    Output: distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """End-to-end MinHash LSH near-dup candidates."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    return lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit long
+
+#: Engine-portable token hash: interpret the first 15 hex chars of md5 as a
+#: 60-bit integer via digit arithmetic (no conv(): DuckDB lacks it).
+_TOKEN_HASH_SQL = "( " + " + ".join(
+    f"(CAST(instr('0123456789abcdef', substr(md5({{col}}), {i + 1}, 1)) AS BIGINT)"
+    f" - 1) * CAST({16 ** (14 - i)} AS BIGINT)"
+    for i in range(15)
+) + " )"
+
+
+def token_hash_sql(col: str) -> str:
+    """SQL text for the 60-bit portable token hash (same string runs in
+    Spark SQL and DuckDB — identical semantics guaranteed by construction)."""
+    return _TOKEN_HASH_SQL.format(col=col)
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """60-bit SimHash over the document's distinct words: bit j of the
+    signature is set iff the sum over tokens of (2*bit_j(h(token))-1) > 0.
+
+    Plan shape: explode distinct words -> one hash aggregate with 60
+    conditional-sum columns -> rebuild the signature in a single project.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("_tok"),
+    ).withColumn("_h", F.expr(token_hash_sql("_tok")).cast("long"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(_h div {2 ** j}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Hamming-near pairs via banding (pigeonhole: distance <= bands-1
+    guarantees some band matches; with max_hamming < bands recall is exact).
+    Self-join on (band_idx, band_bits), verify with bit_count(xor).
+    """
+    bits_per = SIMHASH_BITS // bands
+    mask = (1 << bits_per) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"(simhash div {2 ** (b * bits_per)}) % {mask + 1}").alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = signatures.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    hot_shingle_cap: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard similarity over word-k-gram shingle sets, computed only
+    for pairs sharing >= 1 shingle (inverted-index self-join).
+
+    ``hot_shingle_cap`` drops shingles appearing in more than N documents
+    before pairing — a stop-shingle guard: a boilerplate shingle shared by
+    10^5 docs would otherwise emit 10^10 pairs. Dropped shingles still count
+    in each document's set size, so Jaccard is slightly UNDER-estimated for
+    pairs that only shared hot shingles — the conservative direction for
+    dedup. The cap is logged at plan time via the returned plan's filter.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    doc_freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    cold = sh.join(
+        F.broadcast(doc_freq.filter(F.col("df") > hot_shingle_cap)), "s", "left_anti"
+    )
+    a, b = cold.alias("a"), cold.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # sizes is one row per document — NOT broadcastable at corpus scale;
+    # plain equi-joins let AQE pick broadcast only when it actually fits.
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

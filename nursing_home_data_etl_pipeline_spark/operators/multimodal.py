@@ -1,0 +1,104 @@
+"""Multimodal (binary) column operators (north star).
+
+Design: image/audio/video payloads are opaque ``BinaryType`` columns with a
+typed metadata struct alongside. All per-item processing (decode, feature
+extraction, resize, frame sampling) runs as Arrow-batched pandas functions
+over ``mapInPandas`` — bytes never round-trip through Python row objects,
+and each task processes a whole Arrow batch at a time. That is the Spark
+plumbing that matters at 100 TB; the codec itself is pluggable.
+
+This container ships no image/audio libraries, so the real codecs are
+STUBBED (clearly marked, import-gated) and a deterministic fake decoder
+exercises the full plumbing — schema, partitioning, UDF signature, batch
+shape — end to end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the (fake) decoder — what a real image decode would
+#: produce: dimensions + a small feature header.
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, header_hex string, fake_width int, fake_height int"
+)
+
+
+def with_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model a multimodal table: payload bytes + metadata struct. (Test data
+    has no real media, so the payload is the UTF-8 text — the engine-side
+    handling is identical for real image/audio bytes.)"""
+    payload = F.col(text_col).cast("binary")
+    meta = F.struct(
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(payload).alias("n_bytes"),
+        F.lit("synthetic").alias("source"),
+    )
+    return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
+
+
+def decode_fake(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake decode over mapInPandas: per-batch pandas ops on
+    the raw bytes (length, 8-byte header hex, fake dimensions derived from
+    byte content). Exercises the exact plumbing a real decoder uses.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+            n_bytes = payload.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "header_hex": payload.map(lambda b: bytes(b[:8]).hex()),
+                    "fake_width": (n_bytes % 640).astype("int32"),
+                    "fake_height": payload.map(
+                        lambda b: b[0] if len(b) else 0
+                    ).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real image decode — STUB: Pillow/opencv are not in this container.
+
+    A deployment with Pillow installs it on the executors and swaps the
+    body for ``Image.open(io.BytesIO(b))`` inside the same mapInPandas
+    batch loop used by :func:`decode_fake` (schema and plumbing identical).
+    """
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - stub by design
+        raise NotImplementedError(
+            "image decode requires Pillow on the executors; "
+            "use decode_fake() for plumbing tests"
+        ) from exc
+    raise NotImplementedError("wire PIL decode into the decode_fake batch loop")
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Frame-sampling STUB analog: real video frame sampling needs a codec;
+    the deterministic stand-in samples every Nth byte as a 'frame marker' —
+    same mapInPandas shape a real sampler uses."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pdf["payload"].map(
+                        lambda b: max(len(b) // every_n_bytes, 0)
+                    ).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(sample, schema="doc_id long, n_frames long")

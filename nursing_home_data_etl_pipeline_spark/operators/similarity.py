@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (north star).
+
+Two paths:
+
+- :func:`cosine_topk_bruteforce` — exact top-k by cosine: cross-join of the
+  (small) query set against the corpus. Correctness baseline; cost is
+  O(|queries| x |corpus|), fine when the query side is bounded and
+  broadcastable, unusable for all-pairs at scale.
+- :func:`rhp_bucket` + :func:`cosine_topk_lsh` — random-hyperplane LSH:
+  bucket every vector by the sign pattern of ``n_planes`` fixed hyperplane
+  dot products; candidates = bucket collisions, then exact cosine within
+  the bucket. Sublinear candidate set; recall traded via n_planes. The
+  hyperplanes are generated from a fixed seed so results are deterministic
+  and reproducible across engines.
+
+All vector math is built-in higher-order functions (see functions/vectors)
+— no Python in the row path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_rounded, dot
+
+#: Fixed seed for hyperplane generation — determinism contract.
+RHP_SEED = 42
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = RHP_SEED) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (rounded to 6 decimals so the
+    exact same constants can be embedded in any engine's SQL)."""
+    rng = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in row] for row in rng.randn(n_planes, dim)]
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    The query side is broadcast — the corpus NEVER shuffles, so this scales
+    to an arbitrarily large corpus as long as the query set fits in memory
+    (the standard "probe a small batch" shape). Ranking uses the ROUNDED
+    cosine + neighbor id as tiebreak — fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    pairs = c.join(F.broadcast(q), F.lit(True), "inner")
+    if not include_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_rounded(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rhp_bucket(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_name: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane signature: bit p = 1 iff dot(vec, plane_p) > 0.
+    Row-local (no shuffle); the fold inside ``dot`` is sequential so the
+    sign decision is order-deterministic.
+    """
+    sig: Column = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(
+            dot(F.col(vec_col), plane_col) > 0, F.lit(2**p)
+        ).otherwise(F.lit(0))
+    return df.withColumn(out_name, sig)
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_planes: int = 6,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: exact cosine restricted to same-RHP-bucket candidates.
+
+    The bucket equi-join replaces the cross join — candidate count drops by
+    ~2^n_planes. Recall < 1 by construction (neighbors split across a
+    hyperplane are missed); raise recall with multi-probe or fewer planes.
+    """
+    planes = hyperplanes(n_planes, dim)
+    q = rhp_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        planes,
+        "_qv",
+    )
+    c = rhp_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        planes,
+        "_cv",
+    )
+    pairs = c.join(F.broadcast(q), on="bucket", how="inner").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_rounded(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via RHP bucketing: pairs in the
+    same bucket with cosine >= threshold. Same recall caveat as any LSH."""
+    planes = hyperplanes(n_planes, dim)
+    b = rhp_bucket(df.select(id_col, vec_col), planes, vec_col)
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_rounded(
+                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

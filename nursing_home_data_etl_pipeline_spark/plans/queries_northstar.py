@@ -1,5 +1,563 @@
 """North-star queries (BASELINE.json): dedup, similarity search, text
-analysis, multimodal columns over documents/embeddings. Populated
-incrementally."""
+analysis, multimodal columns over the documents/embeddings tables.
+
+Oracle portability rules used throughout:
+- every hash is md5 hex (bit-identical in any engine);
+- DuckDB regexp_replace needs the 'g' flag (Spark is global by default);
+- DuckDB 1.0 lacks WITH ORDINALITY — element access is
+  ``list[i]`` + ``unnest(generate_series(1, len(list)))``;
+- cosine/jaccard values are rounded to 6 decimals and ranking always uses
+  (rounded value, id) so ties are deterministic.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    avg_word_len,
+    char_count,
+    distinct_word_ratio,
+    fingerprint,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_count,
+)
+from ..operators.dedup import (
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    token_hash_sql,
+)
+from ..operators.multimodal import decode_fake, with_binary_payload
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+    hyperplanes,
+)
+from ..sources.readers import read_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+#: DuckDB expression for whitespace words of the raw text column.
+_DUCK_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+#: DuckDB expression for Spark's normalize_text().
+_DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                                  AS n_chars,
+           CAST(len({_DUCK_WORDS}) AS BIGINT)                            AS n_words,
+           CAST(len(regexp_extract_all(text,
+                '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS BIGINT)            AS n_tokens,
+           ROUND(list_sum(list_transform({_DUCK_WORDS},
+                w -> CAST(length(w) AS DOUBLE)))
+                / greatest(len({_DUCK_WORDS}), 1), 6)                    AS avg_word_len,
+           ROUND(CAST(len(list_distinct({_DUCK_WORDS})) AS DOUBLE)
+                / greatest(len({_DUCK_WORDS}), 1), 6)                    AS distinct_ratio
+    FROM documents
+    """,
+    doc="Per-document text statistics (char/word/BPE-ish token counts, mean "
+    "word length, lexical diversity) — all JVM-side builtin expressions, "
+    "zero Python in the row path.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        char_count(t).alias("n_chars"),
+        word_count(t).alias("n_words"),
+        token_count(t).alias("n_tokens"),
+        avg_word_len(t).alias("avg_word_len"),
+        distinct_word_ratio(t).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_DUCK_WORDS} AS w,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
+                 + CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1)
+                 + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5, 1.0))
+                 ) / 3, 6)                                             AS quality,
+           ROUND(CAST(len(list_filter(w, x -> list_contains(
+                ['the','and','of','to','a','in','is','it','that','for'],
+                lower(x)))) AS DOUBLE) / greatest(len(w), 1), 6)       AS en_stopword_ratio
+    FROM t
+    """,
+    doc="Heuristic quality scoring (length sweet spot + lexical diversity + "
+    "punctuation noise) and stopword ratio — the filter stage of a "
+    "training-data pipeline.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        quality_score(t).alias("quality"),
+        stopword_ratio(t, "en").alias("en_stopword_ratio"),
+    )
+
+
+def _duck_sw_hits(lang_words: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in lang_words)
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"x -> list_contains([{arr}], x)))"
+    )
+
+
+def _lang_id_oracle() -> str:
+    from ..functions.text import STOPWORDS
+
+    hits = {lang: _duck_sw_hits(ws) for lang, ws in sorted(STOPWORDS.items())}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "CASE "
+    for lang, h in hits.items():  # first language wins ties (sorted order)
+        case += f"WHEN {h} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH scored AS (SELECT doc_id, lang AS declared_lang, {best} AS best,
+                           text FROM documents)
+    SELECT doc_id, declared_lang, {case} AS detected_lang FROM scored
+    """
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=_lang_id_oracle(),
+    doc="Language-ID heuristic: argmax of per-language stopword hit counts "
+    "('und' when nothing scores) next to the declared lang column.",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        lang_id(F.col("text")).alias("detected_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_DUCK_NORM}) AS fp,
+           CAST(len(regexp_split_to_array({_DUCK_NORM}, ' ')) AS BIGINT) AS n_words_norm
+    FROM documents
+    """,
+    doc="Content fingerprinting: md5 over whitespace-normalized lowercase "
+    "text — the exact-dedup key (portable across engines by construction).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    from ..functions.text import normalize_text, words
+
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(words(normalize_text(F.col("text")))).cast("long").alias("n_words_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || '  ' FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_ignored,
+           MIN(doc_id) AS doc_id
+    FROM corpus
+    GROUP BY 1
+    """,
+    doc="Exact dedup via content-fingerprint hash aggregation (min-id "
+    "survivor). Duplicates are synthesized (10% of docs re-appear with "
+    "trailing whitespace + shifted ids) to prove normalization + collapse.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.unionByName(dups)
+    out = exact_dedup(corpus, "text", "doc_id")
+    return out.select(
+        fingerprint(F.col("text")).alias("fp_ignored"), F.col("doc_id")
+    )
+
+
+_SHINGLE_K = 5
+_NUM_HASHES = 12
+_BANDS = 4
+
+#: DuckDB shingle CTE (distinct word 5-grams of normalized text; whole text
+#: when shorter than k) — mirrors functions.text.word_shingles exactly.
+_DUCK_SHINGLES = f"""
+    words AS (SELECT doc_id, regexp_split_to_array({_DUCK_NORM}, ' ') AS wa
+              FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(wa[i:i+{_SHINGLE_K - 1}], ' ') AS s
+      FROM words, unnest(generate_series(1, greatest(len(wa) - {_SHINGLE_K - 1}, 1))) t(i)
+    )
+"""
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(md5('{s}|' || s)) AS mh_{s}" for s in range(_NUM_HASHES)
+    )
+    rows = _NUM_HASHES // _BANDS
+    band_selects = []
+    for b in range(_BANDS):
+        parts = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash (12 lexicographic-min md5 hashes over word-5-gram shingles) "
+    "+ LSH banding (4 bands x 3 rows): near-dup candidate pairs without "
+    "the O(n^2) grid — the 100 TB fuzzy-dedup path.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "text", "doc_id", _NUM_HASHES, _BANDS, _SHINGLE_K
+    )
+
+
+def _simhash_oracle() -> str:
+    h = token_hash_sql("w")
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h // {2 ** j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    rebuild = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({rebuild} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc="60-bit SimHash signatures over distinct words (portable md5-derived "
+    "token hashes; engine-identical bit math). Pairs search: see "
+    "dedup_simhash_pairs.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs, "text", "doc_id")
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3, bands: int = 4) -> str:
+    base = _simhash_oracle().strip()
+    bits_per = SIMHASH_BITS // bands
+    mod = 1 << bits_per
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash // {2 ** (b * bits_per)}) % {mod} AS key FROM sims"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sims AS ({base}),
+    buckets AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    doc="SimHash near-dup pairs: banded Hamming search (4 x 15-bit bands, "
+    "pigeonhole-exact for distance <= 3) + bit_count verify.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash_signatures(docs, "text", "doc_id"))
+
+
+_JACCARD_THRESHOLD = 0.05
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD}
+    """,
+    doc="Exact n-gram Jaccard over shingle sets via inverted-index self-join "
+    "(only pairs sharing a shingle materialize) with a hot-shingle cap "
+    "bounding worst-case pair blowup.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", _SHINGLE_K, _JACCARD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 20
+_TOP_K = 10
+
+_DUCK_COSINE_BASE = f"""
+    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY vec_id)
+"""
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH {_DUCK_COSINE_BASE},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.x * c.x) AS dot
+      FROM ex q JOIN ex c USING (i)
+      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(dot / (nq.n * nc.n), 6) AS cos_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """,
+    doc="Exact cosine top-k (brute force): broadcast query batch x corpus, "
+    "zip_with/aggregate dot products in whole-stage codegen, rank on the "
+    "rounded score — the ANN correctness baseline.",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") < _N_QUERIES), emb, k=_TOP_K
+    )
+
+
+_N_PLANES = 6
+_DIM = 64
+
+
+def _planes_values_sql() -> str:
+    rows = []
+    for p, plane in enumerate(hyperplanes(_N_PLANES, _DIM)):
+        for i, v in enumerate(plane, start=1):
+            rows.append(f"({p}, {i}, {v!r})")
+    return "planes(p, i, v) AS (SELECT * FROM (VALUES " + ", ".join(rows) + "))"
+
+
+def _ann_lsh_oracle() -> str:
+    return f"""
+    WITH {_DUCK_COSINE_BASE},
+    {_planes_values_sql()},
+    pdots AS (
+      SELECT ex.vec_id, planes.p, SUM(ex.x * planes.v) AS d
+      FROM ex JOIN planes ON ex.i = planes.i
+      GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id, SUM(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+      FROM pdots GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT cand.query_id, cand.neighbor_id, SUM(q.x * c.x) AS dot
+      FROM cand
+      JOIN ex q ON q.vec_id = cand.query_id
+      JOIN ex c ON c.vec_id = cand.neighbor_id AND c.i = q.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND(dot / (nq.n * nc.n), 6) AS cos_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=_ann_lsh_oracle(),
+    doc="ANN top-k via random-hyperplane LSH: 6 fixed seeded hyperplanes -> "
+    "64-bucket equi-join replaces the cross join; exact cosine within "
+    "buckets. Deterministic planes, replicated verbatim in the oracle.",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(
+        emb.filter(F.col("vec_id") < _N_QUERIES), emb,
+        n_planes=_N_PLANES, dim=_DIM, k=_TOP_K,
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+_NEAR_DUP_THRESHOLD = 0.3
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH {_DUCK_COSINE_BASE},
+    {_planes_values_sql()},
+    pdots AS (
+      SELECT ex.vec_id, planes.p, SUM(ex.x * planes.v) AS d
+      FROM ex JOIN planes ON ex.i = planes.i
+      GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id, SUM(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+      FROM pdots GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT cand.id_a, cand.id_b, SUM(a.x * b.x) AS dot
+      FROM cand
+      JOIN ex a ON a.vec_id = cand.id_a
+      JOIN ex b ON b.vec_id = cand.id_b AND b.i = a.i
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(dot / (na.n * nb.n), 6) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    WHERE ROUND(dot / (na.n * nb.n), 6) >= {_NEAR_DUP_THRESHOLD}
+    """,
+    doc="Embedding-cosine near-duplicate pairs: RHP bucket collision + "
+    "cosine >= threshold (threshold 0.3 fits this corpus's random-vector "
+    "cosine range; real near-dup corpora use ~0.95).",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=_NEAR_DUP_THRESHOLD, n_planes=_N_PLANES, dim=_DIM
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)        AS n_bytes,
+           lower(hex(encode(substr(text, 1, 8))))            AS header_hex,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+           CAST(ascii(substr(text, 1, 1)) AS INTEGER)        AS fake_height
+    FROM documents
+    """,
+    doc="Multimodal plumbing: BinaryType payload + metadata struct, decoded "
+    "by an Arrow-batched mapInPandas fake codec (deterministic byte ops; "
+    "real image/audio codecs are import-gated stubs with this exact "
+    "signature). ASCII text payloads make the oracle exact.",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_fake(with_binary_payload(docs))

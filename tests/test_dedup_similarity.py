@@ -1,0 +1,126 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nursing_home_data_etl_pipeline_spark.functions.vectors import cosine_rounded
+from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from nursing_home_data_etl_pipeline_spark.operators.multimodal import (
+    decode_fake,
+    sample_frames,
+    with_binary_payload,
+)
+from nursing_home_data_etl_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    hyperplanes,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 1
+    (3, "completely different content about spark engines and data"),
+    (4, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id").collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [1, 2, 3]  # 4 collapses into 1
+
+
+def test_minhash_signature_identical_for_dups(spark):
+    sig = minhash_signatures(_docs(spark), num_hashes=6, shingle_k=3).collect()
+    by_id = {r.doc_id: tuple(r)[1:] for r in sig}
+    assert by_id[1] == by_id[4]
+    assert by_id[1] != by_id[3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            _docs(spark), num_hashes=6, bands=3, shingle_k=3
+        ).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup should collide
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_near_for_near_dups(spark):
+    sig = simhash_signatures(_docs(spark))
+    pairs = simhash_near_pairs(sig, max_hamming=10).collect()
+    d = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert d.get((1, 4)) == 0
+    assert (1, 2) in d
+
+
+def test_ngram_jaccard_exact(spark):
+    out = ngram_jaccard_pairs(_docs(spark), shingle_k=3, threshold=0.1).collect()
+    j = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert j[(1, 4)] == 1.0
+    assert 0.5 < j[(1, 2)] < 1.0
+
+
+def test_cosine_topk_bruteforce(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # antipode
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_topk_bruteforce(df.filter("vec_id = 0"), df, k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.gauss(0, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter("vec_id < 5")
+    bf = {
+        (r.query_id, r.neighbor_id, r.cos_sim)
+        for r in cosine_topk_bruteforce(q, df, k=60).collect()
+    }
+    ann = cosine_topk_lsh(q, df, n_planes=3, dim=8, k=5).collect()
+    # every ANN hit must be a real pair with the same exact score
+    assert all((r.query_id, r.neighbor_id, r.cos_sim) in bf for r in ann)
+
+
+def test_hyperplanes_deterministic():
+    assert hyperplanes(3, 4) == hyperplanes(3, 4)
+
+
+def test_cosine_rounded_identity(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [2.0, 4.0])], ["a", "b"])
+    v = df.select(cosine_rounded(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    assert v == 1.0
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    mm = with_binary_payload(docs)
+    assert dict(mm.dtypes)["payload"] == "binary"
+    row = decode_fake(mm).collect()[0]
+    assert row.n_bytes == 11
+    assert row.header_hex == "hello wo".encode().hex()
+    assert row.fake_height == ord("h")
+    fr = sample_frames(mm, every_n_bytes=4).collect()[0]
+    assert fr.n_frames == 2

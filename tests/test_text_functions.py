@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nursing_home_data_etl_pipeline_spark.functions.text import (
+    avg_word_len,
+    char_count,
+    distinct_word_ratio,
+    fingerprint,
+    lang_id,
+    normalize_text,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_count,
+    word_shingles,
+)
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], ["t"]).select(
+        expr(F.col("t")).alias("v")
+    ).collect()[0].v
+
+
+def test_counts(spark):
+    assert _one(spark, "hello world, foo!", word_count) == 3
+    # tokens: hello, world, ',', foo, '!'
+    assert _one(spark, "hello world, foo!", token_count) == 5
+    assert _one(spark, "abc", char_count) == 3
+    assert _one(spark, "", word_count) == 0
+
+
+def test_ratios(spark):
+    assert _one(spark, "a a b b", distinct_word_ratio) == 0.5
+    assert _one(spark, "ab!!", punct_ratio) == 0.5
+    assert _one(spark, "ab cdef", avg_word_len) == 3.0
+
+
+def test_stopword_and_lang(spark):
+    assert _one(spark, "the cat and the dog", lambda c: stopword_ratio(c, "en")) == 0.6
+    assert _one(spark, "the cat and the dog is here", lang_id) == "en"
+    assert _one(spark, "el perro es grande y la casa", lang_id) == "es"
+    assert _one(spark, "zzz qqq www", lang_id) == "und"
+
+
+def test_quality_bounds(spark):
+    for t in ["short", "x " * 100, "!!!! ???? ###"]:
+        v = _one(spark, t, quality_score)
+        assert 0.0 <= v <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "  Hello   World ", fingerprint)
+    b = _one(spark, "hello world", fingerprint)
+    assert a == b
+
+
+def test_normalize_and_shingles(spark):
+    assert _one(spark, " A  b\tC ", normalize_text) == "a b c"
+    sh = _one(spark, "a b c d e f", lambda c: word_shingles(c, 5))
+    assert sorted(sh) == ["a b c d e", "b c d e f"]
+    # shorter than k -> whole text as one shingle
+    assert _one(spark, "a b", lambda c: word_shingles(c, 5)) == ["a b"]
