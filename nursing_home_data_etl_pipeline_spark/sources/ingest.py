@@ -1,0 +1,202 @@
+"""Ingest layer: manifest-dedup incremental ingest, filename routing, and
+raw-file archival (SURVEY.md §2.1 S5-S9).
+
+Reference behavior re-expressed:
+
+- S5 (Google Drive source, ``sync-drive-to-s3.py:97-104``) is out of engine
+  scope; the engine model is a *landing directory* files get dropped into.
+- S7 (manifest dedup, ``sync-drive-to-s3.py:47-48,108-131``): the reference
+  keeps a JSON manifest of ``{file_id, file_name, s3_key, synced_at}`` and
+  skips files already present. Engine: the ledger is a little Parquet table
+  and "new files" is a LEFT ANTI join — same semantics, arbitrarily scalable,
+  and the natural stepping stone to the Structured Streaming file source
+  (which maintains exactly this ledger internally; see streaming module).
+- S8 (filename router, ``sync-drive-to-s3.py:40-45`` + ``script/config.json``):
+  normalize the filename (drop ``NH_``/underscores, lowercase), substring
+  match against a pattern->domain table, ``_DEFAULT`` fallback.
+- S9 (archival move, ``move_sources_files.py:19-42``): known domains ->
+  processed zone, unknown -> error zone, then remove from source.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..zones import ZoneLayout
+
+#: Default routing table — pattern fragment -> domain prefix. Mirrors the
+#: reference's FILE_TYPE_MAPPING (script/config.json:7-13).
+DEFAULT_FILE_TYPE_MAPPING: dict[str, str] = {
+    "providerinfo": "provider_info",
+    "penalties": "penalties",
+    "surveysummary": "survey_summary",
+    "qualitymsrmds": "qualitymsr_mds",
+    "_DEFAULT": "unknown",
+}
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id", T.StringType(), False),
+        T.StructField("file_name", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("domain", T.StringType(), True),
+        T.StructField("synced_at", T.TimestampType(), True),
+    ]
+)
+
+
+def normalize_filename(name: str) -> str:
+    """Reference filename normalization (sync-drive-to-s3.py:41-44):
+    drop the ``NH_`` prefix and underscores, lowercase, strip extension."""
+    base = name.rsplit(".", 1)[0]
+    return base.replace("NH_", "").replace("_", "").lower()
+
+
+def route_filename(
+    name: str, mapping: dict[str, str] | None = None
+) -> str:
+    """S8: first pattern whose fragment is contained in the normalized name
+    wins (insertion order, as the reference's dict iteration); ``_DEFAULT``
+    otherwise."""
+    mapping = mapping or DEFAULT_FILE_TYPE_MAPPING
+    norm = normalize_filename(name)
+    for pattern, domain in mapping.items():
+        if pattern != "_DEFAULT" and pattern in norm:
+            return domain
+    return mapping.get("_DEFAULT", "unknown")
+
+
+def route_files_df(
+    files: DataFrame, mapping: dict[str, str] | None = None, name_col: str = "file_name"
+) -> DataFrame:
+    """Distributed router: the same routing as a ``when()`` chain over a
+    normalized name column — used when the listing itself is a DataFrame
+    (millions of files)."""
+    mapping = mapping or DEFAULT_FILE_TYPE_MAPPING
+    norm = F.lower(
+        F.regexp_replace(F.regexp_replace(F.col(name_col), r"\.[^.]*$", ""), "NH_|_", "")
+    )
+    expr = F.lit(mapping.get("_DEFAULT", "unknown"))
+    for pattern, domain in reversed(
+        [(p, d) for p, d in mapping.items() if p != "_DEFAULT"]
+    ):
+        expr = F.when(norm.contains(pattern), F.lit(domain)).otherwise(expr)
+    return files.withColumn("domain", expr)
+
+
+@dataclass
+class IngestLedger:
+    """S7: Parquet-backed ingest ledger with anti-join dedup."""
+
+    spark: SparkSession
+    path: str
+
+    def read(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+
+    def new_files(self, listing: DataFrame) -> DataFrame:
+        """Files in ``listing`` whose file_id is not yet in the ledger —
+        the reference's manifest skip (sync-drive-to-s3.py:109-111) as a
+        LEFT ANTI join."""
+        return listing.join(
+            self.read().select("file_id"), on="file_id", how="left_anti"
+        )
+
+    def record(self, synced: DataFrame) -> None:
+        """Append newly synced files (with a synced_at stamp) to the ledger."""
+        (
+            synced.select(
+                "file_id",
+                "file_name",
+                "path",
+                "domain",
+                F.current_timestamp().alias("synced_at"),
+            )
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+
+def list_landing_files(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Enumerate the landing directory as a listing DataFrame. file_id is
+    the content-addressed identity (name + size + mtime) — the engine analog
+    of the reference's Drive file_id."""
+    rows = []
+    base = Path(landing_dir)
+    if base.exists():
+        for p in sorted(base.rglob("*")):
+            if p.is_file():
+                st = p.stat()
+                rows.append(
+                    (
+                        f"{p.name}:{st.st_size}:{int(st.st_mtime_ns)}",
+                        p.name,
+                        str(p),
+                    )
+                )
+    schema = T.StructType(
+        [
+            T.StructField("file_id", T.StringType(), False),
+            T.StructField("file_name", T.StringType(), True),
+            T.StructField("path", T.StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def sync_landing_to_source(
+    spark: SparkSession,
+    landing_dir: str,
+    zones: ZoneLayout,
+    ledger: IngestLedger,
+    mapping: dict[str, str] | None = None,
+    dry_run: bool = False,
+) -> int:
+    """The reference's sync Lambda as an engine op: list landing files,
+    skip already-ingested (ledger anti-join), route by filename, copy into
+    ``source/{domain}/``, record in the ledger. Returns files synced.
+    ``dry_run`` mirrors the reference's side-effect-free rehearsal mode
+    (sync-drive-to-s3.py:68-71)."""
+    listing = list_landing_files(spark, landing_dir)
+    new = ledger.new_files(route_files_df(listing, mapping))
+    rows = new.collect()  # listing-sized, driver-side by design (file ops)
+    if dry_run:
+        return len(rows)
+    for r in rows:
+        dest_dir = zones.source(r.domain)
+        os.makedirs(dest_dir, exist_ok=True)
+        shutil.copy2(r.path, os.path.join(dest_dir, r.file_name))
+    if rows:
+        ledger.record(new)
+    return len(rows)
+
+
+def archive_source_files(
+    zones: ZoneLayout, known_domains: set[str]
+) -> dict[str, int]:
+    """S9: move raw domain folders out of the source zone — known domains
+    to processed, unknown to error (move_sources_files.py:19-42). Returns
+    counts per destination zone."""
+    moved = {"processed": 0, "error": 0}
+    for domain in zones.list_domains("source"):
+        dest_zone = "processed" if domain in known_domains else "error"
+        src = Path(zones.source(domain))
+        dest = Path(zones.path(dest_zone, domain))
+        dest.mkdir(parents=True, exist_ok=True)
+        for f in sorted(src.iterdir()):
+            if f.is_file():
+                shutil.move(str(f), str(dest / f.name))
+                moved[dest_zone] += 1
+        if not any(src.iterdir()):
+            src.rmdir()
+    return moved

@@ -1,0 +1,187 @@
+"""Domain transforms — the reference's three Glue jobs as library functions.
+
+- :func:`universal_cleaning` <- ``script/nh-etl-universal-cleaning.py``
+- :func:`provider_transform` <- ``script/nh-etl-provider-transform.py``
+- :func:`quality_transform`  <- ``script/nh-etl-quality-transform.py``
+
+Engine design deltas from the reference (SURVEY.md §2.9 bugs):
+- error sink receives the actual failing frame + exception (B1/B2 fixed);
+- no no-op renames (B3) or dead drops (B4);
+- the provider scan is CACHED before the five-output fan-out — the
+  reference re-reads the staging parquet once per output (§3.3 step 5);
+- single-select cleaning (B7) via operators.cleaning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.cleaning import clean_table
+from .operators.ids import with_etl_metadata
+from .operators.joins import DEFAULT_DENORM_COLS, left_enrich
+from .operators.projections import (
+    RATING_KEYWORDS,
+    STAFFING_KEYWORDS,
+    SURVEY_KEYWORDS,
+    drop_columns_if_present,
+    select_columns,
+    select_columns_matching,
+)
+from .sources.readers import is_empty, read_csv_untyped, read_parquet
+from .sources.writers import write_error, write_parquet
+from .zones import ZoneLayout
+
+PK = "facility_number"
+
+#: The facility dimension's canonical projection
+#: (nh-etl-provider-transform.py:36-61). Applied non-strictly: the
+#: reference's schema is dynamic-by-header, so absent columns are skipped.
+FACILITY_COLUMNS: tuple[str, ...] = (
+    PK,
+    "facility_name",
+    "facility_address",
+    "city_town",
+    "state",
+    "zip_code",
+    "telephone_number",
+    "provider_ssa_county_code",
+    "county_parish",
+    "ownership_type",
+    "number_of_certified_beds",
+    "average_number_of_residents_per_day",
+    "average_number_of_residents_per_day_footnote",
+    "facility_type",
+    "provider_resides_in_hospital",
+    "legal_business_name",
+    "date_first_approved_to_provide_medicare_and_medicaid_services",
+    "affiliated_entity_name",
+    "affiliated_entity_id",
+    "continuing_care_retirement_community",
+    "special_focus_status",
+    "abuse_icon",
+)
+
+#: Quality-measures projection (nh-etl-quality-transform.py:38-47).
+QUALITY_COLUMNS: tuple[str, ...] = (
+    PK,
+    "measure_code",
+    "measure_description",
+    "resident_type",
+    "q1_measure_score",
+    "footnote_for_q1_measure_score",
+    "q2_measure_score",
+    "footnote_for_q2_measure_score",
+    "q3_measure_score",
+    "footnote_for_q3_measure_score",
+    "q4_measure_score",
+    "footnote_for_q4_measure_score",
+    "four_quarter_average_score",
+    "footnote_for_four_quarter_average_score",
+    "used_in_quality_measure_five_star_rating",
+    "measure_period",
+    "location",
+    "processing_date",
+)
+
+#: Penalty-summary projection (nh-etl-provider-transform.py:93-102).
+PENALTY_COLUMNS: tuple[str, ...] = (
+    PK,
+    "number_of_facility_reported_incidents",
+    "number_of_substantiated_complaints",
+    "number_of_citations_from_infection_control_inspections",
+    "number_of_fines",
+    "total_amount_of_fines_in_dollars",
+    "number_of_payment_denials",
+    "total_number_of_penalties",
+)
+
+
+def universal_cleaning(
+    spark: SparkSession, zones: ZoneLayout, domains: Sequence[str] | None = None
+) -> list[str]:
+    """Per source-zone domain: CSV -> clean -> stamp -> staging Parquet.
+
+    Returns the list of domains staged. Empty domains are skipped (the
+    reference's empty-folder guard, cleaning:77-79); failures quarantine the
+    in-flight frame to the error zone and re-raise.
+    """
+    staged = []
+    for domain in domains or zones.list_domains("source"):
+        df = None
+        try:
+            df = read_csv_untyped(spark, zones.source(domain))
+            if is_empty(df):
+                continue
+            cleaned = with_etl_metadata(clean_table(df))
+            write_parquet(cleaned, zones.staging(domain))
+            staged.append(domain)
+        except Exception as exc:
+            write_error(df, zones.error(f"cleaning_{domain}"), f"cleaning:{domain}", exc)
+            raise
+    return staged
+
+
+def provider_transform(spark: SparkSession, zones: ZoneLayout) -> dict[str, str]:
+    """The multi-output provider query: one staged scan fans out to five
+    dimension outputs (facility, staffing, rating, surveys, penalties) with
+    two broadcast left-join enrichments. Returns {output: path}.
+    """
+    provider = read_parquet(spark, zones.staging("provider_info")).cache()
+    outputs: dict[str, DataFrame] = {}
+
+    outputs["facility"] = select_columns(provider, FACILITY_COLUMNS, strict=False)
+
+    trimmed = drop_columns_if_present(provider, DEFAULT_DENORM_COLS)
+    outputs["staffing"] = select_columns_matching(
+        trimmed, STAFFING_KEYWORDS, always_include=(PK,)
+    )
+    outputs["rating"] = select_columns_matching(
+        trimmed, RATING_KEYWORDS, always_include=(PK,)
+    )
+    surveys = select_columns_matching(trimmed, SURVEY_KEYWORDS, always_include=(PK,))
+    try:
+        survey_summary = read_parquet(spark, zones.staging("survey_summary"))
+        surveys = left_enrich(
+            surveys, survey_summary, on=PK, drop_from_other=DEFAULT_DENORM_COLS
+        )
+    except Exception:
+        pass  # enrich side optional, as in the dynamic-schema reference model
+    outputs["surveys"] = surveys
+
+    penalties_dim = select_columns(trimmed, PENALTY_COLUMNS, strict=False)
+    try:
+        penalties = read_parquet(spark, zones.staging("penalties"))
+        penalties_dim = left_enrich(
+            penalties_dim, penalties, on=PK, drop_from_other=DEFAULT_DENORM_COLS
+        )
+    except Exception:
+        pass
+    outputs["penalties"] = penalties_dim
+
+    written: dict[str, str] = {}
+    for name, df in outputs.items():
+        path = zones.transform(name)
+        try:
+            write_parquet(with_etl_metadata(df, order_by=[PK]), path)
+        except Exception as exc:
+            write_error(df, zones.error(f"transform_{name}"), f"provider:{name}", exc)
+            raise
+        written[name] = path
+    provider.unpersist()
+    return written
+
+
+def quality_transform(spark: SparkSession, zones: ZoneLayout) -> dict[str, str]:
+    """Quality-measures transform: projection + stamp -> transform zone."""
+    df = None
+    try:
+        df = read_parquet(spark, zones.staging("qualitymsr_mds"))
+        out = select_columns(df, QUALITY_COLUMNS, strict=False)
+        path = zones.transform("quality")
+        write_parquet(with_etl_metadata(out, order_by=[PK, "measure_code"]), path)
+        return {"quality": path}
+    except Exception as exc:
+        write_error(df, zones.error("transform_quality"), "quality", exc)
+        raise

@@ -15,7 +15,11 @@ import os
 from dataclasses import dataclass, field
 from pathlib import Path
 
-ZONES = ("source", "staging", "transform", "processed", "error")
+#: The reference's five buckets plus a ``warehouse`` zone — the engine
+#: replaces the out-of-Spark Snowflake star schema (reference README.md
+#: :183-282) with merged Parquet dims, so the warehouse becomes a sixth
+#: path zone instead of an external system.
+ZONES = ("source", "staging", "transform", "processed", "error", "warehouse")
 
 
 @dataclass(frozen=True)
@@ -45,6 +49,9 @@ class ZoneLayout:
 
     def error(self, domain: str | None = None) -> str:
         return self.path("error", domain)
+
+    def warehouse(self, domain: str | None = None) -> str:
+        return self.path("warehouse", domain)
 
     def list_domains(self, zone: str) -> list[str]:
         """Enumerate immediate child domains of a zone.

@@ -1,0 +1,140 @@
+"""End-to-end pipeline test on a synthetic landing directory (FIXTURES.md
+§1.5 raw-zone variants: dirty headers, padded values, CMS-original names,
+unknown-domain files)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nursing_home_data_etl_pipeline_spark import pipeline
+from nursing_home_data_etl_pipeline_spark.sources.ingest import (
+    IngestLedger,
+    list_landing_files,
+    normalize_filename,
+    route_filename,
+)
+from nursing_home_data_etl_pipeline_spark.sources.validate import ValidationError
+from nursing_home_data_etl_pipeline_spark.zones import ZoneLayout
+
+PROVIDER_CSV = (
+    "CMS Certification Number (CCN),Provider Name,Provider Address,City/Town,"
+    "State,ZIP Code,Overall Rating,Staffing Rating,Reported RN Staffing Hours per Resident per Day,"
+    "Total Nursing Staff Turnover,Rating Cycle 1 Revisit Score,Total Weighted Health Survey Score,"
+    "Number of Fines,Total Number of Penalties\n"
+    " 015009 , Sunny Acres , 1 Main St ,Springfield,IL,62701, 5 ,4,0.5,45.2,10,33.3,2,3\n"
+    "015010,Shady Pines,2 Oak Ave,Salem,OR,97301,3,2,0.7,55.0,20,44.4,0,1\n"
+)
+QUALITY_CSV = (
+    "CMS Certification Number (CCN),Measure Code,Measure Description,Resident type,"
+    "Q1 Measure Score,Q2 Measure Score,Q3 Measure Score,Q4 Measure Score,"
+    "Four Quarter Average Score,Measure Period,Location,Processing Date\n"
+    "015009,401,Falls,long,1.0,2.0,3.0,4.0,2.5,2024Q4,US,2025-01-01\n"
+    "015009,402,Ulcers,long,0.1,0.2,0.3,0.4,0.25,2024Q4,US,2025-01-01\n"
+    "015010,401,Falls,long,5.0,5.0,5.0,5.0,5.0,2024Q4,US,2025-01-01\n"
+)
+SURVEY_CSV = (
+    "CMS Certification Number (CCN),Provider Name,Survey Date,Count of Deficiencies\n"
+    "015009,Sunny Acres,2024-05-01,4\n"
+    "015099,Ghost Facility,2024-06-01,9\n"
+)
+PENALTIES_CSV = (
+    "CMS Certification Number (CCN),Penalty Date,Penalty Type,Fine Amount\n"
+    "015010,2024-01-15,Fine,11000\n"
+    "015010,2024-03-20,Fine,5500\n"
+)
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "NH_ProviderInfo_Jun2025.csv").write_text(PROVIDER_CSV)
+    (d / "NH_QualityMsr_MDS_Jun2025.csv").write_text(QUALITY_CSV)
+    (d / "NH_SurveySummary_Jun2025.csv").write_text(SURVEY_CSV)
+    (d / "NH_Penalties_Jun2025.csv").write_text(PENALTIES_CSV)
+    (d / "random_notes.csv").write_text("a,b\n1,2\n")
+    return d
+
+
+def test_filename_routing():
+    assert route_filename("NH_ProviderInfo_Jun2025.csv") == "provider_info"
+    assert route_filename("NH_QualityMsr_MDS_Jun2025.csv") == "qualitymsr_mds"
+    assert route_filename("NH_SurveySummary_Jun2025.csv") == "survey_summary"
+    assert route_filename("NH_Penalties_Jun2025.csv") == "penalties"
+    assert route_filename("random_notes.csv") == "unknown"
+    assert normalize_filename("NH_Provider_Info.csv") == "providerinfo"
+
+
+def test_pipeline_end_to_end(spark, landing, tmp_path):
+    zones = ZoneLayout(str(tmp_path / "zones"))
+    res = pipeline.run(spark, zones, landing_dir=str(landing))
+
+    assert res.synced == 5
+    assert sorted(res.staged) == [
+        "penalties", "provider_info", "qualitymsr_mds", "survey_summary", "unknown",
+    ]
+    # unknown domain archived to error, known to processed
+    assert res.archived == {"processed": 4, "error": 1}
+    assert sorted(res.transformed) == [
+        "facility", "penalties", "quality", "rating", "staffing", "surveys",
+    ]
+    assert len(res.merged) == 6
+
+    fac = spark.read.parquet(zones.warehouse("dim_facility"))
+    rows = {r.facility_number: r for r in fac.collect()}
+    # cleaning: trimmed values, renamed CCN -> facility_number
+    assert rows["015009"].facility_name == "Sunny Acres"
+    assert {"row_id", "etl_date"} <= set(fac.columns)
+
+    # name-predicate split put rating cols in dim_rating, not dim_staffing
+    rating_cols = set(spark.read.parquet(zones.warehouse("dim_rating")).columns)
+    staffing_cols = set(spark.read.parquet(zones.warehouse("dim_staffing")).columns)
+    assert "overall_rating" in rating_cols
+    assert "reported_rn_staffing_hours_per_resident_per_day" in staffing_cols
+    assert "overall_rating" not in staffing_cols
+
+    # left-join enrich: survey info joined onto surveys dim where present
+    surveys = {
+        r.facility_number: r
+        for r in spark.read.parquet(zones.warehouse("dim_surveys")).collect()
+    }
+    assert surveys["015009"].survey_date == "2024-05-01"
+    assert surveys["015010"].survey_date is None  # unmatched left row
+
+    # fan-out: penalties join is multi-row per facility
+    pen = spark.read.parquet(zones.warehouse("dim_penalties"))
+    assert pen.filter("facility_number = '015010'").count() == 2
+
+    # quality grain: facility x measure
+    qual = spark.read.parquet(zones.warehouse("dim_quality"))
+    assert qual.count() == 3
+
+
+def test_pipeline_incremental_rerun(spark, landing, tmp_path):
+    zones = ZoneLayout(str(tmp_path / "zones"))
+    pipeline.run(spark, zones, landing_dir=str(landing))
+    # second run: ledger skips all files; staging still present -> validate ok
+    res2 = pipeline.run(spark, zones, landing_dir=str(landing))
+    assert res2.synced == 0
+    # warehouse merge is idempotent (same PKs upserted)
+    fac = spark.read.parquet(zones.warehouse("dim_facility"))
+    assert fac.count() == 2
+
+
+def test_ledger_dedup(spark, landing, tmp_path):
+    zones = ZoneLayout(str(tmp_path / "z"))
+    zones.ensure()
+    ledger = IngestLedger(spark, str(tmp_path / "ledger"))
+    listing = list_landing_files(spark, str(landing))
+    assert ledger.new_files(listing).count() == 5
+    from nursing_home_data_etl_pipeline_spark.sources.ingest import route_files_df
+
+    ledger.record(route_files_df(listing))
+    assert ledger.new_files(listing).count() == 0
+
+
+def test_validation_gate_raises(spark, tmp_path):
+    zones = ZoneLayout(str(tmp_path / "empty_zones"))
+    zones.ensure()
+    with pytest.raises(ValidationError):
+        pipeline.run(spark, zones)
