@@ -7,5 +7,6 @@ from . import catalog
 from . import queries_parity  # noqa: F401  (registers on import)
 from . import queries_analytics  # noqa: F401
 from . import queries_northstar  # noqa: F401
+from . import queries_streaming  # noqa: F401
 
 __all__ = ["catalog"]

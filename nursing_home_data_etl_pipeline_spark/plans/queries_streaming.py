@@ -1,0 +1,138 @@
+"""Streaming queries under the driver contract: each runs a bounded
+Structured Streaming job over the events table (memory sink, drained with
+processAllAvailable) and returns the result table — so the DuckDB oracle can
+check STREAMING results against batch SQL, proving batch/stream equivalence.
+
+The events parquet stores TIMESTAMP(NANOS): the streaming schema reads ts
+as long (nanosAsLong) and converts to microseconds exactly as read_table
+does for batch.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..streaming.aggregations import (
+    running_totals_stateful,
+    session_counts,
+    windowed_counts,
+)
+from .catalog import register
+
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source wants a directory; glob-filter down to the
+    # events table within the sf dir.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run the streaming plan to completion into a memory sink; return the
+    result table. Bounded input + processAllAvailable => deterministic."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "streaming_windowed_agg",
+    oracle="""
+    SELECT make_timestamp((epoch_ns(ts) // 1000) // 21600000000 * 21600000000) AS window_start,
+           event_type,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(value), 4)  AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming tumbling-window aggregation (watermark + complete mode, "
+    "drained over the bounded events table) — must equal the batch window "
+    "query exactly: the batch/stream equivalence contract.",
+)
+def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return _drain_to_memory(windowed_counts(ev), "complete")
+
+
+@register(
+    "streaming_session_counts",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             ts,
+             epoch_ns(ts) // 1000 AS us,
+             CASE WHEN (epoch_ns(ts) // 1000) - LAG(epoch_ns(ts) // 1000) OVER w
+                        >= 1800 * 1000000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, us,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(us)  AS session_start_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Streaming session windows (30-min gap): the stream twin of batch "
+    "sessionization. Note streaming session semantics: an event at exactly "
+    "last+gap starts a NEW session (half-open window), hence >= in the "
+    "oracle vs > in the batch query.",
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return _drain_to_memory(session_counts(ev), "complete")
+
+
+@register(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Custom stateful operator (applyInPandasWithState): per-user running "
+    "totals. Over bounded single-batch input the final state equals the "
+    "batch aggregate — checked against plain SQL.",
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return _drain_to_memory(running_totals_stateful(ev), "update")
