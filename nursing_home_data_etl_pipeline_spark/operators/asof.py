@@ -1,0 +1,80 @@
+"""As-of (time-travel) join — an operator Spark lacks natively.
+
+Semantics: for each left row (key, ts), attach the right row with the same
+key and the greatest right-ts <= left-ts (backward as-of; ties inclusive).
+
+Implementation is the union+window trick — NOT a per-group pandas
+merge_asof: tag both sides, union them, and carry the latest right values
+forward with ``last(..., ignorenulls=True)`` over a per-key window ordered
+by (ts, side). Right rows sort before left rows at equal ts, giving the
+inclusive <= semantics. Cost: ONE shuffle on the key (the window
+partition) — same price as a regular join, no Python, no per-group
+materialization; this is the formulation that survives 100 TB where
+``applyInPandas`` + merge_asof would OOM on hot keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join. ``value_cols`` are the right-side columns to
+    attach (default: all non-key, non-ts columns); each appears in the
+    output as ``<col><suffix>``, plus ``<right_ts><suffix>`` for the
+    matched timestamp. Unmatched left rows keep nulls.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    value_cols = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in right.columns if c not in {*keys, right_ts}]
+    )
+
+    lhs = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_r_ts"),
+    )
+    rhs = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lhs.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(right_ts).alias("_r_ts"),
+    )
+    unioned = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_side",
+        "_lrow",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in value_cols
+        ],
+        F.last(F.col("_r_ts"), ignorenulls=True).over(w).alias("_r_ts"),
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("_r_ts").alias(f"{right_ts}{suffix}"),
+    )

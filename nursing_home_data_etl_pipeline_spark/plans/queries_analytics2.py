@@ -1,0 +1,178 @@
+"""Second analytics batch: as-of join, JSON extraction, SQL grouping sets,
+null-safe joins, approximate-quantile bands — rounding out SURVEY.md §2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.asof import asof_join
+from ..sources.readers import read_table
+from .catalog import register
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id,
+           c.user_id,
+           p.value                                          AS value_asof,
+           (epoch_ns(p.ts) // 1000)                         AS ts_asof_us
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="Backward as-of join (Spark lacks one natively): for each click, the "
+    "latest prior purchase of the same user — union+window formulation, one "
+    "shuffle on the key, no Python. Oracle: DuckDB's native ASOF JOIN.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value_asof",
+        F.unix_micros(F.col("ts_asof")).alias("ts_asof_us"),
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+           event_type
+    FROM events
+    WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) > 90
+    """,
+    doc="Semi-structured columns: from_json over the props JSON string with "
+    "an explicit schema (never schema inference at scale), filter on the "
+    "extracted field.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k",
+        F.from_json(F.col("props"), T.StructType([T.StructField("k", T.LongType())]))[
+            "k"
+        ],
+    )
+    return parsed.filter(F.col("k") > 90).select("event_id", "k", "event_type")
+
+
+@register(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*)                  AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="GROUPING SETS through the SQL entry point (temp view + spark.sql) — "
+    "the catalog exercises both DataFrame and SQL APIs; Catalyst produces "
+    "the same expanded-aggregate plan either way.",
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*)                  AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    r AS (
+      SELECT DISTINCT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS status
+      FROM orders
+    )
+    SELECT l.o_orderkey, l.status, r.status IS NOT NULL OR l.status IS NULL AS matched
+    FROM l JOIN r ON l.status IS NOT DISTINCT FROM r.status
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other — the semantics a plain equi-join silently drops.",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    status = F.when(F.col("o_orderstatus") == "O", None).otherwise(
+        F.col("o_orderstatus")
+    )
+    left = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", status.alias("status")
+    )
+    right = orders.select(status.alias("status")).distinct()
+    joined = left.join(
+        right.withColumnRenamed("status", "r_status"),
+        left["status"].eqNullSafe(F.col("r_status")),
+    )
+    return joined.select(
+        "o_orderkey",
+        "status",
+        (F.col("r_status").isNotNull() | F.col("status").isNull()).alias("matched"),
+    )
+
+
+@register(
+    "quantile_bands",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT CASE WHEN o_totalprice < q.q1 THEN 'low'
+                WHEN o_totalprice > q.q3 THEN 'high'
+                ELSE 'mid' END AS band,
+           COUNT(*)            AS n
+    FROM orders, q
+    GROUP BY 1
+    """,
+    doc="Banding rows by exact quantiles (percentile via sort-based exact "
+    "computation here; approx_percentile is the 100 TB variant with the "
+    "same plan shape minus the full sort).",
+)
+def quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    q = orders.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    banded = orders.join(F.broadcast(q)).withColumn(
+        "band",
+        F.when(F.col("o_totalprice") < F.col("q1"), "low")
+        .when(F.col("o_totalprice") > F.col("q3"), "high")
+        .otherwise("mid"),
+    )
+    return banded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
