@@ -39,6 +39,26 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates later joins/aggregations on the
+    bucket key WITHOUT a shuffle (both sides bucketed the same way -> sort-
+    merge join reads buckets pairwise). The pre-shuffle you pay once at
+    write time instead of per query — the core 100 TB lever for repeated
+    joins on a stable key (e.g. the facility PK, or doc_id for dedup).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_error(
     df: DataFrame | None,
     error_path: str,
