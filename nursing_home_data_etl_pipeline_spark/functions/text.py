@@ -49,9 +49,15 @@ def char_count(text: Column) -> Column:
     return F.length(text).cast("long")
 
 
-def avg_word_len(text: Column) -> Column:
-    """Mean word length, rounded to 6 (deterministic across engines)."""
-    w = words(text)
+def avg_word_len(text: Column, w: Column | None = None) -> Column:
+    """Mean word length, rounded to 6 (deterministic across engines).
+
+    Pass a pre-materialized word array ``w`` when computing many stats over
+    the same text: referencing ``words(text)`` inside HOF lambdas inlines
+    the tokenizer per element (measured 2x slower at sf0.1); a bound
+    attribute evaluates once per row. Same contract on every stat below.
+    """
+    w = words(text) if w is None else w
     total = F.aggregate(
         F.transform(w, lambda x: F.length(x).cast("double")),
         F.lit(0.0),
@@ -60,10 +66,10 @@ def avg_word_len(text: Column) -> Column:
     return F.round(total / F.greatest(F.size(w), F.lit(1)), 6)
 
 
-def distinct_word_ratio(text: Column) -> Column:
+def distinct_word_ratio(text: Column, w: Column | None = None) -> Column:
     """Lexical diversity: |set(words)| / |words| — low values flag boilerplate
     and repetition-heavy documents."""
-    w = words(text)
+    w = words(text) if w is None else w
     return F.round(
         F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1)).cast("double"),
         6,
@@ -80,25 +86,27 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    """Fraction of words that are stopwords of ``lang``."""
+def stopword_ratio(text: Column, lang: str = "en", w: Column | None = None) -> Column:
+    """Fraction of words that are stopwords of ``lang``. ``w``, if given,
+    must be lower-cased words."""
     sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-    w = words(F.lower(text))
+    w = words(F.lower(text)) if w is None else w
     n_hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
     return F.round(
         n_hits / F.greatest(F.size(w), F.lit(1)).cast("double"), 6
     )
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, w: Column | None = None) -> Column:
     """Composite heuristic quality score in [0, 1]: length sweet spot,
     lexical diversity, low punctuation noise. Deterministic, engine-portable
     arithmetic (rounded at the end).
     """
-    n_words = F.size(words(text)).cast("double")
+    w = words(text) if w is None else w
+    n_words = F.size(w).cast("double")
     length_score = F.least(n_words / F.lit(50.0), F.lit(1.0))
-    diversity = F.size(F.array_distinct(words(text))) / F.greatest(
-        F.size(words(text)), F.lit(1)
+    diversity = F.size(F.array_distinct(w)) / F.greatest(
+        F.size(w), F.lit(1)
     ).cast("double")
     noise = F.length(text) - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9_\s]", ""))
     noise_score = F.lit(1.0) - F.least(
@@ -107,12 +115,12 @@ def quality_score(text: Column) -> Column:
     return F.round((length_score + diversity + noise_score) / 3, 6)
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, w: Column | None = None) -> Column:
     """Heuristic language ID: argmax of per-language stopword hit counts;
     'und' (undetermined) when no list scores above zero. Ties break by
-    language code order — deterministic.
-    """
-    w = words(F.lower(text))
+    language code order — deterministic. ``w``, if given, must be
+    lower-cased words."""
+    w = words(F.lower(text)) if w is None else w
 
     def hit_counter(sws: tuple[str, ...]):
         sw_arr = F.array(*[F.lit(s) for s in sws])

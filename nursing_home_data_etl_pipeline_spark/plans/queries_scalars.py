@@ -1,0 +1,120 @@
+"""Scalar-function and statistical-aggregate coverage (SURVEY.md §2.6 F1-F6
+analogs plus the math/date/string surface the reference never touches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_table
+from .catalog import register
+
+
+@register(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                 AS order_year,
+           CAST(month(o_orderdate) AS INT)                AS order_month,
+           CAST(dayofmonth(o_orderdate) AS INT)           AS order_day,
+           upper(o_orderpriority)                         AS priority_uc,
+           substr(o_orderstatus, 1, 1)                    AS status_1,
+           concat(o_orderstatus, '-', o_orderpriority)    AS status_priority,
+           abs(o_totalprice - 250000.0)                   AS dist_from_250k,
+           CAST(ceil(o_totalprice / 1000.0) AS BIGINT)    AS price_k_ceil,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT)   AS price_k_floor,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')   AS status_named,
+           length(o_orderpriority)                        AS prio_len
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+    doc="Scalar-function surface: date parts, string ops (upper/substr/"
+    "concat/length), math (abs/ceil/floor), null handling "
+    "(coalesce/nullif) — all whole-stage-codegen built-ins.",
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.upper("o_orderpriority").alias("priority_uc"),
+        F.substring("o_orderstatus", 1, 1).alias("status_1"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.abs(F.col("o_totalprice") - 250000.0).alias("dist_from_250k"),
+        F.ceil(F.col("o_totalprice") / 1000.0).cast("long").alias("price_k_ceil"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("price_k_floor"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_named"
+        ),
+        F.length("o_orderpriority").alias("prio_len"),
+    )
+
+
+@register(
+    "stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(var_samp(l_discount), 6)         AS var_disc,
+           ROUND(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2)  AS cov_qty_price,
+           ROUND(min(l_extendedprice), 2)         AS min_price,
+           ROUND(max(l_extendedprice), 2)         AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: stddev/variance/correlation/covariance "
+    "(one-pass numerically-stable implementations in both engines; rounded "
+    "to absorb summation-order noise).",
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "conditional_aggregation",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F')                    AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O')                    AS n_open,
+           ROUND(SUM(CASE WHEN o_orderpriority LIKE '1%'
+                          THEN o_totalprice ELSE 0 END), 2)               AS urgent_revenue
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) FILTER (WHERE o_orderstatus = 'F') >= 5
+    """,
+    doc="Conditional aggregation (FILTER clauses / CASE-gated sums) — the "
+    "single-pass alternative to N self-joins.",
+)
+def conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority").startswith("1"),
+                        F.col("o_totalprice"),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("urgent_revenue"),
+        )
+        .filter(F.col("n_finished") >= 5)
+    )
