@@ -9,7 +9,9 @@ from . import queries_analytics  # noqa: F401
 from . import queries_analytics2  # noqa: F401
 from . import queries_analytics3  # noqa: F401
 from . import queries_scalars  # noqa: F401
+from . import queries_multijoin  # noqa: F401
 from . import queries_northstar  # noqa: F401
+from . import queries_northstar2  # noqa: F401
 from . import queries_streaming  # noqa: F401
 
 __all__ = ["catalog"]

@@ -1,0 +1,182 @@
+"""Second north-star batch: TF-IDF term weighting and an IVF-style ANN
+variant (coarse-quantizer cells instead of hyperplane buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_rounded
+from ..sources.readers import read_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term,
+             COUNT(*) AS n,
+             SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS doc_len
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id,
+           tf.term,
+           ROUND((CAST(tf.n AS DOUBLE) / tf.doc_len)
+                 * (ln((n_docs.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n_docs
+    """,
+    doc="TF-IDF term weighting: term frequency per doc x smoothed inverse "
+    "document frequency — explode + two hash aggregations + one broadcast "
+    "join on the (vocabulary-sized) df table; no Python.",
+)
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    tf = tf.withColumn("doc_len", F.sum("n").over(Window.partitionBy("doc_id")))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # driver scalar: one tiny job, embedded as literal
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("n").cast("double") / F.col("doc_len"))
+                * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN
+# ---------------------------------------------------------------------------
+
+_N_CELLS = 8
+_N_QUERIES = 20
+_TOP_K = 10
+
+#: DuckDB long-form embeddings + norms (shared with the LSH oracles).
+_DUCK_EX = """
+    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY vec_id)
+"""
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH {_DUCK_EX},
+    cents AS (SELECT vec_id AS cent_id, i, x FROM ex WHERE vec_id < {_N_CELLS}),
+    assign AS (
+      SELECT e.vec_id, c.cent_id,
+             SUM((e.x - c.x) * (e.x - c.x)) AS d2
+      FROM ex e JOIN cents c USING (i)
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM assign
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM cells q JOIN cells c ON q.cell = c.cell
+      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT cand.query_id, cand.neighbor_id, SUM(a.x * b.x) AS dot
+      FROM cand
+      JOIN ex a ON a.vec_id = cand.query_id
+      JOIN ex b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND(dot / (na.n * nb.n), 6) AS cos_sim
+      FROM dots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=_ivf_oracle(),
+    doc="IVF-style ANN: coarse quantizer (first 8 vectors as fixed cells — "
+    "deterministic, training-free), assign every vector to its nearest "
+    "cell by L2 (min_by with (distance, cell_id) tiebreak), probe the "
+    "query's own cell with exact cosine. The cell equi-join replaces the "
+    "cross join, same contract as the RHP variant.",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < _N_CELLS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+    # L2 distance via zip_with fold; min_by with deterministic tiebreak.
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr("min_by(cent_id, struct(d2, cent_id))").alias("cell"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cell"), F.col("embedding").alias("_qv")
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell"), F.col("embedding").alias("_cv")
+    )
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_rounded(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _TOP_K
+    )
