@@ -1,0 +1,104 @@
+"""Connected components over a pair graph — the step that turns near-dup
+candidate PAIRS into duplicate CLUSTERS (keep one representative per
+component, drop the rest).
+
+Algorithm: min-label propagation. Every vertex starts labeled with itself;
+each round every vertex takes the min label among itself and its neighbors;
+stop when a round changes nothing. Rounds = graph diameter, and near-dup
+graphs are shallow (stars/cliques), so 3-5 rounds is typical. Each round is
+two hash joins + an aggregate — all shuffle-partitioned by vertex, nothing
+driver-side except the convergence counter.
+
+This is inherently iterative (not expressible as one SQL query in Spark);
+the oracle twin uses DuckDB's recursive CTE for the same fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label every vertex with the min vertex id of its component.
+
+    ``vertices``: one column ``id_col`` (includes isolated vertices).
+    ``edges``: undirected pairs (``src_col``, ``dst_col``).
+    Returns (id_col, component). Caches per-round label frames and
+    unpersists the previous round; raises if not converged within
+    ``max_iterations`` (a near-dup graph needing >20 rounds means the
+    banding threshold is far too loose).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("label")
+    ).cache()
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels, sym["dst"] == labels["v"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(
+                    neighbor_min, labels["v"] == neighbor_min["src"], "left"
+                )
+                .select(
+                    "v",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                .cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("v").alias(id_col), F.col("label").alias("component")
+                )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    finally:
+        sym.unpersist()
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup clusters from candidate pairs: (doc_id, cluster_id,
+    cluster_size). cluster_id is the min doc_id of the component; singleton
+    documents form their own cluster of size 1. The keep-one-per-cluster
+    dedup is then ``filter(doc_id == cluster_id)``."""
+    comp = connected_components(
+        docs.select(id_col), pairs, id_col=id_col
+    ).withColumnRenamed("component", "cluster_id")
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")

@@ -1,0 +1,45 @@
+"""Partitioning levers (SURVEY.md §4.3): the knobs that matter at 100 TB,
+exposed as intention-revealing helpers so pipelines state WHY they move
+data, not just that they do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partition_count(df: DataFrame) -> int:
+    return df.rdd.getNumPartitions()
+
+
+def repartition_for_join(df: DataFrame, keys: Sequence[str], n: int | None = None) -> DataFrame:
+    """Hash-partition on the join/agg keys ahead of several operations that
+    reuse the same keys — pay one shuffle, reuse the partitioning (Catalyst
+    recognizes the child distribution and skips re-shuffling)."""
+    return df.repartition(n, *[F.col(k) for k in keys]) if n else df.repartition(
+        *[F.col(k) for k in keys]
+    )
+
+
+def repartition_by_range(df: DataFrame, cols: Sequence[str], n: int) -> DataFrame:
+    """Range partitioning — for globally sorted output files or
+    partition-pruned range predicates downstream."""
+    return df.repartitionByRange(n, *[F.col(c) for c in cols])
+
+
+def coalesce_output(df: DataFrame, n: int) -> DataFrame:
+    """Shrink partition count without a shuffle — the 'don't write 10k tiny
+    files' knob right before a sink. (AQE coalescing already handles the
+    post-shuffle case; this is for narrow pipelines.)"""
+    return df.coalesce(n)
+
+
+def with_salt(df: DataFrame, buckets: int, name: str = "_salt", seed: int = 42) -> DataFrame:
+    """Add a uniform salt column: prepend to a hot key to spread one
+    pathological group across ``buckets`` reducers. Pair with a second-stage
+    merge (see aggregates.salted_group_agg) or replicate the other join side
+    per salt value."""
+    return df.withColumn(name, (F.rand(seed=seed) * buckets).cast("int"))

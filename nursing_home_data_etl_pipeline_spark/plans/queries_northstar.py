@@ -252,7 +252,9 @@ _DUCK_SHINGLES = f"""
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_cte() -> str:
+    """CTE chain ending in ``mh_pairs(id_a, id_b)`` — shared by the pairs
+    query and the cluster (connected components) query."""
     mins = ",\n           ".join(
         f"MIN(md5('{s}|' || s)) AS mh_{s}" for s in range(_NUM_HASHES)
     )
@@ -264,8 +266,7 @@ def _minhash_oracle() -> str:
             f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig"
         )
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
-    return f"""
-    WITH {_DUCK_SHINGLES},
+    return f"""{_DUCK_SHINGLES},
     sig AS (
       SELECT doc_id,
            {mins}
@@ -273,10 +274,18 @@ def _minhash_oracle() -> str:
     ),
     bands AS (
       {bands_sql}
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    mh_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_pairs_cte()}
+    SELECT id_a, id_b FROM mh_pairs
     """
 
 

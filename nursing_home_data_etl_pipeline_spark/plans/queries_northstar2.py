@@ -8,8 +8,45 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_rounded
+from ..operators.components import dup_clusters
+from ..operators.dedup import minhash_dedup_pairs
 from ..sources.readers import read_table
 from .catalog import register
+from .queries_northstar import _minhash_pairs_cte
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_cte()},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(v, l) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size
+    FROM comp JOIN sizes USING (cluster_id)
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=_clusters_oracle(),
+    doc="Near-dup CLUSTERS from MinHash-LSH pairs via distributed connected "
+    "components (min-label propagation, converges in diameter rounds; "
+    "each round is two hash joins). The keep-one dedup is then "
+    "doc_id == cluster_id. Oracle: DuckDB recursive-CTE reachability.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs)
+    return dup_clusters(docs, pairs)
 
 # ---------------------------------------------------------------------------
 # TF-IDF

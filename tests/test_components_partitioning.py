@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nursing_home_data_etl_pipeline_spark.operators.components import (
+    connected_components,
+    dup_clusters,
+)
+from nursing_home_data_etl_pipeline_spark.operators.partitioning import (
+    coalesce_output,
+    partition_count,
+    repartition_by_range,
+    repartition_for_join,
+    with_salt,
+)
+
+
+def test_connected_components_basic(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    # components: {0,1,2,3} (chain), {4,5} (pair), {6} isolated
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_cycle_and_cross_edges(spark):
+    vertices = spark.createDataFrame([(i,) for i in [10, 20, 30, 40]], ["id"])
+    edges = spark.createDataFrame(
+        [(20, 30), (30, 10), (10, 20), (40, 30)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert set(comp.values()) == {10}
+
+
+def test_dup_clusters_sizes(spark):
+    docs = spark.createDataFrame([(i, "t") for i in range(5)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 3), (1, 2)], ["id_a", "id_b"])
+    out = {r.doc_id: (r.cluster_id, r.cluster_size) for r in
+           dup_clusters(docs, pairs).collect()}
+    assert out[0] == (0, 2) and out[3] == (0, 2)
+    assert out[1] == (1, 2) and out[2] == (1, 2)
+    assert out[4] == (4, 1)
+    # keep-one-per-cluster dedup
+    keep = [d for d, (c, _) in out.items() if d == c]
+    assert sorted(keep) == [0, 1, 4]
+
+
+def test_nonconvergence_raises(spark):
+    vertices = spark.createDataFrame([(0,), (1,)], ["id"])
+    edges = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(vertices, edges, max_iterations=0)
+
+
+def test_partitioning_helpers(spark):
+    df = spark.range(1000)
+    assert partition_count(repartition_for_join(df, ["id"], 7)) == 7
+    assert partition_count(coalesce_output(df.repartition(16), 3)) == 3
+    ranged = repartition_by_range(df, ["id"], 4)
+    assert partition_count(ranged) <= 4
+    salted = with_salt(df, buckets=8)
+    vals = {r._salt for r in salted.select("_salt").distinct().collect()}
+    assert vals <= set(range(8)) and len(vals) > 1
