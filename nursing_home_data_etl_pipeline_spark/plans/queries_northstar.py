@@ -239,11 +239,14 @@ _SHINGLE_K = 5
 _NUM_HASHES = 12
 _BANDS = 4
 
-#: DuckDB shingle CTE (distinct word 5-grams of normalized text; whole text
-#: when shorter than k) — mirrors functions.text.word_shingles exactly.
-_DUCK_SHINGLES = f"""
+def _duck_shingles(src: str = "documents") -> str:
+    """DuckDB shingle CTE (distinct word 5-grams of normalized text; whole
+    text when shorter than k) — mirrors functions.text.word_shingles
+    exactly. ``src`` parameterizes the corpus relation so composed queries
+    (e.g. training_corpus) can shingle a filtered CTE."""
+    return f"""
     words AS (SELECT doc_id, regexp_split_to_array({_DUCK_NORM}, ' ') AS wa
-              FROM documents),
+              FROM {src}),
     shingles AS (
       SELECT DISTINCT doc_id,
              array_to_string(wa[i:i+{_SHINGLE_K - 1}], ' ') AS s
@@ -252,9 +255,12 @@ _DUCK_SHINGLES = f"""
 """
 
 
-def _minhash_pairs_cte() -> str:
+_DUCK_SHINGLES = _duck_shingles()
+
+
+def _minhash_pairs_cte(src: str = "documents") -> str:
     """CTE chain ending in ``mh_pairs(id_a, id_b)`` — shared by the pairs
-    query and the cluster (connected components) query."""
+    query, the cluster query, and corpus-composition queries."""
     mins = ",\n           ".join(
         f"MIN(md5('{s}|' || s)) AS mh_{s}" for s in range(_NUM_HASHES)
     )
@@ -266,7 +272,7 @@ def _minhash_pairs_cte() -> str:
             f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig"
         )
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
-    return f"""{_DUCK_SHINGLES},
+    return f"""{_duck_shingles(src)},
     sig AS (
       SELECT doc_id,
            {mins}

@@ -1,0 +1,154 @@
+"""Training-data assembly queries: deterministic splits, stratified
+sampling, vector aggregation, and the end-to-end corpus composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, quality_score, words
+from ..operators.components import dup_clusters
+from ..operators.dedup import minhash_dedup_pairs
+from ..operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_deterministic_sample,
+)
+from ..sources.readers import read_table
+from .catalog import register
+from .queries_northstar import _minhash_pairs_cte
+
+
+def _duck_hash_bucket(key_expr: str, salt: str) -> str:
+    """DuckDB twin of sampling._hash_bucket: first 4 md5 hex chars as an
+    integer mod 10000, via digit arithmetic (DuckDB has no conv())."""
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({digits}) % 10000)"
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_duck_hash_bucket('doc_id', 'split')} < 8000 THEN 'train'
+                WHEN {_duck_hash_bucket('doc_id', 'split')} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test assignment by content hash (80/10/10) "
+    "— reproducible across runs, partitionings, and engines; no row ever "
+    "migrates between splits on rerun (df.sample cannot promise that).",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "stratified_sample_langs",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (lang = 'en' AND {_duck_hash_bucket('doc_id', 'strata')} < 9000)
+       OR (lang = 'de' AND {_duck_hash_bucket('doc_id', 'strata')} < 5000)
+       OR (lang = 'zh' AND {_duck_hash_bucket('doc_id', 'strata')} < 2500)
+    """,
+    doc="Stratified deterministic sampling: per-language keep rates (en 90% "
+    "/ de 50% / zh 25%, others dropped) — the 'rebalance sources' op of a "
+    "training mix, reproducible by construction.",
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_deterministic_sample(
+        docs, "doc_id", "lang", {"en": 0.9, "de": 0.5, "zh": 0.25}
+    ).select("doc_id", "lang")
+
+
+@register(
+    "vector_mean_by_label",
+    oracle="""
+    SELECT label,
+           i,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_x,
+           COUNT(*)                                    AS n
+    FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+    GROUP BY label, i
+    """,
+    doc="Vector aggregation: per-label centroid (posexplode to long form, "
+    "one hash aggregate over (label, dim)) — the embedding-pooling shape "
+    "for cluster centroids / class prototypes.",
+)
+def vector_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "x")
+    ).select("label", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    return long.groupBy("label", "i").agg(
+        F.round(F.avg("x"), 6).alias("mean_x"), F.count(F.lit(1)).alias("n")
+    )
+
+
+_QUALITY_MIN = 0.5
+
+#: DuckDB quality expression (must mirror functions.text.quality_score).
+_DUCK_QUALITY = """
+      ROUND((least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 50.0, 1.0)
+            + CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+              / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+            + (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')))
+                           / CAST(greatest(length(text), 1) AS DOUBLE) * 5, 1.0))
+            ) / 3, 6)
+"""
+
+
+@register(
+    "training_corpus",
+    oracle=f"""
+    WITH RECURSIVE kept AS (
+      SELECT doc_id, text, lang FROM documents
+      WHERE {_DUCK_QUALITY} >= {_QUALITY_MIN} AND lang IN ('en', 'de', 'es', 'fr')
+    ),
+    {_minhash_pairs_cte(src="kept")},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(v, l) AS (
+      SELECT doc_id, doc_id FROM kept
+      UNION
+      SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v)
+    SELECT k.doc_id,
+           k.lang,
+           md5(trim(regexp_replace(lower(k.text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(len(regexp_split_to_array(trim(k.text), '\\s+')) AS BIGINT) AS n_words
+    FROM kept k JOIN comp ON comp.doc_id = k.doc_id
+    WHERE comp.cluster_id = k.doc_id
+    """,
+    doc="End-to-end training-corpus assembly: quality gate + language "
+    "filter -> MinHash-LSH near-dup clustering -> keep one representative "
+    "per cluster -> fingerprinted corpus manifest. The composition query "
+    "proving the north-star stages stack into one Catalyst plan (plus the "
+    "iterative CC step).",
+)
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        (quality_score(F.col("text")) >= _QUALITY_MIN)
+        & F.col("lang").isin("en", "de", "es", "fr")
+    ).cache()
+    clusters = dup_clusters(kept, minhash_dedup_pairs(kept))
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    corpus = kept.join(reps, "doc_id")
+    return corpus.select(
+        "doc_id",
+        "lang",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(words(F.col("text"))).cast("long").alias("n_words"),
+    )

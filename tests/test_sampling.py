@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nursing_home_data_etl_pipeline_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_deterministic_sample,
+)
+
+
+def test_deterministic_sample_stable_and_sized(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    s1 = {r.k for r in deterministic_sample(df, "k", 0.3).collect()}
+    s2 = {r.k for r in deterministic_sample(df.repartition(13), "k", 0.3).collect()}
+    assert s1 == s2  # partitioning-independent
+    assert 0.25 < len(s1) / 2000 < 0.35
+    # monotone: a bigger fraction strictly contains the smaller one
+    s_half = {r.k for r in deterministic_sample(df, "k", 0.5).collect()}
+    assert s1 <= s_half
+
+
+def test_hash_split_partition_and_weights(spark):
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert abs(counts["train"] / 5000 - 0.8) < 0.05
+    # every row in exactly one split, assignment stable across reruns
+    assert sum(counts.values()) == 5000
+    again = {r.k: r.split for r in hash_split(df, "k").collect()}
+    first = {r.k: r.split for r in out.collect()}
+    assert first == again
+
+
+def test_stratified_fractions(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    out = stratified_deterministic_sample(df, "k", "s", {"a": 0.9, "b": 0.1})
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["a"] / 1000 - 0.9) < 0.07
+    assert abs(counts["b"] / 1000 - 0.1) < 0.07
+    # stratum not listed -> dropped
+    out2 = stratified_deterministic_sample(df, "k", "s", {"a": 0.5})
+    assert out2.filter("s = 'b'").count() == 0
