@@ -1,0 +1,53 @@
+"""Document chunking — the context-window preparation op of an LLM data
+pipeline: split documents into fixed-size overlapping word windows.
+
+Row-local (explode of a per-row start sequence; no shuffle) and entirely
+builtin expressions — chunking 100 TB of text is a map-only stage here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text
+
+
+def chunk_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Output (id, chunk_id, chunk_text, n_words), one row per chunk;
+    documents shorter than ``chunk_words`` yield a single chunk. Chunk i
+    starts at word i*(chunk_words-overlap), so consecutive chunks share
+    ``overlap`` words. The word array is materialized before the slicing
+    lambda (see dedup.shingle_table for why that matters)."""
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be smaller than chunk_words")
+    stride = chunk_words - overlap
+    w = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), w.alias("_w"))
+    n = F.size("_w")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(" ", F.slice(F.col("_w"), i * stride + 1, chunk_words)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    out = base.select(F.col(id_col), F.explode(chunks).alias("c"))
+    return out.select(
+        F.col(id_col),
+        F.col("c.chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.size(F.split(F.col("c.chunk_text"), " ")).cast("long").alias("n_words"),
+    )

@@ -45,7 +45,10 @@ def normalize_name(name: str) -> str:
     out = out.replace("(", "").replace(")", "")
     for ch in (" ", "/", "-", "."):
         out = out.replace(ch, "_")
-    return out
+    # Final strip: paren removal can re-expose trailing whitespace the
+    # initial strip couldn't see (e.g. "0\r)" -> "0\r"). The reference
+    # stops after the first strip and would keep the dirty tail.
+    return out.strip()
 
 
 def normalize_column_names(df: DataFrame) -> DataFrame:

@@ -92,6 +92,41 @@ def vector_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS wa
+      FROM documents
+    ),
+    meta AS (
+      SELECT doc_id, wa,
+             greatest(CAST(ceil((len(wa) - 10) / 40.0) AS INT), 1) AS n_chunks
+      FROM w
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_id,
+             array_to_string(wa[i * 40 + 1 : i * 40 + 50], ' ') AS chunk_text
+      FROM meta, unnest(generate_series(0, n_chunks - 1)) t(i)
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           chunk_text,
+           CAST(len(regexp_split_to_array(chunk_text, ' ')) AS BIGINT) AS n_words
+    FROM chunks
+    """,
+    doc="Document chunking: 50-word windows with 10-word overlap — the "
+    "context-window prep op; map-only (explode of a per-row start "
+    "sequence), no shuffle, no Python.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_table(docs, chunk_words=50, overlap=10)
+
+
 _QUALITY_MIN = 0.5
 
 #: DuckDB quality expression (must mirror functions.text.quality_score).
