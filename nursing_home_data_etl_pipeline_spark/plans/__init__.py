@@ -8,6 +8,7 @@ from . import queries_parity  # noqa: F401  (registers on import)
 from . import queries_analytics  # noqa: F401
 from . import queries_analytics2  # noqa: F401
 from . import queries_analytics3  # noqa: F401
+from . import queries_collections  # noqa: F401
 from . import queries_sampling  # noqa: F401
 from . import queries_scalars  # noqa: F401
 from . import queries_multijoin  # noqa: F401
