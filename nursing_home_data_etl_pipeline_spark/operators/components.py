@@ -19,6 +19,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(
+    vertices: DataFrame, edge_rows, id_col: str
+) -> DataFrame:
+    """Small-graph fast path: classic union-find on the driver, joined back
+    to the (possibly huge) vertex set. Non-members label themselves."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = [(v, find(v)) for v in set(parent) | {b for _, b in edge_rows} | {a for a, _ in edge_rows}]
+    spark = vertices.sparkSession
+    if not labels:
+        return vertices.select(F.col(id_col), F.col(id_col).alias("component"))
+    vtype = vertices.schema[id_col].dataType.simpleString()
+    lab_df = spark.createDataFrame(
+        labels, schema=f"v {vtype}, component {vtype}"
+    )
+    return vertices.join(
+        F.broadcast(lab_df), vertices[id_col] == lab_df["v"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -26,16 +61,32 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 20,
+    driver_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """Label every vertex with the min vertex id of its component.
 
     ``vertices``: one column ``id_col`` (includes isolated vertices).
     ``edges``: undirected pairs (``src_col``, ``dst_col``).
-    Returns (id_col, component). Caches per-round label frames and
-    unpersists the previous round; raises if not converged within
+    Returns (id_col, component). Raises if not converged within
     ``max_iterations`` (a near-dup graph needing >20 rounds means the
     banding threshold is far too loose).
+
+    Cost-based hybrid (the same reasoning Catalyst applies to broadcast
+    joins): the EDGE set of a near-dup graph is tiny relative to the corpus
+    — bounded by candidate pairs, not documents. Below
+    ``driver_edge_threshold`` edges, union-find on the driver + one
+    broadcast join back to the vertices beats N rounds of distributed
+    joins by job-overhead alone; the vertex set itself never leaves the
+    cluster. Above the threshold, distributed min-label propagation runs
+    (each round two hash joins, state bounded per vertex).
     """
+    n_edges = edges.limit(driver_edge_threshold + 1).count()
+    if n_edges <= driver_edge_threshold:
+        edge_rows = [
+            (r[0], r[1])
+            for r in edges.select(src_col, dst_col).collect()
+        ]
+        return _driver_union_find(vertices, edge_rows, id_col)
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(

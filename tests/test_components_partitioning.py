@@ -52,7 +52,25 @@ def test_nonconvergence_raises(spark):
     vertices = spark.createDataFrame([(0,), (1,)], ["id"])
     edges = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(vertices, edges, max_iterations=0)
+        connected_components(
+            vertices, edges, max_iterations=0, driver_edge_threshold=0
+        )
+
+
+def test_distributed_path_matches_union_find(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(9)], ["id"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (7, 5)], ["id_a", "id_b"]
+    )
+    fast = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    dist = {
+        r.id: r.component
+        for r in connected_components(
+            vertices, edges, driver_edge_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+    assert fast[8] == 8  # isolated vertex labels itself on both paths
 
 
 def test_partitioning_helpers(spark):
