@@ -118,6 +118,64 @@ def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
     )
 
 
+def promote_types(
+    df: DataFrame,
+    candidates: tuple[str, ...] = ("bigint", "double", "date", "timestamp"),
+    null_token: str = "",
+) -> DataFrame:
+    """Post-hoc type promotion for untyped (all-string) staging tables.
+
+    The reference keeps every column string forever (SURVEY §1.2); numeric
+    analytics then cast ad-hoc. This operator profiles each string column
+    with ONE aggregate pass (per-type ``try_cast`` success counts) and
+    promotes a column to the first candidate type that parses every
+    non-null, non-empty value. Profiling cost: one job over the data;
+    at 100 TB run it on a deterministic sample instead and validate with a
+    ``try_cast IS NULL`` quarantine filter on the full write.
+    """
+    string_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
+    if not string_cols:
+        return df
+    numeric = {"bigint", "double", "decimal", "int", "float"}
+    aggs = []
+    for c in string_cols:
+        q = "`" + c.replace("`", "``") + "`"
+        non_null = f"({q} IS NOT NULL AND {q} != '{null_token}')"
+        aggs.append(F.expr(f"sum(CASE WHEN {non_null} THEN 1 ELSE 0 END)").alias(f"{c}__n"))
+        # Leading-zero guard: "015009" (a CMS CCN) parses as 15009 but is an
+        # IDENTIFIER — numeric promotion would corrupt it. Any value with a
+        # leading zero blocks numeric candidates for the column.
+        aggs.append(
+            F.expr(
+                f"sum(CASE WHEN {non_null} AND {q} RLIKE '^0[0-9]' THEN 1 ELSE 0 END)"
+            ).alias(f"{c}__lz")
+        )
+        for t in candidates:
+            ok = f"try_cast({q} AS {t}) IS NOT NULL"
+            if t.split("(")[0] not in numeric:
+                # Spark parses '015009' as a DATE (year 15009); a pure-digit
+                # string is never a calendar value.
+                ok += f" AND NOT ({q} RLIKE '^[0-9]+$')"
+            aggs.append(
+                F.expr(
+                    f"sum(CASE WHEN {non_null} AND {ok} THEN 1 ELSE 0 END)"
+                ).alias(f"{c}__{t}")
+            )
+    profile = df.agg(*aggs).collect()[0].asDict()
+    casts: dict[str, str] = {}
+    for c in string_cols:
+        n = profile[f"{c}__n"]
+        if not n:
+            continue
+        for t in candidates:
+            if t.split("(")[0] in numeric and profile[f"{c}__lz"]:
+                continue
+            if profile[f"{c}__{t}"] == n:
+                casts[c] = t
+                break
+    return cast_columns(df, casts) if casts else df
+
+
 def clean_table(
     df: DataFrame,
     rename_map: dict[str, str] | None = None,
