@@ -81,6 +81,42 @@ def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "string_similarity",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.c_name AS name_a, b.c_name AS name_b
+      FROM customer a JOIN customer b
+        ON b.c_custkey = a.c_custkey + 1
+      WHERE a.c_custkey < 200
+    )
+    SELECT id_a, id_b,
+           levenshtein(name_a, name_b) AS edit_distance,
+           levenshtein(name_a, name_b) <= 2 AS near_name
+    FROM pairs
+    """,
+    doc="String similarity (Levenshtein edit distance) over candidate "
+    "pairs — the entity-resolution primitive for name/address matching; "
+    "JVM builtin, applied post-blocking (never all-pairs).",
+)
+def string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a")
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b")
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return pairs.select(
+        "id_a", "id_b",
+        dist.alias("edit_distance"),
+        (dist <= 2).alias("near_name"),
+    )
+
+
+@register(
     "date_arithmetic",
     oracle="""
     SELECT o_orderkey,
