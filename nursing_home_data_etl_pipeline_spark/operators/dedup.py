@@ -125,16 +125,7 @@ def lsh_candidate_pairs(
     band bucket — only colliding pairs materialize, never the n^2 grid.
     Output: distinct (id_a, id_b) with id_a < id_b.
     """
-    rows = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
-        )
-    buckets = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = _band_buckets(signatures, id_col, num_hashes, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -150,6 +141,52 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def _band_buckets(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, key) bucket table from a signature frame."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Cross-corpus near-dup removal: drop training documents that
+    LSH-collide with ANY benchmark document — the train/test contamination
+    scrub of an LLM data pipeline.
+
+    Same MinHash/banding machinery as within-corpus dedup, but the join is
+    train-buckets LEFT ANTI benchmark-buckets: the benchmark side is tiny
+    (eval sets), so its bucket table broadcasts and the training corpus
+    never shuffles. Returns the clean training rows.
+    """
+    t_sig = minhash_signatures(train, text_col, id_col, num_hashes, shingle_k)
+    b_sig = minhash_signatures(benchmark, text_col, id_col, num_hashes, shingle_k)
+    t_buckets = _band_buckets(t_sig, id_col, num_hashes, bands)
+    b_buckets = _band_buckets(b_sig, id_col, num_hashes, bands).select("band", "key")
+    contaminated = (
+        t_buckets.join(F.broadcast(b_buckets), on=["band", "key"], how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, on=id_col, how="left_anti")
 
 
 def minhash_dedup_pairs(

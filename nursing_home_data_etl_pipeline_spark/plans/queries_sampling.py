@@ -127,6 +127,56 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_table(docs, chunk_words=50, overlap=10)
 
 
+def _bands_chain(prefix: str, src: str) -> str:
+    """sig+bands CTE chain (names prefixed) for one corpus relation —
+    mirrors operators.dedup minhash/banding exactly (12 hashes, 4x3)."""
+    mins = ", ".join(f"MIN(md5('{s}|' || s)) AS mh_{s}" for s in range(12))
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(mh_{b*3} || '|' || mh_{b*3+1} || '|' || mh_{b*3+2}) AS key "
+        f"FROM {prefix}_sig"
+        for b in range(4)
+    )
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+    {prefix}_words AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS wa FROM {src}),
+    {prefix}_shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(wa[i:i+4], ' ') AS s
+      FROM {prefix}_words, unnest(generate_series(1, greatest(len(wa) - 4, 1))) t(i)
+    ),
+    {prefix}_sig AS (SELECT doc_id, {mins} FROM {prefix}_shingles GROUP BY doc_id),
+    {prefix}_bands AS (
+      {band_selects}
+    )"""
+
+
+@register(
+    "decontaminate_corpus",
+    oracle=f"""
+    WITH bench_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+    {_bands_chain("tr", "documents")},
+    {_bands_chain("be", "bench_src")},
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM tr_bands t JOIN be_bands b ON t.band = b.band AND t.key = b.key
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+    """,
+    doc="Train/benchmark decontamination: drop training docs that LSH-"
+    "collide with any benchmark doc (cross-corpus MinHash banding; the "
+    "benchmark bucket table broadcasts, the training corpus never "
+    "shuffles). Benchmark stand-in: every 17th document.",
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(docs, benchmark).select("doc_id", "lang")
+
+
 _QUALITY_MIN = 0.5
 
 #: DuckDB quality expression (must mirror functions.text.quality_score).

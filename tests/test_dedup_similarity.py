@@ -114,6 +114,20 @@ def test_cosine_rounded_identity(spark):
     assert v == 1.0
 
 
+def test_decontaminate_cross_corpus(spark):
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import decontaminate
+
+    train = _docs(spark)  # docs 1,2,4 near/exact dups; 3 distinct
+    benchmark = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    clean = decontaminate(train, benchmark, num_hashes=6, bands=3, shingle_k=3)
+    ids = sorted(r.doc_id for r in clean.collect())
+    # 1 and 4 are exact matches of the benchmark doc -> removed; 3 survives
+    assert 3 in ids and 1 not in ids and 4 not in ids
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
     mm = with_binary_payload(docs)
