@@ -81,6 +81,78 @@ def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "debounce_events",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (
+      SELECT event_id, user_id, event_type,
+             (epoch_ns(ts) // 1000)
+               - LAG(epoch_ns(ts) // 1000) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                 ) AS gap_us
+      FROM events
+    )
+    WHERE gap_us IS NULL OR gap_us > 300 * 1000000
+    """,
+    doc="Event debounce: drop repeats of the same (user, event_type) within "
+    "5 minutes of the previous occurrence — windowed dedup via lag, one "
+    "shuffle on the key; the time-aware twin of dropDuplicates.",
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us, 1).over(w)
+    return (
+        ev.withColumn("_gap", gap)
+        .filter(F.col("_gap").isNull() | (F.col("_gap") > 300 * 1_000_000))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "map_functions",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents WHERE doc_id < 50
+    ),
+    counts AS (
+      SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(cardinality(map_from_entries(list((word, n)))) AS INT) AS n_distinct,
+           CAST(element_at(map_from_entries(list((word, n))), 'data')[1] AS BIGINT) AS n_data
+    FROM counts
+    GROUP BY doc_id
+    """,
+    doc="Map-typed columns: word->count maps built with map_from_entries, "
+    "probed with element_at — the per-row associative shape for sparse "
+    "feature vectors.",
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    maps = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "n"))).alias("m")
+    )
+    return maps.select(
+        "doc_id",
+        F.size("m").alias("n_distinct"),
+        F.element_at("m", "data").alias("n_data"),
+    )
+
+
+@register(
     "string_similarity",
     oracle="""
     WITH pairs AS (
