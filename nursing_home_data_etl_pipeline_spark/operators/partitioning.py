@@ -43,3 +43,28 @@ def with_salt(df: DataFrame, buckets: int, name: str = "_salt", seed: int = 42) 
     merge (see aggregates.salted_group_agg) or replicate the other join side
     per salt value."""
     return df.withColumn(name, (F.rand(seed=seed) * buckets).cast("int"))
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    buckets: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side, REPLICATE the other
+    side once per salt value, join on (keys + salt). A hot key that would
+    pin one reducer spreads across ``buckets`` of them, at the cost of
+    ``buckets``x duplication of the other side's matching rows in the
+    shuffle — use when the other side is small-ish but above the broadcast
+    threshold (below it, broadcast join already solves skew; above both,
+    AQE skew-join splitting is the first resort, this the explicit second).
+    Output columns match a plain ``skewed.join(other, on, how)``.
+    """
+    keys = list(on)
+    salted = with_salt(skewed, buckets, "_salt", seed)
+    replicated = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return salted.join(replicated, on=keys + ["_salt"], how=how).drop("_salt")

@@ -85,6 +85,29 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "group_medians",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6)       AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
+           ROUND(quantile_cont(l_discount, 0.25), 6)      AS p25_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact per-group quantiles (linear interpolation — Spark percentile "
+    "== DuckDB quantile_cont). The exact form sorts each group's values; "
+    "percentile_approx is the sublinear 100 TB variant.",
+)
+def group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("p25_disc"),
+    )
+
+
+@register(
     "conditional_aggregation",
     oracle="""
     SELECT o_custkey,

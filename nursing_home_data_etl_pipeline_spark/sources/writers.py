@@ -39,6 +39,27 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Parquet sink with rows sorted WITHIN each output file.
+
+    Sorting within partitions (no global shuffle) tightens parquet
+    row-group min/max statistics on ``sort_cols``, so downstream range
+    predicates skip whole row groups at scan time — the poor man's
+    clustering/Z-order for plain parquet. Pair with repartition_by_range on
+    the same columns when cross-file pruning matters too.
+    """
+    writer = df.sortWithinPartitions(*sort_cols).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
