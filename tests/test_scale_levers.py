@@ -82,3 +82,16 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     df = catalog.entries()["filter_predicates"].spark(spark, sf_dir)
     plan = _physical_plan(df)
     assert "PushedFilters" in plan and "GreaterThan(l_discount,0.05)" in plan
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    # 32 configured shuffle partitions on tiny data: AQE must coalesce the
+    # post-shuffle partition count way down (proves runtime re-planning on).
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    from pyspark.sql import functions as F
+
+    out = spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+    out.collect()
+    assert out.rdd.getNumPartitions() < int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
