@@ -81,6 +81,61 @@ def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "union_schema_evolution",
+    oracle="""
+    SELECT lang, COUNT(*) AS n FROM (
+      SELECT doc_id, text, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1
+    )
+    GROUP BY lang
+    """,
+    doc="Schema-evolution union: an old staging batch (no lang column) "
+    "unioned BY NAME with a newer one — missing columns null-fill instead "
+    "of silently mis-aligning (the positional-union corruption bug).",
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    old_batch = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang")
+    merged = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return merged.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first/last/nth value over a full-partition frame (explicit "
+    "UNBOUNDED FOLLOWING - the default frame makes last_value a footgun).",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
     "debounce_events",
     oracle="""
     SELECT event_id, user_id, event_type
