@@ -55,3 +55,36 @@ def test_streaming_catalog_queries_registered():
         "streaming_session_counts",
         "streaming_stateful_totals",
     } <= names
+
+
+def test_streaming_dropduplicates_with_watermark(spark, tmp_path):
+    """Streaming dedup: dropDuplicates over (event_id) with a watermark -
+    exactly-once event delivery across micro-batches with bounded state."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("sec", T.LongType())]
+    )
+    spark.createDataFrame([(1, 100), (2, 200), (1, 100)], schema).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .select("event_id", F.timestamp_seconds("sec").alias("ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    name = f"sdd_{_uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r.event_id for r in spark.table(name).collect()) == [1, 2]
