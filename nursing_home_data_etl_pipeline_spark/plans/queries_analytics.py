@@ -459,13 +459,40 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_stats_events",
-    oracle=None,  # approximate results are algorithm-specific; rows-only check
-    doc="Approximate aggregates (HyperLogLog++ distinct, GK quantiles) — "
-    "sublinear state, the 100 TB path for distincts/quantiles. No exact "
-    "oracle by construction; accuracy asserted in unit tests instead.",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           TRUE AS distinct_ok,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="Approximate aggregates (HyperLogLog++ distinct, GK-sketch "
+    "percentiles — sublinear state, the 100 TB path) verified against exact "
+    "twins in the same plan: the query emits within-error-bound booleans "
+    "(HLL within 3x rsd of exact COUNT(DISTINCT); approx percentile inside "
+    "the exact p±0.03 quantile band) and the oracle asserts every band holds, "
+    "turning sketch accuracy into a hash-checkable signal instead of a "
+    "rows-only smoke check. Raw sketch values stay available via "
+    "operators.aggregates.approx_stats (unit-tested).",
 )
 def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregates import approx_stats
-
     ev = read_table(spark, sf_dir, "events")
-    return approx_stats(ev, ["event_type"], "user_id", "value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("_exact_d"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_approx_d"),
+        F.expr("percentile(value, array(0.47, 0.53, 0.92, 0.98))").alias("_bands"),
+        F.percentile_approx("value", 0.5).alias("_p50"),
+        F.percentile_approx("value", 0.95).alias("_p95"),
+    )
+    # 3 sigma of the requested 5% relative standard deviation, floored for
+    # tiny groups where one-off error dominates the relative bound.
+    tol = F.greatest(F.col("_exact_d") * 0.15, F.lit(2.0))
+    return g.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("_approx_d") - F.col("_exact_d")) <= tol).alias("distinct_ok"),
+        F.col("_p50").between(F.col("_bands")[0], F.col("_bands")[1]).alias("p50_ok"),
+        F.col("_p95").between(F.col("_bands")[2], F.col("_bands")[3]).alias("p95_ok"),
+    )

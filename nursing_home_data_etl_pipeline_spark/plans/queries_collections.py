@@ -21,15 +21,17 @@ from .catalog import register
       FROM documents WHERE doc_id < 100
     )
     SELECT doc_id,
-           list_sort(list_distinct(wa))                       AS sorted_vocab,
-           wa[1:3]                                            AS first3,
+           array_to_string(list_sort(list_distinct(wa)), ',') AS sorted_vocab,
+           array_to_string(wa[1:3], ',')                      AS first3,
            len(list_filter(wa, x -> length(x) > 4))           AS n_long_words,
            array_to_string(list_reverse_sort(list_distinct(wa))[1:2], ',') AS top2_rev,
            list_contains(wa, 'data')                          AS has_data
     FROM w
     """,
     doc="Array-function surface: sort/distinct/slice/filter/reverse-sort/"
-    "contains over word arrays — all builtin HOFs, row-local.",
+    "contains over word arrays — all builtin HOFs, row-local. Array outputs "
+    "are serialized (array_join) so order-insensitive canonicalizers can "
+    "sort the result columns.",
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -38,8 +40,8 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "doc_id",
-        F.array_sort(F.array_distinct("wa")).alias("sorted_vocab"),
-        F.slice("wa", 1, 3).alias("first3"),
+        F.array_join(F.array_sort(F.array_distinct("wa")), ",").alias("sorted_vocab"),
+        F.array_join(F.slice("wa", 1, 3), ",").alias("first3"),
         F.size(F.filter("wa", lambda x: F.length(x) > 4)).alias("n_long_words"),
         F.concat_ws(
             ",", F.slice(F.reverse(F.array_sort(F.array_distinct("wa"))), 1, 2)
