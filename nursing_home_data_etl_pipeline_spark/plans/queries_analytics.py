@@ -1,6 +1,12 @@
 """Capability-gap queries (SURVEY.md §2.8): filters, aggregations, windows,
-sorts/top-k, set ops, pivot/unpivot, time-bucketed and sessionized event
-analytics — the general query surface the reference never exercises.
+sorts/top-k, set ops, pivot/unpivot, and event analytics — the general query
+surface the reference never exercises.
+
+Catalog consolidation (round 2): the driver's correctness gate checks at most
+50 queries, so adjacent operators are exercised by ONE registered query each
+(e.g. rollup+cube as a tagged union, lag-delta+debounce+JSON-extract in one
+events pass). Every underlying operator keeps its own unit tests; the
+registered query is the driver-visible composition.
 
 Determinism conventions (BASELINE.md): float aggregates are ROUNDed
 identically on both sides (summation order differs between engines);
@@ -9,8 +15,9 @@ every window ordering carries a unique tiebreaker.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.aggregates import (
     cube_agg,
@@ -19,45 +26,47 @@ from ..operators.aggregates import (
     rollup_agg,
     unpivot_stack,
 )
-from ..operators.setops import except_, intersect, union_distinct
-from ..operators.windows import (
-    running_agg,
-    sessionize,
-    top_k_global,
-    top_k_per_group,
-    with_lag_delta,
-)
+from ..operators.projections import select_columns_matching
+from ..operators.setops import except_, except_all, intersect, intersect_all, union_distinct
+from ..operators.windows import running_agg, top_k_global, top_k_per_group
 from ..sources.readers import read_table
 from .catalog import register
 
 # ---------------------------------------------------------------------------
-# P9 gap: row filters / predicates
+# P9 row predicates + P7 name-predicate projection, one scan
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "filter_predicates",
+    "filter_name_projection",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_shipdate
+    SELECT l_discount, l_extendedprice, l_linenumber, l_orderkey, l_tax
     FROM lineitem
     WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
       AND l_returnflag IN ('A', 'R')
       AND l_discount > 0.05
       AND l_quantity IS NOT NULL
     """,
-    doc="Row predicates (between / isin / comparison / null check) — all "
-    "pushed to the parquet scan by Catalyst (SURVEY §2.2 P9 gap).",
+    doc="Row predicates (between / isin / comparison / null check) pushed to "
+    "the parquet scan, composed with the schema-level name-predicate "
+    "projection (keep columns whose NAME matches a keyword set, plus the PK; "
+    "sorted output order) — SURVEY §2.2 P9 + P7 in one plan. The filter "
+    "references columns the projection then drops; Catalyst still prunes the "
+    "scan to the union of both column sets.",
 )
-def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def filter_name_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return li.filter(
+    filtered = li.filter(
         F.col("l_shipdate").between("1995-01-01", "1996-12-31")
         & F.col("l_returnflag").isin("A", "R")
         & (F.col("l_discount") > 0.05)
         & F.col("l_quantity").isNotNull()
-    ).select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
-        "l_returnflag", "l_shipdate",
+    )
+    return select_columns_matching(
+        filtered,
+        keywords=("price", "discount", "tax"),
+        always_include=("l_orderkey", "l_linenumber"),
+        sort_output=True,
     )
 
 
@@ -108,21 +117,27 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "group_having",
+    "group_having_conditional",
     oracle="""
     SELECT o_custkey,
            COUNT(*)                                         AS n_orders,
-           ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(*), 6) AS avg_price
+           ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(*), 6) AS avg_price,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F')      AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O')      AS n_open,
+           ROUND(SUM(CASE WHEN o_orderpriority LIKE '1%'
+                          THEN o_totalprice ELSE 0 END), 2) AS urgent_revenue
     FROM orders
     GROUP BY o_custkey
-    HAVING COUNT(*) >= 12
+    HAVING COUNT(*) FILTER (WHERE o_orderstatus = 'F') >= 5
     """,
-    doc="GROUP BY + HAVING (post-aggregation predicate).",
+    doc="GROUP BY + HAVING with conditional aggregates (FILTER clauses / "
+    "CASE-gated sums — the single-pass alternative to N self-joins); the "
+    "HAVING predicate itself is over a filtered count.",
 )
-def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
+def group_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
     return (
-        orders.groupBy("o_custkey")
+        o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             # avg via round(sum,2)/count: sums of 2-decimal money stay ~1e-9
@@ -132,81 +147,74 @@ def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 6).alias(
                 "avg_price"
             ),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority").startswith("1"),
+                        F.col("o_totalprice"),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("urgent_revenue"),
         )
-        .filter(F.col("n_orders") >= 12)
+        .filter(F.col("n_finished") >= 5)
     )
 
 
 @register(
-    "distinct_values",
-    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-    doc="DISTINCT as aggregate-without-measures.",
-)
-def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_linestatus"
-    ).distinct()
-
-
-@register(
-    "rollup_summary",
+    "rollup_cube_summary",
     oracle="""
-    SELECT l_returnflag,
+    SELECT 'rollup' AS variant,
+           l_returnflag,
            l_linestatus,
            GROUPING(l_returnflag, l_linestatus) AS grp,
            ROUND(SUM(l_quantity), 2)            AS sum_qty,
            COUNT(*)                             AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    doc="ROLLUP with grouping_id: hierarchical subtotals in one shuffle.",
-)
-def rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    return rollup_agg(
-        li,
-        ["l_returnflag", "l_linestatus"],
-        [
-            F.grouping_id().alias("grp"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
-        ],
-    )
-
-
-@register(
-    "cube_summary",
-    oracle="""
-    SELECT l_returnflag,
+    UNION ALL
+    SELECT 'cube',
+           l_returnflag,
            l_linestatus,
-           GROUPING(l_returnflag, l_linestatus) AS grp,
-           ROUND(SUM(l_extendedprice), 2)       AS sum_price
+           GROUPING(l_returnflag, l_linestatus),
+           ROUND(SUM(l_quantity), 2),
+           COUNT(*)
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    doc="CUBE: all grouping-set combinations.",
+    doc="ROLLUP (hierarchical subtotals) and CUBE (all grouping-set "
+    "combinations) with grouping_id, as a tagged union — each branch is one "
+    "expanded-aggregate shuffle; the SQL-API GROUPING SETS twin is "
+    "grouping_sets_sql.",
 )
-def cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return cube_agg(
-        li,
-        ["l_returnflag", "l_linestatus"],
-        [
-            F.grouping_id().alias("grp"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        ],
-    )
+    aggs = [
+        F.grouping_id().alias("grp"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    keys = ["l_returnflag", "l_linestatus"]
+    ru = rollup_agg(li, keys, aggs).select(F.lit("rollup").alias("variant"), "*")
+    cu = cube_agg(li, keys, aggs).select(F.lit("cube").alias("variant"), "*")
+    return ru.unionByName(cu)
 
 
 # ---------------------------------------------------------------------------
-# Windows
+# Windows / top-k
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "window_topk_per_group",
+    "topk_global_grouped",
     oracle="""
-    SELECT * FROM (
+    SELECT 'global' AS variant, o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+    UNION ALL
+    SELECT 'grouped', o_custkey, o_orderkey, o_totalprice, rank FROM (
       SELECT o_custkey,
              o_orderkey,
              o_totalprice,
@@ -216,18 +224,26 @@ def cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ) WHERE rank <= 3
     """,
-    doc="Top-3 orders per customer: row_number window; Catalyst's "
-    "WindowGroupLimit pushes the limit below the shuffle.",
+    doc="Top-k both ways in one query: global top-100 (TakeOrderedAndProject "
+    "— per-partition heaps, no full sort) and top-3 per customer "
+    "(row_number window; Catalyst's WindowGroupLimit pushes the limit below "
+    "the shuffle). The global branch ranks its 100 survivors with a "
+    "post-limit window over a single tiny partition.",
 )
-def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def topk_global_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
-    return top_k_per_group(
-        orders,
-        partition_by=["o_custkey"],
-        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
-        k=3,
+    order_by = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    glob = top_k_global(orders, order_by=order_by, k=100).withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order_by))
+    )
+    grouped = top_k_per_group(
+        orders, partition_by=["o_custkey"], order_by=order_by, k=3
+    )
+    cols = ["o_custkey", "o_orderkey", "o_totalprice", "rank"]
+    return glob.select(F.lit("global").alias("variant"), *cols).unionByName(
+        grouped.select(F.lit("grouped").alias("variant"), *cols)
     )
 
 
@@ -260,201 +276,188 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Event-row analytics: lag delta + time-debounce + JSON extraction, one pass
+# ---------------------------------------------------------------------------
+
+
 @register(
-    "window_lag_delta",
+    "events_lag_debounce",
     oracle="""
-    SELECT user_id,
-           event_id,
+    SELECT event_id,
+           user_id,
+           event_type,
            ROUND(value - LAG(value, 1) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-           ), 6) AS delta
+           ), 6) AS delta,
+           COALESCE(
+             (epoch_ns(ts) // 1000)
+               - LAG(epoch_ns(ts) // 1000) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                 ) > 300 * 1000000,
+             TRUE) AS kept,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
     FROM events
     """,
-    doc="lag/lead analytics: per-user value delta between consecutive events.",
+    doc="One pass over events combining three row-level analytics: per-user "
+    "value delta (lag over the user window), time-debounce keep flag (drop "
+    "repeats of the same (user, event_type) within 5 minutes — the "
+    "time-aware twin of dropDuplicates), and JSON field extraction "
+    "(from_json with an explicit schema — never schema inference at scale). "
+    "Two window specs share one shuffle family on user_id.",
 )
-def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    out = with_lag_delta(
-        ev,
-        partition_by=["user_id"],
-        order_by=[F.col("ts"), F.col("event_id")],
-        value_col="value",
-    )
-    return out.select("user_id", "event_id", F.round("delta", 6).alias("delta"))
-
-
-@register(
-    "sort_limit_topk",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 100
-    """,
-    doc="Global top-k: compiles to TakeOrderedAndProject (per-partition "
-    "heaps, no full sort) — scale-safe for small k.",
-)
-def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    return top_k_global(
-        orders, order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")], k=100
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us, 1).over(w_ut)
+    k = F.from_json(
+        F.col("props"), T.StructType([T.StructField("k", T.LongType())])
+    )["k"]
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") - F.lag("value", 1).over(w_user), 6).alias("delta"),
+        F.coalesce(gap > 300 * 1_000_000, F.lit(True)).alias("kept"),
+        k.alias("k"),
     )
 
 
 # ---------------------------------------------------------------------------
-# Set ops
+# Set ops: distinct chain, multiset ops, and DISTINCT — tagged union
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "set_ops_chain",
+    "set_ops_all",
     oracle="""
-    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-     UNION
-     SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
-    INTERSECT
-    SELECT o_custkey FROM orders
-    EXCEPT
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    SELECT 'chain' AS variant, CAST(c_custkey AS VARCHAR) AS key, CAST(1 AS BIGINT) AS n
+    FROM (
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       UNION
+       SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      INTERSECT
+      SELECT o_custkey FROM orders
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    UNION ALL
+    SELECT 'multiset', status, COUNT(*) FROM (
+      (SELECT o_orderstatus AS status FROM orders WHERE o_orderkey % 3 = 0
+       INTERSECT ALL
+       SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 0)
+      EXCEPT ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderkey % 12 = 0
+    ) GROUP BY status
+    UNION ALL
+    SELECT 'distinct', l_returnflag || '/' || l_linestatus, 1
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
     """,
-    doc="UNION / INTERSECT / EXCEPT chain with SQL distinct semantics.",
+    doc="The set-op family as one tagged union: UNION/INTERSECT/EXCEPT chain "
+    "(SQL distinct semantics), INTERSECT ALL / EXCEPT ALL (duplicate-"
+    "preserving multiset semantics the distinct variants silently change), "
+    "and DISTINCT as aggregate-without-measures.",
 )
-def set_ops_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     rich = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
     with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
     machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
-    return except_(intersect(union_distinct(building, rich), with_orders), machinery)
+    chain = except_(
+        intersect(union_distinct(building, rich), with_orders), machinery
+    ).select(
+        F.lit("chain").alias("variant"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("n"),
+    )
+
+    a = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderstatus").alias("status")
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderstatus").alias("status")
+    )
+    c = orders.filter(F.col("o_orderkey") % 12 == 0).select(
+        F.col("o_orderstatus").alias("status")
+    )
+    multiset = (
+        except_all(intersect_all(a, b), c)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("multiset").alias("variant"),
+            F.col("status").alias("key"),
+            F.col("n"),
+        )
+    )
+
+    dv = (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .select(
+            F.lit("distinct").alias("variant"),
+            F.concat_ws("/", "l_returnflag", "l_linestatus").alias("key"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    return chain.unionByName(multiset).unionByName(dv)
 
 
 # ---------------------------------------------------------------------------
-# Pivot / unpivot (the reference's quarterly-columns shape, SURVEY §2.5 W2)
+# Pivot / unpivot roundtrip (the reference's quarterly-columns shape, W2)
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "pivot_quarterly",
+    "pivot_unpivot",
     oracle="""
-    SELECT l_returnflag,
-           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 1 THEN l_quantity END), 2) AS q1_qty,
-           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 2 THEN l_quantity END), 2) AS q2_qty,
-           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 3 THEN l_quantity END), 2) AS q3_qty,
-           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 4 THEN l_quantity END), 2) AS q4_qty
-    FROM lineitem
-    GROUP BY l_returnflag
+    SELECT l_returnflag, 'q1_qty' AS metric,
+           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 1 THEN l_quantity END), 2) AS value
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'q2_qty',
+           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 2 THEN l_quantity END), 2)
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'q3_qty',
+           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 3 THEN l_quantity END), 2)
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'q4_qty',
+           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 4 THEN l_quantity END), 2)
+    FROM lineitem GROUP BY l_returnflag
     """,
-    doc="Long->wide pivot: quarterly measure columns (q1..q4), mirroring the "
-    "reference's pre-pivoted quality-measure shape (quality-transform.py:40-43). "
-    "Explicit pivot values skip the distinct-discovery job.",
+    doc="Long->wide pivot (quarterly measure columns q1..q4, mirroring the "
+    "reference's pre-pivoted quality-measure shape, quality-transform.py:"
+    "40-43; explicit pivot values skip the distinct-discovery job) "
+    "immediately unpivoted back to long form with the built-in stack — the "
+    "roundtrip exercises both W2 directions in one plan; unpivot is "
+    "row-local, no extra shuffle.",
 )
-def pivot_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").withColumn(
         "quarter", F.quarter("l_shipdate")
     )
     wide = pivot_agg(
         li, ["l_returnflag"], "quarter", [1, 2, 3, 4], F.sum("l_quantity")
-    )
-    return wide.select(
+    ).select(
         "l_returnflag",
         *[F.round(F.col(str(q)), 2).alias(f"q{q}_qty") for q in (1, 2, 3, 4)],
     )
-
-
-@register(
-    "unpivot_measures",
-    oracle="""
-    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
-    UNION ALL
-    SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
-    """,
-    doc="Wide->long unpivot via the built-in unpivot/stack (row-local, no "
-    "shuffle).",
-)
-def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = read_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_retailprice",
-        F.col("p_size").cast("double").alias("p_size"),
+    return unpivot_stack(
+        wide, ["l_returnflag"], ["q1_qty", "q2_qty", "q3_qty", "q4_qty"]
     )
-    return unpivot_stack(part, ["p_partkey"], ["p_retailprice", "p_size"])
 
 
 # ---------------------------------------------------------------------------
-# Event-time analytics
+# Approximate aggregates with exact-twin verification
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "events_windowed_agg",
-    oracle="""
-    SELECT make_timestamp((epoch_ns(ts) // 1000) // 21600000000 * 21600000000) AS window_start,
-           event_type,
-           COUNT(*)              AS n_events,
-           ROUND(SUM(value), 4)  AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    doc="Tumbling 6-hour event-time windows (batch twin of the streaming "
-    "windowed aggregation; F.window buckets align to the epoch in UTC).",
-)
-def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
-
-
-@register(
-    "sessionize_events",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id,
-             event_id,
-             ts,
-             CASE WHEN (epoch_ns(ts) // 1000) - LAG(epoch_ns(ts) // 1000) OVER w
-                        > 1800 * 1000000
-                    OR LAG(ts) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS is_start
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sessions AS (
-      SELECT user_id,
-             event_id,
-             SUM(is_start) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_id
-      FROM flagged
-    )
-    SELECT user_id,
-           CAST(session_id AS BIGINT) AS session_id,
-           COUNT(*) AS n_events
-    FROM sessions
-    GROUP BY user_id, session_id
-    """,
-    doc="Batch sessionization: 30-min inactivity gap -> new session "
-    "(lag + cumulative sum), then per-session event counts.",
-)
-def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"])
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
 
 
 @register(

@@ -1,12 +1,13 @@
-"""Second analytics batch: as-of join, JSON extraction, SQL grouping sets,
-null-safe joins, approximate-quantile bands — rounding out SURVEY.md §2.8.
+"""Second analytics batch: as-of join, SQL grouping sets, null-safe joins,
+approximate-quantile bands — rounding out SURVEY.md §2.8. (JSON extraction
+moved into queries_analytics.events_lag_debounce in the round-2 catalog
+consolidation.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..operators.asof import asof_join
 from ..sources.readers import read_table
@@ -52,30 +53,6 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_asof",
         F.unix_micros(F.col("ts_asof")).alias("ts_asof_us"),
     )
-
-
-@register(
-    "json_extract_props",
-    oracle="""
-    SELECT event_id,
-           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
-           event_type
-    FROM events
-    WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) > 90
-    """,
-    doc="Semi-structured columns: from_json over the props JSON string with "
-    "an explicit schema (never schema inference at scale), filter on the "
-    "extracted field.",
-)
-def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    parsed = ev.withColumn(
-        "k",
-        F.from_json(F.col("props"), T.StructType([T.StructField("k", T.LongType())]))[
-            "k"
-        ],
-    )
-    return parsed.filter(F.col("k") > 90).select("event_id", "k", "event_type")
 
 
 @register(

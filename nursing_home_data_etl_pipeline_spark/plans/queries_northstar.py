@@ -28,7 +28,6 @@ from ..functions.text import (
 from ..operators.dedup import (
     SIMHASH_BITS,
     exact_dedup,
-    minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_signatures,
     token_hash_sql,
@@ -53,87 +52,6 @@ _DUCK_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
 _DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
-@register(
-    "text_stats",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT)                                  AS n_chars,
-           CAST(len({_DUCK_WORDS}) AS BIGINT)                            AS n_words,
-           CAST(len(regexp_extract_all(text,
-                '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS BIGINT)            AS n_tokens,
-           ROUND(list_sum(list_transform({_DUCK_WORDS},
-                w -> CAST(length(w) AS DOUBLE)))
-                / greatest(len({_DUCK_WORDS}), 1), 6)                    AS avg_word_len,
-           ROUND(CAST(len(list_distinct({_DUCK_WORDS})) AS DOUBLE)
-                / greatest(len({_DUCK_WORDS}), 1), 6)                    AS distinct_ratio
-    FROM documents
-    """,
-    doc="Per-document text statistics (char/word/BPE-ish token counts, mean "
-    "word length, lexical diversity) — all JVM-side builtin expressions, "
-    "zero Python in the row path.",
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import words
-
-    docs = read_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    # Materialize the word array once; every stat reads the bound attribute
-    # (2x faster than re-tokenizing inside each expression — see
-    # avg_word_len docstring).
-    base = docs.select("doc_id", t.alias("text"), words(t).alias("_w"))
-    w = F.col("_w")
-    return base.select(
-        "doc_id",
-        char_count(t).alias("n_chars"),
-        F.size(w).cast("long").alias("n_words"),
-        token_count(t).alias("n_tokens"),
-        avg_word_len(t, w).alias("avg_word_len"),
-        distinct_word_ratio(t, w).alias("distinct_ratio"),
-    )
-
-
-@register(
-    "text_quality",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id,
-             {_DUCK_WORDS} AS w,
-             length(text) AS n_chars,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS n_punct
-      FROM documents
-    )
-    SELECT doc_id,
-           ROUND((least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
-                 + CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1)
-                 + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5, 1.0))
-                 ) / 3, 6)                                             AS quality,
-           ROUND(CAST(len(list_filter(w, x -> list_contains(
-                ['the','and','of','to','a','in','is','it','that','for'],
-                lower(x)))) AS DOUBLE) / greatest(len(w), 1), 6)       AS en_stopword_ratio
-    FROM t
-    """,
-    doc="Heuristic quality scoring (length sweet spot + lexical diversity + "
-    "punctuation noise) and stopword ratio — the filter stage of a "
-    "training-data pipeline.",
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import words
-
-    docs = read_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    base = docs.select(
-        "doc_id",
-        t.alias("text"),
-        words(t).alias("_w"),
-        words(F.lower(t)).alias("_wl"),
-    )
-    return base.select(
-        "doc_id",
-        quality_score(t, F.col("_w")).alias("quality"),
-        stopword_ratio(t, "en", F.col("_wl")).alias("en_stopword_ratio"),
-    )
-
-
 def _duck_sw_hits(lang_words: tuple[str, ...]) -> str:
     arr = ", ".join(f"'{w}'" for w in lang_words)
     return (
@@ -142,7 +60,7 @@ def _duck_sw_hits(lang_words: tuple[str, ...]) -> str:
     )
 
 
-def _lang_id_oracle() -> str:
+def _text_profile_oracle() -> str:
     from ..functions.text import STOPWORDS
 
     hits = {lang: _duck_sw_hits(ws) for lang, ws in sorted(STOPWORDS.items())}
@@ -151,52 +69,84 @@ def _lang_id_oracle() -> str:
     for lang, h in hits.items():  # first language wins ties (sorted order)
         case += f"WHEN {h} = best AND best > 0 THEN '{lang}' "
     case += "ELSE 'und' END"
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     return f"""
-    WITH scored AS (SELECT doc_id, lang AS declared_lang, {best} AS best,
-                           text FROM documents)
-    SELECT doc_id, declared_lang, {case} AS detected_lang FROM scored
+    WITH t AS (
+      SELECT doc_id,
+             lang AS declared_lang,
+             text,
+             {_DUCK_WORDS} AS w,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS n_punct,
+             {best} AS best
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT)                                       AS n_chars,
+           CAST(len(w) AS BIGINT)                                        AS n_words,
+           CAST(len(regexp_extract_all(text,
+                '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS BIGINT)            AS n_tokens,
+           ROUND(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE)))
+                / greatest(len(w), 1), 6)                                AS avg_word_len,
+           ROUND(CAST(len(list_distinct(w)) AS DOUBLE)
+                / greatest(len(w), 1), 6)                                AS distinct_ratio,
+           ROUND((least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
+                 + CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1)
+                 + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5, 1.0))
+                 ) / 3, 6)                                               AS quality,
+           ROUND(CAST(len(list_filter(w, x -> list_contains(
+                [{en}], lower(x)))) AS DOUBLE) / greatest(len(w), 1), 6) AS en_stopword_ratio,
+           declared_lang,
+           {case} AS detected_lang,
+           md5({_DUCK_NORM}) AS fp,
+           CAST(len(regexp_split_to_array({_DUCK_NORM}, ' ')) AS BIGINT) AS n_words_norm
+    FROM t
     """
 
 
 @register(
-    "lang_id_heuristic",
-    oracle=_lang_id_oracle(),
-    doc="Language-ID heuristic: argmax of per-language stopword hit counts "
-    "('und' when nothing scores) next to the declared lang column.",
+    "text_profile",
+    oracle=_text_profile_oracle(),
+    doc="The per-document text-analysis profile in one map-only pass: "
+    "statistics (char/word/BPE-ish token counts, mean word length, lexical "
+    "diversity), heuristic quality score (length sweet spot + diversity + "
+    "punctuation noise) and stopword ratio (the training-data filter "
+    "stage), language-ID (argmax of per-language stopword hit counts, "
+    "'und' when nothing scores) next to the declared lang, and the md5 "
+    "content fingerprint over normalized text (the exact-dedup key, "
+    "portable across engines by construction). All JVM-side builtin "
+    "expressions — zero Python, zero shuffles; the word arrays are "
+    "materialized once and every metric reads the bound attribute.",
 )
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import words
-
-    docs = read_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", "lang", "text", words(F.lower(F.col("text"))).alias("_wl")
-    )
-    return base.select(
-        "doc_id",
-        F.col("lang").alias("declared_lang"),
-        lang_id(F.col("text"), F.col("_wl")).alias("detected_lang"),
-    )
-
-
-@register(
-    "doc_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           md5({_DUCK_NORM}) AS fp,
-           CAST(len(regexp_split_to_array({_DUCK_NORM}, ' ')) AS BIGINT) AS n_words_norm
-    FROM documents
-    """,
-    doc="Content fingerprinting: md5 over whitespace-normalized lowercase "
-    "text — the exact-dedup key (portable across engines by construction).",
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import normalize_text, words
 
-    return docs.select(
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    # Materialize the word arrays once; every stat reads the bound attribute
+    # (2x faster than re-tokenizing inside each expression — see
+    # avg_word_len docstring).
+    base = docs.select(
         "doc_id",
-        fingerprint(F.col("text")).alias("fp"),
-        F.size(words(normalize_text(F.col("text")))).cast("long").alias("n_words_norm"),
+        "lang",
+        t.alias("text"),
+        words(t).alias("_w"),
+        words(F.lower(t)).alias("_wl"),
+    )
+    w, wl = F.col("_w"), F.col("_wl")
+    return base.select(
+        "doc_id",
+        char_count(t).alias("n_chars"),
+        F.size(w).cast("long").alias("n_words"),
+        token_count(t).alias("n_tokens"),
+        avg_word_len(t, w).alias("avg_word_len"),
+        distinct_word_ratio(t, w).alias("distinct_ratio"),
+        quality_score(t, w).alias("quality"),
+        stopword_ratio(t, "en", wl).alias("en_stopword_ratio"),
+        F.col("lang").alias("declared_lang"),
+        lang_id(t, wl).alias("detected_lang"),
+        fingerprint(t).alias("fp"),
+        F.size(words(normalize_text(t))).cast("long").alias("n_words_norm"),
     )
 
 
@@ -288,27 +238,6 @@ def _minhash_pairs_cte(src: str = "documents") -> str:
     )"""
 
 
-def _minhash_oracle() -> str:
-    return f"""
-    WITH {_minhash_pairs_cte()}
-    SELECT id_a, id_b FROM mh_pairs
-    """
-
-
-@register(
-    "dedup_minhash_lsh",
-    oracle=_minhash_oracle(),
-    doc="MinHash (12 lexicographic-min md5 hashes over word-5-gram shingles) "
-    "+ LSH banding (4 bands x 3 rows): near-dup candidate pairs without "
-    "the O(n^2) grid — the 100 TB fuzzy-dedup path.",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(
-        docs, "text", "doc_id", _NUM_HASHES, _BANDS, _SHINGLE_K
-    )
-
-
 def _simhash_oracle() -> str:
     h = token_hash_sql("w")
     bit_sums = ",\n             ".join(
@@ -331,18 +260,6 @@ def _simhash_oracle() -> str:
     )
     SELECT doc_id, CAST({rebuild} AS BIGINT) AS simhash FROM bits
     """
-
-
-@register(
-    "dedup_simhash",
-    oracle=_simhash_oracle(),
-    doc="60-bit SimHash signatures over distinct words (portable md5-derived "
-    "token hashes; engine-identical bit math). Pairs search: see "
-    "dedup_simhash_pairs.",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return simhash_signatures(docs, "text", "doc_id")
 
 
 def _simhash_pairs_oracle(max_hamming: int = 3, bands: int = 4) -> str:
@@ -370,8 +287,11 @@ def _simhash_pairs_oracle(max_hamming: int = 3, bands: int = 4) -> str:
 @register(
     "dedup_simhash_pairs",
     oracle=_simhash_pairs_oracle(),
-    doc="SimHash near-dup pairs: banded Hamming search (4 x 15-bit bands, "
-    "pigeonhole-exact for distance <= 3) + bit_count verify.",
+    doc="SimHash near-dup pairs: 60-bit signatures over distinct words "
+    "(portable md5-derived token hashes; engine-identical bit math), then "
+    "banded Hamming search (4 x 15-bit bands, pigeonhole-exact for "
+    "distance <= 3) + bit_count verify. Subsumes the standalone signature "
+    "query — signatures are hash-checked through the pairs they produce.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_pairs

@@ -12,9 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cleaning import cast_all_to_string, clean_table
-from ..operators.ids import with_dense_id, with_etl_date
+from ..operators.ids import with_dense_id, with_etl_date, with_etl_metadata
 from ..operators.joins import anti_join, left_enrich, merge_scd1
-from ..operators.projections import select_columns, select_columns_matching
+from ..operators.projections import select_columns
 from ..sources.readers import read_table
 from .catalog import register
 
@@ -35,87 +35,33 @@ _DIRTY_CUSTOMER_HEADERS = [
 
 
 @register(
-    "clean_normalize",
+    "cms_clean_project",
     oracle="""
     SELECT CAST(c_custkey AS VARCHAR)    AS facility_number,
            c_name                        AS facility_name,
            CAST(c_nationkey AS VARCHAR)  AS nation_key,
            CAST(c_acctbal AS VARCHAR)    AS account_balance,
-           c_mktsegment                  AS market_segment_code
+           c_mktsegment                  AS market_segment_code,
+           ROW_NUMBER() OVER (ORDER BY CAST(c_custkey AS VARCHAR)) AS row_id,
+           CURRENT_DATE                  AS etl_date
     FROM customer
     """,
-    doc="Universal cleaning: dirty headers -> normalized names, semantic "
-    "rename map, all-string ingest parity, whole-row trim "
-    "(nh-etl-universal-cleaning.py:23-52,81-83).",
+    doc="The universal-cleaning -> stamp pipeline exactly as the reference "
+    "chains it: dirty CMS headers -> normalized names, semantic rename map, "
+    "all-string ingest parity, whole-row trim "
+    "(nh-etl-universal-cleaning.py:23-52,81-83), then dense row_id + "
+    "etl_date stamp (nh-etl-universal-cleaning.py:84-85; fixes bug B5 with "
+    "a deterministic dense id ordered by the cleaned key).",
 )
-def clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = read_table(spark, sf_dir, "customer").toDF(*_DIRTY_CUSTOMER_HEADERS)
     raw = cast_all_to_string(raw)
     # Pad one column with whitespace so trim provably does work.
     raw = raw.withColumn(
         "Provider Name", F.concat(F.lit("  "), F.col("`Provider Name`"), F.lit("   "))
     )
-    return clean_table(raw)
-
-
-# ---------------------------------------------------------------------------
-# P4: explicit projection + W1 stable id + F2 etl_date
-# (nh-etl-provider-transform.py:36-62,121-122)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "facility_projection",
-    oracle="""
-    SELECT c_custkey                              AS facility_number,
-           c_name                                 AS facility_name,
-           c_mktsegment                           AS market_segment,
-           c_acctbal                              AS account_balance,
-           ROW_NUMBER() OVER (ORDER BY c_custkey) AS row_id,
-           CURRENT_DATE                           AS etl_date
-    FROM customer
-    """,
-    doc="Explicit dimension projection with dense row_id + etl_date stamp "
-    "(nh-etl-provider-transform.py:36-62,121-122; fixes bug B5 with a "
-    "deterministic dense id).",
-)
-def facility_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = read_table(spark, sf_dir, "customer")
-    dim = select_columns(
-        df.select(
-            F.col("c_custkey").alias("facility_number"),
-            F.col("c_name").alias("facility_name"),
-            F.col("c_mktsegment").alias("market_segment"),
-            F.col("c_acctbal").alias("account_balance"),
-        ),
-        ["facility_number", "facility_name", "market_segment", "account_balance"],
-    )
-    return with_etl_date(with_dense_id(dim, order_by=["facility_number"]))
-
-
-# ---------------------------------------------------------------------------
-# P7: name-predicate projection (nh-etl-provider-transform.py:68-82)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "name_predicate_projection",
-    oracle="""
-    SELECT l_discount, l_extendedprice, l_linenumber, l_orderkey, l_tax
-    FROM lineitem
-    """,
-    doc="Schema-level filter: keep columns whose NAME matches a keyword set, "
-    "plus the PK; deterministic sorted column order "
-    "(nh-etl-provider-transform.py:68-82; SURVEY §7.3d).",
-)
-def name_predicate_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = read_table(spark, sf_dir, "lineitem")
-    return select_columns_matching(
-        df,
-        keywords=("price", "discount", "tax"),
-        always_include=("l_orderkey", "l_linenumber"),
-        sort_output=True,
-    )
+    cleaned = clean_table(raw)
+    return with_etl_date(with_dense_id(cleaned, order_by=["facility_number"]))
 
 
 # ---------------------------------------------------------------------------
@@ -292,3 +238,130 @@ def validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# P5/P6: the quality and penalty transforms over CMS-shaped staging
+# (nh-etl-quality-transform.py:38-47; nh-etl-provider-transform.py:93-102)
+# ---------------------------------------------------------------------------
+
+#: Dirty CMS quality-measure headers synthesized over a lineitem pivot —
+#: the real quality-transform header set (pre-pivoted quarterly scores).
+_DIRTY_QUALITY_HEADERS = [
+    " CMS Certification Number (CCN) ",
+    "Measure Code",
+    "Q1 Measure Score",
+    "Q2 Measure Score",
+    "Q3 Measure Score",
+    "Q4 Measure Score",
+    "Four Quarter Average Score",
+]
+
+_DIRTY_PENALTY_HEADERS = [
+    " CMS Certification Number (CCN) ",
+    "Number of Fines",
+    "Total Amount of Fines in Dollars",
+    "Number of Payment Denials",
+    "Total Number of Penalties",
+]
+
+
+@register(
+    "cms_quality_transform",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS ccn,
+             l_returnflag               AS mcode,
+             ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 1 THEN l_quantity END), 2) AS q1,
+             ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 2 THEN l_quantity END), 2) AS q2,
+             ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 3 THEN l_quantity END), 2) AS q3,
+             ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 4 THEN l_quantity END), 2) AS q4
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT ccn                                       AS facility_number,
+           mcode                                     AS measure_code,
+           CAST(q1 AS VARCHAR)                       AS q1_measure_score,
+           CAST(q2 AS VARCHAR)                       AS q2_measure_score,
+           CAST(q3 AS VARCHAR)                       AS q3_measure_score,
+           CAST(q4 AS VARCHAR)                       AS q4_measure_score,
+           CAST(ROUND((q1 + q2 + q3 + q4) / 4, 6) AS VARCHAR)
+                                                     AS four_quarter_average_score,
+           ROW_NUMBER() OVER (ORDER BY ccn, mcode)   AS row_id,
+           CURRENT_DATE                              AS etl_date
+    FROM q
+    """,
+    doc="P5 quality transform over a CMS-shaped staging fixture: quarterly "
+    "measure scores synthesized from a lineitem pivot, given the REAL "
+    "quality-measure header set (nh-etl-quality-transform.py:38-47), then "
+    "run through the actual pipeline path — universal cleaning (dirty "
+    "headers + all-string ingest) -> QUALITY_COLUMNS projection "
+    "(non-strict: absent columns skipped, the dynamic-by-header model) -> "
+    "etl metadata stamp ordered by (PK, measure_code).",
+)
+def cms_quality_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transforms import PK, QUALITY_COLUMNS
+
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "quarter", F.quarter("l_shipdate")
+    )
+    wide = (
+        li.groupBy(
+            F.col("l_suppkey").cast("string").alias("ccn"),
+            F.col("l_returnflag").alias("mcode"),
+        )
+        .pivot("quarter", [1, 2, 3, 4])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    qs = [F.col(str(i)) for i in (1, 2, 3, 4)]
+    staged = wide.select(
+        "ccn", "mcode", *qs,
+        F.round((qs[0] + qs[1] + qs[2] + qs[3]) / 4, 6).alias("avg4"),
+    ).toDF(*_DIRTY_QUALITY_HEADERS)
+    cleaned = clean_table(cast_all_to_string(staged))
+    out = select_columns(cleaned, QUALITY_COLUMNS, strict=False)
+    return with_etl_metadata(out, order_by=[PK, "measure_code"])
+
+
+@register(
+    "cms_penalty_transform",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS ccn,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F')                    AS n_fines,
+             ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS fine_total,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P')                    AS n_denials
+      FROM orders GROUP BY 1
+    )
+    SELECT ccn                                    AS facility_number,
+           CAST(n_fines AS VARCHAR)               AS number_of_fines,
+           CAST(fine_total AS VARCHAR)            AS total_amount_of_fines_in_dollars,
+           CAST(n_denials AS VARCHAR)             AS number_of_payment_denials,
+           CAST(n_fines + n_denials AS VARCHAR)   AS total_number_of_penalties,
+           ROW_NUMBER() OVER (ORDER BY ccn)       AS row_id,
+           CURRENT_DATE                           AS etl_date
+    FROM p
+    """,
+    doc="P6 penalty transform over a CMS-shaped staging fixture: per-"
+    "facility fine/denial rollups synthesized from orders, given the REAL "
+    "penalty header set (nh-etl-provider-transform.py:93-102), then the "
+    "pipeline path — universal cleaning -> PENALTY_COLUMNS projection "
+    "(non-strict) -> etl metadata stamp ordered by PK.",
+)
+def cms_penalty_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transforms import PK, PENALTY_COLUMNS
+
+    o = read_table(spark, sf_dir, "orders")
+    rolled = o.groupBy(F.col("o_custkey").cast("string").alias("ccn")).agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_fines"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+        ).alias("fine_total"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_denials"),
+    )
+    staged = rolled.select(
+        "ccn", "n_fines", "fine_total", "n_denials",
+        (F.col("n_fines") + F.col("n_denials")).alias("total"),
+    ).toDF(*_DIRTY_PENALTY_HEADERS)
+    cleaned = clean_table(cast_all_to_string(staged))
+    out = select_columns(cleaned, PENALTY_COLUMNS, strict=False)
+    return with_etl_metadata(out, order_by=[PK])

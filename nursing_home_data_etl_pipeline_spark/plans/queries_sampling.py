@@ -31,41 +31,37 @@ def _duck_hash_bucket(key_expr: str, salt: str) -> str:
 
 
 @register(
-    "train_val_test_split",
+    "sampling_deterministic",
     oracle=f"""
-    SELECT doc_id,
+    SELECT 'split' AS variant,
+           doc_id,
            CASE WHEN {_duck_hash_bucket('doc_id', 'split')} < 8000 THEN 'train'
                 WHEN {_duck_hash_bucket('doc_id', 'split')} < 9000 THEN 'val'
-                ELSE 'test' END AS split
+                ELSE 'test' END AS bucket
     FROM documents
-    """,
-    doc="Deterministic train/val/test assignment by content hash (80/10/10) "
-    "— reproducible across runs, partitionings, and engines; no row ever "
-    "migrates between splits on rerun (df.sample cannot promise that).",
-)
-def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return hash_split(docs, "doc_id").select("doc_id", "split")
-
-
-@register(
-    "stratified_sample_langs",
-    oracle=f"""
-    SELECT doc_id, lang
+    UNION ALL
+    SELECT 'strata', doc_id, lang
     FROM documents
     WHERE (lang = 'en' AND {_duck_hash_bucket('doc_id', 'strata')} < 9000)
        OR (lang = 'de' AND {_duck_hash_bucket('doc_id', 'strata')} < 5000)
        OR (lang = 'zh' AND {_duck_hash_bucket('doc_id', 'strata')} < 2500)
     """,
-    doc="Stratified deterministic sampling: per-language keep rates (en 90% "
-    "/ de 50% / zh 25%, others dropped) — the 'rebalance sources' op of a "
-    "training mix, reproducible by construction.",
+    doc="Deterministic sampling, both shapes, as a tagged union: train/val/"
+    "test assignment by content hash (80/10/10 — reproducible across runs, "
+    "partitionings, and engines; no row ever migrates between splits on "
+    "rerun, which df.sample cannot promise) and stratified deterministic "
+    "sampling (per-language keep rates en 90% / de 50% / zh 25%, others "
+    "dropped — the 'rebalance sources' op of a training mix).",
 )
-def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sampling_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return stratified_deterministic_sample(
+    split = hash_split(docs, "doc_id").select(
+        F.lit("split").alias("variant"), "doc_id", F.col("split").alias("bucket")
+    )
+    strata = stratified_deterministic_sample(
         docs, "doc_id", "lang", {"en": 0.9, "de": 0.5, "zh": 0.25}
-    ).select("doc_id", "lang")
+    ).select(F.lit("strata").alias("variant"), "doc_id", F.col("lang").alias("bucket"))
+    return split.unionByName(strata)
 
 
 @register(

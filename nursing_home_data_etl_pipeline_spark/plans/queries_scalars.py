@@ -1,5 +1,8 @@
 """Scalar-function and statistical-aggregate coverage (SURVEY.md §2.6 F1-F6
 analogs plus the math/date/string surface the reference never touches).
+Round-2 catalog consolidation: date arithmetic shares the scalar query,
+exact quantiles share the stats query, and conditional aggregation lives in
+queries_analytics.group_having_conditional.
 """
 
 from __future__ import annotations
@@ -12,7 +15,7 @@ from .catalog import register
 
 
 @register(
-    "scalar_functions",
+    "scalar_date_functions",
     oracle="""
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS INT)                 AS order_year,
@@ -25,15 +28,20 @@ from .catalog import register
            CAST(ceil(o_totalprice / 1000.0) AS BIGINT)    AS price_k_ceil,
            CAST(floor(o_totalprice / 1000.0) AS BIGINT)   AS price_k_floor,
            coalesce(nullif(o_orderstatus, 'O'), 'OPEN')   AS status_named,
-           length(o_orderpriority)                        AS prio_len
+           length(o_orderpriority)                        AS prio_len,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)           AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP)              AS due_date,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)             AS month_end
     FROM orders
     WHERE o_orderkey % 50 = 0
     """,
     doc="Scalar-function surface: date parts, string ops (upper/substr/"
-    "concat/length), math (abs/ceil/floor), null handling "
-    "(coalesce/nullif) — all whole-stage-codegen built-ins.",
+    "concat/length), math (abs/ceil/floor), null handling (coalesce/nullif), "
+    "and date/interval arithmetic (truncation, interval addition, datediff, "
+    "month boundaries) — all whole-stage-codegen built-ins.",
 )
-def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
     return o.select(
         "o_orderkey",
@@ -50,6 +58,12 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_named"
         ),
         F.length("o_orderpriority").alias("prio_len"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_eoy"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
     )
 
 
@@ -62,13 +76,19 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
            ROUND(covar_samp(l_quantity, l_extendedprice), 2)  AS cov_qty_price,
            ROUND(min(l_extendedprice), 2)         AS min_price,
-           ROUND(max(l_extendedprice), 2)         AS max_price
+           ROUND(max(l_extendedprice), 2)         AS max_price,
+           ROUND(quantile_cont(l_quantity, 0.5), 6)       AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
+           ROUND(quantile_cont(l_discount, 0.25), 6)      AS p25_disc
     FROM lineitem
     GROUP BY l_returnflag
     """,
     doc="Statistical aggregates: stddev/variance/correlation/covariance "
     "(one-pass numerically-stable implementations in both engines; rounded "
-    "to absorb summation-order noise).",
+    "to absorb summation-order noise) plus exact per-group quantiles "
+    "(linear interpolation — Spark percentile == DuckDB quantile_cont; "
+    "the exact form sorts each group's values, percentile_approx is the "
+    "sublinear 100 TB variant, verified in approx_stats_events).",
 )
 def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
@@ -81,63 +101,7 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-    )
-
-
-@register(
-    "group_medians",
-    oracle="""
-    SELECT l_returnflag,
-           ROUND(quantile_cont(l_quantity, 0.5), 6)       AS median_qty,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
-           ROUND(quantile_cont(l_discount, 0.25), 6)      AS p25_disc
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    doc="Exact per-group quantiles (linear interpolation — Spark percentile "
-    "== DuckDB quantile_cont). The exact form sorts each group's values; "
-    "percentile_approx is the sublinear 100 TB variant.",
-)
-def group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
         F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("p25_disc"),
-    )
-
-
-@register(
-    "conditional_aggregation",
-    oracle="""
-    SELECT o_custkey,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'F')                    AS n_finished,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'O')                    AS n_open,
-           ROUND(SUM(CASE WHEN o_orderpriority LIKE '1%'
-                          THEN o_totalprice ELSE 0 END), 2)               AS urgent_revenue
-    FROM orders
-    GROUP BY o_custkey
-    HAVING COUNT(*) FILTER (WHERE o_orderstatus = 'F') >= 5
-    """,
-    doc="Conditional aggregation (FILTER clauses / CASE-gated sums) — the "
-    "single-pass alternative to N self-joins.",
-)
-def conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = read_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(
-            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
-            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("o_orderpriority").startswith("1"),
-                        F.col("o_totalprice"),
-                    ).otherwise(0.0)
-                ),
-                2,
-            ).alias("urgent_revenue"),
-        )
-        .filter(F.col("n_finished") >= 5)
     )

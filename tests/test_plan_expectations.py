@@ -25,10 +25,10 @@ def _plan(spark, name, sf_dir) -> str:
 
 
 EXPECTATIONS = [
-    ("filter_predicates", lambda p: "GreaterThan(l_discount,0.05)" in p and "PushedFilters" in p),
+    ("filter_name_projection", lambda p: "GreaterThan(l_discount,0.05)" in p and "PushedFilters" in p),
     ("left_join_enrich", lambda p: p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p),
     ("pricing_summary", lambda p: p.count("HashAggregate") == 2),
-    ("window_topk_per_group", lambda p: "WindowGroupLimit" in p),
+    ("topk_global_grouped", lambda p: "WindowGroupLimit" in p and "TakeOrderedAndProject" in p),
     ("manifest_anti_join", lambda p: "LeftAnti" in p and "Broadcast" in p),
     ("similarity_topk_bruteforce", lambda p: "Broadcast" in p),
     ("shipping_priority_q3", lambda p: "TakeOrderedAndProject" in p),

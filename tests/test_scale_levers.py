@@ -79,7 +79,7 @@ def test_broadcast_join_in_enrich_plan(spark, sf_dir):
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     from nursing_home_data_etl_pipeline_spark.plans import catalog
 
-    df = catalog.entries()["filter_predicates"].spark(spark, sf_dir)
+    df = catalog.entries()["filter_name_projection"].spark(spark, sf_dir)
     plan = _physical_plan(df)
     assert "PushedFilters" in plan and "GreaterThan(l_discount,0.05)" in plan
 
