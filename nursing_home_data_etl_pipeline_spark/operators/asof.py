@@ -4,13 +4,17 @@ Semantics: for each left row (key, ts), attach the right row with the same
 key and the greatest right-ts <= left-ts (backward as-of; ties inclusive).
 
 Implementation is the union+window trick — NOT a per-group pandas
-merge_asof: tag both sides, union them, and carry the latest right values
-forward with ``last(..., ignorenulls=True)`` over a per-key window ordered
-by (ts, side). Right rows sort before left rows at equal ts, giving the
-inclusive <= semantics. Cost: ONE shuffle on the key (the window
-partition) — same price as a regular join, no Python, no per-group
-materialization; this is the formulation that survives 100 TB where
-``applyInPandas`` + merge_asof would OOM on hot keys.
+merge_asof: tag both sides, union them, and carry the latest right ROW
+forward with ``last(struct, ignorenulls=True)`` over a per-key window
+ordered by (ts, side). Right rows sort before left rows at equal ts, giving
+the inclusive <= semantics. The value columns travel as ONE struct (never
+null for a right row, even when individual values are null), so the whole
+matched row is attached together — carrying columns independently would
+tear values across different right rows whenever the matched row has a
+legitimate NULL in one column (ADVICE round 1). Cost: ONE shuffle on the
+key (the window partition) — same price as a regular join, no Python, no
+per-group materialization; this is the formulation that survives 100 TB
+where ``applyInPandas`` + merge_asof would OOM on hot keys.
 """
 
 from __future__ import annotations
@@ -41,22 +45,36 @@ def asof_join(
         if value_cols is not None
         else [c for c in right.columns if c not in {*keys, right_ts}]
     )
+    if "__rts" in value_cols:
+        raise ValueError("value column name '__rts' is reserved by asof_join")
+
+    # Struct types derived by analysis only — no job runs here.
+    lrow_type = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("s")
+    ).schema["s"].dataType
+    rrow_type = right.select(
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols],
+            F.col(right_ts).alias("__rts"),
+        ).alias("s")
+    ).schema["s"].dataType
 
     lhs = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_r_ts"),
+        F.lit(None).cast(rrow_type).alias("_rrow"),
     )
     rhs = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(lhs.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(right_ts).alias("_r_ts"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols],
+            F.col(right_ts).alias("__rts"),
+        ).alias("_rrow"),
     )
     unioned = lhs.unionByName(rhs)
     w = (
@@ -64,17 +82,16 @@ def asof_join(
         .orderBy(F.col("_ts"), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE last() over the struct: the struct is non-null for every right row
+    # (even when its fields are null), so the matched row's values and
+    # timestamp always come from the SAME right row and real nulls survive.
     carried = unioned.select(
         "_side",
         "_lrow",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in value_cols
-        ],
-        F.last(F.col("_r_ts"), ignorenulls=True).over(w).alias("_r_ts"),
+        F.last(F.col("_rrow"), ignorenulls=True).over(w).alias("_rrow"),
     )
     return carried.filter(F.col("_side") == 1).select(
-        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols],
-        F.col("_r_ts").alias(f"{right_ts}{suffix}"),
+        *[F.col("_lrow").getField(c).alias(c) for c in left.columns],
+        *[F.col("_rrow").getField(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col("_rrow").getField("__rts").alias(f"{right_ts}{suffix}"),
     )

@@ -60,8 +60,21 @@ def salted_join(
     shuffle — use when the other side is small-ish but above the broadcast
     threshold (below it, broadcast join already solves skew; above both,
     AQE skew-join splitting is the first resort, this the explicit second).
-    Output columns match a plain ``skewed.join(other, on, how)``.
+
+    Output parity with plain ``skewed.join(other, on, how)`` holds only for
+    joins that preserve/probe from the SKEWED side: inner, left (incl.
+    left_outer), left_semi, left_anti. Right/full-outer would emit each
+    unmatched ``other`` row once per salt bucket (it was replicated), so
+    those types are rejected rather than silently wrong (ADVICE round 1).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports skewed-side-preserving joins only "
+            f"(inner/left/semi/anti); got how={how!r} — the replicated side "
+            f"would duplicate unmatched rows once per salt bucket"
+        )
     keys = list(on)
     salted = with_salt(skewed, buckets, "_salt", seed)
     replicated = other.withColumn(

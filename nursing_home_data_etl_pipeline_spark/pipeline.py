@@ -21,7 +21,6 @@ one driver is already consistent.
 
 from __future__ import annotations
 
-import shutil
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -36,9 +35,9 @@ from .sources.ingest import (
     archive_source_files,
     sync_landing_to_source,
 )
-from .sources.readers import read_parquet
+from .sources.readers import path_exists, read_parquet
 from .sources.validate import DEFAULT_REQUIRED_DOMAINS, require_staged
-from .sources.writers import write_parquet
+from .sources.writers import replace_dir
 from .transforms import PK, provider_transform, quality_transform, universal_cleaning
 from .zones import ZoneLayout
 
@@ -78,17 +77,18 @@ def merge_warehouse(
         source = read_parquet(spark, outputs[output])
         keys = [PK, "measure_code"] if output == "quality" else [PK]
         target_path = zones.warehouse(dim)
-        try:
+        # Bootstrap ONLY when the target verifiably does not exist. A broad
+        # except here would turn any transient read or schema-drift error
+        # into "first run" and silently replace the whole dim with the
+        # current batch (ADVICE round 1) — merge errors must propagate.
+        if path_exists(spark, target_path):
             target = read_parquet(spark, target_path)
             result = merge_scd1(target, source.select(*target.columns), keys)
-        except Exception:
-            result = source  # bootstrap
-        # Overwrite safely: stage to rows then write (plain-Parquet merge has
-        # no transactional MERGE; collect-free double-buffer via temp suffix).
-        tmp_path = target_path + "__staging"
-        write_parquet(result, tmp_path)
-        write_parquet(read_parquet(spark, tmp_path), target_path)
-        shutil.rmtree(tmp_path, ignore_errors=True)
+        else:
+            result = source  # first run bootstraps the dim
+        # Plain Parquet has no transactional MERGE: materialize to a staging
+        # suffix and swap in with an atomic delete+rename.
+        replace_dir(result, target_path)
         merged.append(dim)
     return merged
 

@@ -52,7 +52,10 @@ def compare_query(spark, con, spark_fn, oracle: str | None, sf_dir: str) -> list
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     if oracle is None:
-        return [] if len(srows) >= 0 else ["spark returned no result"]
+        # Declared non-SQL-expressible: execute-only smoke coverage, but an
+        # empty result is still a failure signal — every such query in this
+        # catalog is built to produce rows on the driver test data.
+        return [] if len(srows) > 0 else ["oracle-less query returned 0 rows"]
     res = con.execute(oracle)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()

@@ -43,6 +43,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — works for any
+    scheme the session can read (local, HDFS, object stores). Used to make
+    bootstrap-vs-merge decisions explicit instead of inferring 'first run'
+    from a read failure (which silently converts transient errors into
+    data loss — ADVICE round 1)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def is_empty(df: DataFrame) -> bool:
     """A1: emptiness guard. The reference uses ``df.rdd.isEmpty()``
     (nh-etl-universal-cleaning.py:77) which forces RDD conversion and kills

@@ -80,6 +80,29 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def replace_dir(df: DataFrame, target_path: str) -> None:
+    """Overwrite ``target_path`` with ``df`` when the plan READS the target
+    (self-referential merge): materialize to a staging suffix, then swap via
+    Hadoop FS delete+rename. Rename is atomic on HDFS/local filesystems, so
+    the not-there window is a metadata operation instead of a full rewrite
+    (the previous double-buffer re-materialized the result twice and held a
+    partial-overwrite window for the whole second write). On rename-less
+    object stores (S3) this degrades to copy semantics — front a table
+    format (Delta/Iceberg) there instead.
+    """
+    spark = df.sparkSession
+    staging = target_path + "__staging"
+    df.write.mode("overwrite").parquet(staging)
+    jvm = spark._jvm
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    dst = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"rename {staging} -> {target_path} failed")
+
+
 def write_error(
     df: DataFrame | None,
     error_path: str,

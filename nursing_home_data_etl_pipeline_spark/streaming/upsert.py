@@ -9,14 +9,12 @@ file ledger. Batch and streaming therefore share ONE merge implementation
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.joins import latest_per_key, merge_scd1
-from ..sources.readers import read_parquet
-from ..sources.writers import write_parquet
+from ..sources.readers import path_exists, read_parquet
+from ..sources.writers import replace_dir
 
 
 def start_upsert_sink(
@@ -41,7 +39,13 @@ def start_upsert_sink(
         source = (
             latest_per_key(batch, keys, order_col) if order_col else batch
         )
-        try:
+        # Bootstrap ONLY when the target verifiably does not exist: inside
+        # foreachBatch a broad except would treat any transient merge error
+        # on a later micro-batch as "first batch" and silently wipe the
+        # maintained dim down to that batch's rows (ADVICE round 1). By
+        # re-raising instead, the streaming query fails and the checkpoint
+        # replays the batch safely.
+        if path_exists(spark, target_path):
             target = read_parquet(spark, target_path)
             if order_col:
                 # Version-aware merge: out-of-order batches cannot regress a
@@ -54,12 +58,9 @@ def start_upsert_sink(
                 )
             else:
                 result = merge_scd1(target, source.select(*target.columns), keys)
-        except Exception:
+        else:
             result = source  # first batch bootstraps the dim
-        tmp = target_path + "__staging"
-        write_parquet(result, tmp)
-        write_parquet(read_parquet(spark, tmp), target_path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        replace_dir(result, target_path)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

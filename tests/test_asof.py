@@ -38,3 +38,31 @@ def test_asof_multiple_value_cols_default(spark):
     right = spark.createDataFrame([("k", 1, "x", 5)], ["k", "ts", "a", "b"])
     row = asof_join(left, right, "k", "ts", "ts").collect()[0]
     assert (row.a_asof, row.b_asof, row.ts_asof) == ("x", 5, 1)
+
+
+def test_asof_null_value_not_torn_from_older_row(spark):
+    """ADVICE round-1 regression: when the matched right row has a NULL in
+    one value column, that NULL must survive — carrying columns
+    independently would back-fill it from an OLDER right row, tearing the
+    attached values across two different right rows."""
+    left = spark.createDataFrame([("k", 10, "L")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [
+            ("k", 1, 100.0, "old"),
+            ("k", 5, None, "new"),  # the matched row: v is legitimately NULL
+        ],
+        ["k", "ts", "v", "label"],
+    )
+    row = asof_join(left, right, "k", "ts", "ts", ["v", "label"]).collect()[0]
+    assert row.label_asof == "new"
+    assert row.v_asof is None  # NOT 100.0 from the older row
+    assert row.ts_asof == 5  # timestamp agrees with the row the values came from
+
+
+def test_asof_reserved_field_name_rejected(spark):
+    import pytest
+
+    left = spark.createDataFrame([("k", 1)], ["k", "ts"])
+    right = spark.createDataFrame([("k", 1, 2)], ["k", "ts", "__rts"])
+    with pytest.raises(ValueError, match="__rts"):
+        asof_join(left, right, "k", "ts", "ts", ["__rts"])

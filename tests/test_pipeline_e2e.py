@@ -138,3 +138,38 @@ def test_validation_gate_raises(spark, tmp_path):
     zones.ensure()
     with pytest.raises(ValidationError):
         pipeline.run(spark, zones)
+
+
+def test_merge_warehouse_error_propagates_not_bootstraps(spark, tmp_path):
+    """ADVICE round-1 regression: merge_warehouse bootstraps ONLY when the
+    target dim does not exist. A schema-drift (or any read/merge) failure on
+    an EXISTING target must raise, never silently replace the dim with the
+    current batch."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from nursing_home_data_etl_pipeline_spark.pipeline import merge_warehouse
+    from nursing_home_data_etl_pipeline_spark.zones import ZoneLayout
+
+    zones = ZoneLayout(str(tmp_path / "z"))
+    zones.ensure()
+
+    # First run: bootstrap (target absent).
+    src = str(tmp_path / "facility_out")
+    spark.createDataFrame(
+        [("f1", "A"), ("f2", "B")], ["facility_number", "facility_name"]
+    ).write.parquet(src)
+    merged = merge_warehouse(spark, zones, {"facility": src})
+    assert merged == ["dim_facility"]
+    assert {r.facility_number for r in
+            spark.read.parquet(zones.warehouse("dim_facility")).collect()} == {"f1", "f2"}
+
+    # Second run with drifted source (missing a target column): must raise.
+    drifted = str(tmp_path / "facility_drift")
+    spark.createDataFrame([("f3",)], ["facility_number"]).write.parquet(drifted)
+    with pytest.raises(AnalysisException):
+        merge_warehouse(spark, zones, {"facility": drifted})
+
+    # Target survived untouched.
+    assert {r.facility_number for r in
+            spark.read.parquet(zones.warehouse("dim_facility")).collect()} == {"f1", "f2"}

@@ -62,3 +62,20 @@ def test_write_sorted_tightens_rowgroup_stats(spark, tmp_path):
     n_sorted = ds.dataset(out_sorted).to_table(filter=filt).num_rows
     n_plain = ds.dataset(out_plain).to_table(filter=filt).num_rows
     assert n_sorted == n_plain  # same answer, layout only affects IO
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """ADVICE round-1 regression: the replicated side would emit each
+    unmatched right row once per salt bucket — reject instead of returning
+    silently wrong results."""
+    import pytest
+
+    from nursing_home_data_etl_pipeline_spark.operators.partitioning import salted_join
+
+    a = spark.range(10).withColumnRenamed("id", "k")
+    b = spark.range(10).withColumnRenamed("id", "k")
+    for how in ("right", "right_outer", "full", "full_outer", "outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(a, b, ["k"], buckets=4, how=how)
+    # the safe types still work
+    assert salted_join(a, b, ["k"], buckets=4, how="left_semi").count() == 10

@@ -43,3 +43,41 @@ def test_streaming_upsert_scd1(spark, tmp_path):
     # restart with nothing new: checkpoint ledger -> no reprocessing, state stable
     drain()
     assert {r.pk: r.v for r in spark.read.parquet(target).collect()} == state
+
+
+def test_streaming_upsert_merge_error_fails_query_not_wipes_dim(spark, tmp_path):
+    """ADVICE round-1 regression: a merge-time failure on a later micro-batch
+    must FAIL the streaming query (checkpoint replays it safely), not be
+    treated as first-batch bootstrap — which would silently wipe the
+    maintained dim down to that batch's rows."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    target = str(tmp_path / "dim2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    spark.createDataFrame([("a", 1, 1)], SCHEMA).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = start_upsert_sink(stream, target, ["pk"], ckpt, order_col="ver")
+    q.awaitTermination(120)
+    before = {r.pk: r.v for r in spark.read.parquet(target).collect()}
+    assert before == {"a": 1}
+
+    # Drift the target: add a column the stream cannot supply, so the merge's
+    # source.select(*target.columns) raises inside foreachBatch.
+    drifted = spark.read.parquet(target).withColumnRenamed("v", "renamed_v")
+    drifted.write.mode("overwrite").parquet(str(tmp_path / "dim2_drift"))
+    spark.read.parquet(str(tmp_path / "dim2_drift")).write.mode("overwrite").parquet(target)
+
+    spark.createDataFrame([("b", 2, 1)], SCHEMA).write.mode("append").parquet(str(src))
+    stream2 = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q2 = start_upsert_sink(stream2, target, ["pk"], ckpt, order_col="ver")
+    with pytest.raises(StreamingQueryException):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
+
+    # The dim was NOT wiped to the new batch's rows.
+    after = {r.pk for r in spark.read.parquet(target).collect()}
+    assert after == {"a"}
