@@ -384,9 +384,9 @@ _N_PLANES = 6
 _DIM = 64
 
 
-def _planes_values_sql() -> str:
+def _planes_values_sql(n_planes: int = _N_PLANES) -> str:
     rows = []
-    for p, plane in enumerate(hyperplanes(_N_PLANES, _DIM)):
+    for p, plane in enumerate(hyperplanes(n_planes, _DIM)):
         for i, v in enumerate(plane, start=1):
             rows.append(f"({p}, {i}, {v!r})")
     return "planes(p, i, v) AS (SELECT * FROM (VALUES " + ", ".join(rows) + "))"
@@ -450,14 +450,21 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_DUP_THRESHOLD = 0.3
 
 
-@register(
-    "embedding_near_dup",
-    oracle=f"""
+def _near_dup_oracle() -> str:
+    from ..operators.similarity import RHP_MAX_PLANES, RHP_TARGET_OCCUPANCY
+
+    return f"""
     WITH {_DUCK_COSINE_BASE},
-    {_planes_values_sql()},
+    {_planes_values_sql(RHP_MAX_PLANES)},
+    np AS (
+      SELECT GREATEST(4, LEAST({RHP_MAX_PLANES},
+             CAST(CEIL(LOG2(COUNT(*) / {RHP_TARGET_OCCUPANCY}.0)) AS INT))) AS np
+      FROM embeddings
+    ),
     pdots AS (
       SELECT ex.vec_id, planes.p, SUM(ex.x * planes.v) AS d
-      FROM ex JOIN planes ON ex.i = planes.i
+      FROM ex JOIN planes ON ex.i = planes.i CROSS JOIN np
+      WHERE planes.p < np.np
       GROUP BY 1, 2
     ),
     buckets AS (
@@ -480,16 +487,23 @@ _NEAR_DUP_THRESHOLD = 0.3
     JOIN norms na ON na.vec_id = id_a
     JOIN norms nb ON nb.vec_id = id_b
     WHERE ROUND(dot / (na.n * nb.n), 6) >= {_NEAR_DUP_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "embedding_near_dup",
+    oracle=_near_dup_oracle(),
     doc="Embedding-cosine near-duplicate pairs: RHP bucket collision + "
     "cosine >= threshold (threshold 0.3 fits this corpus's random-vector "
-    "cosine range; real near-dup corpora use ~0.95).",
+    "cosine range; real near-dup corpora use ~0.95). The plane count is "
+    "DERIVED from corpus size (ceil(log2(n / 32)), clamped to [4, 24]) so "
+    "bucket count grows with n and within-bucket all-pairs work stays "
+    "linear — the oracle reproduces the same derivation from COUNT(*), "
+    "masking its 24 embedded hyperplanes down to the derived count.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(
-        emb, threshold=_NEAR_DUP_THRESHOLD, n_planes=_N_PLANES, dim=_DIM
-    )
+    return embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_THRESHOLD, dim=_DIM)
 
 
 # ---------------------------------------------------------------------------
