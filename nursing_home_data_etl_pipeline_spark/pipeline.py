@@ -21,14 +21,17 @@ one driver is already consistent.
 
 from __future__ import annotations
 
+import time
 import uuid
+from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FutureTimeout
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
 from .operators.joins import merge_scd1
-from .runlog import RunLog
+from .runlog import RunLog, RunLogEntry
 from .sources.ingest import (
     DEFAULT_FILE_TYPE_MAPPING,
     IngestLedger,
@@ -60,6 +63,90 @@ class PipelineResult:
     archived: dict[str, int] = field(default_factory=dict)
     transformed: dict[str, str] = field(default_factory=dict)
     merged: list[str] = field(default_factory=list)
+
+
+@dataclass(frozen=True)
+class StagePolicy:
+    """Per-stage retry/timeout semantics, mirroring the reference's job
+    config: Glue jobs run with MaxRetries 1 and a 30-minute timeout
+    (cloudformation/03_glue-jobs.yml:32-33), the drive sync retries uploads
+    with backoff (script/sync-drive-to-s3.py:50-57), and every Step
+    Function state fail-fasts through Catch -> FailAll
+    (cloudformation/04_stepfunction-pipeline.yml:64-69)."""
+
+    max_retries: int = 1
+    timeout_s: float | None = 1800.0
+    backoff_s: float = 1.0
+
+
+#: Stage -> policy. Compute stages retry like Glue jobs; control stages
+#: (sync has its own per-file backoff; validation failures are
+#: deterministic) fail fast like the Lambda states.
+DEFAULT_STAGE_POLICIES: dict[str, StagePolicy] = {
+    "sync": StagePolicy(max_retries=0),
+    "universal_cleaning": StagePolicy(),
+    "archive": StagePolicy(max_retries=0),
+    "validate": StagePolicy(max_retries=0),
+    "transform_parallel": StagePolicy(),
+    "warehouse_merge": StagePolicy(),
+}
+
+
+def run_stage(
+    spark: SparkSession,
+    log: RunLog,
+    run_id: str,
+    step: str,
+    fn: Callable[[], object],
+    policy: StagePolicy = StagePolicy(),
+    detail_of: Callable[[object], dict] | None = None,
+):
+    """Execute one pipeline stage under its retry/timeout policy.
+
+    Every attempt is a run-log row (status RETRIED for non-final failures,
+    FAILURE for the last — the Catch->Fail shape); the stage's Spark jobs
+    run in a cancellable job group so a timeout actually stops the work
+    rather than abandoning it. The final failure re-raises to the driver,
+    which is the pipeline's fail-fast gate.
+    """
+    last_exc: BaseException = RuntimeError("unreachable")
+    for attempt in range(policy.max_retries + 1):
+        t0 = time.time()
+        detail: dict = {"attempt": attempt, "max_retries": policy.max_retries}
+        group = f"{run_id}:{step}:{attempt}"
+
+        def worker():
+            # Job group is thread-local: set it inside the worker so only
+            # this stage's jobs are cancelled on timeout.
+            spark.sparkContext.setJobGroup(group, step, interruptOnCancel=True)
+            return fn()
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            out = pool.submit(worker).result(timeout=policy.timeout_s)
+            if detail_of:
+                detail.update(detail_of(out))
+            log.append(RunLogEntry(run_id, step, "SUCCESS", t0, time.time(), detail))
+            return out
+        except FutureTimeout:
+            spark.sparkContext.cancelJobGroup(group)
+            last_exc = TimeoutError(
+                f"stage {step!r} exceeded timeout_s={policy.timeout_s}"
+            )
+        except Exception as exc:
+            last_exc = exc
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+        final = attempt == policy.max_retries
+        detail["error"] = repr(last_exc)
+        log.append(
+            RunLogEntry(
+                run_id, step, "FAILURE" if final else "RETRIED", t0, time.time(), detail
+            )
+        )
+        if not final and policy.backoff_s:
+            time.sleep(policy.backoff_s * (2**attempt))
+    raise last_exc
 
 
 def merge_warehouse(
@@ -100,42 +187,57 @@ def run(
     required_domains: tuple[str, ...] = DEFAULT_REQUIRED_DOMAINS,
     mapping: dict[str, str] | None = None,
     run_log_path: str | None = None,
+    policies: dict[str, StagePolicy] | None = None,
 ) -> PipelineResult:
-    """Execute the full pipeline once (the daily-cron body)."""
+    """Execute the full pipeline once (the daily-cron body). Each stage runs
+    under its retry/timeout policy (see StagePolicy); a stage that exhausts
+    its retries fails the whole run, Catch->FailAll style."""
     mapping = mapping or DEFAULT_FILE_TYPE_MAPPING
+    policies = {**DEFAULT_STAGE_POLICIES, **(policies or {})}
     zones.ensure()
     log = RunLog(run_log_path or f"{zones.root}/run_log.jsonl")
     res = PipelineResult(run_id=uuid.uuid4().hex[:12])
 
+    def stage(step, fn, detail_of=None):
+        return run_stage(
+            spark, log, res.run_id, step, fn,
+            policies.get(step, StagePolicy()), detail_of,
+        )
+
     if landing_dir:
-        with log.step(res.run_id, "sync") as s:
+        def do_sync():
             ledger = IngestLedger(spark, f"{zones.root}/ingest_ledger")
-            res.synced = sync_landing_to_source(
-                spark, landing_dir, zones, ledger, mapping
-            )
-            s.detail["synced"] = res.synced
+            return sync_landing_to_source(spark, landing_dir, zones, ledger, mapping)
 
-    with log.step(res.run_id, "universal_cleaning") as s:
-        res.staged = universal_cleaning(spark, zones)
-        s.detail["staged"] = res.staged
+        res.synced = stage("sync", do_sync, lambda n: {"synced": n})
 
-    with log.step(res.run_id, "archive") as s:
-        known = {d for d in mapping.values() if d != "unknown"}
-        res.archived = archive_source_files(zones, known)
-        s.detail.update(res.archived)
+    res.staged = stage(
+        "universal_cleaning",
+        lambda: universal_cleaning(spark, zones),
+        lambda staged: {"staged": staged},
+    )
 
-    with log.step(res.run_id, "validate"):
-        require_staged(spark, zones, required_domains)
+    known = {d for d in mapping.values() if d != "unknown"}
+    res.archived = stage(
+        "archive", lambda: archive_source_files(zones, known), lambda a: dict(a)
+    )
 
-    with log.step(res.run_id, "transform_parallel") as s:
+    stage("validate", lambda: require_staged(spark, zones, required_domains))
+
+    def do_transforms():
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_provider = pool.submit(provider_transform, spark, zones)
             f_quality = pool.submit(quality_transform, spark, zones)
-            res.transformed = {**f_provider.result(), **f_quality.result()}
-        s.detail["outputs"] = sorted(res.transformed)
+            return {**f_provider.result(), **f_quality.result()}
 
-    with log.step(res.run_id, "warehouse_merge") as s:
-        res.merged = merge_warehouse(spark, zones, res.transformed)
-        s.detail["dims"] = res.merged
+    res.transformed = stage(
+        "transform_parallel", do_transforms, lambda t: {"outputs": sorted(t)}
+    )
+
+    res.merged = stage(
+        "warehouse_merge",
+        lambda: merge_warehouse(spark, zones, res.transformed),
+        lambda dims: {"dims": dims},
+    )
 
     return res

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 class RunLogEntry:
     run_id: str
     step: str
-    status: str  # SUCCESS | FAILURE | SKIPPED
+    status: str  # SUCCESS | FAILURE | RETRIED | SKIPPED
     started_at: float
     finished_at: float
     detail: dict = field(default_factory=dict)
