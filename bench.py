@@ -40,12 +40,16 @@ def main() -> int:
         t0 = time.time()
         try:
             execute(entry.spark(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            timings[name] = round(time.time() - t0, 2)
         except Exception as ex:
             timings[name] = -1.0
             print(f"bench error in {name}: {ex!r}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # ONE compact JSON line, nothing after it: harnesses that capture only a
+    # bounded output tail must still see the complete line (round-1 bench
+    # output exceeded such a window and failed to parse).
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -54,7 +58,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     return 0

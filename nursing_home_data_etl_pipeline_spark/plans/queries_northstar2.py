@@ -87,15 +87,18 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
     tf = tf.withColumn("doc_len", F.sum("n").over(Window.partitionBy("doc_id")))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # driver scalar: one tiny job, embedded as literal
+    # Corpus size as a broadcast 1-row aggregate instead of a driver-side
+    # .count(): the whole query stays one lazy plan, no extra job.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     return (
         tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
             F.round(
                 (F.col("n").cast("double") / F.col("doc_len"))
-                * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                * (F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
                 6,
             ).alias("tfidf"),
         )
