@@ -80,12 +80,15 @@ def connected_components(
     cluster. Above the threshold, distributed min-label propagation runs
     (each round two hash joins, state bounded per vertex).
     """
+    # The edge set is consumed twice (size probe, then collect or symmetric
+    # expansion) and upstream it is typically a full LSH candidate pipeline
+    # (shingle -> signature -> band join) — cache it so that pipeline runs
+    # once, not twice. Bounded by candidate pairs, not corpus size.
+    edges = edges.select(src_col, dst_col).cache()
     n_edges = edges.limit(driver_edge_threshold + 1).count()
     if n_edges <= driver_edge_threshold:
-        edge_rows = [
-            (r[0], r[1])
-            for r in edges.select(src_col, dst_col).collect()
-        ]
+        edge_rows = [(r[0], r[1]) for r in edges.collect()]
+        edges.unpersist()
         return _driver_union_find(vertices, edge_rows, id_col)
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -137,6 +140,7 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+        edges.unpersist()
 
 
 def dup_clusters(
@@ -151,5 +155,8 @@ def dup_clusters(
     comp = connected_components(
         docs.select(id_col), pairs, id_col=id_col
     ).withColumnRenamed("component", "cluster_id")
+    # comp feeds both the size aggregate and the final join — cache the
+    # two-column label table instead of recomputing the CC result twice.
+    comp = comp.cache()
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")
