@@ -484,14 +484,22 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
-    g = ev.groupBy("event_type").agg(
+    # Exact COUNT(DISTINCT) planned in its own aggregate: mixing the
+    # Expand-based distinct rewrite with TypedImperative sketch buffers in
+    # one agg forces every sketch through the multiplied multi-phase plan
+    # (~5x slower measured at sf0.1). Two aggs + a 5-row equi-join is the
+    # cheap shape, and at 100 TB the exact twin is dropped entirely.
+    exact = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("_exact_d"),
+    )
+    sk = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.05).alias("_approx_d"),
         F.expr("percentile(value, array(0.47, 0.53, 0.92, 0.98))").alias("_bands"),
         F.percentile_approx("value", 0.5).alias("_p50"),
         F.percentile_approx("value", 0.95).alias("_p95"),
     )
+    g = exact.join(sk, "event_type")
     # 3 sigma of the requested 5% relative standard deviation, floored for
     # tiny groups where one-off error dominates the relative bound.
     tol = F.greatest(F.col("_exact_d") * 0.15, F.lit(2.0))
