@@ -15,6 +15,7 @@ from .aggregates import (  # noqa: F401
     unpivot_stack,
 )
 from .asof import asof_join  # noqa: F401
+from .ranges import range_join_points  # noqa: F401
 from .chunking import chunk_table  # noqa: F401
 from .cleaning import (  # noqa: F401
     cast_all_to_string,

@@ -1,0 +1,99 @@
+"""Range (interval) join — points-in-interval without the nested loop.
+
+Spark plans a raw theta join (``p.x >= i.lo AND p.x < i.hi``) as a
+BroadcastNestedLoopJoin (or a cartesian product when neither side fits in
+memory) — O(|points| x |intervals|) comparisons, a scale-killer the moment
+the interval side outgrows a broadcast. This operator is the standard
+bucketization rewrite: pick a bucket width, assign each point to the single
+bucket ``floor(x / width)``, explode each interval to every bucket it
+overlaps, and equi-join on (keys..., bucket) with the exact range predicate
+folded into the same join condition as a refine filter.
+
+Cost model: the equi-join shuffles on (keys, bucket) like any hash join;
+per-interval fan-out is ``ceil(span / width) + 1`` rows, so width should be
+on the order of the median interval span (fan-out ~2) — a constant-factor
+blow-up of the interval side instead of the quadratic pair grid. Each point
+lands in exactly ONE bucket, so no post-join dedup is needed and left-outer
+semantics fall out of the join itself.
+
+The same rewrite is what Databricks' RANGE_JOIN hint and the
+interval-join in Flink do under the hood; open-source Spark has no native
+operator (reference has no analog either — capability-gap surface,
+SURVEY.md §2.8 join varieties / theta).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["range_join_points"]
+
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    on: str | Sequence[str] | None = None,
+    bucket_width: int = 3_600_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row whose half-open range
+    ``[lo, hi)`` contains the point (and whose ``on`` keys match, if given).
+
+    ``point_col`` / ``lo_col`` / ``hi_col`` must be numeric (for event time,
+    convert to epoch microseconds first — ``F.unix_micros``); the default
+    ``bucket_width`` is one hour in microseconds. ``how`` may be ``inner``
+    or ``left`` (left keeps unmatched points with null interval columns);
+    the replicated-interval side rules out right/full-outer, same contract
+    as ``partitioning.salted_join``.
+
+    Output: all point columns plus all interval columns (minus shared join
+    keys, which appear once).
+    """
+    if how not in {"inner", "left"}:
+        raise ValueError(
+            f"range_join_points supports how='inner'|'left', got {how!r}: "
+            "the interval side is replicated per bucket, so right/full-outer "
+            "would emit unmatched intervals once per overlapped bucket"
+        )
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+
+    def _bucket(c: Column) -> Column:
+        return F.floor(c.cast("double") / F.lit(float(bucket_width))).cast("long")
+
+    # Alias both sides: points and intervals often derive from the same
+    # source table (a self-join), and plan-id disambiguation via df[col]
+    # fails on shared lineage.
+    p = points.withColumn("_rj_bucket", _bucket(F.col(point_col))).alias("_rj_p")
+    # Explode each interval to the buckets its [lo, hi) span overlaps. hi is
+    # exclusive, but sequence() is inclusive on both ends — the refine
+    # predicate discards any overshoot row.
+    i = (
+        intervals.withColumn(
+            "_rj_bucket",
+            F.explode(F.sequence(_bucket(F.col(lo_col)), _bucket(F.col(hi_col)))),
+        )
+        .alias("_rj_i")
+    )
+    cond = F.col("_rj_p._rj_bucket") == F.col("_rj_i._rj_bucket")
+    for k in keys:
+        cond = cond & (F.col(f"_rj_p.{k}") == F.col(f"_rj_i.{k}"))
+    cond = (
+        cond
+        & (F.col(f"_rj_p.{point_col}") >= F.col(f"_rj_i.{lo_col}"))
+        & (F.col(f"_rj_p.{point_col}") < F.col(f"_rj_i.{hi_col}"))
+    )
+    joined = p.join(i, cond, how)
+    out_cols = [F.col(f"_rj_p.{c}").alias(c) for c in points.columns] + [
+        F.col(f"_rj_i.{c}").alias(c)
+        for c in intervals.columns
+        if c not in keys
+    ]
+    return joined.select(*out_cols)

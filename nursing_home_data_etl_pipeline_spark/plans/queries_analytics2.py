@@ -10,49 +10,90 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
+from ..operators.ranges import range_join_points
 from ..sources.readers import read_table
 from .catalog import register
 
 
+_RANGE_WINDOW_US = 3_600_000_000  # attribute clicks within 1h after a purchase
+
+
 @register(
     "asof_join_events",
-    oracle="""
+    oracle=f"""
     WITH clicks AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      SELECT event_id, user_id, ts, epoch_ns(ts) // 1000 AS us
+      FROM events WHERE event_type = 'click'
     ),
     purchases AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      SELECT user_id, ts, value, epoch_ns(ts) // 1000 AS us
+      FROM events WHERE event_type = 'purchase'
     )
-    SELECT c.event_id,
+    SELECT 'asof' AS variant,
+           c.event_id,
            c.user_id,
-           p.value                                          AS value_asof,
-           (epoch_ns(p.ts) // 1000)                         AS ts_asof_us
+           p.value  AS value_r,
+           p.us     AS ts_r_us
     FROM clicks c
     ASOF LEFT JOIN purchases p
       ON c.user_id = p.user_id AND c.ts >= p.ts
+    UNION ALL
+    SELECT 'range', c.event_id, c.user_id, p.value, p.us
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND c.us >= p.us
+     AND c.us < p.us + {_RANGE_WINDOW_US}
     """,
-    doc="Backward as-of join (Spark lacks one natively): for each click, the "
-    "latest prior purchase of the same user — union+window formulation, one "
-    "shuffle on the key, no Python. Oracle: DuckDB's native ASOF JOIN.",
+    doc="Temporal joins Spark lacks natively, one tagged row set per "
+    "operator. variant='asof': backward as-of join (for each click, the "
+    "latest prior purchase of the same user) — union+window formulation, "
+    "one shuffle on the key, no Python; oracle is DuckDB's native ASOF "
+    "JOIN. variant='range': interval join (every purchase whose 1-hour "
+    "attribution window contains the click) via operators.ranges bucketized "
+    "rewrite — equi-join on (user_id, hour bucket) with the range refine in "
+    "the join condition, a hash join where the naive theta join plans a "
+    "nested loop; oracle is the plain theta join.",
 )
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+        "user_id", "ts", "value", F.unix_micros("ts").alias("us")
     )
-    out = asof_join(
-        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
-        value_cols=["value"],
-    )
-    return out.select(
+    asof = asof_join(
+        clicks.drop("us"), purchases.drop("us"), on="user_id",
+        left_ts="ts", right_ts="ts", value_cols=["value"],
+    ).select(
+        F.lit("asof").alias("variant"),
         "event_id",
         "user_id",
-        "value_asof",
-        F.unix_micros(F.col("ts_asof")).alias("ts_asof_us"),
+        F.col("value_asof").alias("value_r"),
+        F.unix_micros(F.col("ts_asof")).alias("ts_r_us"),
     )
+    windows = purchases.select(
+        "user_id",
+        F.col("us").alias("lo"),
+        (F.col("us") + F.lit(_RANGE_WINDOW_US)).alias("hi"),
+        "value",
+    )
+    ranged = range_join_points(
+        clicks.select("event_id", "user_id", F.col("us").alias("x")),
+        windows,
+        "x",
+        "lo",
+        "hi",
+        on="user_id",
+        bucket_width=_RANGE_WINDOW_US,
+    ).select(
+        F.lit("range").alias("variant"),
+        "event_id",
+        "user_id",
+        F.col("value").alias("value_r"),
+        F.col("lo").alias("ts_r_us"),
+    )
+    return asof.unionByName(ranged)
 
 
 @register(

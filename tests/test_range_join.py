@@ -1,0 +1,108 @@
+"""Range (interval) join: bucketized rewrite must exactly match the naive
+theta join, including boundary and left-outer semantics, and must plan as a
+hash join on the bucket — not a BroadcastNestedLoopJoin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nursing_home_data_etl_pipeline_spark.operators.ranges import range_join_points
+
+
+def _naive(points, intervals, on_keys):
+    cond = (
+        (points["x"] >= intervals["lo"])
+        & (points["x"] < intervals["hi"])
+    )
+    for k in on_keys:
+        cond = cond & (points[k] == intervals[k])
+    return points.join(intervals, cond, "inner").select(
+        points["pid"], intervals["iid"]
+    )
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    # Deterministic pseudo-random points and (often overlapping) intervals,
+    # spans from sub-bucket to multi-bucket so explode fan-out varies.
+    points = spark.range(400).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 7).alias("k"),
+        ((F.col("id") * 137) % 1000).cast("long").alias("x"),
+    )
+    intervals = spark.range(60).select(
+        F.col("id").alias("iid"),
+        (F.col("id") % 7).alias("k"),
+        ((F.col("id") * 241) % 900).cast("long").alias("lo"),
+        (((F.col("id") * 241) % 900) + 10 + (F.col("id") % 5) * 120)
+        .cast("long")
+        .alias("hi"),
+    )
+    return points, intervals
+
+
+@pytest.mark.parametrize("width", [50, 100, 1000])
+def test_matches_naive_theta_join(spark, data, width):
+    points, intervals = data
+    got = (
+        range_join_points(
+            points, intervals, "x", "lo", "hi", on="k", bucket_width=width
+        )
+        .select("pid", "iid")
+        .collect()
+    )
+    want = _naive(points, intervals, ["k"]).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(want) > 0
+
+
+def test_boundary_semantics_half_open(spark):
+    points = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 19)], "pid long, x long"
+    )
+    intervals = spark.createDataFrame([(7, 10, 20)], "iid long, lo long, hi long")
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_points(
+            points, intervals, "x", "lo", "hi", bucket_width=8
+        ).collect()
+    }
+    # lo inclusive, hi exclusive: x=10 in, x=20 out, x=19 in.
+    assert got == {(1, 7), (3, 7)}
+
+
+def test_left_outer_keeps_unmatched_points_once(spark, data):
+    points, intervals = data
+    out = range_join_points(
+        points, intervals, "x", "lo", "hi", on="k", bucket_width=60, how="left"
+    )
+    matched = {r.pid for r in _naive(points, intervals, ["k"]).collect()}
+    rows = out.collect()
+    unmatched = [r for r in rows if r.iid is None]
+    assert {r.pid for r in unmatched} == {
+        r.pid for r in points.collect()
+    } - matched
+    # Exactly one null row per unmatched point (no bucket-explosion dups).
+    assert len(unmatched) == len({r.pid for r in unmatched})
+
+
+def test_rejects_outer_and_bad_width(spark, data):
+    points, intervals = data
+    with pytest.raises(ValueError, match="inner.*left"):
+        range_join_points(points, intervals, "x", "lo", "hi", how="full")
+    with pytest.raises(ValueError, match="positive"):
+        range_join_points(points, intervals, "x", "lo", "hi", bucket_width=0)
+
+
+def test_plans_hash_join_not_nested_loop(spark, data):
+    points, intervals = data
+    plan = (
+        range_join_points(
+            points, intervals, "x", "lo", "hi", on="k", bucket_width=60
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
