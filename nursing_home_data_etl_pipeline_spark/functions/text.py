@@ -155,3 +155,48 @@ def word_shingles(text: Column, k: int = 5) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
     return F.array_distinct(sh)
+
+
+#: PII patterns applied in order (order matters: emails before bare
+#: hostnames, credit-card-ish before phone so the longer match wins).
+#: RE2-compatible (no backrefs/lookaround) so a DuckDB oracle can reproduce
+#: them verbatim with regexp_replace(..., 'g').
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d{1,3}[ -.]?\(?\d{2,4}\)?[ -.]?\d{3,4}[ -.]?\d{3,4}", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask common PII shapes (emails, card/SSN-like numbers, phones, IPv4)
+    with typed placeholder tokens — the scrubbing pass a training-data
+    pipeline runs before tokenization. A chain of JVM ``regexp_replace``
+    calls: map-only, codegen'd, no Python, no shuffle — linear at 100 TB.
+
+    Heuristic by design (regex PII detection always is): favors recall on
+    the common shapes over precision on exotic ones; layer a model-based
+    detector behind ``mapInPandas`` where higher fidelity is required.
+    """
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_hit_count(text: Column) -> Column:
+    """Number of PII placeholder insertions ``redact_pii`` would make —
+    a per-document risk score, filterable without materializing the
+    redacted text."""
+    red = redact_pii(text)
+    total = F.lit(0).cast("long")
+    for _, token in PII_PATTERNS:
+        # count occurrences of each placeholder in the redacted text
+        n = (
+            (F.length(red) - F.length(F.replace(red, F.lit(token), F.lit(""))))
+            / F.length(F.lit(token))
+        ).cast("long")
+        total = total + n
+    return total
