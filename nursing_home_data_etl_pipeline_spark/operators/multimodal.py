@@ -85,6 +85,31 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     raise NotImplementedError("wire PIL decode into the decode_fake batch loop")
 
 
+def resize_fake(df: DataFrame, factor: int = 4) -> DataFrame:
+    """Resize analog — binary IN, binary OUT, metadata updated in the same
+    pass: keeps every ``factor``-th byte of the payload (a real image resize
+    is the same mapInPandas shape with ``PIL.Image.resize`` in the batch
+    loop). The binary->binary contract is the one that matters for chained
+    media pipelines (decode -> resize -> re-encode) — payload bytes stay in
+    Arrow buffers between stages, never materialized as Python row objects.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"].map(lambda b: bytes(b[::factor]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payload,
+                    "n_bytes": payload.map(len).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        resize, schema="doc_id long, payload binary, n_bytes long"
+    )
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling STUB analog: real video frame sampling needs a codec;
     the deterministic stand-in samples every Nth byte as a 'frame marker' —

@@ -13,6 +13,7 @@ from nursing_home_data_etl_pipeline_spark.operators.dedup import (
 )
 from nursing_home_data_etl_pipeline_spark.operators.multimodal import (
     decode_fake,
+    resize_fake,
     sample_frames,
     with_binary_payload,
 )
@@ -138,6 +139,9 @@ def test_multimodal_plumbing(spark):
     assert row.fake_height == ord("h")
     fr = sample_frames(mm, every_n_bytes=4).collect()[0]
     assert fr.n_frames == 2
+    rz = resize_fake(mm, factor=4).collect()[0]
+    assert bytes(rz.payload) == b"hello world"[::4]
+    assert rz.n_bytes == 3  # binary in -> binary out, metadata refreshed
 
 
 def test_rhp_derived_planes_bound_bucket_occupancy():
