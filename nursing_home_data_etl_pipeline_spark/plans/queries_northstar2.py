@@ -112,6 +112,7 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_CELLS = 8
 _N_QUERIES = 20
 _TOP_K = 10
+_N_PROBE = 2  # query probes its 2 nearest cells — the IVF recall/cost knob
 
 #: DuckDB long-form embeddings + norms (shared with the LSH oracles).
 _DUCK_EX = """
@@ -131,17 +132,20 @@ def _ivf_oracle() -> str:
       FROM ex e JOIN cents c USING (i)
       GROUP BY 1, 2
     ),
-    cells AS (
-      SELECT vec_id, cent_id AS cell FROM (
-        SELECT vec_id, cent_id,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-        FROM assign
-      ) WHERE rn = 1
+    ranked AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+      FROM assign
+    ),
+    cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id, cent_id AS cell FROM ranked
+      WHERE rn <= {_N_PROBE} AND vec_id < {_N_QUERIES}
     ),
     cand AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-      FROM cells q JOIN cells c ON q.cell = c.cell
-      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+      FROM qprobe q JOIN cells c ON q.cell = c.cell
+      WHERE c.vec_id <> q.vec_id
     ),
     dots AS (
       SELECT cand.query_id, cand.neighbor_id, SUM(a.x * b.x) AS dot
@@ -169,10 +173,13 @@ def _ivf_oracle() -> str:
     "similarity_ann_ivf",
     oracle=_ivf_oracle(),
     doc="IVF-style ANN: coarse quantizer (first 8 vectors as fixed cells — "
-    "deterministic, training-free), assign every vector to its nearest "
-    "cell by L2 (min_by with (distance, cell_id) tiebreak), probe the "
-    "query's own cell with exact cosine. The cell equi-join replaces the "
-    "cross join, same contract as the RHP variant.",
+    "deterministic, training-free), assign every corpus vector to its "
+    "nearest cell by L2 (min_by with (distance, cell_id) tiebreak), probe "
+    "each query's nprobe=2 nearest cells with exact cosine — the standard "
+    "IVF recall/cost knob; near-boundary queries recover neighbors their "
+    "own cell misses for 2x candidate work on the (bounded, broadcast) "
+    "query side only. The cell equi-join replaces the cross join, same "
+    "contract as the RHP variant.",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -191,21 +198,33 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    assigned = (
-        emb.join(F.broadcast(cents))
-        .select("vec_id", "embedding", "cent_id", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(
-            F.expr("min_by(cent_id, struct(d2, cent_id))").alias("cell"),
-            F.first("embedding").alias("embedding"),
-        )
+    scored_cells = emb.join(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cent_id", d2.alias("d2")
     )
-    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("cell"), F.col("embedding").alias("_qv")
+    # Corpus side: ONE cell per vector via a single hash aggregate (never a
+    # window over the full corpus).
+    assigned = scored_cells.groupBy("vec_id").agg(
+        F.expr("min_by(cent_id, struct(d2, cent_id))").alias("cell"),
+        F.first("embedding").alias("embedding"),
+    )
+    # Query side is a bounded batch — the nprobe ranking window only ever
+    # sees n_queries x n_cells rows.
+    wq = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cent_id"))
+    q = (
+        scored_cells.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= _N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("cell"),
+            F.col("embedding").alias("_qv"),
+        )
     )
     c = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("cell"), F.col("embedding").alias("_cv")
     )
+    # A query appears once per probed cell and each neighbor owns ONE cell,
+    # so (query, neighbor) pairs are already distinct — no dedup needed.
     pairs = c.join(F.broadcast(q), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
