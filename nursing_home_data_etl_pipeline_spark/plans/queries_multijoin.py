@@ -63,7 +63,8 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "regional_revenue_q5",
     oracle="""
-    SELECT n.n_name AS nation,
+    SELECT 'q5' AS variant,
+           n.n_name AS nation,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -72,10 +73,22 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE r.r_name = 'ASIA'
     GROUP BY n.n_name
+    UNION ALL
+    SELECT 'q14_' || lower(CASE WHEN p.p_type = 'PROMO' THEN 'promo' ELSE 'other' END),
+           'ALL',
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY 1
     """,
-    doc="TPC-H Q5 shape: 5-table star join (region->nation->customer->"
+    doc="TPC-style multijoin revenue, tagged union of two shapes. "
+    "variant='q5' (TPC-H Q5): 5-table star join (region->nation->customer->"
     "orders->lineitem) with a region filter; every dimension side "
-    "broadcasts, the fact side never shuffles until the final aggregate.",
+    "broadcasts, the fact side never shuffles until the final aggregate. "
+    "variant='q14_*' (TPC-H Q14 shape): promo-vs-other revenue split over "
+    "a date-filtered part><lineitem broadcast join — the numerator and "
+    "denominator of Q14's promo ratio as separately-rounded rows (the "
+    "ratio itself would compound float noise across engines).",
 )
 def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -91,11 +104,32 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = l.join(o, l["l_orderkey"] == o["o_orderkey"]).join(
         F.broadcast(dims), o["o_custkey"] == dims["c_custkey"]
     )
-    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+    q5 = joined.groupBy(F.col("n_name").alias("nation")).agg(
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue")
+    ).select(F.lit("q5").alias("variant"), "nation", "revenue")
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_type") == "PROMO", F.lit("q14_promo"))
+        .otherwise(F.lit("q14_other"))
+        .alias("variant"),
     )
+    q14 = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("variant")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("variant", F.lit("ALL").alias("nation"), "revenue")
+    )
+    return q5.unionByName(q14)
 
 
 @register(
