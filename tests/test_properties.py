@@ -79,3 +79,54 @@ def test_merge_scd1_matches_dict_semantics(spark, target_rows, source_rows):
     )
     got = {r.pk: r.v for r in merge_scd1(target, source, ["pk"]).collect()}
     assert got == expected
+
+
+interval_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),      # key
+        st.integers(min_value=-50, max_value=200),  # lo
+        st.integers(min_value=0, max_value=120),    # span
+    ),
+    min_size=1,
+    max_size=25,
+)
+point_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=-60, max_value=260),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(point_rows, interval_rows, st.sampled_from([7, 30, 64, 500]))
+def test_range_join_matches_naive_for_any_width(spark, points, intervals, width):
+    """Bucketized range join == naive theta join for ANY bucket width
+    (width only changes the plan, never the result), including negative
+    coordinates, empty-range intervals (span 0), and duplicate rows."""
+    from nursing_home_data_etl_pipeline_spark.operators.ranges import (
+        range_join_points,
+    )
+
+    pdf = spark.createDataFrame(
+        [(i, k, x) for i, (k, x) in enumerate(points)], "pid long, k long, x long"
+    )
+    idf = spark.createDataFrame(
+        [(i, k, lo, lo + span) for i, (k, lo, span) in enumerate(intervals)],
+        "iid long, k long, lo long, hi long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join_points(
+            pdf, idf, "x", "lo", "hi", on="k", bucket_width=width
+        ).collect()
+    )
+    want = sorted(
+        (p_i, i_i)
+        for p_i, (pk, px) in enumerate(points)
+        for i_i, (ik, ilo, ispan) in enumerate(intervals)
+        if pk == ik and ilo <= px < ilo + ispan
+    )
+    assert got == want
