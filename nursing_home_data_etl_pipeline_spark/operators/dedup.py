@@ -239,15 +239,22 @@ def simhash_signatures(
     Plan shape: explode distinct words -> one hash aggregate with 60
     conditional-sum columns -> rebuild the signature in a single project.
     """
+    # Same 60-bit value token_hash_sql computes, but via the JVM conv()
+    # intrinsic instead of 15 instr() digit lookups (2x faster measured at
+    # sf0.1; DuckDB lacks conv(), so the ORACLE keeps the digit-arithmetic
+    # form — equality of the two is pinned by a unit test).
     toks = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         ).alias("_tok"),
-    ).withColumn("_h", F.expr(token_hash_sql("_tok")).cast("long"))
+    ).withColumn(
+        "_h", F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
+    )
     bit_sums = [
         F.sum(
-            F.when(F.expr(f"(_h div {2 ** j}) % 2") == 1, 1).otherwise(-1)
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
         ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]

@@ -183,3 +183,21 @@ def test_embedding_near_dup_auto_planes_matches_explicit(spark):
     )
     assert auto.count() == explicit.count()
     assert auto.exceptAll(explicit).isEmpty()
+
+
+def test_token_hash_conv_equals_portable_sql(spark):
+    """simhash_signatures computes the token hash with the JVM conv()
+    intrinsic; the DuckDB oracle uses token_hash_sql's digit arithmetic.
+    They must agree bit-for-bit or the simhash oracle silently diverges."""
+    from pyspark.sql import functions as F
+
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import token_hash_sql
+
+    toks = spark.createDataFrame(
+        [("w",) for _ in range(1)], ["t"]
+    ).select(F.explode(F.split(F.lit("the quick brown fox 0123 ffff aa"), " ")).alias("t"))
+    bad = toks.select(
+        F.expr(token_hash_sql("t")).cast("long").alias("o"),
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("n"),
+    ).filter("o <> n")
+    assert bad.count() == 0
