@@ -106,3 +106,63 @@ def salted_group_agg(
         *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
         F.sum("_n").alias("n_rows"),
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    aggs: Sequence[Column],
+    levels: Sequence[str] = ("hour", "day", "month"),
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup: one row set per
+    truncation level (hour/day/month/...), computed in a SINGLE expanded
+    aggregate — one shuffle and ONE fact-table scan for every resolution,
+    instead of one scan + shuffle per level.
+
+    Implementation: pre-truncate the timestamp once per level, then
+    GROUPING SETS over the truncation columns (each set = one level's
+    bucket + ``extra_keys``). Catalyst's Expand multiplies rows by
+    len(levels) before the partial aggregate, so map-side combine still
+    collapses each level's buckets locally — the expand is cheap relative
+    to len(levels)-1 full rescans at 100 TB. Rows are tagged with their
+    level via grouping_id (computed, not inferred from nulls, so null
+    timestamps stay correct).
+
+    Output: ``resolution`` (level name), ``bucket_start`` (the truncated
+    timestamp), ``extra_keys``..., then the aggregate columns.
+    """
+    if not levels:
+        raise ValueError("need at least one truncation level")
+    tcols = [f"_t_{lv}" for lv in levels]
+    clash = set(tcols) & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with rollup internals: {clash}")
+    base = df.select(
+        *[F.date_trunc(lv, F.col(ts_col)).alias(t) for lv, t in zip(levels, tcols)],
+        *df.columns,
+    )
+    order = [*tcols, *extra_keys]  # grouping_id bit order = this order
+    sets = [[t, *extra_keys] for t in tcols]
+    gid_of = {
+        lv: int(
+            "".join("0" if c in {t, *extra_keys} else "1" for c in order), 2
+        )
+        for lv, t in zip(levels, tcols)
+    }
+    grouped = base.groupingSets(
+        [[F.col(c) for c in s] for s in sets], *[F.col(c) for c in order]
+    ).agg(F.grouping_id().alias("_gid"), *aggs)
+    resolution = F.lit(None).cast("string")
+    bucket = F.lit(None).cast("timestamp")
+    for lv, t in zip(levels, tcols):
+        is_lv = F.col("_gid") == gid_of[lv]
+        resolution = F.when(is_lv, F.lit(lv)).otherwise(resolution)
+        bucket = F.when(is_lv, F.col(t)).otherwise(bucket)
+    agg_names = [grouped.columns[len(order) + 1 + i] for i in range(len(aggs))]
+    return grouped.select(
+        resolution.alias("resolution"),
+        bucket.alias("bucket_start"),
+        *[F.col(k) for k in extra_keys],
+        *[F.col(c) for c in agg_names],
+    )
