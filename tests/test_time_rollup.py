@@ -72,3 +72,18 @@ def test_single_shuffle(spark, events):
 def test_rejects_empty_levels(spark, events):
     with pytest.raises(ValueError, match="at least one"):
         time_rollup(events, "ts", [F.count(F.lit(1)).alias("n")], levels=())
+
+
+def test_null_timestamps_grouped_not_mistagged(spark):
+    rows = [(1, None, 1.0), (2, None, 2.0), (3, dt.datetime(2024, 3, 5, 7), 4.0)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    out = time_rollup(
+        df, "ts", [F.count(F.lit(1)).alias("n")], levels=("hour", "day")
+    ).collect()
+    # null ts rows form their own (null) bucket at EVERY level — tagged by
+    # grouping_id, never leaking into another level or dropping out.
+    for lv in ("hour", "day"):
+        buckets = {r.bucket_start: r.n for r in out if r.resolution == lv}
+        assert buckets[None] == 2
+        assert buckets[dt.datetime(2024, 3, 5, 7 if lv == "hour" else 0)] == 1
+    assert len(out) == 4
