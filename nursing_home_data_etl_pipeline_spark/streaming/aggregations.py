@@ -104,3 +104,43 @@ def running_totals_stateful(events: DataFrame, key_col: str = "user_id") -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _update_running_totals_ttl(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    if state.hasTimedOut:
+        # idle key: emit nothing, drop the accumulator — state stays bounded
+        # by ACTIVE keys, not ever-seen keys.
+        state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    state.setTimeoutDuration(_TTL_MS)
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+    )
+
+
+_TTL_MS = 6 * 3600 * 1000
+
+
+def running_totals_stateful_ttl(
+    events: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """:func:`running_totals_stateful` with state EVICTION: keys idle for
+    the TTL are dropped on the next trigger (ProcessingTimeTimeout). On an
+    unbounded stream the NoTimeout variant's state grows with ever-seen key
+    cardinality — this is the knob that keeps per-executor state bounded by
+    the active working set, the same role the watermark plays for windowed
+    aggregation state."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        _update_running_totals_ttl,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
