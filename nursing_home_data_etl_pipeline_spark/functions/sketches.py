@@ -73,14 +73,19 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 def cms_estimate(
     cms: DataFrame, items: DataFrame, item_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:
-    """Point-query the sketch for every row of ``items``: the estimate is
-    the MIN over the d hash rows of the addressed counter (absent counter =
-    0). The sketch side is depth*width rows — always broadcast; the items
-    side streams, so estimating a 10^9-row candidate list is a map-side
-    join + small aggregate, never a shuffle of the corpus.
+    """Point-query the sketch for each DISTINCT row of ``items`` (rows are
+    grouped by all items columns — duplicate probe rows collapse to one
+    output row): the estimate is the MIN over the d hash rows of the
+    addressed counter (absent counter = 0). The sketch side is depth*width
+    rows — always broadcast; the items side streams, so estimating a
+    10^9-row candidate list is a map-side join + small aggregate, never a
+    shuffle of the corpus.
 
     Output: items columns + ``est`` (long, >= true count).
     """
+    clash = {"row", "bucket", "cnt", "rb", "est"} & set(items.columns)
+    if clash:
+        raise ValueError(f"items columns collide with CMS internals: {clash}")
     item = F.col(item_col).cast("string")
     probes = items.select(
         "*",

@@ -158,15 +158,18 @@ def word_shingles(text: Column, k: int = 5) -> Column:
 
 
 #: PII patterns applied in order (order matters: emails before bare
-#: hostnames, credit-card-ish before phone so the longer match wins).
+#: hostnames; card/SSN/IP before phone so the most specific shape wins —
+#: e.g. 192.168.100.200 must become <IP>, not <PHONE>). Dashes sit at the
+#: START of character classes ([- .]) — mid-class they form ranges like
+#: 0x20-0x2E that silently admit !#$%&'()*+, as separators.
 #: RE2-compatible (no backrefs/lookaround) so a DuckDB oracle can reproduce
 #: them verbatim with regexp_replace(..., 'g').
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
+    (r"\b\d(?:[- ]?\d){12,15}\b", "<CARD>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    (r"\+?\d{1,3}[ -.]?\(?\d{2,4}\)?[ -.]?\d{3,4}[ -.]?\d{3,4}", "<PHONE>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d{1,3}[- .]?\(?\d{2,4}\)?[- .]?\d{3,4}[- .]?\d{3,4}", "<PHONE>"),
 )
 
 

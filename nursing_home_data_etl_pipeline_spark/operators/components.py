@@ -15,7 +15,7 @@ the oracle twin uses DuckDB's recursive CTE for the same fixpoint.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -155,8 +155,13 @@ def dup_clusters(
     comp = connected_components(
         docs.select(id_col), pairs, id_col=id_col
     ).withColumnRenamed("component", "cluster_id")
-    # comp feeds both the size aggregate and the final join — cache the
-    # two-column label table instead of recomputing the CC result twice.
-    comp = comp.cache()
-    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return comp.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")
+    # Size via a window on the label column: ONE shuffle on cluster_id and
+    # comp is consumed once — a groupBy+join would consume it twice and
+    # force a cache this function could never safely unpersist (the result
+    # is lazy; releasing before the caller materializes would recompute).
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

@@ -63,6 +63,9 @@ def range_join_points(
         )
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    clash = {"_rj_bucket"} & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(f"input columns collide with range-join internals: {clash}")
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
 
     def _bucket(c: Column) -> Column:

@@ -108,6 +108,14 @@ def run_stage(
     run in a cancellable job group so a timeout actually stops the work
     rather than abandoning it. The final failure re-raises to the driver,
     which is the pipeline's fail-fast gate.
+
+    A TIMEOUT is always terminal, even with retries left (diverging from
+    Glue, which kills the JVM and can then retry cleanly): the timed-out
+    worker thread cannot be killed from Python, so a retry would run two
+    attempts of a side-effecting stage concurrently — the zombie attempt
+    could e.g. see a half-written warehouse dim as "missing" and bootstrap
+    over it. cancelJobGroup stops the Spark jobs; anything stuck in
+    non-Spark code fails the run instead of racing a second attempt.
     """
     last_exc: BaseException = RuntimeError("unreachable")
     for attempt in range(policy.max_retries + 1):
@@ -122,6 +130,7 @@ def run_stage(
             return fn()
 
         pool = ThreadPoolExecutor(max_workers=1)
+        timed_out = False
         try:
             out = pool.submit(worker).result(timeout=policy.timeout_s)
             if detail_of:
@@ -130,6 +139,7 @@ def run_stage(
             return out
         except FutureTimeout:
             spark.sparkContext.cancelJobGroup(group)
+            timed_out = True
             last_exc = TimeoutError(
                 f"stage {step!r} exceeded timeout_s={policy.timeout_s}"
             )
@@ -137,14 +147,16 @@ def run_stage(
             last_exc = exc
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
-        final = attempt == policy.max_retries
+        final = timed_out or attempt == policy.max_retries
         detail["error"] = repr(last_exc)
         log.append(
             RunLogEntry(
                 run_id, step, "FAILURE" if final else "RETRIED", t0, time.time(), detail
             )
         )
-        if not final and policy.backoff_s:
+        if final:
+            raise last_exc
+        if policy.backoff_s:
             time.sleep(policy.backoff_s * (2**attempt))
     raise last_exc
 
@@ -225,9 +237,20 @@ def run(
     stage("validate", lambda: require_staged(spark, zones, required_domains))
 
     def do_transforms():
+        # Job-group locals are thread-local and NOT inherited by child
+        # threads — re-assert this stage's group inside each branch so
+        # run_stage's timeout cancellation reaches the transform jobs.
+        sc = spark.sparkContext
+        group = sc.getLocalProperty("spark.jobGroup.id")
+
+        def in_group(fn):
+            if group:
+                sc.setJobGroup(group, "transform_parallel", interruptOnCancel=True)
+            return fn(spark, zones)
+
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f_provider = pool.submit(provider_transform, spark, zones)
-            f_quality = pool.submit(quality_transform, spark, zones)
+            f_provider = pool.submit(in_group, provider_transform)
+            f_quality = pool.submit(in_group, quality_transform)
             return {**f_provider.result(), **f_quality.result()}
 
     res.transformed = stage(

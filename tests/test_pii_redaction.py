@@ -22,6 +22,8 @@ def redacted(spark):
         (4, "server at 192.168.0.1 responded"),
         (5, "perfectly clean prose with numbers like 42 and 1998"),
         (6, ""),
+        (7, "host 192.168.100.200 pinged"),  # 3-digit octets: IP, not phone
+        (8, "sku 202#555#0143 and code 123*456*7890 kept"),  # not separators
     ]
     df = spark.createDataFrame(rows, "id long, text string").select(
         "id",
@@ -59,6 +61,16 @@ def test_clean_text_untouched(redacted):
         0,
     )
     assert redacted[6] == ("", 0)
+
+
+def test_ip_with_3digit_octets_not_mislabeled_phone(redacted):
+    assert redacted[7] == ("host <IP> pinged", 1)
+
+
+def test_punct_separated_codes_not_redacted(redacted):
+    # '#' and '*' sat inside the 0x20-0x2E range of the old [ -.] class;
+    # dashes must lead the class or arbitrary punctuation joins numbers.
+    assert redacted[8] == ("sku 202#555#0143 and code 123*456*7890 kept", 0)
 
 
 def test_map_only_plan(spark):

@@ -257,6 +257,36 @@ def test_stage_timeout_raises_and_logs(spark, tmp_path):
     assert rows[-1]["status"] == "FAILURE" and "timeout" in rows[-1]["detail"]["error"].lower()
 
 
+def test_stage_timeout_terminal_even_with_retries_left(spark, tmp_path):
+    """A timed-out attempt's worker thread cannot be killed, so retrying
+    would run two attempts of a side-effecting stage CONCURRENTLY (the
+    zombie could bootstrap over a half-written dim). Timeouts are terminal:
+    one attempt, one FAILURE row, retries notwithstanding."""
+    import time as _time
+
+    import pytest
+
+    from nursing_home_data_etl_pipeline_spark.pipeline import StagePolicy, run_stage
+    from nursing_home_data_etl_pipeline_spark.runlog import RunLog
+
+    log_path = str(tmp_path / "log.jsonl")
+    calls = []
+
+    def slow():
+        calls.append(1)
+        _time.sleep(3)
+        return "late"
+
+    with pytest.raises(TimeoutError):
+        run_stage(
+            spark, RunLog(log_path), "r1", "slow_stage", slow,
+            StagePolicy(max_retries=3, timeout_s=0.2, backoff_s=0.0),
+        )
+    rows = _read_log(log_path)
+    assert [r["status"] for r in rows] == ["FAILURE"]
+    assert len(calls) == 1  # never re-entered while the zombie runs
+
+
 def test_validation_bug_parity_status_vs_raise(spark, tmp_path):
     """VERDICT round-1 #5: the reference's validation Lambda RETURNS
     {'status': 'error'} without failing the state machine
