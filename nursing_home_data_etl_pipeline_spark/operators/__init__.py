@@ -12,6 +12,7 @@ from .aggregates import (  # noqa: F401
     pivot_agg,
     rollup_agg,
     salted_group_agg,
+    time_rollup,
     unpivot_stack,
 )
 from .asof import asof_join  # noqa: F401
@@ -42,7 +43,12 @@ from .joins import (  # noqa: F401
     merge_scd1,
     semi_join,
 )
-from .multimodal import decode_fake, with_binary_payload  # noqa: F401
+from .multimodal import (  # noqa: F401
+    decode_fake,
+    resize_fake,
+    sample_frames,
+    with_binary_payload,
+)
 from .projections import (  # noqa: F401
     drop_columns_if_present,
     select_columns,
