@@ -95,3 +95,16 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     assert out.rdd.getNumPartitions() < int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_skew_report_shapes(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.skew_report import report
+
+    out = report(spark, "/root/testdata/sf0.001/events.parquet", ["event_type"])
+    assert out["total_rows"] > 0
+    assert 1 <= len(out["hot_keys"]) <= 10
+    assert abs(sum(h["share"] for h in out["hot_keys"]) - 1.0) < 0.05  # 5 types
+    assert out["partition_rows"]["max"] >= out["partition_rows"]["min"]
