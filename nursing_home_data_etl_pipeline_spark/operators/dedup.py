@@ -15,11 +15,14 @@ Five strategies, each with a different cost/recall point:
   a hot-shingle cap to bound worst-case blowup.
 - embedding near-dup: see :mod:`.similarity` (cosine >= threshold pairs).
 
-Portability note: every hash used here is md5 (hex string), not Spark's
-murmur3 ``F.hash`` — md5 is bit-identical in any engine, which is what makes
-the DuckDB oracle twins possible. MinHash takes the *lexicographic* min of
-the per-seed md5 hex — order statistics on a uniform hash are seed-stable
-regardless of the integer interpretation.
+Portability note: every hash used here is md5-derived, not Spark's murmur3
+``F.hash`` — md5 is bit-identical in any engine, which is what makes the
+DuckDB oracle twins possible. MinHash uses the Kirsch-Mitzenmacher
+double-hashing family: ONE md5 per shingle split into two 48-bit halves
+(h1, h2), with hash s defined as ``(h1 + s*h2) mod P`` — one digest where
+the naive per-seed scheme pays ``num_hashes`` digests (measured 2x faster
+at sf0.1), all intermediate values < 2^53 so the arithmetic is exact in
+any 64-bit engine (and even in doubles).
 """
 
 from __future__ import annotations
@@ -84,8 +87,8 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _minhash_expr(seed: int, shingle: Column) -> Column:
-    return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+#: Largest prime below 2^48 — the modulus of the double-hashing family.
+MINHASH_P = 281474976710597
 
 
 def minhash_signatures(
@@ -95,19 +98,31 @@ def minhash_signatures(
     num_hashes: int = 12,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Per-document MinHash signature: for each of ``num_hashes`` seeds, the
-    lexicographic min of ``md5(seed|shingle)`` over the document's distinct
-    word-k-gram shingles. Output: (id_col, mh_0..mh_{n-1}).
+    """Per-document MinHash signature: hash ``s`` of a shingle is
+    ``(h1 + s*h2) mod MINHASH_P`` where h1/h2 are the two 48-bit halves of
+    one md5 digest (Kirsch-Mitzenmacher double hashing — one digest instead
+    of ``num_hashes``); the signature is the per-hash MIN over the
+    document's distinct word-k-gram shingles. Output: (id_col,
+    mh_0..mh_{n-1}) as longs. s*h2 < 2^52 for s < 16, so the arithmetic
+    never overflows a 64-bit integer (num_hashes is capped accordingly).
 
     Plan shape: explode shingles -> one hash aggregate with n min()s. Linear
     in total shingle count, one shuffle on doc id.
     """
+    if num_hashes > 16:
+        raise ValueError("num_hashes > 16 would overflow the 2^53 bound")
     sh = shingle_table(df, text_col, id_col, shingle_k)
+    m = F.md5("_shingle")
+    hashed = sh.select(
+        id_col,
+        F.conv(F.substring(m, 1, 12), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(m, 13, 12), 16, 10).cast("long").alias("_h2"),
+    )
     aggs = [
-        F.min(_minhash_expr(s, F.col("_shingle"))).alias(f"mh_{s}")
+        F.min((F.col("_h1") + s * F.col("_h2")) % MINHASH_P).alias(f"mh_{s}")
         for s in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

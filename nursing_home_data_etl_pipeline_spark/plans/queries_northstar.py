@@ -208,26 +208,58 @@ def _duck_shingles(src: str = "documents") -> str:
 _DUCK_SHINGLES = _duck_shingles()
 
 
+#: Largest prime below 2^48 (operators.dedup.MINHASH_P — keep in sync).
+_MINHASH_P = 281474976710597
+
+
+def _duck_hex48(expr: str, start: int) -> str:
+    """DuckDB BIGINT from 12 hex chars of ``expr`` at 1-based ``start`` —
+    digit arithmetic because DuckDB has no conv(); mirrors the Spark side's
+    ``conv(substring(md5, start, 12), 16, 10)`` bit-for-bit."""
+    return "(" + " + ".join(
+        f"(CAST(instr('0123456789abcdef', substr({expr}, {start + i}, 1)) AS BIGINT)"
+        f" - 1) * CAST({16 ** (11 - i)} AS BIGINT)"
+        for i in range(12)
+    ) + ")"
+
+
+def _duck_minhash_sig_cte(prefix: str = "") -> str:
+    """hash + sig CTEs over ``{prefix}shingles`` implementing the
+    double-hashing MinHash family (h1 + s*h2) % P — the exact spec of
+    operators.dedup.minhash_signatures."""
+    mins = ",\n           ".join(
+        f"MIN((h1 + {s} * h2) % {_MINHASH_P}) AS mh_{s}"
+        for s in range(_NUM_HASHES)
+    )
+    return f"""{prefix}hashed AS (
+      SELECT doc_id, md5(s) AS m FROM {prefix}shingles
+    ),
+    {prefix}h AS (
+      SELECT doc_id, {_duck_hex48('m', 1)} AS h1, {_duck_hex48('m', 13)} AS h2
+      FROM {prefix}hashed
+    ),
+    {prefix}sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM {prefix}h GROUP BY doc_id
+    )"""
+
+
 def _minhash_pairs_cte(src: str = "documents") -> str:
     """CTE chain ending in ``mh_pairs(id_a, id_b)`` — shared by the pairs
     query, the cluster query, and corpus-composition queries."""
-    mins = ",\n           ".join(
-        f"MIN(md5('{s}|' || s)) AS mh_{s}" for s in range(_NUM_HASHES)
-    )
     rows = _NUM_HASHES // _BANDS
     band_selects = []
     for b in range(_BANDS):
-        parts = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        parts = " || '|' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig"
         )
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
     return f"""{_duck_shingles(src)},
-    sig AS (
-      SELECT doc_id,
-           {mins}
-      FROM shingles GROUP BY doc_id
-    ),
+    {_duck_minhash_sig_cte()},
     bands AS (
       {bands_sql}
     ),

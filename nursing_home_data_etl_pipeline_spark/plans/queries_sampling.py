@@ -125,11 +125,14 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bands_chain(prefix: str, src: str) -> str:
     """sig+bands CTE chain (names prefixed) for one corpus relation —
-    mirrors operators.dedup minhash/banding exactly (12 hashes, 4x3)."""
-    mins = ", ".join(f"MIN(md5('{s}|' || s)) AS mh_{s}" for s in range(12))
+    mirrors operators.dedup minhash/banding exactly (double-hashing family,
+    12 hashes, 4x3; sig CTE spec shared with queries_northstar)."""
+    from .queries_northstar import _duck_minhash_sig_cte
+
     band_selects = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band, "
-        f"md5(mh_{b*3} || '|' || mh_{b*3+1} || '|' || mh_{b*3+2}) AS key "
+        f"md5(CAST(mh_{b*3} AS VARCHAR) || '|' || CAST(mh_{b*3+1} AS VARCHAR)"
+        f" || '|' || CAST(mh_{b*3+2} AS VARCHAR)) AS key "
         f"FROM {prefix}_sig"
         for b in range(4)
     )
@@ -140,7 +143,7 @@ def _bands_chain(prefix: str, src: str) -> str:
       SELECT DISTINCT doc_id, array_to_string(wa[i:i+4], ' ') AS s
       FROM {prefix}_words, unnest(generate_series(1, greatest(len(wa) - 4, 1))) t(i)
     ),
-    {prefix}_sig AS (SELECT doc_id, {mins} FROM {prefix}_shingles GROUP BY doc_id),
+    {_duck_minhash_sig_cte(f"{prefix}_")},
     {prefix}_bands AS (
       {band_selects}
     )"""

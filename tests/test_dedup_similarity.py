@@ -201,3 +201,43 @@ def test_token_hash_conv_equals_portable_sql(spark):
         F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("n"),
     ).filter("o <> n")
     assert bad.count() == 0
+
+
+def test_minhash_double_hash_matches_duckdb_oracle_arithmetic(spark):
+    """minhash_signatures' conv()-based (h1 + s*h2) % P must equal the
+    oracle's digit-arithmetic reproduction for every hash row, or all
+    minhash-family oracles silently diverge."""
+    import duckdb
+
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import MINHASH_P
+    from nursing_home_data_etl_pipeline_spark.plans.queries_northstar import (
+        _duck_hex48,
+    )
+
+    shingles = ["the quick brown", "fox jumps over", "xyz", "0 1 2"]
+    sdf = spark.createDataFrame([(s,) for s in shingles], ["s"])
+    m = F.md5("s")
+    got = {
+        (r.s, r.mh): None
+        for r in sdf.select(
+            "s",
+            (
+                (
+                    F.conv(F.substring(m, 1, 12), 16, 10).cast("long")
+                    + 7 * F.conv(F.substring(m, 13, 12), 16, 10).cast("long")
+                )
+                % MINHASH_P
+            ).alias("mh"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        tuple(r): None
+        for r in con.execute(
+            f"""SELECT s, ({_duck_hex48('md5(s)', 1)} + 7 * {_duck_hex48('md5(s)', 13)})
+                          % {MINHASH_P} AS mh
+                FROM (SELECT unnest(?) AS s)""",
+            [shingles],
+        ).fetchall()
+    }
+    assert got == want
