@@ -228,13 +228,22 @@ def minhash_dedup_pairs(
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit long
 
+
+def hex_to_bigint_sql(expr: str, start: int = 1, n_chars: int = 15) -> str:
+    """SQL text turning ``n_chars`` hex chars of ``expr`` (1-based
+    ``start``) into a BIGINT via digit arithmetic — the portable stand-in
+    for ``conv()``, which DuckDB lacks. The single source of this expansion:
+    the simhash token hash and the minhash h1/h2 oracles all build on it."""
+    return "( " + " + ".join(
+        f"(CAST(instr('0123456789abcdef', substr({expr}, {start + i}, 1)) AS BIGINT)"
+        f" - 1) * CAST({16 ** (n_chars - 1 - i)} AS BIGINT)"
+        for i in range(n_chars)
+    ) + " )"
+
+
 #: Engine-portable token hash: interpret the first 15 hex chars of md5 as a
 #: 60-bit integer via digit arithmetic (no conv(): DuckDB lacks it).
-_TOKEN_HASH_SQL = "( " + " + ".join(
-    f"(CAST(instr('0123456789abcdef', substr(md5({{col}}), {i + 1}, 1)) AS BIGINT)"
-    f" - 1) * CAST({16 ** (14 - i)} AS BIGINT)"
-    for i in range(15)
-) + " )"
+_TOKEN_HASH_SQL = hex_to_bigint_sql("md5({col})")
 
 
 def token_hash_sql(col: str) -> str:

@@ -26,8 +26,10 @@ from ..functions.text import (
     token_count,
 )
 from ..operators.dedup import (
+    MINHASH_P,
     SIMHASH_BITS,
     exact_dedup,
+    hex_to_bigint_sql,
     ngram_jaccard_pairs,
     simhash_signatures,
     token_hash_sql,
@@ -208,19 +210,11 @@ def _duck_shingles(src: str = "documents") -> str:
 _DUCK_SHINGLES = _duck_shingles()
 
 
-#: Largest prime below 2^48 (operators.dedup.MINHASH_P — keep in sync).
-_MINHASH_P = 281474976710597
-
-
 def _duck_hex48(expr: str, start: int) -> str:
     """DuckDB BIGINT from 12 hex chars of ``expr`` at 1-based ``start`` —
-    digit arithmetic because DuckDB has no conv(); mirrors the Spark side's
-    ``conv(substring(md5, start, 12), 16, 10)`` bit-for-bit."""
-    return "(" + " + ".join(
-        f"(CAST(instr('0123456789abcdef', substr({expr}, {start + i}, 1)) AS BIGINT)"
-        f" - 1) * CAST({16 ** (11 - i)} AS BIGINT)"
-        for i in range(12)
-    ) + ")"
+    mirrors the Spark side's ``conv(substring(md5, start, 12), 16, 10)``
+    bit-for-bit (shared digit-arithmetic generator in operators.dedup)."""
+    return hex_to_bigint_sql(expr, start, 12)
 
 
 def _duck_minhash_sig_cte(prefix: str = "") -> str:
@@ -228,7 +222,7 @@ def _duck_minhash_sig_cte(prefix: str = "") -> str:
     double-hashing MinHash family (h1 + s*h2) % P — the exact spec of
     operators.dedup.minhash_signatures."""
     mins = ",\n           ".join(
-        f"MIN((h1 + {s} * h2) % {_MINHASH_P}) AS mh_{s}"
+        f"MIN((h1 + {s} * h2) % {MINHASH_P}) AS mh_{s}"
         for s in range(_NUM_HASHES)
     )
     return f"""{prefix}hashed AS (

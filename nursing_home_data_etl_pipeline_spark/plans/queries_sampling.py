@@ -17,7 +17,13 @@ from ..operators.sampling import (
 )
 from ..sources.readers import read_table
 from .catalog import register
-from .queries_northstar import _minhash_pairs_cte
+from .queries_northstar import (
+    _BANDS,
+    _NUM_HASHES,
+    _SHINGLE_K,
+    _duck_minhash_sig_cte,
+    _minhash_pairs_cte,
+)
 
 
 def _duck_hash_bucket(key_expr: str, salt: str) -> str:
@@ -125,23 +131,27 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bands_chain(prefix: str, src: str) -> str:
     """sig+bands CTE chain (names prefixed) for one corpus relation —
-    mirrors operators.dedup minhash/banding exactly (double-hashing family,
-    12 hashes, 4x3; sig CTE spec shared with queries_northstar)."""
-    from .queries_northstar import _duck_minhash_sig_cte
-
+    mirrors operators.dedup minhash/banding exactly; the hash count, band
+    layout, and sig CTE spec all come from queries_northstar's constants so
+    a retune there cannot silently diverge this oracle."""
+    rows = _NUM_HASHES // _BANDS
     band_selects = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"md5(CAST(mh_{b*3} AS VARCHAR) || '|' || CAST(mh_{b*3+1} AS VARCHAR)"
-        f" || '|' || CAST(mh_{b*3+2} AS VARCHAR)) AS key "
-        f"FROM {prefix}_sig"
-        for b in range(4)
+        "SELECT doc_id, {b} AS band, md5({parts}) AS key FROM {p}_sig".format(
+            b=b,
+            p=prefix,
+            parts=" || '|' || ".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(_BANDS)
     )
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    k = _SHINGLE_K
     return f"""
     {prefix}_words AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS wa FROM {src}),
     {prefix}_shingles AS (
-      SELECT DISTINCT doc_id, array_to_string(wa[i:i+4], ' ') AS s
-      FROM {prefix}_words, unnest(generate_series(1, greatest(len(wa) - 4, 1))) t(i)
+      SELECT DISTINCT doc_id, array_to_string(wa[i:i+{k - 1}], ' ') AS s
+      FROM {prefix}_words, unnest(generate_series(1, greatest(len(wa) - {k - 1}, 1))) t(i)
     ),
     {_duck_minhash_sig_cte(f"{prefix}_")},
     {prefix}_bands AS (

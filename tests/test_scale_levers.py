@@ -97,14 +97,17 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     )
 
 
-def test_skew_report_shapes(spark):
-    import sys
+def test_skew_report_shapes(spark, sf_dir, tmp_path):
+    from tools.skew_report import report  # conftest puts the repo root on sys.path
 
-    sys.path.insert(0, "/root/repo")
-    from tools.skew_report import report
-
-    out = report(spark, "/root/testdata/sf0.001/events.parquet", ["event_type"])
+    out = report(spark, f"{sf_dir}/events.parquet", ["event_type"])
     assert out["total_rows"] > 0
     assert 1 <= len(out["hot_keys"]) <= 10
     assert abs(sum(h["share"] for h in out["hot_keys"]) - 1.0) < 0.05  # 5 types
     assert out["partition_rows"]["max"] >= out["partition_rows"]["min"]
+
+    # empty table: no division, no IndexError, null-safe stats
+    empty = str(tmp_path / "empty.parquet")
+    spark.range(0).selectExpr("id", "'x' AS event_type").write.parquet(empty)
+    out0 = report(spark, empty, ["event_type"])
+    assert out0["total_rows"] == 0 and out0["hot_keys"] == []

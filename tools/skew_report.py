@@ -26,29 +26,38 @@ def report(spark, path: str, keys: list[str]) -> dict:
     # this report only counts rows/keys — no timestamp math.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    total = df.count()
+    # _cnt, not a bare name: a key column literally named "n" must not be
+    # shadowed by the count in the output rows.
     hot = (
         df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc())
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc())
         .limit(10)
         .collect()
     )
+    # The partition histogram's per-partition counts also sum to the table
+    # total — one aggregation pass serves both sections (no separate count()).
     parts = (
         df.groupBy(F.spark_partition_id().alias("pid"))
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
             F.count(F.lit(1)).alias("partitions"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
             F.min("n").alias("min_rows"),
             F.expr("percentile(n, 0.5)").alias("p50_rows"),
             F.max("n").alias("max_rows"),
         )
         .collect()[0]
     )
+    total = parts["total"]
     return {
         "total_rows": total,
         "hot_keys": [
-            {**{k: r[k] for k in keys}, "n": r["n"], "share": round(r["n"] / total, 4)}
+            {
+                **{k: r[k] for k in keys},
+                "n": r["_cnt"],
+                "share": round(r["_cnt"] / total, 4) if total else None,
+            }
             for r in hot
         ],
         "partitions": parts["partitions"],
