@@ -33,3 +33,16 @@ def cosine_rounded(a: Column, b: Column, decimals: int = 6) -> Column:
     """Cosine rounded for deterministic cross-engine comparison AND
     deterministic top-k tie-breaking (rank on the rounded value)."""
     return F.round(cosine(a, b), decimals)
+
+
+def cosine_rounded_prenorm(
+    a: Column, b: Column, norm_a: Column, norm_b: Column, decimals: int = 6
+) -> Column:
+    """:func:`cosine_rounded` with the norms supplied as columns.
+
+    HOF folds run OUTSIDE whole-stage codegen, so per-PAIR work dominates
+    similarity joins; computing each vector's norm once per ROW before the
+    join and passing it here cuts the per-pair folds from three to one
+    (~2x measured on the near-dup query). Bit-identical to cosine_rounded:
+    the norm is the same left-to-right fold + sqrt, just hoisted."""
+    return F.round(dot(a, b) / (norm_a * norm_b), decimals)

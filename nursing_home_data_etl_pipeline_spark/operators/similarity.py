@@ -25,7 +25,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_rounded, dot
+from ..functions.vectors import cosine_rounded_prenorm, dot, norm
 
 #: Fixed seed for hyperplane generation — determinism contract.
 RHP_SEED = 42
@@ -80,10 +80,14 @@ def cosine_topk_bruteforce(
     cosine + neighbor id as tiebreak — fully deterministic.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     pairs = c.join(F.broadcast(q), F.lit(True), "inner")
     if not include_self:
@@ -91,7 +95,9 @@ def cosine_topk_bruteforce(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_rounded(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        cosine_rounded_prenorm(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -138,12 +144,20 @@ def cosine_topk_lsh(
     """
     planes = hyperplanes(n_planes, dim)
     q = rhp_bucket(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            norm(F.col(vec_col)).alias("_qn"),
+        ),
         planes,
         "_qv",
     )
     c = rhp_bucket(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            norm(F.col(vec_col)).alias("_cn"),
+        ),
         planes,
         "_cv",
     )
@@ -153,7 +167,9 @@ def cosine_topk_lsh(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_rounded(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        cosine_rounded_prenorm(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -184,7 +200,11 @@ def embedding_near_dup_pairs(
     if n_planes is None:
         n_planes = derive_n_planes(df.count())
     planes = hyperplanes(n_planes, dim)
-    b = rhp_bucket(df.select(id_col, vec_col), planes, vec_col)
+    b = rhp_bucket(
+        df.select(id_col, vec_col, norm(F.col(vec_col)).alias("_n")),
+        planes,
+        vec_col,
+    )
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(
@@ -195,8 +215,11 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_rounded(
-                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+            cosine_rounded_prenorm(
+                F.col(f"a.{vec_col}"),
+                F.col(f"b.{vec_col}"),
+                F.col("a._n"),
+                F.col("b._n"),
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

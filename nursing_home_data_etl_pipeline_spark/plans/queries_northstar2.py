@@ -7,7 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_rounded
+from ..functions.vectors import cosine_rounded_prenorm
+from ..functions.vectors import norm as vec_norm
 from ..operators.components import dup_clusters
 from ..operators.dedup import minhash_dedup_pairs
 from ..sources.readers import read_table
@@ -202,11 +203,12 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "cent_id", d2.alias("d2")
     )
     # Corpus side: ONE cell per vector via a single hash aggregate (never a
-    # window over the full corpus).
+    # window over the full corpus). The norm is computed here — once per
+    # VECTOR, not per candidate pair (HOF folds are the per-pair cost).
     assigned = scored_cells.groupBy("vec_id").agg(
         F.expr("min_by(cent_id, struct(d2, cent_id))").alias("cell"),
         F.first("embedding").alias("embedding"),
-    )
+    ).withColumn("_nrm", vec_norm(F.col("embedding")))
     # Query side is a bounded batch — the nprobe ranking window only ever
     # sees n_queries x n_cells rows.
     wq = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cent_id"))
@@ -218,10 +220,14 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("cent_id").alias("cell"),
             F.col("embedding").alias("_qv"),
+            vec_norm(F.col("embedding")).alias("_qn"),
         )
     )
     c = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("cell"), F.col("embedding").alias("_cv")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell"),
+        F.col("embedding").alias("_cv"),
+        F.col("_nrm").alias("_cn"),
     )
     # A query appears once per probed cell and each neighbor owns ONE cell,
     # so (query, neighbor) pairs are already distinct — no dedup needed.
@@ -231,7 +237,9 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_rounded(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        cosine_rounded_prenorm(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
