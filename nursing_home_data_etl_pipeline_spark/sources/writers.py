@@ -126,3 +126,24 @@ def write_error(
             df.write.mode("overwrite").parquet(os.path.join(error_path, "data"))
         except Exception:  # the frame itself may be the unreadable thing
             pass
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink — one JSON object per line, the lingua franca for
+    handing a corpus to tokenizer/training jobs outside the warehouse.
+    Compressed by default (JSONL is ~5-10x larger than parquet; gzip keeps
+    the hand-off sane); pass ``compression=None`` for plain text. Column
+    types survive the round-trip only as JSON types — keep parquet as the
+    system of record and treat this as an export format."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -76,3 +76,35 @@ def test_error_sink_with_frame(spark, tmp_path):
     df = spark.createDataFrame([(1,)], ["k"])
     write_error(df, str(tmp_path / "err"), "transform failed", RuntimeError("x"))
     assert (tmp_path / "err" / "data").exists()
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """JSONL export/import round-trip with explicit schema (no inference
+    scan) and partitioned layout."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from nursing_home_data_etl_pipeline_spark.sources.readers import read_jsonl
+    from nursing_home_data_etl_pipeline_spark.sources.writers import write_jsonl
+
+    df = spark.range(20).select(
+        "id",
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        (F.col("id") % 2).alias("shard"),
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(df, out, partition_by=["shard"])
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema=schema)
+    assert back.count() == 20
+    got = {(r.id, r.text) for r in back.collect()}
+    assert got == {(i, f"doc {i}") for i in range(20)}
+    # partition pruning works on the exported layout
+    import glob
+
+    assert glob.glob(f"{out}/shard=*/")  # hive-style dirs exist
