@@ -17,10 +17,23 @@ external system can reproduce bucket assignment from the spec alone.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_estimate", "cms_merge"]
+__all__ = [
+    "cms_build",
+    "cms_estimate",
+    "cms_merge",
+    "hll_partial",
+    "hll_rollup",
+    "kll_partial",
+    "kll_rollup_quantiles",
+    "theta_partial",
+    "theta_rollup",
+    "theta_set_estimates",
+]
 
 
 def _bucket(item: Column, row: int, width: int) -> Column:
@@ -108,3 +121,146 @@ def cms_estimate(
         joined.groupBy(*items.columns)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Datasketches state (HLL / KLL / theta) — Spark 4.x built-ins
+# ---------------------------------------------------------------------------
+#
+# The 100 TB pattern these wrap: sketch each shard/day/partition ONCE into a
+# few-KB binary column, persist those partials, and answer rollup questions
+# (distinct counts, quantiles, set algebra between cohorts) by merging
+# partial sketches — never re-reading raw data. All three families are
+# TypedImperativeAggregates that combine map-side, so a partial build is one
+# shuffle of sketch bytes, not rows; a rollup merge shuffles only
+# #groups x sketch_size. Fills the capability the reference's pre-aggregated
+# CMS inputs imply (SURVEY.md par 2.4: aggregates arrive precomputed --
+# e.g. four_quarter_average_score, nh-etl-quality-transform.py:44): here the
+# precomputation itself is distributed, incremental, and re-mergeable.
+
+
+def _fold_binary(sketch_col: str, merge_fn: str) -> Column:
+    """Fold a grouped collection of binary sketches with a pairwise merge
+    function via the higher-order ``reduce`` — used for families (KLL) that
+    ship pairwise merges but no union aggregate. Sketch lists are tiny
+    (#partials per group), so the collect_list never approaches row scale.
+    """
+    return F.expr(
+        f"""reduce(
+              slice(collect_list({sketch_col}), 2, 2147483646),
+              collect_list({sketch_col})[0],
+              (acc, x) -> {merge_fn}(acc, x))"""
+    )
+
+
+def hll_partial(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog partial sketch of ``item_col`` (binary column
+    ``hll_sketch``). lgk=12 -> 4 KiB registers, ~1.6% rsd. Build once per
+    shard/day; roll up later with :func:`hll_rollup`."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(item_col).cast("string"), lgk).alias("hll_sketch")
+    )
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Merge partial HLL sketches up to a coarser grouping; output keeps the
+    merged binary (``hll_sketch``) for further rollups plus the point
+    estimate (``distinct_est`` long)."""
+    merged = F.hll_union_agg(sketch_col, True)
+    return df.groupBy(*group_cols).agg(
+        merged.alias("hll_sketch"),
+    ).select(
+        *group_cols,
+        "hll_sketch",
+        F.hll_sketch_estimate("hll_sketch").alias("distinct_est"),
+    )
+
+
+def kll_partial(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Per-group KLL quantile partial sketch of ``value_col`` (binary column
+    ``kll_sketch``). k=200 -> ~1.65% rank error, a few KB of state."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias(
+            "kll_sketch"
+        )
+    )
+
+
+def kll_rollup_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float],
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Merge partial KLL sketches to a coarser grouping and read quantiles
+    off the merged sketch: output ``q_<percent>`` double per requested
+    quantile. KLL has no union aggregate in Spark, so the fold is the
+    higher-order reduce over the group's partials (cheap: #partials per
+    group, not #rows)."""
+    folded = _fold_binary(sketch_col, "kll_sketch_merge_double").alias("_merged")
+    out = df.groupBy(*group_cols).agg(folded)
+    cols = [
+        F.expr(f"kll_sketch_get_quantile_double(_merged, {q})").alias(
+            f"q_{str(q).replace('0.', '')}"
+        )
+        for q in quantiles
+    ]
+    return out.select(*group_cols, *cols)
+
+
+def theta_partial(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    lg_nom_entries: int = 12,
+) -> DataFrame:
+    """Per-group theta partial sketch (binary column ``theta_sketch``).
+    Unlike HLL, theta sketches also support intersection/difference
+    (:func:`theta_set_estimates`) — cohort overlap at sketch cost."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(F.col(item_col).cast("string"), lg_nom_entries).alias(
+            "theta_sketch"
+        )
+    )
+
+
+def theta_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sketch_col: str = "theta_sketch",
+) -> DataFrame:
+    """Merge partial theta sketches to a coarser grouping; keeps the merged
+    binary plus ``distinct_est``."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_union_agg(sketch_col, 12).alias("theta_sketch"),
+    ).select(
+        *group_cols,
+        "theta_sketch",
+        F.theta_sketch_estimate("theta_sketch").alias("distinct_est"),
+    )
+
+
+def theta_set_estimates(a: Column, b: Column) -> list[Column]:
+    """Set-algebra estimates between two theta sketch columns:
+    ``[union_est, intersection_est, a_minus_b_est]`` (all long). The piece
+    HLL cannot do — e.g. \"users in cohort A but never in cohort B\" from
+    per-cohort sketches alone, no raw-data join."""
+    return [
+        F.theta_sketch_estimate(F.theta_union(a, b)).alias("union_est"),
+        F.theta_sketch_estimate(F.theta_intersection(a, b)).alias("intersection_est"),
+        F.theta_sketch_estimate(F.theta_difference(a, b)).alias("a_minus_b_est"),
+    ]

@@ -467,7 +467,10 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            TRUE AS distinct_ok,
            TRUE AS p50_ok,
-           TRUE AS p95_ok
+           TRUE AS p95_ok,
+           TRUE AS hll_merge_ok,
+           TRUE AS theta_merge_ok,
+           TRUE AS kll_merge_ok
     FROM events WHERE event_id % 5 = 0 GROUP BY event_type
     """,
     doc="Approximate aggregates (HyperLogLog++ distinct, GK-sketch "
@@ -476,7 +479,13 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(HLL within 3x rsd of exact COUNT(DISTINCT); approx percentile inside "
     "the exact p±0.03 quantile band) and the oracle asserts every band holds, "
     "turning sketch accuracy into a hash-checkable signal instead of a "
-    "rows-only smoke check. The exact twins (sort-based percentile + "
+    "rows-only smoke check. Also proves the MERGEABLE-sketch path "
+    "(functions/sketches.py hll/theta/kll wrappers over the Spark 4 "
+    "Datasketches builtins): per-day partial sketches built in one combined "
+    "aggregate, merged per event_type in a second — the shard-once / "
+    "roll-up-forever shape that answers distinct/quantile queries at 100 TB "
+    "without re-reading raw data — each merged estimate checked against the "
+    "same exact twins. The exact twins (sort-based percentile + "
     "count-distinct expand) are the expensive part, so verification runs on "
     "a deterministic 20% slice — in production the sketches run alone over "
     "the full data. Raw sketch values stay available via "
@@ -499,7 +508,27 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5).alias("_p50"),
         F.percentile_approx("value", 0.95).alias("_p95"),
     )
-    g = exact.join(sk, "event_type")
+    # Mergeable path: all three partial sketches in ONE per-(type, day)
+    # aggregate, then ONE rollup merge to event_type (HLL/theta union aggs;
+    # KLL folded with the higher-order reduce — #days entries per group).
+    partials = ev.groupBy("event_type", F.to_date("ts").alias("_day")).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), 12).alias("_hs"),
+        F.theta_sketch_agg(F.col("user_id").cast("string"), 12).alias("_ts"),
+        F.kll_sketch_agg_double(F.col("value").cast("double"), F.lit(200)).alias(
+            "_ks"
+        ),
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_hs", True)).alias("_hll_d"),
+        F.theta_sketch_estimate(F.theta_union_agg("_ts", 12)).alias("_theta_d"),
+        F.expr(
+            """kll_sketch_get_quantile_double(
+                 reduce(slice(collect_list(_ks), 2, 2147483646),
+                        collect_list(_ks)[0],
+                        (acc, x) -> kll_sketch_merge_double(acc, x)), 0.5)"""
+        ).alias("_kll_p50"),
+    )
+    g = exact.join(sk, "event_type").join(merged, "event_type")
     # 3 sigma of the requested 5% relative standard deviation, floored for
     # tiny groups where one-off error dominates the relative bound.
     tol = F.greatest(F.col("_exact_d") * 0.15, F.lit(2.0))
@@ -509,4 +538,11 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("_approx_d") - F.col("_exact_d")) <= tol).alias("distinct_ok"),
         F.col("_p50").between(F.col("_bands")[0], F.col("_bands")[1]).alias("p50_ok"),
         F.col("_p95").between(F.col("_bands")[2], F.col("_bands")[3]).alias("p95_ok"),
+        (F.abs(F.col("_hll_d") - F.col("_exact_d")) <= tol).alias("hll_merge_ok"),
+        (F.abs(F.col("_theta_d") - F.col("_exact_d")) <= tol).alias(
+            "theta_merge_ok"
+        ),
+        F.col("_kll_p50")
+        .between(F.col("_bands")[0], F.col("_bands")[1])
+        .alias("kll_merge_ok"),
     )

@@ -69,3 +69,69 @@ def test_probe_plan_broadcasts_sketch(spark, tokens):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Datasketches wrappers (HLL / KLL / theta)
+# ---------------------------------------------------------------------------
+
+from nursing_home_data_etl_pipeline_spark.functions.sketches import (  # noqa: E402
+    hll_partial,
+    hll_rollup,
+    kll_partial,
+    kll_rollup_quantiles,
+    theta_partial,
+    theta_rollup,
+    theta_set_estimates,
+)
+
+
+@pytest.fixture(scope="module")
+def cohorts(spark):
+    # two groups x three shards; group a holds users 0..199, group b 100..349
+    # (overlap 100..199), values are the user ids themselves
+    rows = [("a", u % 3, u) for u in range(200)] + [
+        ("b", u % 3, u) for u in range(100, 350)
+    ]
+    return spark.createDataFrame(rows, "g string, shard int, user long")
+
+
+def test_hll_partial_rollup_matches_exact(spark, cohorts):
+    partials = hll_partial(cohorts, ["g", "shard"], "user")
+    assert partials.count() == 6  # one sketch row per (group, shard)
+    got = {
+        r.g: r.distinct_est for r in hll_rollup(partials, ["g"]).collect()
+    }
+    # lgk=12 -> ~1.6% rsd; at n=200/250 the estimate is exact or off by ~1
+    assert abs(got["a"] - 200) <= 4 and abs(got["b"] - 250) <= 5
+
+
+def test_theta_rollup_and_set_algebra_match_exact(spark, cohorts):
+    partials = theta_partial(cohorts, ["g", "shard"], "user")
+    rolled = theta_rollup(partials, ["g"])
+    est = {r.g: r.distinct_est for r in rolled.collect()}
+    assert abs(est["a"] - 200) <= 4 and abs(est["b"] - 250) <= 5
+    piv = rolled.groupBy().pivot("g", ["a", "b"]).agg(F.first("theta_sketch"))
+    sets = piv.select(*theta_set_estimates(F.col("a"), F.col("b"))).collect()[0]
+    # below the 4096 nominal entries a theta sketch is exact
+    assert sets.union_est == 350
+    assert sets.intersection_est == 100
+    assert sets.a_minus_b_est == 100
+
+
+def test_kll_merged_quantiles_within_rank_error(spark, cohorts):
+    partials = kll_partial(cohorts, ["g", "shard"], "user")
+    got = {
+        r.g: (r.q_5, r.q_95)
+        for r in kll_rollup_quantiles(partials, ["g"], [0.5, 0.95]).collect()
+    }
+    # group a = uniform 0..199: true p50=99.5, p95=189.5; k=200 -> ~2% rank
+    # error means the returned value sits within +-8 ranks of truth
+    assert abs(got["a"][0] - 99.5) <= 8 and abs(got["a"][1] - 189.5) <= 8
+    assert abs(got["b"][0] - 224.5) <= 10 and abs(got["b"][1] - 337.0) <= 10
+
+
+def test_sketch_state_is_small(spark, cohorts):
+    partials = theta_partial(cohorts, ["g", "shard"], "user")
+    sizes = partials.select(F.octet_length("theta_sketch").alias("n")).collect()
+    assert all(r.n < 64 * 1024 for r in sizes)  # KBs of state per shard
