@@ -94,3 +94,97 @@ def latest_per_key(
     others = [c for c in df.columns if c not in keys]
     agg = [F.expr(f"max_by({c}, {order_col})").alias(c) for c in others]
     return df.groupBy(*keys).agg(*agg).select(*df.columns)
+
+
+def merge_scd2(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    batch_date: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """SCD-type-2 merge on plain Parquet: instead of overwriting changed
+    attributes (:func:`merge_scd1`), close the current version row
+    (``valid_to = batch_date``, ``is_current = false``) and append a new one
+    (``valid_from = batch_date``, open-ended). History rows and unchanged
+    current rows pass through untouched; brand-new keys insert an open row.
+    Extends the reference's Snowflake SP_MERGE_DIM_* surface
+    (README.md:238-269) with the history-keeping variant those procedures
+    lack.
+
+    ``target`` carries the three SCD columns; ``source`` carries keys +
+    tracked attributes only (one row per key — resolve with
+    :func:`latest_per_key` upstream). Change detection is null-safe over
+    every shared non-key attribute column.
+
+    Shape for 100 TB: history rows never enter the join — only the current
+    slice shuffles against the source, and each joined row emits its 1-2
+    output rows through one explode projection (no per-branch join
+    recompute, no window). Bucket both sides by the PK to make the single
+    join co-located.
+    """
+    keys = list(keys)
+    scd_cols = [valid_from, valid_to, is_current]
+    tracked = [
+        c for c in target.columns if c not in keys + scd_cols and c in source.columns
+    ]
+    batch = F.to_date(F.lit(batch_date))
+
+    history = target.filter(~F.col(is_current))
+    current = target.filter(F.col(is_current))
+
+    t_payload = F.struct(
+        *[F.col(f"t.{c}").alias(c) for c in target.columns]
+    ).alias("_t")
+    s_row = F.struct(
+        *[F.col(f"s.{c}").alias(c) for c in keys + tracked],
+    ).alias("_s")
+    joined = (
+        current.alias("t")
+        .join(source.alias("s"), keys, "full_outer")
+        .select(
+            F.col(f"t.{keys[0]}").isNotNull().alias("_has_t"),
+            F.col(f"s.{keys[0]}").isNotNull().alias("_has_s"),
+            t_payload,
+            s_row,
+        )
+    )
+    changed = ~F.struct(*[F.col(f"_t.{c}") for c in tracked]).eqNullSafe(
+        F.struct(*[F.col(f"_s.{c}") for c in tracked])
+    )
+
+    def _closed_t():  # current version closed at this batch
+        return F.struct(
+            *[F.col(f"_t.{c}") for c in keys + tracked],
+            F.col(f"_t.{valid_from}").alias(valid_from),
+            batch.alias(valid_to),
+            F.lit(False).alias(is_current),
+        )
+
+    def _open_t():  # current version carried forward unchanged
+        return F.struct(
+            *[F.col(f"_t.{c}") for c in keys + tracked],
+            F.col(f"_t.{valid_from}").alias(valid_from),
+            F.col(f"_t.{valid_to}").cast("date").alias(valid_to),
+            F.lit(True).alias(is_current),
+        )
+
+    def _new_s():  # fresh version from the source
+        return F.struct(
+            *[F.col(f"_s.{c}") for c in keys + tracked],
+            batch.alias(valid_from),
+            F.lit(None).cast("date").alias(valid_to),
+            F.lit(True).alias(is_current),
+        )
+
+    out_rows = (
+        F.when(~F.col("_has_s"), F.array(_open_t()))
+        .when(~F.col("_has_t"), F.array(_new_s()))
+        .when(changed, F.array(_closed_t(), _new_s()))
+        .otherwise(F.array(_open_t()))
+    )
+    exploded = joined.select(F.explode(out_rows).alias("_r")).select("_r.*")
+    ordered = keys + tracked + scd_cols
+    return exploded.select(*ordered).unionByName(history.select(*ordered))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators.cleaning import cast_all_to_string, clean_table
 from ..operators.ids import with_dense_id, with_etl_date, with_etl_metadata
-from ..operators.joins import anti_join, left_enrich, merge_scd1
+from ..operators.joins import anti_join, left_enrich, merge_scd1, merge_scd2
 from ..operators.projections import select_columns
 from ..sources.readers import read_table
 from .catalog import register
@@ -171,36 +171,98 @@ def manifest_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# J4: SCD1 merge (reference README.md:238-269, SP_MERGE_DIM_*)
+# J4: SCD merges (reference README.md:238-269, SP_MERGE_DIM_*) — type 1
+# (overwrite) and type 2 (history-keeping) in one tagged union
 # ---------------------------------------------------------------------------
 
-_SCD1_ORACLE = """
-WITH source AS (
-  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
-         c_mktsegment
+_SCD_ORACLE = """
+WITH src1 AS (
+  SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal
   FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+scd1 AS (
+  SELECT c_custkey, c_acctbal FROM src1
+  UNION ALL
+  SELECT t.c_custkey, t.c_acctbal FROM customer t
+  WHERE NOT EXISTS (SELECT 1 FROM src1 s WHERE s.c_custkey = t.c_custkey)
+),
+src2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 1000.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+changed AS (
+  SELECT t.c_custkey, t.c_acctbal AS old_bal, s.c_acctbal AS new_bal
+  FROM customer t JOIN src2 s
+    ON s.c_custkey = t.c_custkey AND s.c_acctbal <> t.c_acctbal
+),
+scd2 AS (
+  SELECT c_custkey, old_bal AS c_acctbal, DATE '1990-01-01' AS valid_from,
+         DATE '1995-06-17' AS valid_to, FALSE AS is_current
+  FROM changed
+  UNION ALL
+  SELECT c_custkey, new_bal, DATE '1995-06-17', NULL, TRUE FROM changed
+  UNION ALL
+  SELECT t.c_custkey, t.c_acctbal, DATE '1990-01-01', NULL, TRUE
+  FROM customer t
+  WHERE NOT EXISTS (SELECT 1 FROM changed c WHERE c.c_custkey = t.c_custkey)
 )
-SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM source
+SELECT 'scd1' AS variant, c_custkey, c_acctbal,
+       CAST(NULL AS DATE) AS valid_from, CAST(NULL AS DATE) AS valid_to,
+       CAST(NULL AS BOOLEAN) AS is_current
+FROM scd1
 UNION ALL
-SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
-FROM customer t
-WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.c_custkey = t.c_custkey)
+SELECT 'scd2', c_custkey, c_acctbal, valid_from, valid_to, is_current FROM scd2
 """
 
 
 @register(
-    "scd1_merge",
-    oracle=_SCD1_ORACLE,
-    doc="SCD-type-1 upsert on plain Parquet: source rows win, unmatched "
-    "target rows survive — replaces Snowflake SP_MERGE_DIM_* "
-    "(reference README.md:238-269) as anti-join + unionByName.",
+    "scd_merge",
+    oracle=_SCD_ORACLE,
+    doc="Both warehouse merge flavors replacing Snowflake SP_MERGE_DIM_* "
+    "(reference README.md:238-269), tagged-unioned: SCD-type-1 upsert "
+    "(source rows win, unmatched target rows survive — anti-join + "
+    "unionByName) and SCD-type-2 history merge (changed keys close their "
+    "current version at the batch date and append a new open one; unchanged "
+    "and absent keys carry forward; the source leaves odd BUILDING keys "
+    "untouched so the null-safe change detection is exercised both ways). "
+    "SCD2 is one full-outer join over the current slice + a single explode "
+    "projection — history rows never enter the join.",
 )
-def scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    target = read_table(spark, sf_dir, "customer")
-    source = target.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
-        "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+def scd_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    target1 = customer.select("c_custkey", "c_acctbal")
+    source1 = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", (F.col("c_acctbal") + F.lit(1000.0)).alias("c_acctbal")
     )
-    return merge_scd1(target, source, keys=["c_custkey"])
+    scd1 = merge_scd1(target1, source1, keys=["c_custkey"]).select(
+        F.lit("scd1").alias("variant"),
+        "c_custkey",
+        "c_acctbal",
+        F.lit(None).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+    target2 = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    source2 = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.col("c_acctbal") + F.lit(1000.0)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    scd2 = merge_scd2(
+        target2, source2, keys=["c_custkey"], batch_date="1995-06-17"
+    ).select(F.lit("scd2").alias("variant"), "*")
+    return scd1.unionByName(scd2)
 
 
 # ---------------------------------------------------------------------------

@@ -85,3 +85,63 @@ def test_latest_per_key(spark):
     )
     out = latest_per_key(df, ["pk"], "ver").collect()
     assert len(out) == 1 and out[0].val == "b"
+
+
+def test_merge_scd2_versions(spark):
+    from nursing_home_data_etl_pipeline_spark.operators.joins import merge_scd2
+
+    target = spark.createDataFrame(
+        [
+            # k=1: one closed history row + a current row that WILL change
+            (1, "old", "2020-01-01", "2021-01-01", False),
+            (1, "mid", "2021-01-01", None, True),
+            # k=2: current row that stays identical in the source
+            (2, "same", "2021-01-01", None, True),
+            # k=3: current row absent from the source (no-op)
+            (3, "keep", "2021-01-01", None, True),
+            # k=5: tracked value NULL on both sides -> null-safe unchanged
+            (5, None, "2021-01-01", None, True),
+        ],
+        "pk int, val string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "pk", "val", "CAST(valid_from AS date) valid_from",
+        "CAST(valid_to AS date) valid_to", "is_current",
+    )
+    source = spark.createDataFrame(
+        [(1, "new"), (2, "same"), (4, "insert"), (5, None)],
+        "pk int, val string",
+    )
+    out = merge_scd2(target, source, ["pk"], "2022-06-01")
+    rows = {(r.pk, r.val): r for r in out.collect()}
+    assert len(rows) == len(out.collect()) == 7
+    # changed key: old current closed, new version open
+    assert str(rows[(1, "mid")].valid_to) == "2022-06-01"
+    assert rows[(1, "mid")].is_current is False
+    assert rows[(1, "new")].is_current and str(rows[(1, "new")].valid_from) == "2022-06-01"
+    # history row untouched
+    assert str(rows[(1, "old")].valid_to) == "2021-01-01"
+    # unchanged / absent / null-safe-unchanged keys carry forward open
+    for k, v in ((2, "same"), (3, "keep"), (5, None)):
+        assert rows[(k, v)].is_current and rows[(k, v)].valid_to is None
+        assert str(rows[(k, v)].valid_from) == "2021-01-01"
+    # brand-new key inserted open
+    assert rows[(4, "insert")].is_current
+    assert str(rows[(4, "insert")].valid_from) == "2022-06-01"
+
+
+def test_merge_scd2_idempotent_reapply(spark):
+    from nursing_home_data_etl_pipeline_spark.operators.joins import merge_scd2
+
+    target = spark.createDataFrame(
+        [(1, "a", "2020-01-01", None, True)],
+        "pk int, val string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "pk", "val", "CAST(valid_from AS date) valid_from",
+        "CAST(valid_to AS date) valid_to", "is_current",
+    )
+    source = spark.createDataFrame([(1, "b")], "pk int, val string")
+    once = merge_scd2(target, source, ["pk"], "2022-06-01")
+    twice = merge_scd2(once, source, ["pk"], "2022-06-01")
+    # re-applying the same batch is a no-op: the new version matches the
+    # source, so nothing closes and nothing inserts
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
