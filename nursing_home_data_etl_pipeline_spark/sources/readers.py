@@ -72,3 +72,10 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — vectorized, with the same predicate-pushdown / column-
+    pruning behavior as the parquet path (both go through Spark's columnar
+    batch reader)."""
+    return spark.read.orc(path)

@@ -147,3 +147,61 @@ def write_jsonl(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+    compression: str = "zstd",
+) -> None:
+    """ORC sink — the other columnar format large warehouses standardize on
+    (Hive/Trino ecosystems). Same pruning/pushdown story as parquet in
+    Spark's vectorized reader; zstd by default (better ratio than the zlib
+    ORC default at similar speed)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str | None = None,
+) -> None:
+    """CSV sink, mirroring the reference's CSV *ingest* dialect (header row,
+    everything stringly — nh-etl-universal-cleaning.py:75) so a
+    write_csv -> read_csv_untyped round-trip is the identity on string
+    frames. Export format only: no types, no stats, no pruning."""
+    writer = df.write.mode(mode).option("header", header)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Avro sink — row-oriented interchange format for streaming/Kafka
+    ecosystems. Requires the ``spark-avro`` package on the classpath (an
+    external module, not bundled with Spark); raises a clear error when it
+    is absent instead of a py4j stack."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    try:
+        writer.format("avro").save(path)
+    except Exception as ex:  # AnalysisException: failed to find data source
+        if "avro" in str(ex).lower() and "find" in str(ex).lower():
+            raise NotImplementedError(
+                "spark-avro is not on the classpath; add the external "
+                "org.apache.spark:spark-avro package to enable this sink"
+            ) from ex
+        raise

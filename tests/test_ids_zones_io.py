@@ -108,3 +108,44 @@ def test_jsonl_roundtrip(spark, tmp_path):
     import glob
 
     assert glob.glob(f"{out}/shard=*/")  # hive-style dirs exist
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from nursing_home_data_etl_pipeline_spark.sources.readers import read_orc
+    from nursing_home_data_etl_pipeline_spark.sources.writers import write_orc
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS g", "CAST(id AS STRING) s")
+    write_orc(df, str(tmp_path / "orc"), partition_by=["g"])
+    back = read_orc(spark, str(tmp_path / "orc"))
+    assert back.count() == 100
+    assert sorted(c for c in back.columns) == ["g", "id", "s"]
+    # partition pruning: the filter lands in PartitionFilters, not DataFilters
+    plan = back.filter("g = 3")._jdf.queryExecution().executedPlan().toString()
+    assert "DataFilters: []" in plan and "PartitionFilters: [isnotnull(g" in plan
+    assert back.filter("g = 3").count() == 14
+
+
+def test_csv_sink_untyped_identity(spark, tmp_path):
+    from nursing_home_data_etl_pipeline_spark.sources.readers import read_csv_untyped
+    from nursing_home_data_etl_pipeline_spark.sources.writers import write_csv
+
+    df = spark.createDataFrame(
+        [("1", "alpha"), ("2", "beta,with comma"), ("3", None)],
+        "k string, v string",
+    )
+    write_csv(df, str(tmp_path / "csv"))
+    back = read_csv_untyped(spark, str(tmp_path / "csv"))
+    assert back.dtypes == [("k", "string"), ("v", "string")]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_avro_raises_clearly_when_absent(spark, tmp_path):
+    from nursing_home_data_etl_pipeline_spark.sources.writers import write_avro
+
+    df = spark.range(3)
+    try:
+        write_avro(df, str(tmp_path / "avro"))
+    except NotImplementedError as ex:
+        assert "spark-avro" in str(ex)
+    else:  # classpath does provide avro: the write must have produced data
+        assert spark.read.format("avro").load(str(tmp_path / "avro")).count() == 3
