@@ -81,3 +81,53 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
     return salted.join(replicated, on=keys + ["_salt"], how=how).drop("_salt")
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits_per_col: int = 8,
+    name: str = "_zorder",
+) -> DataFrame:
+    """Append a Morton (Z-order) clustering key interleaving up to 4 numeric
+    columns, each quantile-bucketed into ``2**bits_per_col`` ranks.
+
+    Why: sorting files by ONE column gives tight parquet min/max stats (and
+    so row-group/file skipping) on that column only; interleaving the bit
+    patterns of several columns' ranks yields a single sort key whose file
+    ranges stay narrow in EVERY interleaved dimension — selective filters on
+    any of them skip most files. This is the plain-parquet analog of
+    Delta/Iceberg OPTIMIZE ZORDER.
+
+    Mechanics (all JVM-side expressions, no UDF): per column, bucket values
+    by the approxQuantile cut points (equi-DEPTH, so skewed columns still
+    spread across ranks; the cut list is driver-side but bounded at
+    ``2**bits_per_col - 1`` doubles — stats-sized, like IVF centroids), then
+    interleave bucket bits round-robin. NULLs rank into bucket 0.
+    """
+    cols = list(cols)
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder interleaves 1-4 columns")
+    n_buckets = 1 << bits_per_col
+    zval = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        cuts = df.approxQuantile(
+            c, [j / n_buckets for j in range(1, n_buckets)], 1.0 / (4 * n_buckets)
+        )
+        # strictly increasing unique cuts; duplicates appear on low-cardinality
+        # columns where several quantiles share a value
+        uniq = sorted(set(cuts))
+        arr = F.array(*[F.lit(float(x)) for x in uniq])
+        bucket = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.col(c).cast("double") >= x, F.lit(1)).otherwise(F.lit(0)),
+        )
+        bucket = F.coalesce(bucket, F.lit(0))
+        for b in range(bits_per_col):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+            zval = zval + (
+                F.shiftleft(bit.cast("long"), b * len(cols) + i)
+            )
+    return df.withColumn(name, zval)

@@ -21,6 +21,7 @@ import traceback
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -205,3 +206,29 @@ def write_avro(
                 "org.apache.spark:spark-avro package to enable this sink"
             ) from ex
         raise
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink clustered by a Morton (Z-order) key over ``zorder_cols``:
+    range-partition on the interleaved key (globally ordered files), sort
+    within each file, drop the key before writing. Selective filters on ANY
+    of the z-ordered columns then skip most files/row-groups via parquet
+    min/max stats — :func:`write_sorted` only achieves that for its leading
+    sort column. Cost: one range shuffle at write time, same as any global
+    sort."""
+    from ..operators.partitioning import zorder_key
+
+    keyed = zorder_key(df, zorder_cols)
+    (
+        keyed.repartitionByRange(n_files, F.col("_zorder"))
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -79,3 +79,42 @@ def test_salted_join_rejects_right_and_full_outer(spark):
             salted_join(a, b, ["k"], buckets=4, how=how)
     # the safe types still work
     assert salted_join(a, b, ["k"], buckets=4, how="left_semi").count() == 10
+
+
+def test_zorder_write_narrows_file_ranges_in_both_dims(spark, tmp_path):
+    """A Z-ordered layout keeps every interleaved dimension's per-file
+    min/max range narrow: a ~2%-selective filter on EITHER column finds its
+    rows concentrated in ~sqrt(n_files) files, while a linear sort by x
+    spreads y uniformly across all files. (input_file_name over matching
+    rows = the files whose stats ranges a reader cannot skip.)"""
+    from pyspark.sql import functions as F
+
+    from nursing_home_data_etl_pipeline_spark.sources.writers import (
+        write_sorted,
+        write_zordered,
+    )
+
+    df = spark.range(40000).select(
+        "id",
+        (F.abs(F.xxhash64(F.col("id"))) % 10000).alias("x"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(1))) % 10000).alias("y"),
+    )
+    write_zordered(df, str(tmp_path / "z"), ["x", "y"], 16)
+    write_sorted(df.repartitionByRange(16, "x"), str(tmp_path / "lin"), ["x"])
+
+    def files_hit(path, cond):
+        return (
+            spark.read.parquet(path)
+            .filter(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    z = str(tmp_path / "z")
+    lin = str(tmp_path / "lin")
+    assert files_hit(z, "y BETWEEN 100 AND 300") <= 6  # measured: 4 of 16
+    assert files_hit(lin, "y BETWEEN 100 AND 300") == 16  # linear can't skip y
+    assert files_hit(z, "x BETWEEN 100 AND 300") <= 6
+    # the z write must not lose or duplicate rows
+    assert spark.read.parquet(z).count() == 40000
