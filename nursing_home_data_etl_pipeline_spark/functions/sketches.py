@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bloom_build",
+    "bloom_might_contain",
     "cms_build",
     "cms_estimate",
     "cms_merge",
@@ -264,3 +266,91 @@ def theta_set_estimates(a: Column, b: Column) -> list[Column]:
         F.theta_sketch_estimate(F.theta_intersection(a, b)).alias("intersection_est"),
         F.theta_sketch_estimate(F.theta_difference(a, b)).alias("a_minus_b_est"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a DataFrame (word-indexed bitmap) — membership pre-filter
+# ---------------------------------------------------------------------------
+
+
+def _bloom_probes(item: Column, n_bits: int, k: int) -> Column:
+    """Array of k (word, mask) probe structs for ``item``: bit position j =
+    pmod(xxhash64(item, seed=j), n_bits), split into a 64-bit word index and
+    an in-word mask. Pure JVM hash/bit expressions."""
+    probes = []
+    for j in range(k):
+        pos = F.pmod(F.xxhash64(item, F.lit(j)), F.lit(n_bits))
+        probes.append(
+            F.struct(
+                (pos / 64).cast("long").alias("word"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+                ).alias("mask"),
+            )
+        )
+    return F.array(*probes)
+
+
+def bloom_build(
+    df: DataFrame, item_col: str, n_bits: int = 1 << 23, k: int = 5
+) -> DataFrame:
+    """Build a Bloom filter over ``df[item_col]`` as a (word long, bits long)
+    DataFrame — at most ``n_bits/64`` rows regardless of input size.
+
+    Plan: one Expand (k probe copies per row) + one hash aggregate with
+    map-side bit_or partials — a few MB of bitmap state after ONE pass, no
+    driver-side bitmap, no UDF (``DataFrame.stat.bloomFilter`` collects to
+    the driver; this stays distributed and the result is itself a DataFrame
+    you can persist/merge with bit_or). Defaults: 8M bits / k=5 keeps the
+    false-positive rate under ~1% up to ~800k distinct items; size n_bits at
+    ~10x expected distinct items.
+
+    The 100 TB use: build over the SMALL side's keys (e.g. benchmark
+    fingerprints in decontamination), broadcast-probe the corpus with
+    :func:`bloom_might_contain`, and only rows that pass (a ~FPP fraction of
+    true negatives) reach the exact anti-join — the corpus never shuffles.
+    """
+    item = F.col(item_col).cast("string")
+    return (
+        df.select(F.explode(_bloom_probes(item, n_bits, k)).alias("p"))
+        .groupBy(F.col("p.word").alias("word"))
+        .agg(F.bit_or("p.mask").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    df: DataFrame,
+    item_col: str,
+    n_bits: int = 1 << 23,
+    k: int = 5,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Append boolean ``out_col``: true iff every probe bit of
+    ``df[item_col]`` is set in ``bloom`` (same ``n_bits``/``k`` as the
+    build). No false negatives; false positives at the filter's FPP.
+
+    Plan: explode k probes per row, broadcast-join the bitmap on word
+    (absent word = miss), require all k hits — map-side only for the probed
+    side, mirroring :func:`cms_estimate`. Rows of ``df`` must be unique
+    (probe on a key column) since the regroup collapses duplicates."""
+    clash = {"word", "bits", "p", "_hit", out_col} & set(df.columns)
+    if clash:
+        raise ValueError(f"df columns collide with bloom internals: {clash}")
+    item = F.col(item_col).cast("string")
+    probes = df.select(
+        "*", F.explode(_bloom_probes(item, n_bits, k)).alias("p")
+    )
+    joined = probes.join(
+        F.broadcast(bloom), probes["p.word"] == bloom["word"], "left"
+    ).select(
+        *df.columns,
+        (
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.col("p.mask")) != 0)
+        ).alias("_hit"),
+    )
+    return (
+        joined.groupBy(*df.columns)
+        .agg((F.count(F.lit(1)) == F.sum(F.col("_hit").cast("int"))).alias(out_col))
+    )

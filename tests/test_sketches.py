@@ -135,3 +135,43 @@ def test_sketch_state_is_small(spark, cohorts):
     partials = theta_partial(cohorts, ["g", "shard"], "user")
     sizes = partials.select(F.octet_length("theta_sketch").alias("n")).collect()
     assert all(r.n < 64 * 1024 for r in sizes)  # KBs of state per shard
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (word-bitmap DataFrame)
+# ---------------------------------------------------------------------------
+
+from nursing_home_data_etl_pipeline_spark.functions.sketches import (  # noqa: E402
+    bloom_build,
+    bloom_might_contain,
+)
+
+
+def test_bloom_no_false_negatives_and_low_fpp(spark):
+    members = spark.range(2000).select(F.concat(F.lit("m"), "id").alias("key"))
+    others = spark.range(2000).select(F.concat(F.lit("x"), "id").alias("key"))
+    bloom = bloom_build(members, "key", n_bits=1 << 16, k=5)
+    assert bloom.count() <= (1 << 16) // 64  # bitmap rows bounded by words
+    got_m = bloom_might_contain(bloom, members, "key", n_bits=1 << 16, k=5)
+    assert got_m.filter(~F.col("might_contain")).count() == 0  # no false negs
+    got_x = bloom_might_contain(bloom, others, "key", n_bits=1 << 16, k=5)
+    fp = got_x.filter(F.col("might_contain")).count()
+    # 65536 bits / 2000 items / k=5 -> theoretical fpp ~0.3%; allow 4x slack
+    assert fp <= 2000 * 0.012
+
+
+def test_bloom_prefilter_preserves_anti_join(spark):
+    corpus = spark.range(5000).select(F.concat(F.lit("d"), "id").alias("key"))
+    bench = spark.range(0, 5000, 7).select(F.concat(F.lit("d"), "id").alias("key"))
+    bloom = bloom_build(bench, "key", n_bits=1 << 16, k=5)
+    flagged = bloom_might_contain(bloom, corpus, "key", n_bits=1 << 16, k=5)
+    # pre-filter: anything the bloom rules out is definitively clean; the
+    # exact anti-join over the surviving (tiny) slice gives identical output
+    survivors = flagged.filter(F.col("might_contain")).select("key")
+    cleaned_fast = flagged.filter(~F.col("might_contain")).select("key").unionByName(
+        survivors.join(bench, "key", "left_anti")
+    )
+    cleaned_exact = corpus.join(bench, "key", "left_anti")
+    assert sorted(r.key for r in cleaned_fast.collect()) == sorted(
+        r.key for r in cleaned_exact.collect()
+    )
