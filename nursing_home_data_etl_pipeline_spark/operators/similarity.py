@@ -224,3 +224,66 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd k-means over an embedding column — the trained coarse quantizer
+    for IVF ANN (vs. the training-free fixed cells in the catalog query).
+
+    Deterministic: init = the k vectors with the smallest ids; assignment
+    ties break on cell id (array_min over (distance, cell) structs — struct
+    ordering is lexicographic); fixed ``iters`` sweeps. Each sweep's
+    assignment is ROW-LOCAL (centroids are embedded as literal constants,
+    k x dim doubles — stats-sized, like the hyperplane constants) and the
+    update is ONE hash aggregate of per-cell per-dimension sums via
+    posexplode — the corpus never shuffles and lineage resets every sweep
+    because the new centroids return to the driver. Returns the centroid
+    list; feed it to an IVF assignment join.
+    """
+    init = df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+    cents = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        choices = []
+        for c, vec in enumerate(cents):
+            cvec = F.array(*[F.lit(v) for v in vec])
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    cvec,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            choices.append(F.struct(d2.alias("d2"), F.lit(c).alias("cell")))
+        assigned = df.select(
+            F.col(vec_col).alias("_v"),
+            F.array_min(F.array(*choices))["cell"].alias("cell"),
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", (F.col("s") / F.col("n")).alias("m"))
+                    )
+                ).alias("dims")
+            )
+            .select("cell", F.col("dims.m").alias("cvec"))
+        )
+        got = {r["cell"]: [float(x) for x in r["cvec"]] for r in sums.collect()}
+        # empty cells keep their previous centroid (standard Lloyd handling)
+        cents = [got.get(c, cents[c]) for c in range(k)]
+    return cents

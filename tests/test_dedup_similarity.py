@@ -241,3 +241,23 @@ def test_minhash_double_hash_matches_duckdb_oracle_arithmetic(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_kmeans_fit_recovers_separated_clusters(spark):
+    from nursing_home_data_etl_pipeline_spark.operators.similarity import kmeans_fit
+
+    # two tight clusters in 4-d around (0,0,0,0) and (10,10,10,10); the
+    # duplicate vectors in each cluster must each weigh into the mean
+    rows = []
+    for i in range(30):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + (i % 5) * 0.1] * 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(df, k=2, iters=4, vec_col="embedding")
+    assert len(cents) == 2 and all(len(c) == 4 for c in cents)
+    lo = min(cents, key=lambda c: c[0])
+    hi = max(cents, key=lambda c: c[0])
+    assert abs(lo[0] - 0.2) < 0.05  # mean of 0.0,0.1,...,0.4
+    assert abs(hi[0] - 10.2) < 0.05
+    # deterministic: same input -> identical floats
+    assert cents == kmeans_fit(df, k=2, iters=4, vec_col="embedding")
