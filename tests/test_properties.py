@@ -130,3 +130,68 @@ def test_range_join_matches_naive_for_any_width(spark, points, intervals, width)
         if pk == ik and ilo <= px < ilo + ispan
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge invariants (Spark-materializing: few examples)
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tgt_vals=st.lists(
+        st.tuples(st.integers(0, 6), st.none() | st.integers(0, 3)),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    src_vals=st.lists(
+        st.tuples(st.integers(0, 6), st.none() | st.integers(0, 3)),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_scd2_invariants(spark, tgt_vals, src_vals):
+    """For ANY current-only target and unique-key source: (a) every key has
+    exactly one current row; (b) a key's current value equals the source's
+    when present, else the target's; (c) closed rows appear only for keys
+    whose value actually changed (null-safe)."""
+    from nursing_home_data_etl_pipeline_spark.operators.joins import merge_scd2
+
+    if not tgt_vals and not src_vals:
+        return
+    target = spark.createDataFrame(
+        [(k, v, "2020-01-01", None, True) for k, v in tgt_vals] or None,
+        "pk int, val int, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "pk", "val", "CAST(valid_from AS date) valid_from",
+        "CAST(valid_to AS date) valid_to", "is_current",
+    ) if tgt_vals else spark.createDataFrame(
+        [], "pk int, val int, valid_from date, valid_to date, is_current boolean"
+    )
+    source = spark.createDataFrame(
+        src_vals or [], "pk int, val int"
+    )
+    out = merge_scd2(target, source, ["pk"], "2022-06-01").collect()
+
+    tgt, src = dict(tgt_vals), dict(src_vals)
+    current = {r.pk: r for r in out if r.is_current}
+    all_keys = set(tgt) | set(src)
+    assert set(current) == all_keys  # (a) exactly-one-current per key
+    assert sum(1 for r in out if r.is_current) == len(all_keys)
+    for k in all_keys:  # (b) current value source-wins
+        expect = src[k] if k in src else tgt[k]
+        assert current[k].val == expect and current[k].valid_to is None
+    closed = [r for r in out if not r.is_current]
+    changed = {k for k in set(tgt) & set(src) if tgt[k] != src[k]}
+    assert {r.pk for r in closed} == changed  # (c) closures iff changed
+    for r in closed:
+        assert str(r.valid_to) == "2022-06-01" and r.val == tgt[r.pk]
