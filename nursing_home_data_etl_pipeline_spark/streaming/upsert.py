@@ -70,3 +70,66 @@ def start_upsert_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_agg(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incrementally maintain per-key aggregates (count/sum/min/max — the
+    distributive set; avg derives as sum/count) in a Parquet table, merging
+    each micro-batch's PARTIAL aggregate into the stored state.
+
+    The 100 TB property: history is never re-scanned. Each batch reduces to
+    #distinct-keys rows map-side, then merges with the (aggregate-sized)
+    target by the same algebra Spark uses for partial aggregation — counts
+    and sums add, min/max fold. Contrast with withWatermark+window state
+    (bounded by watermark, results only on emit): this keeps an unbounded
+    all-time aggregate queryable between batches, exactly-once via the
+    checkpoint + batch replay.
+    """
+    spark = stream.sparkSession
+    from pyspark.sql import functions as F
+
+    def agg_exprs(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(value_col).alias("cnt"),
+            F.sum(value_col).alias("total"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        partial = agg_exprs(batch)
+        # Same bootstrap-only-when-absent rule as start_upsert_sink: merge
+        # errors must fail the query so the checkpoint replays the batch.
+        if path_exists(spark, target_path):
+            target = read_parquet(spark, target_path)
+            merged = (
+                target.unionByName(partial)
+                .groupBy(*keys)
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.sum("total").alias("total"),
+                    F.min("vmin").alias("vmin"),
+                    F.max("vmax").alias("vmax"),
+                )
+            )
+        else:
+            merged = partial
+        replace_dir(merged, target_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

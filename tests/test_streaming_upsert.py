@@ -81,3 +81,58 @@ def test_streaming_upsert_merge_error_fails_query_not_wipes_dim(spark, tmp_path)
     # The dim was NOT wiped to the new batch's rows.
     after = {r.pk for r in spark.read.parquet(target).collect()}
     assert after == {"a"}
+
+
+def test_streaming_incremental_agg_matches_batch_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nursing_home_data_etl_pipeline_spark.streaming.upsert import (
+        start_incremental_agg,
+    )
+
+    src = tmp_path / "asrc"
+    src.mkdir()
+    target = str(tmp_path / "aggs")
+    ckpt = str(tmp_path / "ackpt")
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        q = start_incremental_agg(stream, target, ["pk"], "v", ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("a", 1, 1), ("a", 5, 2), ("b", 2, 1)], SCHEMA
+    ).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(
+        [("a", 9, 3), ("c", 7, 1), ("b", -4, 2)], SCHEMA
+    ).write.mode("append").parquet(str(src))
+    drain()
+
+    got = {
+        r.pk: (r.cnt, r.total, r.vmin, r.vmax)
+        for r in spark.read.parquet(target).collect()
+    }
+    truth = {
+        r.pk: (r.cnt, r.total, r.vmin, r.vmax)
+        for r in spark.read.parquet(str(src))
+        .groupBy("pk")
+        .agg(
+            F.count("v").alias("cnt"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == truth == {
+        "a": (3, 15, 1, 9),
+        "b": (2, -2, -4, 2),
+        "c": (1, 7, 7, 7),
+    }
+    # idle drain: checkpoint prevents double counting
+    drain()
+    assert {
+        r.pk: (r.cnt, r.total, r.vmin, r.vmax)
+        for r in spark.read.parquet(target).collect()
+    } == truth
