@@ -246,8 +246,40 @@ def kmeans_fit(
     because the new centroids return to the driver. Returns the centroid
     list; feed it to an IVF assignment join.
     """
-    init = df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
-    cents = [[float(x) for x in r[0]] for r in init]
+    # Farthest-point init (deterministic k-means++ variant): seed with the
+    # min-id vector, then greedily add the vector farthest from its nearest
+    # chosen centroid (ties -> lowest id). First-k-ids init can seed several
+    # centroids inside one cluster, and the empty-cell rule then never
+    # splits them apart; farthest-point costs k-1 small aggregates ONCE at
+    # train time and reliably covers the modes.
+    first = df.orderBy(F.col(id_col)).limit(1).select(vec_col).collect()
+    if not first:
+        raise ValueError("kmeans_fit: empty input")
+    cents = [[float(x) for x in first[0][0]]]
+    while len(cents) < k:
+        dists = []
+        for vec in cents:
+            cvec = F.array(*[F.lit(v) for v in vec])
+            dists.append(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        cvec,
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        nearest = F.least(*dists) if len(dists) > 1 else dists[0]
+        far = (
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                      nearest.alias("_d"))
+            .agg(F.expr("max_by(_v, struct(_d, -_id))").alias("_v"))
+            .collect()[0]["_v"]
+        )
+        cents.append([float(x) for x in far])
     for _ in range(iters):
         choices = []
         for c, vec in enumerate(cents):
@@ -287,3 +319,130 @@ def kmeans_fit(
         # empty cells keep their previous centroid (standard Lloyd handling)
         cents = [got.get(c, cents[c]) for c in range(k)]
     return cents
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split ``dim`` into ``m``
+    subspaces of dim/m and Lloyd-fit ``k`` centroids per subspace
+    (:func:`kmeans_fit` on array slices). Returns m codebooks of k
+    sub-centroids each — m*k*(dim/m) floats of driver-side constants.
+
+    PQ is the memory tier of ANN at 100 TB: an encoded vector is m small
+    codes (8 bytes at m=8) instead of dim floats (256 bytes at 64-dim
+    float32) — a ~32x shrink that lets a candidate set orders of magnitude
+    larger stay in executor memory for re-ranking.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * sub + 1, sub).alias("_sv")
+        )
+        books.append(kmeans_fit(sliced, k=k, iters=iters, id_col=id_col, vec_col="_sv"))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors against trained codebooks: ``out_col`` is an array of
+    m codes, each the nearest sub-centroid (L2, ties to the lower code —
+    array_min over (d2, code) structs). Row-local; the codebooks travel as
+    literal constants, so encoding a 10^12-row corpus is a map-only pass.
+    """
+    sub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        sv = F.slice(F.col(vec_col), s * sub + 1, sub)
+        choices = []
+        for c, cent in enumerate(book):
+            cvec = F.array(*[F.lit(v) for v in cent])
+            d2 = F.aggregate(
+                F.zip_with(
+                    sv,
+                    cvec,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            choices.append(F.struct(d2.alias("d2"), F.lit(c).alias("code")))
+        codes.append(F.array_min(F.array(*choices))["code"])
+    return df.select(F.col(id_col), F.array(*codes).alias(out_col))
+
+
+def pq_topk_adc(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): each query computes
+    its m x k lookup table of exact sub-distances to every sub-centroid
+    (row-local on the bounded query batch), then every (query, corpus)
+    pair's distance is just m array lookups + adds over the PQ codes —
+    never a dim-wide dot against the corpus.
+
+    Output: (query_id, neighbor_id, adc_d2, rank). The broadcast side is
+    queries + their LUTs; the corpus streams codes only. Standard IVF-PQ
+    pairing: restrict the pair join with an IVF cell equi-join upstream and
+    re-rank the ADC top-k' exactly downstream.
+    """
+    sub = len(codebooks[0][0])
+    luts = []
+    for s, book in enumerate(codebooks):
+        sv = F.slice(F.col(vec_col), s * sub + 1, sub)
+        cells = []
+        for cent in book:
+            cvec = F.array(*[F.lit(v) for v in cent])
+            cells.append(
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        cvec,
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        luts.append(F.array(*cells))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.array(*luts).alias("_lut")
+    )
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("_code")
+    )
+    pairs = c.join(F.broadcast(q), F.lit(True), "inner").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    adc: Column = F.lit(0.0)
+    for s in range(len(codebooks)):
+        adc = adc + F.element_at(
+            F.col("_lut").getItem(s), F.col("_code").getItem(s) + 1
+        )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(adc, 6).alias("adc_d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

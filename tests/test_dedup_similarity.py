@@ -261,3 +261,69 @@ def test_kmeans_fit_recovers_separated_clusters(spark):
     assert abs(hi[0] - 10.2) < 0.05
     # deterministic: same input -> identical floats
     assert cents == kmeans_fit(df, k=2, iters=4, vec_col="embedding")
+
+
+def test_pq_adc_exact_on_reconstructible_vectors(spark):
+    """On vectors COMPOSED of a small per-subspace pattern set, trained
+    codebooks reconstruct every vector exactly, so ADC distances equal true
+    L2 and the PQ top-k matches the exact top-k (recall 1.0)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from nursing_home_data_etl_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+    )
+
+    rng = random.Random(7)
+    pats = {
+        s: [[round(rng.uniform(-1, 1), 3) for _ in range(8)] for _ in range(4)]
+        for s in range(8)
+    }
+    rows = []
+    for i in range(120):
+        vec = []
+        for s in range(8):
+            vec += pats[s][rng.randrange(4)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    books = pq_train(df, dim=64, m=8, k=4, iters=3)
+    assert len(books) == 8 and all(len(b) == 4 and len(b[0]) == 8 for b in books)
+    codes = pq_encode(df, books)
+    # codes are within range and the encoding is a map-only pass
+    first = codes.collect()
+    assert all(0 <= c <= 3 for r in first for c in r.pq_code)
+
+    queries = df.filter("vec_id < 5")
+    pq_n = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk_adc(queries, codes, books, k=10).collect()
+    }
+    d2 = F.aggregate(
+        F.zip_with(
+            "_qv",
+            "_cv",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+    c = df.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv"))
+    pairs = (
+        c.join(F.broadcast(q), F.lit(True))
+        .filter("query_id <> neighbor_id")
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
+    ex_n = {
+        (r.query_id, r.neighbor_id)
+        for r in pairs.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 10")
+        .collect()
+    }
+    assert pq_n == ex_n
