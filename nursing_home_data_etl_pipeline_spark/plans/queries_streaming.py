@@ -36,31 +36,67 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file stream over the events table, with ``ts`` normalized to
+    TimestampType (LTZ, UTC session tz) — the streaming twin of
+    ``sources.readers.read_table``. The on-disk encoding has varied across
+    testdata generations (TIMESTAMP(NANOS) vs plain micros / NTZ), so probe
+    the batch-inferred type once (footer-only) and build the matching
+    streaming schema."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    ).get("ts")
     # The file stream source wants a directory; glob-filter down to the
     # events table within the sf dir.
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    reader = spark.readStream.option("pathGlobFilter", "events.parquet")
+    if ts_type == "bigint":  # nanos-as-long generation
+        raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(sf_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    fields = [
+        f if f.name != "ts" else T.StructField(
+            "ts",
+            T.TimestampNTZType() if ts_type == "timestamp_ntz" else T.TimestampType(),
+        )
+        for f in _EVENTS_RAW_SCHEMA.fields
+    ]
+    raw = reader.schema(T.StructType(fields)).parquet(sf_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def _drain_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+def _drain_to_memory(
+    df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Run the streaming plan to completion into a memory sink; return the
-    result table. Bounded input + processAllAvailable => deterministic."""
+    result table. Bounded input + processAllAvailable => deterministic.
+
+    Stateful streaming cost scales with the number of state-store instances
+    — one per shuffle partition, each with its own maintenance thread,
+    checkpoint files, and (for applyInPandasWithState) its own Python
+    worker. The batch default (cores, 32 here) is far past the sweet spot
+    for these bounded drains, so pin the query's state partitioning low:
+    shuffle-partition count is captured into the streaming checkpoint at
+    query start, so this only affects the stream, and the conf is restored
+    for subsequent batch plans. On a real cluster you'd size this to
+    expected state volume / executor count instead.
+    """
+    spark = df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
 
 

@@ -28,17 +28,28 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Convenience scan for the driver test tables (TESTDATA.md).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright. We opt into reading nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong`` — dynamic SQL conf, safe to
-    set on any session) and truncate to microseconds with exact integer
-    division, yielding a normal TimestampType column.
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects — we opt into ``spark.sql.legacy.parquet.nanosAsLong`` and
+    truncate to micros) and plain micros with isAdjustedToUTC=false (which
+    Spark 4 infers as TIMESTAMP_NTZ — epoch functions like ``unix_micros``
+    reject NTZ). Both are normalized here to one canonical shape: a
+    TimestampType (LTZ) column under a UTC session timezone, so every
+    downstream epoch conversion is exact and matches DuckDB's naive-as-UTC
+    ``epoch_ns`` semantics.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # NTZ -> LTZ interprets the wall clock in the session timezone;
+            # pin it to UTC so epoch math is deterministic regardless of the
+            # host session's default.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
