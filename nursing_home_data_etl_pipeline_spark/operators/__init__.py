@@ -36,6 +36,7 @@ from .dedup import (  # noqa: F401
     simhash_signatures,
 )
 from .ids import with_dense_id, with_etl_metadata, with_fast_id  # noqa: F401
+from .packing import pack_sequences  # noqa: F401
 from .joins import (  # noqa: F401
     anti_join,
     latest_per_key,

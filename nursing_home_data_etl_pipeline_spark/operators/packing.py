@@ -1,0 +1,111 @@
+"""Sequence packing — the batch-assembly op of an LLM training pipeline:
+concatenate documents in a deterministic order and cut the token stream
+into fixed-budget training sequences (GPT-style concat-and-chunk packing).
+
+The hard part at scale is the global exclusive prefix sum of token counts:
+a naive ``Window.orderBy(...)`` with no partition key funnels the whole
+corpus through ONE task. Here the scan is two-level, the classic
+distributed pattern:
+
+1. shard the corpus deterministically (content-hash of the order key),
+2. per-shard exclusive cumsum (a windowed sum inside each shard — parallel),
+3. aggregate one row per shard (tiny), cumsum THOSE on a single partition
+   (shard-count rows, not corpus rows), broadcast the offsets back.
+
+Every corpus-sized stage is hash-partitioned; the only single-partition
+work is over ``n_shards`` rows. The global order is (shard, order_key) —
+arbitrary but total, deterministic across runs/partitionings/engines, and
+reproducible in plain SQL (the oracle's twin uses one flat window, which is
+fine at oracle scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Content-hash shard in [0, n_shards): first 8 md5 hex chars as an int.
+def _shard(key, n_shards: int):
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("pack"), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assign every document its span(s) in a stream of back-to-back
+    ``budget``-token training sequences.
+
+    Documents longer than the remaining room in a sequence straddle the
+    boundary and continue in the next one (concat-and-chunk; no padding
+    waste, the LLM-pretraining default). Output, one row per
+    (document, sequence) span:
+
+    - ``seq_id``      — which training sequence the span lands in
+    - ``seq_offset``  — token offset of the span inside that sequence
+    - ``n_tokens``    — span length in tokens
+    - ``is_head``     — true for the document's first span (loss masking /
+      document-boundary bookkeeping downstream)
+
+    Sum of ``n_tokens`` per ``seq_id`` is exactly ``budget`` for every
+    sequence but the last; sum per document is the document's token count.
+    ``n_shards`` bounds the single-partition offset table — size it so each
+    shard holds ~a task's worth of documents (at 100 TB: tens of thousands
+    of shards is still a trivially small offset table).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    tok = F.col(token_col).cast("long")
+    base = df.select(
+        F.col(id_col),
+        tok.alias("_tok"),
+        _shard(F.col(id_col), n_shards).alias("_shard"),
+    ).filter(F.col("_tok") > 0)
+
+    # 2) per-shard EXCLUSIVE cumsum: parallel across shards.
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = base.withColumn("_intra", F.coalesce(F.sum("_tok").over(w), F.lit(0)))
+
+    # 3) one row per shard -> exclusive cumsum of shard totals on a
+    # single partition of n_shards rows -> broadcast back.
+    totals = base.groupBy("_shard").agg(F.sum("_tok").alias("_shard_tok"))
+    w_sh = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_shard", F.coalesce(F.sum("_shard_tok").over(w_sh), F.lit(0)).alias("_shard_off")
+    )
+    placed = intra.join(F.broadcast(offsets), "_shard").select(
+        id_col,
+        "_tok",
+        (F.col("_shard_off") + F.col("_intra")).alias("_start"),
+    )
+
+    # 4) explode each document's [start, start+tok) interval into per-
+    # sequence spans: row-local, no further shuffle.
+    first_seq = F.floor(F.col("_start") / budget)
+    last_seq = F.floor((F.col("_start") + F.col("_tok") - 1) / budget)
+    spans = placed.select(
+        id_col,
+        "_start",
+        "_tok",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    span_begin = F.greatest(F.col("_start"), F.col("seq_id") * budget)
+    span_end = F.least(F.col("_start") + F.col("_tok"), (F.col("seq_id") + 1) * budget)
+    return spans.select(
+        F.col(id_col),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (span_begin - F.col("seq_id") * budget).cast("long").alias("seq_offset"),
+        (span_end - span_begin).cast("long").alias("n_tokens"),
+        (span_begin == F.col("_start")).alias("is_head"),
+    )

@@ -102,7 +102,7 @@ def test_zorder_write_narrows_file_ranges_in_both_dims(spark, tmp_path):
     write_zordered(df, str(tmp_path / "z"), ["x", "y"], 16)
     write_sorted(df.repartitionByRange(16, "x"), str(tmp_path / "lin"), ["x"])
 
-    def files_hit(path, cond):
+    def files_hit(path, cond="true"):
         return (
             spark.read.parquet(path)
             .filter(cond)
@@ -113,8 +113,14 @@ def test_zorder_write_narrows_file_ranges_in_both_dims(spark, tmp_path):
 
     z = str(tmp_path / "z")
     lin = str(tmp_path / "lin")
-    assert files_hit(z, "y BETWEEN 100 AND 300") <= 6  # measured: 4 of 16
-    assert files_hit(lin, "y BETWEEN 100 AND 300") == 16  # linear can't skip y
-    assert files_hit(z, "x BETWEEN 100 AND 300") <= 6
+    # Margins are structural, not exact-measured: file counts shift with
+    # range-partition sampling and core-count-dependent quantile merges
+    # (the suite must pass on any local[N]). The claim is the contrast:
+    # a ~2% filter touches at most half the z-ordered files in EITHER
+    # dimension, while the x-sorted layout cannot skip any file for y.
+    n_z, n_lin = files_hit(z), files_hit(lin)
+    assert files_hit(z, "y BETWEEN 100 AND 300") <= n_z // 2  # measured: 4 of 16
+    assert files_hit(lin, "y BETWEEN 100 AND 300") == n_lin  # linear can't skip y
+    assert files_hit(z, "x BETWEEN 100 AND 300") <= n_z // 2
     # the z write must not lose or duplicate rows
     assert spark.read.parquet(z).count() == 40000
