@@ -15,5 +15,6 @@ from . import queries_multijoin  # noqa: F401
 from . import queries_northstar  # noqa: F401
 from . import queries_northstar2  # noqa: F401
 from . import queries_streaming  # noqa: F401
+from . import queries_packing  # noqa: F401  (keep LAST — see module docstring)
 
 __all__ = ["catalog"]
