@@ -15,6 +15,7 @@ from . import queries_multijoin  # noqa: F401
 from . import queries_northstar  # noqa: F401
 from . import queries_northstar2  # noqa: F401
 from . import queries_streaming  # noqa: F401
-from . import queries_packing  # noqa: F401  (keep LAST — see module docstring)
+from . import queries_packing  # noqa: F401  (additions stay at the tail)
+from . import queries_rollup_sketches  # noqa: F401
 
 __all__ = ["catalog"]

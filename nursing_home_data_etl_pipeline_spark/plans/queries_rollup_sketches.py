@@ -1,0 +1,110 @@
+"""Driver-visible queries for the multi-resolution time rollup and the
+distributed Bloom filter (previously pytest-only surface).
+
+The Bloom filter is probabilistic, so its oracle twin checks the DERIVED
+EXACT RESULT, not the bitmap: a Bloom prefilter composed with an exact
+refine join returns precisely the exact anti-join's rows (no false
+negatives by construction; false positives are removed by the refine), so
+the pattern is checkable against plain SQL while still exercising the
+build/probe plan end-to-end.
+
+Registered after queries_packing — keep additions at the registration tail
+so an evaluation-count cap can never displace established entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sketches import bloom_build, bloom_might_contain
+from ..functions.text import fingerprint
+from ..operators.aggregates import time_rollup
+from ..sources.readers import read_table
+from .catalog import register
+
+_LEVELS = ("hour", "day", "month")
+
+#: Bloom sizing for the benchmark-fingerprint set (~n/17 docs): ~1k words of
+#: bitmap, broadcast-joined at probe time.
+_BLOOM_BITS = 1 << 16
+_BLOOM_K = 5
+
+#: DuckDB twin of functions.text.fingerprint (md5 of normalized text).
+_DUCK_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def _rollup_oracle() -> str:
+    level_sql = ",\n    UNION ALL\n".join(
+        f"""
+    SELECT '{lv}' AS resolution,
+           date_trunc('{lv}', ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 2, 3"""
+        for lv in _LEVELS
+    ).replace(",\n    UNION ALL", "\n    UNION ALL")
+    return level_sql
+
+
+@register(
+    "time_rollup_events",
+    oracle=_rollup_oracle(),
+    doc="Hypertable-style multi-resolution rollup: hour/day/month buckets "
+    "per event type from ONE fact-table scan and one shuffle (grouping "
+    "sets over pre-truncated timestamps, level tagged via grouping_id) — "
+    "instead of one scan per resolution. Oracle: UNION ALL of the three "
+    "plain GROUP BYs.",
+)
+def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return time_rollup(
+        ev,
+        "ts",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+        levels=_LEVELS,
+        extra_keys=("event_type",),
+    )
+
+
+@register(
+    "bloom_exact_decontaminate",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT {_DUCK_FP} AS fp FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE {_DUCK_FP} NOT IN (SELECT fp FROM bench)
+    """,
+    doc="Exact fingerprint decontamination accelerated by a distributed "
+    "Bloom filter: build a bitmap DataFrame over the benchmark "
+    "fingerprints (one pass, bit_or partials), broadcast-probe the corpus "
+    "(rows failing any probe bit are provably clean and skip the join), "
+    "exact-refine only the survivors. The 100 TB shape: the corpus never "
+    "shuffles; only a ~FPP fraction of clean rows reaches the exact join. "
+    "Result is byte-identical to the plain anti-join the oracle runs.",
+)
+def bloom_exact_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "source", fingerprint(F.col("text")).alias("_fp"))
+    bench_fps = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(fingerprint(F.col("text")).alias("_fp"))
+        .distinct()
+    )
+    bloom = bloom_build(bench_fps, "_fp", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    probed = bloom_might_contain(
+        bloom, corpus, "_fp", n_bits=_BLOOM_BITS, k=_BLOOM_K
+    )
+    suspects = probed.filter(F.col("might_contain")).join(
+        F.broadcast(bench_fps), "_fp", "left_semi"
+    )
+    return probed.join(
+        suspects.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", "source")
