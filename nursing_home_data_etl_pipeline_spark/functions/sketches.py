@@ -330,27 +330,34 @@ def bloom_might_contain(
     ``df[item_col]`` is set in ``bloom`` (same ``n_bits``/``k`` as the
     build). No false negatives; false positives at the filter's FPP.
 
-    Plan: explode k probes per row, broadcast-join the bitmap on word
-    (absent word = miss), require all k hits — map-side only for the probed
-    side, mirroring :func:`cms_estimate`. Rows of ``df`` must be unique
-    (probe on a key column) since the regroup collapses duplicates."""
-    clash = {"word", "bits", "p", "_hit", out_col} & set(df.columns)
+    Plan: k successive BroadcastHashJoins of the (tiny) bitmap, one per
+    probe — entirely map-side for the probed side, NO exchange of ``df``
+    at any point. (An earlier explode-k-rows-then-regroup formulation cost
+    one corpus-sized shuffle for the regroup; k chained broadcast joins
+    preserve the input partitioning, which is the difference between
+    probing 10^9 rows in place and re-shuffling them.)"""
+    clash = {"word", "bits", "_probes", out_col} & set(df.columns)
     if clash:
         raise ValueError(f"df columns collide with bloom internals: {clash}")
     item = F.col(item_col).cast("string")
-    probes = df.select(
-        "*", F.explode(_bloom_probes(item, n_bits, k)).alias("p")
-    )
-    joined = probes.join(
-        F.broadcast(bloom), probes["p.word"] == bloom["word"], "left"
-    ).select(
-        *df.columns,
-        (
-            F.col("bits").isNotNull()
-            & (F.col("bits").bitwiseAND(F.col("p.mask")) != 0)
-        ).alias("_hit"),
-    )
-    return (
-        joined.groupBy(*df.columns)
-        .agg((F.count(F.lit(1)) == F.sum(F.col("_hit").cast("int"))).alias(out_col))
-    )
+    out = df.select("*", _bloom_probes(item, n_bits, k).alias("_probes"))
+    hits = []
+    for j in range(k):
+        word_j, mask_j = f"_w{j}", f"_m{j}"
+        bloom_j = bloom.select(
+            F.col("word").alias(word_j), F.col("bits").alias(f"_b{j}")
+        )
+        out = out.withColumns(
+            {
+                word_j: F.col("_probes")[j]["word"],
+                mask_j: F.col("_probes")[j]["mask"],
+            }
+        ).join(F.broadcast(bloom_j), word_j, "left")
+        hits.append(
+            F.col(f"_b{j}").isNotNull()
+            & (F.col(f"_b{j}").bitwiseAND(F.col(mask_j)) != 0)
+        )
+    all_hit = hits[0]
+    for h in hits[1:]:
+        all_hit = all_hit & h
+    return out.select(*df.columns, all_hit.alias(out_col))

@@ -98,7 +98,9 @@ def bloom_exact_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(fingerprint(F.col("text")).alias("_fp"))
         .distinct()
     )
-    bloom = bloom_build(bench_fps, "_fp", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    # The bitmap is consumed once per probe join (k=5 broadcasts of the
+    # same ~1k-row frame): cache so the build subplan runs once, not k times.
+    bloom = bloom_build(bench_fps, "_fp", n_bits=_BLOOM_BITS, k=_BLOOM_K).cache()
     probed = bloom_might_contain(
         bloom, corpus, "_fp", n_bits=_BLOOM_BITS, k=_BLOOM_K
     )
