@@ -80,3 +80,34 @@ def test_is_head_once_per_doc(spark):
     out = pack_sequences(_docs(spark, rows), "n_tok", budget=64)
     heads = out.filter("is_head").groupBy("doc_id").count().collect()
     assert len(heads) == 100 and all(r["count"] == 1 for r in heads)
+
+
+# ---------------------------------------------------------------------------
+# Property: packing invariants under arbitrary token multisets
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_tok_lists = st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(toks=_tok_lists, budget=st.integers(min_value=1, max_value=97))
+def test_packing_properties(spark, toks, budget):
+    rows = [(i, t) for i, t in enumerate(toks)]
+    out = pack_sequences(_docs(spark, rows), "n_tok", budget=budget).collect()
+    total = sum(t for _, t in rows if t > 0)
+    # token conservation
+    assert sum(r["n_tokens"] for r in out) == total
+    # per-sequence fill: exactly budget everywhere except possibly the last
+    fill: dict[int, int] = {}
+    for r in out:
+        assert 0 < r["n_tokens"] <= budget
+        assert 0 <= r["seq_offset"] < budget
+        fill[r["seq_id"]] = fill.get(r["seq_id"], 0) + r["n_tokens"]
+    if fill:
+        last = max(fill)
+        assert sorted(fill) == list(range(last + 1))
+        assert all(v == budget for s, v in fill.items() if s != last)
+        assert fill[last] == total - budget * last
