@@ -336,7 +336,10 @@ def bloom_might_contain(
     one corpus-sized shuffle for the regroup; k chained broadcast joins
     preserve the input partitioning, which is the difference between
     probing 10^9 rows in place and re-shuffling them.)"""
-    clash = {"word", "bits", "_probes", out_col} & set(df.columns)
+    internals = {"_probes", out_col}
+    for j in range(k):
+        internals |= {f"_w{j}", f"_m{j}", f"_b{j}"}
+    clash = internals & set(df.columns)
     if clash:
         raise ValueError(f"df columns collide with bloom internals: {clash}")
     item = F.col(item_col).cast("string")

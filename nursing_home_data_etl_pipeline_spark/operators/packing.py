@@ -91,9 +91,11 @@ def pack_sequences(
     )
 
     # 4) explode each document's [start, start+tok) interval into per-
-    # sequence spans: row-local, no further shuffle.
-    first_seq = F.floor(F.col("_start") / budget)
-    last_seq = F.floor((F.col("_start") + F.col("_tok") - 1) / budget)
+    # sequence spans: row-local, no further shuffle. Integer `div`, not
+    # floor(x / y): double division loses exactness past ~2^53 total
+    # tokens, and the oracle twin uses exact integer division.
+    first_seq = F.expr(f"_start div {budget}")
+    last_seq = F.expr(f"(_start + _tok - 1) div {budget}")
     spans = placed.select(
         id_col,
         "_start",

@@ -35,7 +35,7 @@ _DUCK_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 
 def _rollup_oracle() -> str:
-    level_sql = ",\n    UNION ALL\n".join(
+    return "\n    UNION ALL\n".join(
         f"""
     SELECT '{lv}' AS resolution,
            date_trunc('{lv}', ts) AS bucket_start,
@@ -45,8 +45,7 @@ def _rollup_oracle() -> str:
     FROM events
     GROUP BY 2, 3"""
         for lv in _LEVELS
-    ).replace(",\n    UNION ALL", "\n    UNION ALL")
-    return level_sql
+    )
 
 
 @register(
@@ -80,15 +79,19 @@ def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, d.source
     FROM documents d
-    WHERE {_DUCK_FP} NOT IN (SELECT fp FROM bench)
+    WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.fp = {_DUCK_FP})
     """,
     doc="Exact fingerprint decontamination accelerated by a distributed "
     "Bloom filter: build a bitmap DataFrame over the benchmark "
-    "fingerprints (one pass, bit_or partials), broadcast-probe the corpus "
-    "(rows failing any probe bit are provably clean and skip the join), "
-    "exact-refine only the survivors. The 100 TB shape: the corpus never "
-    "shuffles; only a ~FPP fraction of clean rows reaches the exact join. "
-    "Result is byte-identical to the plain anti-join the oracle runs.",
+    "fingerprints (one pass, bit_or partials), broadcast-probe the corpus, "
+    "and exact-check only rows whose probes all hit (rows failing any "
+    "probe bit are provably clean). ONE corpus scan, zero corpus "
+    "exchanges: k bitmap probes + the bench-fingerprint check are all "
+    "broadcast joins, composed with a row-local filter. At 100 TB, when "
+    "the exact refine must be a shuffle join instead of a broadcast, the "
+    "same gate means only the ~FPP candidate sliver shuffles — never the "
+    "corpus. Result is byte-identical to the plain anti-join the oracle "
+    "runs (NOT EXISTS, so NULL fingerprints stay clean on both sides).",
 )
 def bloom_exact_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -104,9 +107,12 @@ def bloom_exact_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = bloom_might_contain(
         bloom, corpus, "_fp", n_bits=_BLOOM_BITS, k=_BLOOM_K
     )
-    suspects = probed.filter(F.col("might_contain")).join(
-        F.broadcast(bench_fps), "_fp", "left_semi"
+    # Exact refine without shuffling the probed side: one more broadcast
+    # join marks true benchmark hits; the bloom gate in the filter keeps a
+    # provably-clean fast path (and keeps the probe chain live in the plan).
+    bench_marked = bench_fps.withColumn("_bench", F.lit(True))
+    return (
+        probed.join(F.broadcast(bench_marked), "_fp", "left")
+        .filter(~F.col("might_contain") | F.col("_bench").isNull())
+        .select("doc_id", "source")
     )
-    return probed.join(
-        suspects.select("doc_id"), "doc_id", "left_anti"
-    ).select("doc_id", "source")

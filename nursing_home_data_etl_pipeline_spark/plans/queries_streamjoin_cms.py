@@ -80,6 +80,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id, COUNT(*) AS n_events
     FROM events
+    WHERE user_id IS NOT NULL
     GROUP BY user_id
     HAVING COUNT(*) >= {_HH_MIN}
     """,
@@ -91,7 +92,9 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over a semi-joined sliver of the corpus instead of every key.",
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
+    # NULL keys are excluded on BOTH sides: the semi-join refine would drop
+    # the NULL group that SQL GROUP BY keeps, so align semantics explicitly.
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     cms = cms_build(ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
     keys = ev.select("user_id").distinct()
     candidates = cms_estimate(
