@@ -1,4 +1,5 @@
-"""Round-5 tail addition: streaming dedup with bounded state.
+"""Round-5 tail additions: bounded-state streaming dedup and two more
+TPC-H-shaped multi-join queries (Q4 EXISTS semi-join, Q18 having-subquery).
 
 Exactly checkable: union two independent file-stream reads of the SAME
 events table (every row arrives twice), dedup on event_id with
@@ -47,3 +48,101 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return _drain_to_memory(deduped, "append")
+
+
+@register(
+    "order_priority_q4",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (adapted to this schema's columns): one quarter of "
+    "orders, EXISTS-correlated to late-shipping lineitems, counted per "
+    "priority. The EXISTS plans as a LEFT SEMI join — the lineitem side is "
+    "filtered by the pushed date bound and never duplicates orders; the "
+    "correlated date comparison rides the join condition, not a "
+    "post-filter.",
+)
+def order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")  # noqa: E741
+    late = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "large_volume_customer_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 260
+    )
+    SELECT c.c_name,
+           c.c_custkey,
+           o.o_orderkey,
+           o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           SUM(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    doc="TPC-H Q18 shape: orders whose total quantity clears a threshold "
+    "(the HAVING subquery becomes an aggregate + semi join), re-joined to "
+    "customer detail. The big-order key set is tiny and broadcasts; "
+    "lineitem aggregates once per branch, never per customer.",
+)
+def large_volume_customer_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")  # noqa: E741
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_s"))
+        .filter(F.col("_s") > 260)
+        .select("l_orderkey")
+    )
+    o = read_table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = (
+        l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return joined.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.sum("l_quantity").alias("total_qty")).select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        "total_qty",
+    )
