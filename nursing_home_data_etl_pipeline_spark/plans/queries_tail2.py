@@ -1,5 +1,6 @@
 """Round-5 tail additions: bounded-state streaming dedup and two more
-TPC-H-shaped multi-join queries (Q4 EXISTS semi-join, Q18 having-subquery).
+TPC-H-shaped multi-join queries (Q4 EXISTS semi-join, Q18 having-subquery,
+Q13 outer-join distribution).
 
 Exactly checkable: union two independent file-stream reads of the SAME
 events table (every row arrives twice), dedup on event_id with
@@ -146,3 +147,35 @@ def large_volume_customer_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
         "total_qty",
     )
+
+
+@register(
+    "customer_distribution_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: per-customer order counts INCLUDING zero-order "
+    "customers (left outer join, COUNT of the nullable key — not "
+    "COUNT(*)), then the histogram of those counts. Two aggregations, two "
+    "shuffles; the second input is one row per customer, so the histogram "
+    "shuffle is key-cardinality-sized.",
+)
+def customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
