@@ -29,15 +29,69 @@ def with_fast_id(df: DataFrame, name: str = "row_id") -> DataFrame:
 def with_dense_id(
     df: DataFrame, order_by: Sequence[str], name: str = "row_id"
 ) -> DataFrame:
-    """Stable, dense 1..N id given a total ordering.
+    """Stable, dense 1..N id given a total ordering — FLAT variant.
 
-    Costs a global sort (single ordered window). At 100 TB prefer
-    :func:`with_fast_id` or a key derived from the data; dense ids over an
-    unpartitioned window funnel through one task and exist here for
-    dimension-sized frames (the reference's actual use: ~15k facilities).
+    Costs a global sort through a single ordered window (one task holds
+    every row). Correct and cheapest for dimension-sized frames (the
+    reference's actual use: ~15k facilities); for fact-table-sized frames
+    use :func:`with_dense_id_sharded`, which computes the identical ids
+    without any corpus-sized single-partition stage.
     """
     w = Window.orderBy(*[F.col(c) for c in order_by])
     return df.withColumn(name, F.row_number().over(w).cast("long"))
+
+
+def with_dense_id_sharded(
+    df: DataFrame,
+    order_by: Sequence[str],
+    name: str = "row_id",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Stable, dense 1..N id given a total ordering — DISTRIBUTED variant.
+
+    Same ids as :func:`with_dense_id` (1..N following ``order_by``; pass a
+    unique key list — ties make row_number nondeterministic in either
+    variant), but no stage ever holds the whole frame. Two-level scan,
+    the same pattern as ``operators.packing.pack_sequences``:
+
+    1. range-partition by ``order_by`` (``repartitionByRange`` — partition
+       i's keys all sort before partition i+1's, so per-partition ranks +
+       partition offsets compose into the global rank),
+    2. per-partition ``row_number`` (window partitioned by the captured
+       partition id — parallel),
+    3. one count per partition (``n_shards`` rows), exclusive cumsum of
+       THOSE on a single partition, broadcast the offsets back.
+
+    The range boundaries come from Spark's reservoir sampling; they shift
+    with input layout, but the emitted ids don't — any boundary placement
+    yields the same global rank, so results are deterministic across
+    partitionings/reruns (unlike ``zipWithIndex``). Cost: two corpus
+    shuffles (range + pid window) vs the flat variant's one-task sort —
+    the right trade above ~1 task's worth of rows.
+    """
+    spark = df.sparkSession
+    if n_shards is None:
+        n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cols = [F.col(c) for c in order_by]
+    internals = {"_pid", "_intra", "_n", "_off"}
+    clash = internals & set(df.columns)
+    if clash:
+        raise ValueError(f"df columns collide with dense-id internals: {clash}")
+    ranged = df.repartitionByRange(n_shards, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    intra = ranged.withColumn("_intra", F.row_number().over(w))
+    counts = intra.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        intra.join(F.broadcast(offsets), "_pid")
+        .withColumn(name, (F.col("_off") + F.col("_intra")).cast("long"))
+        .drop("_pid", "_intra", "_off")
+    )
 
 
 def with_etl_date(df: DataFrame, name: str = "etl_date") -> DataFrame:
@@ -45,14 +99,34 @@ def with_etl_date(df: DataFrame, name: str = "etl_date") -> DataFrame:
     return df.withColumn(name, F.current_date().cast("date"))
 
 
+#: Above this many rows, with_etl_metadata's dense id switches to the
+#: sharded two-level scan (one task's comfortable sort ceiling).
+DENSE_ID_SHARD_THRESHOLD = 1_000_000
+
+
 def with_etl_metadata(
     df: DataFrame,
     order_by: Sequence[str] | None = None,
     id_name: str = "row_id",
     date_name: str = "etl_date",
+    shard_threshold: int = DENSE_ID_SHARD_THRESHOLD,
 ) -> DataFrame:
     """row_id + etl_date, the reference's universal output stamp.
     ``order_by=None`` -> fast (unstable) ids, else dense deterministic ids.
+
+    Dense ids pick their physical strategy by size: below
+    ``shard_threshold`` rows, the flat single-window sort (cheapest for
+    dimension frames); above it, :func:`with_dense_id_sharded`, so a
+    fact-table stamp never funnels the corpus through one task. The sizing
+    count is a columnar-metadata count (no row materialization) and both
+    strategies emit identical ids, so the switch can't change results.
+    ``shard_threshold=0`` forces the sharded path without counting.
     """
-    df = with_dense_id(df, order_by, id_name) if order_by else with_fast_id(df, id_name)
+    if order_by:
+        if shard_threshold > 0 and df.count() <= shard_threshold:
+            df = with_dense_id(df, order_by, id_name)
+        else:
+            df = with_dense_id_sharded(df, order_by, id_name)
+    else:
+        df = with_fast_id(df, id_name)
     return with_etl_date(df, date_name)

@@ -16,7 +16,6 @@ from . import queries_northstar  # noqa: F401
 from . import queries_northstar2  # noqa: F401
 from . import queries_streaming  # noqa: F401
 from . import queries_packing  # noqa: F401  (additions stay at the tail)
-from . import queries_rollup_sketches  # noqa: F401
 from . import queries_streamjoin_cms  # noqa: F401
 from . import queries_tail2  # noqa: F401
 

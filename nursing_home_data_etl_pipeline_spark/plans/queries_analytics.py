@@ -165,14 +165,32 @@ def group_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIME_LEVELS = ("hour", "day", "month")
+
+
+def _time_rollup_oracle_branch() -> str:
+    return "\n    UNION ALL\n".join(
+        f"""
+    SELECT 'time_{lv}',
+           strftime(date_trunc('{lv}', ts), '%Y-%m-%d %H:%M:%S'),
+           event_type,
+           0,
+           ROUND(SUM(value), 4),
+           COUNT(*)
+    FROM events
+    GROUP BY 2, 3"""
+        for lv in _TIME_LEVELS
+    )
+
+
 @register(
     "rollup_cube_summary",
-    oracle="""
+    oracle=f"""
     SELECT 'rollup' AS variant,
-           l_returnflag,
-           l_linestatus,
+           l_returnflag                         AS k1,
+           l_linestatus                         AS k2,
            GROUPING(l_returnflag, l_linestatus) AS grp,
-           ROUND(SUM(l_quantity), 2)            AS sum_qty,
+           ROUND(SUM(l_quantity), 2)            AS sum_val,
            COUNT(*)                             AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -185,23 +203,92 @@ def group_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets',
+           l_returnflag,
+           l_linestatus,
+           GROUPING(l_returnflag, l_linestatus),
+           ROUND(SUM(l_quantity), 2),
+           COUNT(*)
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    UNION ALL{_time_rollup_oracle_branch()}
     """,
-    doc="ROLLUP (hierarchical subtotals) and CUBE (all grouping-set "
-    "combinations) with grouping_id, as a tagged union — each branch is one "
-    "expanded-aggregate shuffle; the SQL-API GROUPING SETS twin is "
-    "grouping_sets_sql.",
+    doc="The grouping-sets family as one tagged union (round-6 catalog "
+    "consolidation of rollup_cube_summary + grouping_sets_sql + "
+    "time_rollup_events). variant='rollup'/'cube': hierarchical subtotals "
+    "vs all combinations over lineitem with grouping_id — one "
+    "expanded-aggregate shuffle each. variant='gsets': explicit GROUPING "
+    "SETS through the SQL entry point (temp view + spark.sql) — both "
+    "DataFrame and SQL APIs produce the same Expand plan. "
+    "variant='time_hour'/'time_day'/'time_month': hypertable-style "
+    "multi-resolution rollup over events (operators.aggregates.time_rollup) "
+    "— every resolution from ONE fact scan and one shuffle via grouping "
+    "sets on pre-truncated timestamps; k1 = the bucket start formatted, "
+    "k2 = event_type, sum_val = ROUND(SUM(value), 4).",
 )
 def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import time_rollup
+
     li = read_table(spark, sf_dir, "lineitem")
     aggs = [
         F.grouping_id().alias("grp"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_val"),
         F.count(F.lit(1)).alias("n"),
     ]
     keys = ["l_returnflag", "l_linestatus"]
-    ru = rollup_agg(li, keys, aggs).select(F.lit("rollup").alias("variant"), "*")
-    cu = cube_agg(li, keys, aggs).select(F.lit("cube").alias("variant"), "*")
-    return ru.unionByName(cu)
+    out_cols = ["variant", "k1", "k2", "grp", "sum_val", "n"]
+
+    def _tag(df: DataFrame, variant: str) -> DataFrame:
+        return df.select(
+            F.lit(variant).alias("variant"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "grp",
+            "sum_val",
+            "n",
+        )
+
+    ru = _tag(rollup_agg(li, keys, aggs), "rollup")
+    cu = _tag(cube_agg(li, keys, aggs), "cube")
+    li.createOrReplaceTempView("lineitem_gs")
+    gs = _tag(
+        spark.sql(
+            """
+            SELECT l_returnflag,
+                   l_linestatus,
+                   grouping_id()             AS grp,
+                   ROUND(SUM(l_quantity), 2) AS sum_val,
+                   COUNT(*)                  AS n
+            FROM lineitem_gs
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+            """
+        ),
+        "gsets",
+    )
+    ev = read_table(spark, sf_dir, "events")
+    tr = time_rollup(
+        ev,
+        "ts",
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_val"),
+        ],
+        levels=_TIME_LEVELS,
+        extra_keys=("event_type",),
+    ).select(
+        F.concat(F.lit("time_"), F.col("resolution")).alias("variant"),
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.lit(0).alias("grp"),
+        "sum_val",
+        "n",
+    )
+    return (
+        ru.unionByName(cu)
+        .unionByName(gs)
+        .unionByName(tr.select(*out_cols))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -462,10 +549,15 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_HH_MIN = 80
+_CMS_DEPTH, _CMS_WIDTH = 4, 1024
+
+
 @register(
     "approx_stats_events",
-    oracle="""
-    SELECT event_type,
+    oracle=f"""
+    SELECT 'sketch_bands' AS variant,
+           event_type AS key,
            COUNT(*) AS n,
            TRUE AS distinct_ok,
            TRUE AS p50_ok,
@@ -474,6 +566,15 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS theta_merge_ok,
            TRUE AS kll_merge_ok
     FROM events WHERE event_id % 5 = 0 GROUP BY event_type
+    UNION ALL
+    SELECT 'cms_hh',
+           CAST(user_id AS VARCHAR),
+           COUNT(*),
+           TRUE, TRUE, TRUE, TRUE, TRUE, TRUE
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    HAVING COUNT(*) >= {_HH_MIN}
     """,
     doc="Approximate aggregates (HyperLogLog++ distinct, GK-sketch "
     "percentiles — sublinear state, the 100 TB path) verified against exact "
@@ -481,7 +582,14 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(HLL within 3x rsd of exact COUNT(DISTINCT); approx percentile inside "
     "the exact p±0.03 quantile band) and the oracle asserts every band holds, "
     "turning sketch accuracy into a hash-checkable signal instead of a "
-    "rows-only smoke check. Also proves the MERGEABLE-sketch path "
+    "rows-only smoke check. variant='cms_hh' (round-6 consolidation of "
+    "cms_heavy_hitters): heavy hitters via Count-Min sketch + exact refine "
+    "— the sketch (depth*width counters, one pass, map-side combine) "
+    "over-counts but never under-counts, so keys whose estimate clears the "
+    "threshold are a SUPERSET of the true heavy hitters; exactly counting "
+    "only those candidates yields the exact answer (at 100 TB the exact "
+    "count runs over a semi-joined sliver of the corpus instead of every "
+    "key). Also proves the MERGEABLE-sketch path "
     "(functions/sketches.py hll/theta/kll wrappers over the Spark 4 "
     "Datasketches builtins): per-day partial sketches built in one combined "
     "aggregate, merged per event_type in a second — the shard-once / "
@@ -534,8 +642,9 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3 sigma of the requested 5% relative standard deviation, floored for
     # tiny groups where one-off error dominates the relative bound.
     tol = F.greatest(F.col("_exact_d") * 0.15, F.lit(2.0))
-    return g.select(
-        "event_type",
+    bands = g.select(
+        F.lit("sketch_bands").alias("variant"),
+        F.col("event_type").alias("key"),
         "n",
         (F.abs(F.col("_approx_d") - F.col("_exact_d")) <= tol).alias("distinct_ok"),
         F.col("_p50").between(F.col("_bands")[0], F.col("_bands")[1]).alias("p50_ok"),
@@ -548,3 +657,36 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .between(F.col("_bands")[0], F.col("_bands")[1])
         .alias("kll_merge_ok"),
     )
+    # CMS heavy-hitter branch: NULL keys are excluded on BOTH sides — the
+    # semi-join refine would drop the NULL group SQL GROUP BY keeps.
+    from ..functions.sketches import cms_build, cms_estimate
+
+    hh_ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    cms = cms_build(hh_ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    keys = hh_ev.select("user_id").distinct()
+    candidates = cms_estimate(
+        cms, keys, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    ).filter(F.col("est") >= _HH_MIN)
+    hh = (
+        hh_ev.join(
+            F.broadcast(candidates.select("user_id")), "user_id", "left_semi"
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _HH_MIN)
+        .select(
+            F.lit("cms_hh").alias("variant"),
+            F.col("user_id").cast("string").alias("key"),
+            "n",
+            *[
+                F.lit(True).alias(c)
+                for c in (
+                    "distinct_ok", "p50_ok", "p95_ok",
+                    "hll_merge_ok", "theta_merge_ok", "kll_merge_ok",
+                )
+            ],
+        )
+    )
+    return bands.unionByName(hh)

@@ -96,32 +96,9 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.unionByName(ranged)
 
 
-@register(
-    "grouping_sets_sql",
-    oracle="""
-    SELECT l_returnflag,
-           l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           COUNT(*)                  AS n
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-    """,
-    doc="GROUPING SETS through the SQL entry point (temp view + spark.sql) — "
-    "the catalog exercises both DataFrame and SQL APIs; Catalyst produces "
-    "the same expanded-aggregate plan either way.",
-)
-def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag,
-               l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               COUNT(*)                  AS n
-        FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """
-    )
+# grouping_sets_sql merged into queries_analytics.rollup_cube_summary
+# (round-6 catalog consolidation): the SQL-entry-point GROUPING SETS branch
+# lives there as variant='gsets'.
 
 
 @register(

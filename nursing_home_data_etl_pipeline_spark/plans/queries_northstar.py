@@ -310,28 +310,9 @@ def _simhash_pairs_oracle(max_hamming: int = 3, bands: int = 4) -> str:
     """
 
 
-@register(
-    "dedup_simhash_pairs",
-    oracle=_simhash_pairs_oracle(),
-    doc="SimHash near-dup pairs: 60-bit signatures over distinct words "
-    "(portable md5-derived token hashes; engine-identical bit math), then "
-    "banded Hamming search (4 x 15-bit bands, pigeonhole-exact for "
-    "distance <= 3) + bit_count verify. Subsumes the standalone signature "
-    "query — signatures are hash-checked through the pairs they produce.",
-)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import simhash_near_pairs
-
-    docs = read_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash_signatures(docs, "text", "doc_id"))
-
-
 _JACCARD_THRESHOLD = 0.05
 
-
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+_JACCARD_PAIRS_SQL = f"""
     WITH {_DUCK_SHINGLES},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
@@ -345,16 +326,55 @@ _JACCARD_THRESHOLD = 0.05
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_near_pairs",
+    oracle=f"""
+    SELECT 'simhash' AS variant, id_a, id_b,
+           CAST(hamming AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS score
+    FROM ({_simhash_pairs_oracle()})
+    UNION ALL
+    SELECT 'jaccard', id_a, id_b, CAST(n_common AS BIGINT),
+           ROUND(jaccard, 6)
+    FROM ({_JACCARD_PAIRS_SQL})
     """,
-    doc="Exact n-gram Jaccard over shingle sets via inverted-index self-join "
-    "(only pairs sharing a shingle materialize) with a hot-shingle cap "
-    "bounding worst-case pair blowup.",
+    doc="Near-duplicate candidate pairs, one tagged row set per algorithm "
+    "(round-6 catalog consolidation of dedup_simhash_pairs + "
+    "dedup_ngram_jaccard). variant='simhash': 60-bit signatures over "
+    "distinct words (portable md5-derived token hashes; engine-identical "
+    "bit math), banded Hamming search (4 x 15-bit bands, pigeonhole-exact "
+    "for distance <= 3) + bit_count verify; n = Hamming distance. "
+    "variant='jaccard': exact n-gram Jaccard via inverted-index self-join "
+    "(only pairs sharing a shingle materialize; hot-shingle cap bounds "
+    "worst-case pair blowup); n = shingle intersection size, score = "
+    "Jaccard. Both branches scan documents independently — two bounded "
+    "band/index self-joins, never an all-pairs product.",
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_pairs
+
     docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, "text", "doc_id", _SHINGLE_K, _JACCARD_THRESHOLD
+    simhash = simhash_near_pairs(
+        simhash_signatures(docs, "text", "doc_id")
+    ).select(
+        F.lit("simhash").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("score"),
     )
+    jaccard = ngram_jaccard_pairs(
+        docs, "text", "doc_id", _SHINGLE_K, _JACCARD_THRESHOLD
+    ).select(
+        F.lit("jaccard").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("n_common").cast("long").alias("n"),
+        F.round(F.col("jaccard"), 6).alias("score"),
+    )
+    return simhash.unionByName(jaccard)
 
 
 # ---------------------------------------------------------------------------
@@ -371,9 +391,7 @@ _DUCK_COSINE_BASE = f"""
 """
 
 
-@register(
-    "similarity_topk_bruteforce",
-    oracle=f"""
+_BRUTE_TOPK_SQL = f"""
     WITH {_DUCK_COSINE_BASE},
     dots AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.x * c.x) AS dot
@@ -394,16 +412,9 @@ _DUCK_COSINE_BASE = f"""
                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= {_TOP_K}
-    """,
-    doc="Exact cosine top-k (brute force): broadcast query batch x corpus, "
-    "zip_with/aggregate dot products in whole-stage codegen, rank on the "
-    "rounded score — the ANN correctness baseline.",
-)
-def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_topk_bruteforce(
-        emb.filter(F.col("vec_id") < _N_QUERIES), emb, k=_TOP_K
-    )
+    """
+
+
 
 
 _N_PLANES = 6
@@ -459,18 +470,37 @@ def _ann_lsh_oracle() -> str:
 
 
 @register(
-    "similarity_ann_lsh",
-    oracle=_ann_lsh_oracle(),
-    doc="ANN top-k via random-hyperplane LSH: 6 fixed seeded hyperplanes -> "
-    "64-bucket equi-join replaces the cross join; exact cosine within "
-    "buckets. Deterministic planes, replicated verbatim in the oracle.",
+    "similarity_topk",
+    oracle=f"""
+    SELECT 'brute' AS variant, query_id, neighbor_id, cos_sim, rank
+    FROM ({_BRUTE_TOPK_SQL})
+    UNION ALL
+    SELECT 'lsh', query_id, neighbor_id, cos_sim, rank
+    FROM ({_ann_lsh_oracle()})
+    """,
+    doc="Cosine top-k both ways, one tagged row set per strategy (round-6 "
+    "catalog consolidation of similarity_topk_bruteforce + "
+    "similarity_ann_lsh). variant='brute': exact — broadcast query batch x "
+    "corpus, zip_with/aggregate dot products in whole-stage codegen, rank "
+    "on the rounded score; the ANN correctness baseline. variant='lsh': "
+    "ANN via random-hyperplane LSH — 6 fixed seeded hyperplanes -> "
+    "64-bucket equi-join replaces the cross join, exact cosine within "
+    "buckets; deterministic planes replicated verbatim in the oracle.",
 )
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_topk_lsh(
-        emb.filter(F.col("vec_id") < _N_QUERIES), emb,
-        n_planes=_N_PLANES, dim=_DIM, k=_TOP_K,
-    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+    queries_batch = emb.filter(F.col("vec_id") < _N_QUERIES)
+    brute = cosine_topk_bruteforce(queries_batch, emb, k=_TOP_K).select(
+        F.lit("brute").alias("variant"), "query_id", "neighbor_id",
+        "cos_sim", "rank",
+    )
+    lsh = cosine_topk_lsh(
+        queries_batch, emb, n_planes=_N_PLANES, dim=_DIM, k=_TOP_K
+    ).select(
+        F.lit("lsh").alias("variant"), "query_id", "neighbor_id",
+        "cos_sim", "rank",
+    )
+    return brute.unionByName(lsh)
 
 
 _NEAR_DUP_THRESHOLD = 0.3

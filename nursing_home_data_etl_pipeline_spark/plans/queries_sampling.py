@@ -159,6 +159,15 @@ def _bands_chain(prefix: str, src: str) -> str:
     )"""
 
 
+#: Bloom sizing for the benchmark-fingerprint set (~n/17 docs): ~1k words of
+#: bitmap, broadcast-joined at probe time.
+_BLOOM_BITS = 1 << 16
+_BLOOM_K = 5
+
+#: DuckDB twin of functions.text.fingerprint (md5 of normalized text).
+_DUCK_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
 @register(
     "decontaminate_corpus",
     oracle=f"""
@@ -169,21 +178,76 @@ def _bands_chain(prefix: str, src: str) -> str:
       SELECT DISTINCT t.doc_id
       FROM tr_bands t JOIN be_bands b ON t.band = b.band AND t.key = b.key
     )
-    SELECT d.doc_id, d.lang
+    SELECT 'lsh' AS variant, d.doc_id, d.lang AS meta
     FROM documents d
     WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+    UNION ALL
+    SELECT 'bloom', d.doc_id, d.source
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (
+        SELECT DISTINCT {_DUCK_FP} AS fp FROM documents WHERE doc_id % 17 = 0
+      ) b WHERE b.fp = {_DUCK_FP}
+    )
     """,
-    doc="Train/benchmark decontamination: drop training docs that LSH-"
-    "collide with any benchmark doc (cross-corpus MinHash banding; the "
-    "benchmark bucket table broadcasts, the training corpus never "
-    "shuffles). Benchmark stand-in: every 17th document.",
+    doc="Train/benchmark decontamination both ways, one tagged row set per "
+    "strategy (round-6 catalog consolidation of decontaminate_corpus + "
+    "bloom_exact_decontaminate). variant='lsh' (meta = lang): drop "
+    "training docs that LSH-collide with any benchmark doc — cross-corpus "
+    "MinHash banding; the benchmark bucket table broadcasts, the training "
+    "corpus never shuffles; benchmark stand-in: every 17th document. "
+    "variant='bloom' (meta = source): exact fingerprint decontamination "
+    "accelerated by a distributed Bloom filter — build a bitmap over the "
+    "benchmark fingerprints (one pass, bit_or partials), broadcast-probe "
+    "the corpus, exact-check only rows whose probes all hit (rows failing "
+    "any probe bit are provably clean). ONE corpus scan, zero corpus "
+    "exchanges: k bitmap probes + the bench-fingerprint check are all "
+    "broadcast joins composed with a row-local filter. At 100 TB, when the "
+    "exact refine must be a shuffle join instead of a broadcast, the same "
+    "gate means only the ~FPP candidate sliver shuffles — never the "
+    "corpus. Byte-identical to the plain anti-join the oracle runs (NOT "
+    "EXISTS, so NULL fingerprints stay clean on both sides).",
 )
 def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketches import bloom_build, bloom_might_contain
     from ..operators.dedup import decontaminate
 
     docs = read_table(spark, sf_dir, "documents")
     benchmark = docs.filter(F.col("doc_id") % 17 == 0)
-    return decontaminate(docs, benchmark).select("doc_id", "lang")
+    lsh = decontaminate(docs, benchmark).select(
+        F.lit("lsh").alias("variant"), "doc_id", F.col("lang").alias("meta")
+    )
+
+    corpus = docs.select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("_fp")
+    )
+    bench_fps = benchmark.select(fingerprint(F.col("text")).alias("_fp")).distinct()
+    # The bitmap feeds k+1 broadcast joins. Materialize it into a local
+    # relation (bounded: <= n_bits/64 = 1024 rows) instead of .cache() — a
+    # cached InMemoryRelation leaked per invocation in long-lived sessions
+    # (bench loops), and a LocalRelation broadcasts just the same. At real
+    # scale (bigger bitmaps) you'd persist + explicitly unpersist instead.
+    bloom_local = spark.createDataFrame(
+        bloom_build(bench_fps, "_fp", n_bits=_BLOOM_BITS, k=_BLOOM_K).collect(),
+        schema="word long, bits long",
+    )
+    probed = bloom_might_contain(
+        bloom_local, corpus, "_fp", n_bits=_BLOOM_BITS, k=_BLOOM_K
+    )
+    # Exact refine without shuffling the probed side: one more broadcast
+    # join marks true benchmark hits; the bloom gate in the filter keeps a
+    # provably-clean fast path (and keeps the probe chain live in the plan).
+    bench_marked = bench_fps.withColumn("_bench", F.lit(True))
+    bloom = (
+        probed.join(F.broadcast(bench_marked), "_fp", "left")
+        .filter(~F.col("might_contain") | F.col("_bench").isNull())
+        .select(
+            F.lit("bloom").alias("variant"),
+            "doc_id",
+            F.col("source").alias("meta"),
+        )
+    )
+    return lsh.unionByName(bloom)
 
 
 _QUALITY_MIN = 0.5

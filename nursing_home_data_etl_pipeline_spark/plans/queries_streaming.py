@@ -65,7 +65,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain_to_memory(
-    df: DataFrame, output_mode: str, state_partitions: int = 8
+    df: DataFrame,
+    output_mode: str,
+    state_partitions: int = 8,
+    require_single_batch: bool = False,
 ) -> DataFrame:
     """Run the streaming plan to completion into a memory sink; return the
     result table. Bounded input + processAllAvailable => deterministic.
@@ -79,6 +82,14 @@ def _drain_to_memory(
     query start, so this only affects the stream, and the conf is restored
     for subsequent batch plans. On a real cluster you'd size this to
     expected state volume / executor count instead.
+
+    ``require_single_batch``: the exact-oracle contract for watermark-
+    bearing drains (stream-stream join, dropDuplicatesWithinWatermark)
+    holds because the file source delivers the whole bounded input in ONE
+    microbatch (no maxFilesPerTrigger), so the watermark never advances
+    past unprocessed rows. Pass True to ASSERT that assumption — a future
+    trigger/option change then fails loudly instead of silently turning
+    the exact contract probabilistic.
     """
     spark = df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
@@ -93,6 +104,13 @@ def _drain_to_memory(
         )
         try:
             q.processAllAvailable()
+            if require_single_batch:
+                fed = [p for p in q.recentProgress if p.numInputRows > 0]
+                if len(fed) > 1:
+                    raise AssertionError(
+                        f"bounded drain spanned {len(fed)} microbatches; "
+                        "the exact-oracle watermark contract assumes one"
+                    )
         finally:
             q.stop()
     finally:

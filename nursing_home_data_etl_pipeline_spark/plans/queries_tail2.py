@@ -1,61 +1,49 @@
-"""Round-5 tail additions: bounded-state streaming dedup and two more
-TPC-H-shaped multi-join queries (Q4 EXISTS semi-join, Q18 having-subquery,
-Q13 outer-join distribution).
+"""TPC-H-shaped multi-join queries beyond Q3/Q5/Q10/Q14: Q4 (EXISTS
+semi-join with a correlated date bound), Q18 (having-subquery detail join),
+Q13 (outer-join distribution) — one tagged row set (round-6 catalog
+consolidation of order_priority_q4 + large_volume_customer_q18 +
+customer_distribution_q13; streaming_dedup moved into
+queries_streamjoin_cms.streaming_join_dedup).
 
-Exactly checkable: union two independent file-stream reads of the SAME
-events table (every row arrives twice), dedup on event_id with
-``dropDuplicatesWithinWatermark`` (state evicted once the watermark passes
-— bounded by the in-flight window, not by history; plain dropDuplicates
-keeps every key forever), drain bounded -> exactly one row per event.
+Branch-to-column mapping (NULL-padded union; both engines cast the unused
+slots to the same types):
+
+=========  ==============  ==========  =========  ===========  ========  =========  ===========
+variant    k_str           k_id        k_id2      k_date       price     qty        cnt
+=========  ==============  ==========  =========  ===========  ========  =========  ===========
+q4         o_orderpriority --          --         --           --        --         order_count
+q13        --              c_count     --         --           --        --         custdist
+q18        c_name          o_orderkey  c_custkey  o_orderdate  total     total_qty  --
+=========  ==============  ==========  =========  ===========  ========  =========  ===========
 
 Product quantization stays OUT of the catalog deliberately: a
 driver-visible rows-only row would cost ~25 s of Lloyd-training wall per
-bench run (the trainer is m x iters driver-coordinated sweeps) for a check
-weaker than the existing pytest, which pins reconstruction-exact recall
-1.0 (`tests/test_dedup_similarity.py`).
-
-Registered at the catalog tail (see queries_packing docstring).
+bench run for a check weaker than the existing pytest, which pins
+reconstruction-exact recall 1.0 (`tests/test_dedup_similarity.py`).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..sources.readers import read_table
 from .catalog import register
-from .queries_streaming import _drain_to_memory, stream_events
 
-
-@register(
-    "streaming_dedup",
-    oracle="""
-    SELECT event_id, user_id, event_type FROM events
-    """,
-    doc="Streaming exact dedup with BOUNDED state: two identical event "
-    "streams unioned (each event arrives twice), deduped on event_id via "
-    "dropDuplicatesWithinWatermark — per-key state is dropped once the "
-    "watermark passes, so state scales with the in-flight window instead "
-    "of all history (the difference between a dedup that survives a year "
-    "of stream and one that OOMs). Bounded drain => exactly the distinct "
-    "event rows.",
+_NULL_COLS_SQL = (
+    "CAST(NULL AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS k_id2, "
+    "CAST(NULL AS VARCHAR) AS k_date, CAST(NULL AS DOUBLE) AS price, "
+    "CAST(NULL AS DOUBLE) AS qty"
 )
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cols = ["event_id", "user_id", "event_type", "ts"]
-    a = stream_events(spark, sf_dir).select(cols)
-    b = stream_events(spark, sf_dir).select(cols)
-    deduped = (
-        a.unionByName(b)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .select("event_id", "user_id", "event_type")
-    )
-    return _drain_to_memory(deduped, "append")
 
 
 @register(
-    "order_priority_q4",
-    oracle="""
-    SELECT o.o_orderpriority,
-           COUNT(*) AS order_count
+    "tpch_shapes_q4_q13_q18",
+    oracle=f"""
+    SELECT 'q4' AS variant,
+           o.o_orderpriority AS k_str,
+           {_NULL_COLS_SQL},
+           COUNT(*) AS cnt
     FROM orders o
     WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
       AND o.o_orderdate <  TIMESTAMP '1997-04-01'
@@ -65,94 +53,13 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
       )
     GROUP BY o.o_orderpriority
-    """,
-    doc="TPC-H Q4 shape (adapted to this schema's columns): one quarter of "
-    "orders, EXISTS-correlated to late-shipping lineitems, counted per "
-    "priority. The EXISTS plans as a LEFT SEMI join — the lineitem side is "
-    "filtered by the pushed date bound and never duplicates orders; the "
-    "correlated date comparison rides the join condition, not a "
-    "post-filter.",
-)
-def order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.readers import read_table
-    from pyspark.sql import functions as F
-
-    o = read_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
-    )
-    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")  # noqa: E741
-    late = o.join(
-        l,
-        (o["o_orderkey"] == l["l_orderkey"])
-        & (l["l_shipdate"] > F.expr("o_orderdate + INTERVAL 60 DAYS")),
-        "left_semi",
-    )
-    return late.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("order_count")
-    )
-
-
-@register(
-    "large_volume_customer_q18",
-    oracle="""
-    WITH big AS (
-      SELECT l_orderkey
-      FROM lineitem
-      GROUP BY l_orderkey
-      HAVING SUM(l_quantity) > 260
-    )
-    SELECT c.c_name,
-           c.c_custkey,
-           o.o_orderkey,
-           o.o_orderdate,
-           ROUND(o.o_totalprice, 2) AS o_totalprice,
-           SUM(l.l_quantity) AS total_qty
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
-    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
-    """,
-    doc="TPC-H Q18 shape: orders whose total quantity clears a threshold "
-    "(the HAVING subquery becomes an aggregate + semi join), re-joined to "
-    "customer detail. The big-order key set is tiny and broadcasts; "
-    "lineitem aggregates once per branch, never per customer.",
-)
-def large_volume_customer_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.readers import read_table
-    from pyspark.sql import functions as F
-
-    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")  # noqa: E741
-    big = (
-        l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_s"))
-        .filter(F.col("_s") > 260)
-        .select("l_orderkey")
-    )
-    o = read_table(spark, sf_dir, "orders").join(
-        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
-    )
-    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    joined = (
-        l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-    )
-    return joined.groupBy(
-        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
-    ).agg(F.sum("l_quantity").alias("total_qty")).select(
-        "c_name",
-        "c_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
-        "total_qty",
-    )
-
-
-@register(
-    "customer_distribution_q13",
-    oracle="""
-    SELECT c_count, COUNT(*) AS custdist
+    UNION ALL
+    SELECT 'q13',
+           CAST(NULL AS VARCHAR),
+           c_count,
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           COUNT(*)
     FROM (
       SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
       FROM customer c
@@ -160,22 +67,123 @@ def large_volume_customer_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.c_custkey
     )
     GROUP BY c_count
+    UNION ALL
+    SELECT 'q18',
+           c.c_name,
+           o.o_orderkey,
+           c.c_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d'),
+           ROUND(o.o_totalprice, 2),
+           SUM(l.l_quantity),
+           CAST(NULL AS BIGINT)
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 260
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
     """,
-    doc="TPC-H Q13 shape: per-customer order counts INCLUDING zero-order "
+    doc="Three TPC-H shapes, one tagged row set per query (adapted to this "
+    "schema's columns). variant='q4': one quarter of orders, EXISTS-"
+    "correlated to late-shipping lineitems, counted per priority — the "
+    "EXISTS plans as a LEFT SEMI join; the lineitem side is filtered by "
+    "the pushed date bound and never duplicates orders; the correlated "
+    "date comparison rides the join condition, not a post-filter. "
+    "variant='q13': per-customer order counts INCLUDING zero-order "
     "customers (left outer join, COUNT of the nullable key — not "
-    "COUNT(*)), then the histogram of those counts. Two aggregations, two "
-    "shuffles; the second input is one row per customer, so the histogram "
-    "shuffle is key-cardinality-sized.",
+    "COUNT(*)), then the histogram of those counts; the histogram shuffle "
+    "input is one row per customer. variant='q18': orders whose total "
+    "quantity clears a threshold (the HAVING subquery becomes an aggregate "
+    "+ semi join), re-joined to customer detail — only the tiny big-order "
+    "key set carries an explicit broadcast hint; the orders/customer joins "
+    "are left to AQE so data-dependent frames can't blow the broadcast "
+    "limit at larger scale factors.",
 )
-def customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.readers import read_table
-    from pyspark.sql import functions as F
+def tpch_shapes_q4_q13_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_str = F.lit(None).cast("string")
+    null_long = F.lit(None).cast("long")
+    null_dbl = F.lit(None).cast("double")
+    out_cols = ["variant", "k_str", "k_id", "k_id2", "k_date", "price", "qty", "cnt"]
 
-    c = read_table(spark, sf_dir, "customer").select("c_custkey")
-    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    # --- q4: EXISTS semi-join with correlated date bound ------------------
+    o4 = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    l4 = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o4.join(
+        l4,
+        (o4["o_orderkey"] == l4["l_orderkey"])
+        & (l4["l_shipdate"] > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    q4 = late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(
+        F.lit("q4").alias("variant"),
+        F.col("o_orderpriority").alias("k_str"),
+        null_long.alias("k_id"),
+        null_long.alias("k_id2"),
+        null_str.alias("k_date"),
+        null_dbl.alias("price"),
+        null_dbl.alias("qty"),
+        "cnt",
+    )
+
+    # --- q13: outer-join count distribution -------------------------------
+    c13 = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o13 = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
     per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        c13.join(o13, c13["c_custkey"] == o13["o_custkey"], "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("c_count"))
     )
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+    q13 = per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(
+        F.lit("q13").alias("variant"),
+        null_str.alias("k_str"),
+        F.col("c_count").alias("k_id"),
+        null_long.alias("k_id2"),
+        null_str.alias("k_date"),
+        null_dbl.alias("price"),
+        null_dbl.alias("qty"),
+        "cnt",
+    )
+
+    # --- q18: having-subquery detail join ---------------------------------
+    l18 = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l18.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_s"))
+        .filter(F.col("_s") > 260)
+        .select("l_orderkey")
+    )
+    # Only the tiny big-order key set gets an explicit broadcast hint; the
+    # orders/customer sides are data-dependent — AQE picks their strategy.
+    o18 = read_table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c18 = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = l18.join(o18, l18["l_orderkey"] == o18["o_orderkey"]).join(
+        c18, o18["o_custkey"] == c18["c_custkey"]
+    )
+    q18 = joined.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.sum("l_quantity").alias("qty")).select(
+        F.lit("q18").alias("variant"),
+        F.col("c_name").alias("k_str"),
+        F.col("o_orderkey").alias("k_id"),
+        F.col("c_custkey").alias("k_id2"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("k_date"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+        "qty",
+        null_long.alias("cnt"),
+    )
+
+    return (
+        q4.select(*out_cols)
+        .unionByName(q13.select(*out_cols))
+        .unionByName(q18.select(*out_cols))
+    )

@@ -4,9 +4,11 @@ import datetime
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from nursing_home_data_etl_pipeline_spark.operators.ids import (
     with_dense_id,
+    with_dense_id_sharded,
     with_etl_metadata,
     with_fast_id,
 )
@@ -34,6 +36,56 @@ def test_dense_id_stable(spark):
 def test_etl_metadata(spark):
     row = with_etl_metadata(spark.createDataFrame([(1,)], ["k"]), order_by=["k"]).collect()[0]
     assert row.row_id == 1 and isinstance(row.etl_date, datetime.date)
+
+
+def test_dense_id_sharded_matches_flat(spark):
+    # Adversarial ordering: ids assigned by descending value, messy
+    # partitioning — the sharded two-level scan must emit the exact ids the
+    # flat single-window sort does.
+    df = spark.range(0, 1000).select(
+        (999 - (17 * 13 * (999 - F.col("id")) % 1000)).alias("k")
+    ).repartition(7)
+    flat = {r.k: r.row_id for r in with_dense_id(df, ["k"]).collect()}
+    shard = {r.k: r.row_id for r in with_dense_id_sharded(df, ["k"], n_shards=5).collect()}
+    assert shard == flat
+    assert sorted(shard.values()) == list(range(1, 1001))
+
+
+def test_dense_id_sharded_no_corpus_single_partition_window(spark):
+    # The corpus-sized row_number window must partition by the captured
+    # range-partition id; the only SinglePartition exchange allowed is the
+    # one feeding the shard-count cumsum (downstream of an aggregate).
+    import re
+
+    df = spark.range(0, 10_000).select((10_000 - F.col("id")).alias("k"))
+    full = with_dense_id_sharded(df, ["k"], n_shards=8)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "windowspecdefinition(_pid" in full
+    tree = full.split("\n\n")[0]
+    sp_nodes = re.findall(
+        r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", full
+    )
+    assert sp_nodes, "expected the tiny offsets cumsum to be single-partition"
+    tree_lines = tree.splitlines()
+    for node in sp_nodes:
+        (i,) = [
+            i for i, ln in enumerate(tree_lines) if f"Exchange ({node})" in ln
+        ]
+        assert "HashAggregate" in tree_lines[i + 1], (
+            "SinglePartition exchange not fed by the tiny shard aggregate:\n" + tree
+        )
+
+
+def test_etl_metadata_switches_to_sharded(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    stamped = with_etl_metadata(df, order_by=["k"], shard_threshold=100)
+    plan = stamped._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "windowspecdefinition(_pid" in plan  # sharded path chosen
+    ids = [r.row_id for r in stamped.orderBy("k").collect()]
+    assert ids == list(range(1, 501))
 
 
 def test_zone_layout(tmp_path):

@@ -30,7 +30,7 @@ EXPECTATIONS = [
     ("pricing_summary", lambda p: p.count("HashAggregate") == 2),
     ("topk_global_grouped", lambda p: "WindowGroupLimit" in p and "TakeOrderedAndProject" in p),
     ("manifest_anti_join", lambda p: "LeftAnti" in p and "Broadcast" in p),
-    ("similarity_topk_bruteforce", lambda p: "Broadcast" in p),
+    ("similarity_topk", lambda p: "Broadcast" in p),
     ("shipping_priority_q3", lambda p: "TakeOrderedAndProject" in p),
     ("chunk_documents", lambda p: "Exchange" not in p),
 ]
