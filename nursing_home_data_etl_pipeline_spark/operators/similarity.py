@@ -236,9 +236,11 @@ def kmeans_fit(
     """Lloyd k-means over an embedding column — the trained coarse quantizer
     for IVF ANN (vs. the training-free fixed cells in the catalog query).
 
-    Deterministic: init = the k vectors with the smallest ids; assignment
-    ties break on cell id (array_min over (distance, cell) structs — struct
-    ordering is lexicographic); fixed ``iters`` sweeps. Each sweep's
+    Deterministic: init = batched farthest-point over a hash-ordered
+    sample (one job, see below); assignment ties break on cell id
+    (array_min over (distance, cell) structs — struct ordering is
+    lexicographic); fixed ``iters`` sweeps. Total driver round-trips per
+    fit: O(iters), independent of k. Each sweep's
     assignment is ROW-LOCAL (centroids are embedded as literal constants,
     k x dim doubles — stats-sized, like the hyperplane constants) and the
     update is ONE hash aggregate of per-cell per-dimension sums via
@@ -246,40 +248,48 @@ def kmeans_fit(
     because the new centroids return to the driver. Returns the centroid
     list; feed it to an IVF assignment join.
     """
-    # Farthest-point init (deterministic k-means++ variant): seed with the
-    # min-id vector, then greedily add the vector farthest from its nearest
-    # chosen centroid (ties -> lowest id). First-k-ids init can seed several
-    # centroids inside one cluster, and the empty-cell rule then never
-    # splits them apart; farthest-point costs k-1 small aggregates ONCE at
-    # train time and reliably covers the modes.
-    first = df.orderBy(F.col(id_col)).limit(1).select(vec_col).collect()
-    if not first:
+    # Farthest-point init (deterministic k-means++ variant), BATCHED: one
+    # job collects a deterministic hash-ordered candidate sample (>= 8k
+    # vectors, uniform over the corpus because the order key is md5(id),
+    # reproducible across partitionings), then the greedy farthest-first
+    # selection — seed with the sample's min-id vector, repeatedly add the
+    # candidate farthest from its nearest chosen centroid (ties -> lowest
+    # id) — runs driver-local in numpy over that sample. The previous
+    # formulation ran one Spark aggregate per added centroid: k-1 SERIAL
+    # driver round-trips, which at IVF scale (k=1024) meant 1023 sequential
+    # jobs before the first Lloyd sweep. Sampled init is one job at any k,
+    # so a whole fit launches O(iters) jobs; first-k-ids init (zero jobs)
+    # stays rejected because it can seed several centroids inside one
+    # cluster and the empty-cell rule never splits them apart.
+    import numpy as np
+
+    n_cand = max(8 * k, 256)
+    cand_rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cand)
+        .collect()
+    )
+    if not cand_rows:
         raise ValueError("kmeans_fit: empty input")
-    cents = [[float(x) for x in first[0][0]]]
-    while len(cents) < k:
-        dists = []
-        for vec in cents:
-            cvec = F.array(*[F.lit(v) for v in vec])
-            dists.append(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        cvec,
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-        nearest = F.least(*dists) if len(dists) > 1 else dists[0]
-        far = (
-            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                      nearest.alias("_d"))
-            .agg(F.expr("max_by(_v, struct(_d, -_id))").alias("_v"))
-            .collect()[0]["_v"]
-        )
-        cents.append([float(x) for x in far])
+    cand_ids = np.array([int(r["_id"]) for r in cand_rows])
+    cand_vecs = np.array(
+        [[float(x) for x in r["_v"]] for r in cand_rows], dtype=np.float64
+    )
+    seed = int(np.argmin(cand_ids))
+    chosen = [seed]
+    min_d2 = ((cand_vecs - cand_vecs[seed]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(cand_rows)):
+        min_d2[chosen] = -np.inf  # never re-pick a chosen candidate
+        # farthest first; ties on distance -> lowest id (lexsort keys are
+        # last-key-primary: sort by (-d2, id) means id ascending within d2)
+        order = np.lexsort((cand_ids, -min_d2))
+        nxt = int(order[0])
+        chosen.append(nxt)
+        min_d2 = np.minimum(min_d2, ((cand_vecs - cand_vecs[nxt]) ** 2).sum(axis=1))
+    cents = [[float(x) for x in cand_vecs[i]] for i in chosen]
+    while len(cents) < k:  # degenerate k > sample size: cycle the sample
+        cents.append(cents[len(cents) % len(chosen)])
     for _ in range(iters):
         choices = []
         for c, vec in enumerate(cents):

@@ -40,15 +40,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NTZ -> LTZ interprets the wall clock in the session timezone; pin
+        # it to UTC UNCONDITIONALLY (session.py already does at build time;
+        # re-pinning on both branches keeps the read order-independent for
+        # sessions built without that pin) so epoch math is deterministic
+        # regardless of the host default.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            # NTZ -> LTZ interprets the wall clock in the session timezone;
-            # pin it to UTC so epoch math is deterministic regardless of the
-            # host session's default.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -29,7 +29,7 @@ from .operators.projections import (
     select_columns,
     select_columns_matching,
 )
-from .sources.readers import is_empty, read_csv_untyped, read_parquet
+from .sources.readers import is_empty, path_exists, read_csv_untyped, read_parquet
 from .sources.writers import write_error, write_parquet
 from .zones import ZoneLayout
 
@@ -140,24 +140,31 @@ def provider_transform(spark: SparkSession, zones: ZoneLayout) -> dict[str, str]
     outputs["rating"] = select_columns_matching(
         trimmed, RATING_KEYWORDS, always_include=(PK,)
     )
+    # The two enrich sides are OPTIONAL inputs (the reference's dynamic-
+    # schema model): absence is probed explicitly via the filesystem, so a
+    # present-but-broken input (corrupt footer, schema clash, join bug)
+    # fails loudly instead of silently dropping the enrich — a bare
+    # except around the read swallowed real errors until round 6.
     surveys = select_columns_matching(trimmed, SURVEY_KEYWORDS, always_include=(PK,))
-    try:
-        survey_summary = read_parquet(spark, zones.staging("survey_summary"))
+    survey_path = zones.staging("survey_summary")
+    if path_exists(spark, survey_path):
         surveys = left_enrich(
-            surveys, survey_summary, on=PK, drop_from_other=DEFAULT_DENORM_COLS
+            surveys,
+            read_parquet(spark, survey_path),
+            on=PK,
+            drop_from_other=DEFAULT_DENORM_COLS,
         )
-    except Exception:
-        pass  # enrich side optional, as in the dynamic-schema reference model
     outputs["surveys"] = surveys
 
     penalties_dim = select_columns(trimmed, PENALTY_COLUMNS, strict=False)
-    try:
-        penalties = read_parquet(spark, zones.staging("penalties"))
+    penalties_path = zones.staging("penalties")
+    if path_exists(spark, penalties_path):
         penalties_dim = left_enrich(
-            penalties_dim, penalties, on=PK, drop_from_other=DEFAULT_DENORM_COLS
+            penalties_dim,
+            read_parquet(spark, penalties_path),
+            on=PK,
+            drop_from_other=DEFAULT_DENORM_COLS,
         )
-    except Exception:
-        pass
     outputs["penalties"] = penalties_dim
 
     written: dict[str, str] = {}

@@ -263,6 +263,36 @@ def test_kmeans_fit_recovers_separated_clusters(spark):
     assert cents == kmeans_fit(df, k=2, iters=4, vec_col="embedding")
 
 
+def test_kmeans_job_count_independent_of_k(spark):
+    """Init is one sampled job at any k: a k=64 fit must launch the same
+    number of Spark jobs as a k=8 fit (the pre-round-6 serial farthest-point
+    init launched one job PER centroid — 63 extra jobs at k=64)."""
+    import random
+    import uuid
+
+    from nursing_home_data_etl_pipeline_spark.operators.similarity import kmeans_fit
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(1000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    df.count()
+
+    def n_jobs(k: int) -> int:
+        sc = spark.sparkContext
+        group = f"kmeans-jobcount-{uuid.uuid4().hex[:6]}"
+        sc.setJobGroup(group, "kmeans job counting")
+        try:
+            cents = kmeans_fit(df, k=k, iters=2, vec_col="embedding")
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert len(cents) == k
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    jobs_small, jobs_large = n_jobs(8), n_jobs(64)
+    assert jobs_large <= jobs_small + 2, (jobs_small, jobs_large)
+    df.unpersist()
+
+
 def test_pq_adc_exact_on_reconstructible_vectors(spark):
     """On vectors COMPOSED of a small per-subspace pattern set, trained
     codebooks reconstruct every vector exactly, so ADC distances equal true

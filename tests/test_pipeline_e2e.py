@@ -110,6 +110,40 @@ def test_pipeline_end_to_end(spark, landing, tmp_path):
     assert qual.count() == 3
 
 
+def test_provider_transform_absent_enrich_is_optional(spark, landing, tmp_path):
+    # Absent optional input (no survey_summary staging dir): the enrich is
+    # skipped, the transform still succeeds — the reference's dynamic model.
+    import shutil
+
+    from nursing_home_data_etl_pipeline_spark.transforms import provider_transform
+
+    zones = ZoneLayout(str(tmp_path / "zones"))
+    pipeline.run(spark, zones, landing_dir=str(landing))
+    shutil.rmtree(zones.staging("survey_summary"))
+    out = provider_transform(spark, zones)
+    surveys_cols = spark.read.parquet(out["surveys"]).columns
+    assert "survey_date" not in surveys_cols  # enrich skipped, not half-applied
+
+
+def test_provider_transform_corrupt_enrich_fails_loudly(spark, landing, tmp_path):
+    # Present-but-corrupt optional input must FAIL, not silently drop the
+    # enrich (the round-5 bare except swallowed every error class).
+    import os
+    import shutil
+
+    from nursing_home_data_etl_pipeline_spark.transforms import provider_transform
+
+    zones = ZoneLayout(str(tmp_path / "zones"))
+    pipeline.run(spark, zones, landing_dir=str(landing))
+    sdir = zones.staging("survey_summary")
+    shutil.rmtree(sdir)
+    os.makedirs(sdir)
+    with open(os.path.join(sdir, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    with pytest.raises(Exception, match="(?i)parquet|footer|schema"):
+        provider_transform(spark, zones)
+
+
 def test_pipeline_incremental_rerun(spark, landing, tmp_path):
     zones = ZoneLayout(str(tmp_path / "zones"))
     pipeline.run(spark, zones, landing_dir=str(landing))

@@ -39,3 +39,82 @@ EXPECTATIONS = [
 @pytest.mark.parametrize("name,check", EXPECTATIONS, ids=[n for n, _ in EXPECTATIONS])
 def test_plan_property(spark, sf_dir, name, check):
     assert check(_plan(spark, name, sf_dir)), f"plan property regressed for {name}"
+
+
+# ---------------------------------------------------------------------------
+# Round-6 pinned shapes (previously prose-only in docs/EXPLAIN_AUDIT.md)
+# ---------------------------------------------------------------------------
+
+
+def _full_plan_of(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _single_partition_exchanges_fed_by_aggregate(full: str) -> bool:
+    """Every SinglePartition exchange must sit directly on an aggregate (a
+    key-cardinality-sized frame) — never on a corpus-sized stage."""
+    import re
+
+    tree = full.split("\n\n")[0]
+    nodes = re.findall(
+        r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", full
+    )
+    lines = tree.splitlines()
+    for node in nodes:
+        for i, ln in enumerate(lines):
+            if f"Exchange ({node})" in ln and "HashAggregate" not in lines[i + 1]:
+                return False
+    return True
+
+
+def test_packing_no_global_window(spark, sf_dir):
+    """pack_training_sequences: the corpus-sized prefix-sum window hash-
+    partitions by _shard; the only single-partition stage is the shard-count
+    cumsum downstream of the tiny aggregate."""
+    from nursing_home_data_etl_pipeline_spark.plans import catalog
+
+    full = _full_plan_of(
+        catalog.entries()["pack_training_sequences"].spark(spark, sf_dir)
+    )
+    assert "windowspecdefinition(_shard" in full
+    assert _single_partition_exchanges_fed_by_aggregate(full), full.split("\n\n")[0]
+
+
+def test_q18_big_key_semi_join_broadcasts(spark, sf_dir):
+    """tpch_shapes: Q18's big-order key set rides a broadcast LEFT SEMI into
+    orders (the only explicit broadcast hint in that branch)."""
+    from nursing_home_data_etl_pipeline_spark.plans import catalog
+
+    full = _full_plan_of(
+        catalog.entries()["tpch_shapes_q4_q13_q18"].spark(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin LeftSemi BuildRight" in full
+
+
+def test_bloom_probe_chain_has_no_probed_side_exchange(spark, sf_dir):
+    """The Bloom probe path (decontaminate_corpus's bloom branch): k chained
+    BroadcastHashJoins of the bitmap against the corpus, ZERO hash-partition
+    exchange of the probed side anywhere."""
+    from pyspark.sql import functions as F
+
+    from nursing_home_data_etl_pipeline_spark.functions.sketches import (
+        bloom_might_contain,
+    )
+    from nursing_home_data_etl_pipeline_spark.functions.text import fingerprint
+    from nursing_home_data_etl_pipeline_spark.sources.readers import read_table
+
+    k = 5
+    corpus = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("_fp")
+    )
+    bitmap = spark.createDataFrame(
+        [(i, (1 << (i % 60)) | 1) for i in range(1024)], "word long, bits long"
+    )
+    probed = bloom_might_contain(bitmap, corpus, "_fp", n_bits=1 << 16, k=k)
+    full = _full_plan_of(probed.filter(~F.col("might_contain")))
+    assert "Exchange hashpartitioning" not in full, full.split("\n\n")[0]
+    tree = full.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == k
