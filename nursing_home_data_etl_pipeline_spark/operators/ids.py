@@ -99,9 +99,17 @@ def with_etl_date(df: DataFrame, name: str = "etl_date") -> DataFrame:
     return df.withColumn(name, F.current_date().cast("date"))
 
 
-#: Above this many rows, with_etl_metadata's dense id switches to the
-#: sharded two-level scan (one task's comfortable sort ceiling).
-DENSE_ID_SHARD_THRESHOLD = 1_000_000
+#: Above this estimated plan size, with_etl_metadata's dense id switches to
+#: the sharded two-level scan (roughly one task's comfortable sort input).
+DENSE_ID_SHARD_THRESHOLD_BYTES = 64 * 1024 * 1024
+
+
+def _estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimizer size estimate for the frame — file-size based
+    for scans, propagated through projections/filters. NO job runs; when
+    Spark can't estimate it returns defaultSizeInBytes (huge), which here
+    safely selects the sharded path."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
 def with_etl_metadata(
@@ -109,21 +117,25 @@ def with_etl_metadata(
     order_by: Sequence[str] | None = None,
     id_name: str = "row_id",
     date_name: str = "etl_date",
-    shard_threshold: int = DENSE_ID_SHARD_THRESHOLD,
+    shard_threshold_bytes: int = DENSE_ID_SHARD_THRESHOLD_BYTES,
 ) -> DataFrame:
     """row_id + etl_date, the reference's universal output stamp.
     ``order_by=None`` -> fast (unstable) ids, else dense deterministic ids.
 
     Dense ids pick their physical strategy by size: below
-    ``shard_threshold`` rows, the flat single-window sort (cheapest for
-    dimension frames); above it, :func:`with_dense_id_sharded`, so a
-    fact-table stamp never funnels the corpus through one task. The sizing
-    count is a columnar-metadata count (no row materialization) and both
-    strategies emit identical ids, so the switch can't change results.
-    ``shard_threshold=0`` forces the sharded path without counting.
-    """
+    ``shard_threshold_bytes`` of ESTIMATED plan output (Catalyst stats —
+    zero extra jobs; an exact count would re-execute the upstream plan
+    once per stamp), the flat single-window sort (cheapest for dimension
+    frames); above it, :func:`with_dense_id_sharded`, so a fact-table
+    stamp never funnels the corpus through one task. Unknown sizes
+    estimate huge and take the sharded path. Both strategies emit
+    identical ids, so the switch can't change results.
+    ``shard_threshold_bytes=0`` forces the sharded path."""
     if order_by:
-        if shard_threshold > 0 and df.count() <= shard_threshold:
+        if (
+            shard_threshold_bytes > 0
+            and _estimated_size_bytes(df) <= shard_threshold_bytes
+        ):
             df = with_dense_id(df, order_by, id_name)
         else:
             df = with_dense_id_sharded(df, order_by, id_name)

@@ -79,7 +79,7 @@ def test_dense_id_sharded_no_corpus_single_partition_window(spark):
 
 def test_etl_metadata_switches_to_sharded(spark):
     df = spark.range(0, 500).select(F.col("id").alias("k"))
-    stamped = with_etl_metadata(df, order_by=["k"], shard_threshold=100)
+    stamped = with_etl_metadata(df, order_by=["k"], shard_threshold_bytes=100)
     plan = stamped._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
