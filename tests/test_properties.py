@@ -195,3 +195,33 @@ def test_merge_scd2_invariants(spark, tgt_vals, src_vals):
     assert {r.pk for r in closed} == changed  # (c) closures iff changed
     for r in closed:
         assert str(r.valid_to) == "2022-06-01" and r.val == tgt[r.pk]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=40, unique=True),
+    n_shards=st.integers(1, 7),
+)
+def test_dense_id_sharded_equals_flat_property(spark, keys, n_shards):
+    """For ANY unique key set and shard count, the sharded two-level dense id
+    must emit exactly the flat global-sort ids: a dense 1..N permutation in
+    key order, independent of range-boundary placement."""
+    from nursing_home_data_etl_pipeline_spark.operators.ids import (
+        with_dense_id,
+        with_dense_id_sharded,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(3)
+    flat = {r.k: r.row_id for r in with_dense_id(df, ["k"]).collect()}
+    shard = {
+        r.k: r.row_id
+        for r in with_dense_id_sharded(df, ["k"], n_shards=n_shards).collect()
+    }
+    assert shard == flat
+    assert sorted(shard.values()) == list(range(1, len(keys) + 1))
+    assert [k for k, _ in sorted(shard.items(), key=lambda t: t[1])] == sorted(keys)
