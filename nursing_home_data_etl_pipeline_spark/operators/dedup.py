@@ -216,7 +216,10 @@ def minhash_dedup_pairs(
 
     Signatures are cached: the LSH band self-join consumes them twice, and
     exchange reuse is not guaranteed under AQE. One row per document —
-    small; at extreme corpus sizes persist to disk instead.
+    small; at extreme corpus sizes persist to disk instead. The cache
+    outlives this call because the RETURNED plan executes over it; its
+    cleanup is deliberately left to Spark's LRU storage eviction (a
+    long-lived service would checkpoint and own the lifecycle).
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).cache()
     return lsh_candidate_pairs(sig, id_col, num_hashes, bands)
@@ -360,7 +363,8 @@ def ngram_jaccard_pairs(
     # The shingle table feeds four consumers (sizes, doc-freq, both join
     # sides); without a persist each one re-tokenizes the corpus. At cluster
     # scale use persist(StorageLevel.DISK_ONLY) or a checkpoint instead of
-    # memory cache.
+    # memory cache. The cache backs the RETURNED plan, so cleanup is
+    # deliberately left to LRU storage eviction.
     sh = (
         shingle_table(df, text_col, id_col, shingle_k)
         .withColumnRenamed("_shingle", "s")

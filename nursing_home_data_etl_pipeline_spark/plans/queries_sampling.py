@@ -297,6 +297,12 @@ _DUCK_QUALITY = """
 )
 def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    # `kept` feeds the construction-time CC jobs AND the returned plan's
+    # final join, so it cannot be unpersisted inside this callable without
+    # recomputing the quality gate at collect time. Lifecycle: the cache is
+    # deliberately left to Spark's LRU storage eviction (MEMORY_AND_DISK,
+    # evicted under pressure); a long-lived service would instead persist
+    # to a managed table / checkpoint and own the cleanup.
     kept = docs.filter(
         (quality_score(F.col("text")) >= _QUALITY_MIN)
         & F.col("lang").isin("en", "de", "es", "fr")

@@ -99,10 +99,15 @@ class IngestLedger:
     path: str
 
     def read(self) -> DataFrame:
-        try:
-            return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
-        except Exception:
+        # Bootstrap is an explicit filesystem probe, not an exception
+        # fallback: a CORRUPT or transiently-unreadable ledger must fail
+        # loudly, not silently read as empty and re-ingest everything
+        # (the missing-vs-broken distinction, ADVICE round 1).
+        from .readers import path_exists
+
+        if not path_exists(self.spark, self.path):
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
 
     def new_files(self, listing: DataFrame) -> DataFrame:
         """Files in ``listing`` whose file_id is not yet in the ledger —

@@ -40,15 +40,21 @@ class DomainStatus:
 def staging_status(
     spark: SparkSession, zones: ZoneLayout, domains: tuple[str, ...]
 ) -> list[DomainStatus]:
+    from .readers import path_exists
+
     out = []
     for d in domains:
         path = zones.staging(d)
-        try:
-            df = spark.read.parquet(path)
-            # LIMIT-1 existence probe — never a full count at scale.
-            out.append(DomainStatus(d, True, not df.isEmpty()))
-        except Exception:
+        # Absence is a filesystem probe; a staging dir that EXISTS but
+        # cannot be read (corrupt files, bad permissions) raises instead
+        # of masquerading as "not staged" — the gate should report the
+        # real failure, not a misleading missing-domain message.
+        if not path_exists(spark, path):
             out.append(DomainStatus(d, False, False))
+            continue
+        df = spark.read.parquet(path)
+        # LIMIT-1 existence probe — never a full count at scale.
+        out.append(DomainStatus(d, True, not df.isEmpty()))
     return out
 
 

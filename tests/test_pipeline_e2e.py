@@ -144,6 +144,40 @@ def test_provider_transform_corrupt_enrich_fails_loudly(spark, landing, tmp_path
         provider_transform(spark, zones)
 
 
+def test_corrupt_ledger_fails_loudly(spark, tmp_path):
+    # A corrupt ledger must raise, not silently read as empty (which would
+    # re-ingest every file); a MISSING ledger is the explicit bootstrap.
+    import os
+
+    ledger_path = str(tmp_path / "ledger")
+    ledger = IngestLedger(spark, ledger_path)
+    assert ledger.read().count() == 0  # missing -> empty bootstrap
+    os.makedirs(ledger_path)
+    with open(os.path.join(ledger_path, "part-00000.parquet"), "wb") as f:
+        f.write(b"junk bytes, not parquet")
+    with pytest.raises(Exception, match="(?i)parquet|footer|schema"):
+        ledger.read().count()
+
+
+def test_corrupt_staging_fails_validation_loudly(spark, landing, tmp_path):
+    # A staging dir that exists but cannot be read raises from the status
+    # probe instead of reporting the domain as missing.
+    import os
+    import shutil
+
+    from nursing_home_data_etl_pipeline_spark.sources.validate import staging_status
+
+    zones = ZoneLayout(str(tmp_path / "zones"))
+    pipeline.run(spark, zones, landing_dir=str(landing))
+    sdir = zones.staging("penalties")
+    shutil.rmtree(sdir)
+    os.makedirs(sdir)
+    with open(os.path.join(sdir, "part-00000.parquet"), "wb") as f:
+        f.write(b"junk bytes, not parquet")
+    with pytest.raises(Exception, match="(?i)parquet|footer|schema|infer"):
+        staging_status(spark, zones, ("penalties",))
+
+
 def test_pipeline_incremental_rerun(spark, landing, tmp_path):
     zones = ZoneLayout(str(tmp_path / "zones"))
     pipeline.run(spark, zones, landing_dir=str(landing))
