@@ -40,9 +40,21 @@ def main() -> int:
     # stateful drain happens to run first. Steady-state per-query numbers
     # are the signal; the warm-up runs the smallest fixture available.
     try:
-        warm_dir = "/root/testdata/sf0.001"
-        if not os.path.isdir(warm_dir):
-            warm_dir = sf_dir
+        # Prefer the smallest sibling fixture of the bench dir (the driver
+        # regenerates /root/testdata between rounds; don't hardcode a path
+        # that may not exist next round), falling back to sf_dir itself.
+        parent = os.path.dirname(sf_dir.rstrip("/"))
+        warm_dir = next(
+            (
+                d
+                for d in (
+                    os.path.join(parent, "sf0.001"),
+                    os.path.join(parent, "sf0.01"),
+                )
+                if os.path.isdir(d)
+            ),
+            sf_dir,
+        )
         execute(catalog.entries()["streaming_stateful_totals"].spark(spark, warm_dir))
     except Exception as ex:
         print(f"bench streaming warm-up skipped: {ex!r}", file=sys.stderr)

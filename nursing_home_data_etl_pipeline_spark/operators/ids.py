@@ -54,34 +54,61 @@ def with_dense_id_sharded(
     variant), but no stage ever holds the whole frame. Two-level scan,
     the same pattern as ``operators.packing.pack_sequences``:
 
-    1. range-partition by ``order_by`` (``repartitionByRange`` — partition
-       i's keys all sort before partition i+1's, so per-partition ranks +
-       partition offsets compose into the global rank),
-    2. per-partition ``row_number`` (window partitioned by the captured
-       partition id — parallel),
-    3. one count per partition (``n_shards`` rows), exclusive cumsum of
-       THOSE on a single partition, broadcast the offsets back.
+    1. ONE bounded job collects an equi-depth boundary sample of the key
+       space (exact hash-ordered top-N — deterministic for a given input,
+       unlike reservoir sampling) and embeds the cut points as LITERALS;
+       every row's shard id ``_pid`` is then a pure row-local function of
+       its key — the count of boundaries <= key — so it is monotone in key
+       order and IDENTICAL in every physical instantiation of the subtree.
+       (An earlier ``repartitionByRange`` + ``spark_partition_id``
+       formulation was only correct while Catalyst reused the range
+       exchange between the window side and the counts side: with
+       ``spark.sql.exchange.reuse=false`` the two materializations sampled
+       different boundaries and ids duplicated. Literal boundaries cannot
+       diverge.)
+    2. per-shard ``row_number`` (window partitioned by ``_pid`` — one
+       corpus shuffle, parallel),
+    3. one count per shard (``n_shards`` rows), exclusive cumsum of THOSE
+       on a single partition, broadcast the offsets back.
 
-    The range boundaries come from Spark's reservoir sampling; they shift
-    with input layout, but the emitted ids don't — any boundary placement
-    yields the same global rank, so results are deterministic across
-    partitionings/reruns (unlike ``zipWithIndex``). Cost: two corpus
-    shuffles (range + pid window) vs the flat variant's one-task sort —
-    the right trade above ~1 task's worth of rows.
+    Rows whose key contains a NULL land in shard 0 (struct comparison with
+    a null component is null) — consistent with the flat variant's
+    nulls-first sort order. ``n_shards`` is capped at 1024 because the cut
+    points live in the plan as literals; at 100 TB that still bounds the
+    offset table and each shard holds ~corpus/1024.
     """
     spark = df.sparkSession
     if n_shards is None:
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_shards = max(1, min(n_shards, 1024))
     cols = [F.col(c) for c in order_by]
-    internals = {"_pid", "_intra", "_n", "_off"}
+    internals = {"_pid", "_intra", "_n", "_off", "_k"}
     clash = internals & set(df.columns)
     if clash:
         raise ValueError(f"df columns collide with dense-id internals: {clash}")
-    ranged = df.repartitionByRange(n_shards, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+
+    oversample = 32
+    sample = (
+        df.select(F.struct(*cols).alias("_k"))
+        .orderBy(F.xxhash64(*cols))
+        .limit(n_shards * oversample)
+        .collect()
     )
+    vals = sorted(
+        tuple(r["_k"]) for r in sample if None not in tuple(r["_k"])
+    )
+    step = max(1, len(vals) // n_shards) if vals else 1
+    cuts = vals[step::step][: n_shards - 1]
+
+    key = F.struct(*[F.col(c).alias(c) for c in order_by])
+    pid = F.lit(0)
+    for cut in cuts:
+        blit = F.struct(*[F.lit(v).alias(c) for v, c in zip(cut, order_by)])
+        pid = pid + F.when(key >= blit, 1).otherwise(0)
+
+    sharded = df.withColumn("_pid", pid)
     w = Window.partitionBy("_pid").orderBy(*cols)
-    intra = ranged.withColumn("_intra", F.row_number().over(w))
+    intra = sharded.withColumn("_intra", F.row_number().over(w))
     counts = intra.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

@@ -261,8 +261,6 @@ def kmeans_fit(
     # so a whole fit launches O(iters) jobs; first-k-ids init (zero jobs)
     # stays rejected because it can seed several centroids inside one
     # cluster and the empty-cell rule never splits them apart.
-    import numpy as np
-
     n_cand = max(8 * k, 256)
     cand_rows = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))

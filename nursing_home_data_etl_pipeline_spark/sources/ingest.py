@@ -99,13 +99,14 @@ class IngestLedger:
     path: str
 
     def read(self) -> DataFrame:
-        # Bootstrap is an explicit filesystem probe, not an exception
+        # Bootstrap is an explicit filesystem probe (empty/uncommitted dirs
+        # count as missing), not an exception
         # fallback: a CORRUPT or transiently-unreadable ledger must fail
         # loudly, not silently read as empty and re-ingest everything
         # (the missing-vs-broken distinction, ADVICE round 1).
-        from .readers import path_exists
+        from .readers import data_files_exist
 
-        if not path_exists(self.spark, self.path):
+        if not data_files_exist(self.spark, self.path):
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
         return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
 

@@ -68,6 +68,25 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def data_files_exist(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists AND holds at least one non-hidden data file
+    (names starting with ``_`` or ``.`` — _SUCCESS, _temporary — don't
+    count). The 'missing' side of a missing-vs-broken decision: a directory
+    created but never committed (interrupted write) is MISSING, not broken;
+    a dir with data files that then fails to read is BROKEN and should
+    raise. One FileSystem listing, no Spark job."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def is_empty(df: DataFrame) -> bool:
     """A1: emptiness guard. The reference uses ``df.rdd.isEmpty()``
     (nh-etl-universal-cleaning.py:77) which forces RDD conversion and kills

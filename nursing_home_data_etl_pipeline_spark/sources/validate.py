@@ -40,16 +40,17 @@ class DomainStatus:
 def staging_status(
     spark: SparkSession, zones: ZoneLayout, domains: tuple[str, ...]
 ) -> list[DomainStatus]:
-    from .readers import path_exists
+    from .readers import data_files_exist
 
     out = []
     for d in domains:
         path = zones.staging(d)
-        # Absence is a filesystem probe; a staging dir that EXISTS but
+        # Absence (including an empty never-committed dir) is a
+        # filesystem probe; a staging dir that HAS data files but
         # cannot be read (corrupt files, bad permissions) raises instead
         # of masquerading as "not staged" — the gate should report the
         # real failure, not a misleading missing-domain message.
-        if not path_exists(spark, path):
+        if not data_files_exist(spark, path):
             out.append(DomainStatus(d, False, False))
             continue
         df = spark.read.parquet(path)

@@ -29,7 +29,7 @@ from .operators.projections import (
     select_columns,
     select_columns_matching,
 )
-from .sources.readers import is_empty, path_exists, read_csv_untyped, read_parquet
+from .sources.readers import data_files_exist, is_empty, read_csv_untyped, read_parquet
 from .sources.writers import write_error, write_parquet
 from .zones import ZoneLayout
 
@@ -141,13 +141,14 @@ def provider_transform(spark: SparkSession, zones: ZoneLayout) -> dict[str, str]
         trimmed, RATING_KEYWORDS, always_include=(PK,)
     )
     # The two enrich sides are OPTIONAL inputs (the reference's dynamic-
-    # schema model): absence is probed explicitly via the filesystem, so a
+    # schema model): absence — including a created-but-never-committed
+    # empty dir — is probed explicitly via the filesystem, so a
     # present-but-broken input (corrupt footer, schema clash, join bug)
     # fails loudly instead of silently dropping the enrich — a bare
     # except around the read swallowed real errors until round 6.
     surveys = select_columns_matching(trimmed, SURVEY_KEYWORDS, always_include=(PK,))
     survey_path = zones.staging("survey_summary")
-    if path_exists(spark, survey_path):
+    if data_files_exist(spark, survey_path):
         surveys = left_enrich(
             surveys,
             read_parquet(spark, survey_path),
@@ -158,7 +159,7 @@ def provider_transform(spark: SparkSession, zones: ZoneLayout) -> dict[str, str]
 
     penalties_dim = select_columns(trimmed, PENALTY_COLUMNS, strict=False)
     penalties_path = zones.staging("penalties")
-    if path_exists(spark, penalties_path):
+    if data_files_exist(spark, penalties_path):
         penalties_dim = left_enrich(
             penalties_dim,
             read_parquet(spark, penalties_path),

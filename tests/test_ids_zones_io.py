@@ -55,35 +55,40 @@ def test_dense_id_sharded_no_corpus_single_partition_window(spark):
     # The corpus-sized row_number window must partition by the captured
     # range-partition id; the only SinglePartition exchange allowed is the
     # one feeding the shard-count cumsum (downstream of an aggregate).
-    import re
+    from _plan_utils import full_plan_of, single_partition_exchanges_fed_by_aggregate
 
     df = spark.range(0, 10_000).select((10_000 - F.col("id")).alias("k"))
-    full = with_dense_id_sharded(df, ["k"], n_shards=8)._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    full = full_plan_of(with_dense_id_sharded(df, ["k"], n_shards=8))
     assert "windowspecdefinition(_pid" in full
-    tree = full.split("\n\n")[0]
-    sp_nodes = re.findall(
-        r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", full
+    assert "SinglePartition" in full, (
+        "expected the tiny offsets cumsum to be single-partition"
     )
-    assert sp_nodes, "expected the tiny offsets cumsum to be single-partition"
-    tree_lines = tree.splitlines()
-    for node in sp_nodes:
-        (i,) = [
-            i for i, ln in enumerate(tree_lines) if f"Exchange ({node})" in ln
-        ]
-        assert "HashAggregate" in tree_lines[i + 1], (
-            "SinglePartition exchange not fed by the tiny shard aggregate:\n" + tree
-        )
+    assert single_partition_exchanges_fed_by_aggregate(full), full.split("\n\n")[0]
+
+
+def test_dense_id_sharded_without_exchange_reuse(spark):
+    # The ranged subtree appears twice in the plan (window side and
+    # counts/offsets side). Exchange reuse normally materializes it once;
+    # with reuse DISABLED the two instances must still agree — range
+    # boundary sampling is seeded per partition index, so identical inputs
+    # sample identical boundaries — or ids would duplicate/skip.
+    df = spark.range(0, 2000).select((2000 - F.col("id")).alias("k")).repartition(5)
+    prev = spark.conf.get("spark.sql.exchange.reuse")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        shard = {r.k: r.row_id for r in with_dense_id_sharded(df, ["k"], n_shards=6).collect()}
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", prev)
+    assert sorted(shard.values()) == list(range(1, 2001))
+    assert [k for k, _ in sorted(shard.items(), key=lambda t: t[1])] == sorted(shard)
 
 
 def test_etl_metadata_switches_to_sharded(spark):
     df = spark.range(0, 500).select(F.col("id").alias("k"))
+    from _plan_utils import full_plan_of
+
     stamped = with_etl_metadata(df, order_by=["k"], shard_threshold_bytes=100)
-    plan = stamped._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-    assert "windowspecdefinition(_pid" in plan  # sharded path chosen
+    assert "windowspecdefinition(_pid" in full_plan_of(stamped)  # sharded path
     ids = [r.row_id for r in stamped.orderBy("k").collect()]
     assert ids == list(range(1, 501))
 

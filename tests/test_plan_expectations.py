@@ -45,29 +45,10 @@ def test_plan_property(spark, sf_dir, name, check):
 # Round-6 pinned shapes (previously prose-only in docs/EXPLAIN_AUDIT.md)
 # ---------------------------------------------------------------------------
 
-
-def _full_plan_of(df) -> str:
-    spark = df.sparkSession
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-
-
-def _single_partition_exchanges_fed_by_aggregate(full: str) -> bool:
-    """Every SinglePartition exchange must sit directly on an aggregate (a
-    key-cardinality-sized frame) — never on a corpus-sized stage."""
-    import re
-
-    tree = full.split("\n\n")[0]
-    nodes = re.findall(
-        r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", full
-    )
-    lines = tree.splitlines()
-    for node in nodes:
-        for i, ln in enumerate(lines):
-            if f"Exchange ({node})" in ln and "HashAggregate" not in lines[i + 1]:
-                return False
-    return True
+from _plan_utils import (  # noqa: E402
+    full_plan_of as _full_plan_of,
+    single_partition_exchanges_fed_by_aggregate as _single_partition_exchanges_fed_by_aggregate,
+)
 
 
 def test_packing_no_global_window(spark, sf_dir):

@@ -48,6 +48,19 @@ def main(root: str = "/root/testdata") -> int:
                     drift += 1
                     print(f"  !! DRIFT {table}.{name} = {typ!r} "
                           f"not in handled set {sorted(known)}")
+            # Semantic invariants the exact oracles assume. events.event_id
+            # uniqueness backs the streaming-dedup contract (one surviving
+            # row per key == SELECT * FROM events): a fixture generation
+            # with duplicate ids would fail the correctness gate cryptically
+            # — flag it here instead.
+            if table == "events":
+                ids = f.read(columns=["event_id"]).column("event_id")
+                n_distinct = len(ids.unique())
+                if n_distinct != len(ids):
+                    drift += 1
+                    print(f"  !! DRIFT events.event_id not unique "
+                          f"({len(ids) - n_distinct} duplicate rows) — the "
+                          "streaming_join_dedup oracle assumes uniqueness")
     if drift:
         print(f"{drift} drifted column(s) — check sources/readers.py "
               "normalization before trusting CORRECTNESS results")
