@@ -41,9 +41,18 @@ __all__ = [
 def _bucket(item: Column, row: int, width: int) -> Column:
     """Bucket of ``item`` under hash row ``row``: first 12 hex chars of
     md5(row|item) as an integer, mod width. 48 bits of hash >> any sane
-    width, so the mod bias is negligible."""
+    width, so the mod bias is negligible.
+
+    NULL items hash via a sentinel instead of propagating NULL: a NULL
+    bucket would land build-side counts in an unreachable (row, NULL) cell
+    while NULL probes missed the join and estimated 0 — silently violating
+    the CMS "estimate >= true count" guarantee. With the sentinel, NULL is
+    just another countable key (SQL GROUP BY semantics). Membership-style
+    sketches (Bloom) deliberately keep SQL NULL-never-matches semantics
+    instead — see bloom_build."""
+    safe = F.coalesce(item, F.lit("\x00<null>"))
     h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{row}|"), item)), 1, 12), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"{row}|"), safe)), 1, 12), 16, 10
     ).cast("long")
     return (h % width).cast("int")
 
@@ -217,7 +226,10 @@ def kll_rollup_quantiles(
     out = df.groupBy(*group_cols).agg(folded)
     cols = [
         F.expr(f"kll_sketch_get_quantile_double(_merged, {q})").alias(
-            f"q_{str(q).replace('0.', '')}"
+            # 0.5 -> q_5, 0.95 -> q_95; any residual dot (q=1.0, float
+            # noise) becomes an underscore so the name stays selectable
+            # without backticks.
+            f"q_{str(q).replace('0.', '').replace('.', '_')}"
         )
         for q in quantiles
     ]
@@ -244,11 +256,15 @@ def theta_rollup(
     df: DataFrame,
     group_cols: Sequence[str],
     sketch_col: str = "theta_sketch",
+    lg_nom_entries: int = 12,
 ) -> DataFrame:
     """Merge partial theta sketches to a coarser grouping; keeps the merged
-    binary plus ``distinct_est``."""
+    binary plus ``distinct_est``. Pass the SAME ``lg_nom_entries`` the
+    partials were built with — the union caps nominal entries, so a smaller
+    value here silently degrades the precision the partials paid state
+    for."""
     return df.groupBy(*group_cols).agg(
-        F.theta_union_agg(sketch_col, 12).alias("theta_sketch"),
+        F.theta_union_agg(sketch_col, lg_nom_entries).alias("theta_sketch"),
     ).select(
         *group_cols,
         "theta_sketch",
@@ -309,6 +325,12 @@ def bloom_build(
     fingerprints in decontamination), broadcast-probe the corpus with
     :func:`bloom_might_contain`, and only rows that pass (a ~FPP fraction of
     true negatives) reach the exact anti-join — the corpus never shuffles.
+
+    NULL items are DELIBERATELY un-probeable (a NULL probe returns
+    might_contain=false even when NULLs were fed to the build): membership
+    here mirrors SQL's NULL-never-equals join semantics, which is exactly
+    what the exact-refine anti-join downstream implements. Contrast
+    :func:`cms_build`, where NULL is a countable frequency key.
     """
     item = F.col(item_col).cast("string")
     return (

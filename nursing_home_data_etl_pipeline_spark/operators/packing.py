@@ -25,9 +25,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Content-hash shard in [0, n_shards): first 8 md5 hex chars as an int.
+#: NULL ids hash via a sentinel: a NULL shard would be included in the
+#: offset cumsum (NULLs sort first) yet dropped by the inner offset join —
+#: silently losing the rows AND leaving a hole in the packed stream.
 def _shard(key, n_shards: int):
+    safe = F.coalesce(key.cast("string"), F.lit("\x00<null>"))
     return (
-        F.conv(F.substring(F.md5(F.concat(F.lit("pack"), key.cast("string"))), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(F.concat(F.lit("pack"), safe)), 1, 8), 16, 10)
         .cast("long")
         % n_shards
     )
@@ -56,6 +60,10 @@ def pack_sequences(
 
     Sum of ``n_tokens`` per ``seq_id`` is exactly ``budget`` for every
     sequence but the last; sum per document is the document's token count.
+    ``id_col`` must be unique: the global order is (shard, id), so
+    duplicate ids tie within their shard and which physical row receives
+    which span becomes partition-order-dependent (the same caveat as
+    row_number over a non-unique key anywhere else in the engine).
     ``n_shards`` bounds the single-partition offset table — size it so each
     shard holds ~a task's worth of documents (at 100 TB: tens of thousands
     of shards is still a trivially small offset table).
@@ -78,8 +86,14 @@ def pack_sequences(
     intra = base.withColumn("_intra", F.coalesce(F.sum("_tok").over(w), F.lit(0)))
 
     # 3) one row per shard -> exclusive cumsum of shard totals on a
-    # single partition of n_shards rows -> broadcast back.
-    totals = base.groupBy("_shard").agg(F.sum("_tok").alias("_shard_tok"))
+    # single partition of n_shards rows -> broadcast back. Totals derive
+    # from the WINDOW OUTPUT, not from base: aggregating base built a
+    # second independent scan+shuffle branch over the whole corpus (the
+    # window's exchange and the aggregate's partial-agg exchange are not
+    # canonically equal, so exchange reuse never deduped them); the
+    # window output is already partitioned by _shard, so this aggregate
+    # is map-side only on top of the shared scan.
+    totals = intra.groupBy("_shard").agg(F.sum("_tok").alias("_shard_tok"))
     w_sh = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_shard", F.coalesce(F.sum("_shard_tok").over(w_sh), F.lit(0)).alias("_shard_off")

@@ -10,6 +10,7 @@ state at unbounded input, the streaming analog of "design for 100 TB".
 from __future__ import annotations
 
 from collections.abc import Iterable
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -24,6 +25,7 @@ def windowed_counts(
     watermark: str = "1 hour",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str = "value",
 ) -> DataFrame:
     """Tumbling-window count+sum with a watermark. In append mode only
     finalized (watermark-passed) windows emit; in complete mode all windows
@@ -31,7 +33,10 @@ def windowed_counts(
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col(key_col),
@@ -64,13 +69,6 @@ def session_counts(
     )
 
 
-RUNNING_TOTALS_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
-    ]
-)
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
@@ -79,49 +77,64 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _update_running_totals(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+def _round4_half_up(x: float) -> float:
+    """HALF_UP on the shortest decimal representation — matches Spark's
+    F.round and the DuckDB oracle's ROUND. Python's built-in round() is
+    banker's rounding on the binary double and can differ by one ulp of
+    the 4th decimal at midpoints, failing the batch-equivalence check."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
+def _running_totals_schema(events: DataFrame, key_col: str) -> T.StructType:
+    """Output schema follows the actual key column's name AND type (a
+    hardcoded user_id:Long crashed Arrow conversion for string keys and
+    mislabeled any non-default key)."""
+    key_field = events.schema[key_col]
+    return T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
     )
 
 
-def running_totals_stateful(events: DataFrame, key_col: str = "user_id") -> DataFrame:
-    """Custom stateful operator (applyInPandasWithState): per-user running
+def _accumulate(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    key_col: str,
+    value_col: str,
+) -> pd.DataFrame:
+    """Shared accumulation body for both stateful variants — one site for
+    the count/total/rounding logic so the TTL twin can't drift."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf[value_col].sum())
+    state.update((n, total))
+    return pd.DataFrame(
+        {key_col: [key[0]], "n_events": [n], "total_value": [_round4_half_up(total)]}
+    )
+
+
+def running_totals_stateful(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
     event count + value total, emitted each trigger. The canonical shape
     for operators Spark's windowing can't express (per-key accumulators,
     custom eviction): Arrow-batched state updates, bounded per-key state."""
+
+    def update(key, pdfs, state):
+        yield _accumulate(key, pdfs, state, key_col, value_col)
+
     return events.groupBy(key_col).applyInPandasWithState(
-        _update_running_totals,
-        outputStructType=RUNNING_TOTALS_SCHEMA,
+        update,
+        outputStructType=_running_totals_schema(events, key_col),
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-
-
-def _update_running_totals_ttl(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    if state.hasTimedOut:
-        # idle key: emit nothing, drop the accumulator — state stays bounded
-        # by ACTIVE keys, not ever-seen keys.
-        state.remove()
-        return
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    state.setTimeoutDuration(_TTL_MS)
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
     )
 
 
@@ -129,7 +142,7 @@ _TTL_MS = 6 * 3600 * 1000
 
 
 def running_totals_stateful_ttl(
-    events: DataFrame, key_col: str = "user_id"
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:
     """:func:`running_totals_stateful` with state EVICTION: keys idle for
     the TTL are dropped on the next trigger (ProcessingTimeTimeout). On an
@@ -137,9 +150,20 @@ def running_totals_stateful_ttl(
     cardinality — this is the knob that keeps per-executor state bounded by
     the active working set, the same role the watermark plays for windowed
     aggregation state."""
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            # idle key: emit nothing, drop the accumulator — state stays
+            # bounded by ACTIVE keys, not ever-seen keys.
+            state.remove()
+            return
+        out = _accumulate(key, pdfs, state, key_col, value_col)
+        state.setTimeoutDuration(_TTL_MS)
+        yield out
+
     return events.groupBy(key_col).applyInPandasWithState(
-        _update_running_totals_ttl,
-        outputStructType=RUNNING_TOTALS_SCHEMA,
+        update,
+        outputStructType=_running_totals_schema(events, key_col),
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,

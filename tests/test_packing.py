@@ -111,3 +111,20 @@ def test_packing_properties(spark, toks, budget):
         assert sorted(fill) == list(range(last + 1))
         assert all(v == budget for s, v in fill.items() if s != last)
         assert fill[last] == total - budget * last
+
+
+def test_packing_null_id_rows_not_lost(spark):
+    # NULL doc_id used to hash to a NULL shard: its tokens shifted every
+    # offset but the inner offset join dropped the row — silent token loss
+    # plus a hole in the packed stream.
+    rows = spark.createDataFrame(
+        [(None, 10), (1, 10), (2, 5)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(rows, "n_tok", budget=8).collect()
+    assert sum(r["n_tokens"] for r in out) == 25  # token conservation incl. NULL
+    fill: dict[int, int] = {}
+    for r in out:
+        fill[r["seq_id"]] = fill.get(r["seq_id"], 0) + r["n_tokens"]
+    last = max(fill)
+    assert sorted(fill) == list(range(last + 1))  # no holes
+    assert all(v == 8 for s, v in fill.items() if s != last)

@@ -175,3 +175,23 @@ def test_bloom_prefilter_preserves_anti_join(spark):
     assert sorted(r.key for r in cleaned_fast.collect()) == sorted(
         r.key for r in cleaned_exact.collect()
     )
+
+
+def test_cms_null_keys_never_undercount(spark):
+    # NULL items used to hash to a NULL bucket: build-side counts landed in
+    # an unreachable cell while NULL probes missed the join and estimated 0
+    # — violating the estimate >= true-count guarantee. NULL is now a
+    # countable key (SQL GROUP BY semantics).
+    from nursing_home_data_etl_pipeline_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(None,)] * 100 + [("a",)] * 3, "k string"
+    )
+    cms = cms_build(df, "k", depth=4, width=64)
+    probes = spark.createDataFrame([(None,), ("a",), ("zzz",)], "k string")
+    est = {r.k: r.est for r in cms_estimate(cms, probes, "k", depth=4, width=64).collect()}
+    assert est[None] >= 100
+    assert est["a"] >= 3

@@ -155,3 +155,43 @@ def test_stateful_ttl_variant_matches_on_bounded_input(spark):
             ).collect()
         }
     assert got == want and len(got) == 5
+
+
+def test_stateful_totals_with_string_key(spark):
+    """The stateful operator's output schema follows the actual key column
+    name and type — a string key (event_type) used to crash Arrow
+    conversion against the hardcoded user_id:Long schema."""
+    import datetime as dt
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
+        _drain_to_memory,
+    )
+    from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
+        running_totals_stateful,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (["click", "view"][i % 2], dt.datetime(2024, 1, 1, 0, i), float(i))
+        for i in range(20)
+    ]
+    src = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as d:
+        src.write.mode("overwrite").parquet(d)
+        out = _drain_to_memory(
+            running_totals_stateful(
+                spark.readStream.schema(schema).parquet(d), key_col="event_type"
+            ),
+            "update",
+        )
+        got = {(r.event_type, r.n_events, r.total_value) for r in out.collect()}
+    assert got == {("click", 10, 90.0), ("view", 10, 100.0)}
