@@ -47,6 +47,24 @@ def asof_join(
     )
     if "__rts" in value_cols:
         raise ValueError("value column name '__rts' is reserved by asof_join")
+    if right_ts in value_cols:
+        raise ValueError(
+            f"{right_ts!r} is already emitted as {right_ts}{suffix}; listing "
+            "it in value_cols would duplicate that output column"
+        )
+
+    # SQL join semantics for NULLs: a right row with a NULL key or NULL
+    # timestamp can never satisfy `l.key = r.key AND r.ts <= l.ts`, so it
+    # must never be carried — drop such rows up front. (The union+window
+    # trick would otherwise group NULL keys together and sort NULL
+    # timestamps FIRST, attaching them to every left row in the partition
+    # — matches an equality join / DuckDB ASOF would never produce.)
+    # NULL-key or NULL-ts LEFT rows need no special handling: after this
+    # filter their partitions hold no right rows before them, so they emit
+    # with a null match, exactly the SQL answer.
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull())
 
     # Struct types derived by analysis only — no job runs here.
     lrow_type = left.select(
@@ -77,9 +95,14 @@ def asof_join(
         ).alias("_rrow"),
     )
     unioned = lhs.unionByName(rhs)
+    # _rrow is the deterministic tiebreaker for duplicate (key, ts) right
+    # rows (struct comparison is lexicographic): without it, last() picks
+    # whichever duplicate the shuffle delivered last — flaky across runs.
+    # Left rows all carry _rrow=NULL, so their relative order stays
+    # irrelevant (none of them contributes to the carry).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_rrow"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # ONE last() over the struct: the struct is non-null for every right row

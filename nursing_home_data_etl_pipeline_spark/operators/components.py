@@ -80,6 +80,13 @@ def connected_components(
     cluster. Above the threshold, distributed min-label propagation runs
     (each round two hash joins, state bounded per vertex).
     """
+    # NULL endpoints carry no identity: an edge touching NULL can't connect
+    # anything (the driver path would crash comparing None to ids, the
+    # distributed path would silently drop the edge — drop it EXPLICITLY so
+    # both paths agree).
+    edges = edges.filter(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    )
     # The edge set is consumed twice (size probe, then collect or symmetric
     # expansion) and upstream it is typically a full LSH candidate pipeline
     # (shingle -> signature -> band join) — cache it so that pipeline runs
@@ -100,9 +107,22 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("label")
-    ).cache()
+    # Edge endpoints absent from `vertices` still CONDUCT connectivity (the
+    # driver union-find connects through them transitively); the label set
+    # must therefore include them or the distributed answer would silently
+    # depend on which side of driver_edge_threshold the edge count landed.
+    # The endpoint set is edge-bounded (small), so the probe and the final
+    # filter-back are broadcast-sized.
+    v_ids = vertices.select(F.col(id_col).alias("v"))
+    extras = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .join(v_ids, "v", "left_anti")
+        .cache()
+    )
+    has_extras = extras.limit(1).count() > 0
+    seed = v_ids.unionByName(extras) if has_extras else v_ids
+    labels = seed.select("v", F.col("v").alias("label")).cache()
     try:
         for _ in range(max_iterations):
             neighbor_min = (
@@ -132,15 +152,20 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
-                return labels.select(
+                out = labels
+                if has_extras:  # conduct-only vertices drop out of the result
+                    out = labels.join(F.broadcast(extras), "v", "left_anti")
+                return out.select(
                     F.col("v").alias(id_col), F.col("label").alias("component")
                 )
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
         )
     finally:
         sym.unpersist()
         edges.unpersist()
+        extras.unpersist()
 
 
 def dup_clusters(

@@ -41,6 +41,7 @@ def range_join_points(
     on: str | Sequence[str] | None = None,
     bucket_width: int = 3_600_000_000,
     how: str = "inner",
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Join each point row to every interval row whose half-open range
     ``[lo, hi)`` contains the point (and whose ``on`` keys match, if given).
@@ -67,6 +68,13 @@ def range_join_points(
     if clash:
         raise ValueError(f"input columns collide with range-join internals: {clash}")
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    shared = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if shared:
+        raise ValueError(
+            f"points and intervals share non-key columns {sorted(shared)}: "
+            "both would appear in the output under the same name "
+            "(AMBIGUOUS_REFERENCE downstream) — rename one side first"
+        )
 
     def _bucket(c: Column) -> Column:
         return F.floor(c.cast("double") / F.lit(float(bucket_width))).cast("long")
@@ -77,14 +85,33 @@ def range_join_points(
     p = points.withColumn("_rj_bucket", _bucket(F.col(point_col))).alias("_rj_p")
     # Explode each interval to the buckets its [lo, hi) span overlaps. hi is
     # exclusive, but sequence() is inclusive on both ends — the refine
-    # predicate discards any overshoot row.
-    i = (
-        intervals.withColumn(
-            "_rj_bucket",
-            F.explode(F.sequence(_bucket(F.col(lo_col)), _bucket(F.col(hi_col)))),
-        )
-        .alias("_rj_i")
-    )
+    # predicate discards any overshoot row. The fan-out guard fails the job
+    # FAST with an actionable message when one interval would explode past
+    # max_buckets_per_interval rows (an open-ended sentinel like
+    # hi=9999-12-31 in epoch micros means tens of millions of rows per
+    # interval, and past 2^31 buckets sequence() dies with an opaque 'Too
+    # long sequence' after burning the cluster).
+    n_buckets = _bucket(F.col(hi_col)) - _bucket(F.col(lo_col)) + 1
+    guarded = F.when(
+        n_buckets > max_buckets_per_interval,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "range_join_points: interval explodes to more than "
+                    f"{max_buckets_per_interval} buckets of width "
+                    f"{bucket_width} ([lo, hi) = ["
+                ),
+                F.col(lo_col).cast("string"),
+                F.lit(", "),
+                F.col(hi_col).cast("string"),
+                F.lit(
+                    ")) — widen bucket_width, cap open-ended intervals, or "
+                    "raise max_buckets_per_interval"
+                ),
+            )
+        ).cast("array<long>"),
+    ).otherwise(F.sequence(_bucket(F.col(lo_col)), _bucket(F.col(hi_col))))
+    i = intervals.withColumn("_rj_bucket", F.explode(guarded)).alias("_rj_i")
     cond = F.col("_rj_p._rj_bucket") == F.col("_rj_i._rj_bucket")
     for k in keys:
         cond = cond & (F.col(f"_rj_p.{k}") == F.col(f"_rj_i.{k}"))

@@ -66,3 +66,47 @@ def test_asof_reserved_field_name_rejected(spark):
     right = spark.createDataFrame([("k", 1, 2)], ["k", "ts", "__rts"])
     with pytest.raises(ValueError, match="__rts"):
         asof_join(left, right, "k", "ts", "ts", ["__rts"])
+
+
+def test_asof_sql_null_semantics(spark):
+    """NULL keys and NULL timestamps follow SQL join semantics: a right row
+    with a NULL key or NULL ts never matches (c.key = p.key / p.ts <= c.ts
+    are never true for NULL); NULL-key/-ts LEFT rows emit with no match.
+    Previously the union+window grouped NULL keys together and sorted NULL
+    timestamps first, attaching matches SQL would never produce."""
+    left = spark.createDataFrame(
+        [(None, 10, "null_key"), ("k", None, "null_ts"), ("k", 50, "real")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 1.0), ("k", None, 2.0), ("k", 40, 3.0)],
+        "k string, ts long, v double",
+    )
+    out = {r.tag: (r.v_asof, r.ts_asof) for r in
+           asof_join(left, right, "k", "ts", "ts", ["v"]).collect()}
+    assert out["null_key"] == (None, None)
+    assert out["null_ts"] == (None, None)
+    assert out["real"] == (3.0, 40)
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Duplicate (key, ts) right rows: the carried row is the struct-max
+    duplicate, identically on every run/partitioning."""
+    left = spark.createDataFrame([("k", 10)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 5, 1.0), ("k", 5, 2.0)], "k string, ts long, v double"
+    ).repartition(4)
+    got = {
+        asof_join(left, right, "k", "ts", "ts", ["v"]).collect()[0].v_asof
+        for _ in range(5)
+    }
+    assert got == {2.0}
+
+
+def test_asof_right_ts_in_value_cols_rejected(spark):
+    import pytest
+
+    left = spark.createDataFrame([("k", 2)], "k string, ts long")
+    right = spark.createDataFrame([("k", 1, 5.0)], "k string, ts long, v double")
+    with pytest.raises(ValueError, match="ts_asof"):
+        asof_join(left, right, "k", "ts", "ts", ["v", "ts"])

@@ -82,3 +82,26 @@ def test_partitioning_helpers(spark):
     salted = with_salt(df, buckets=8)
     vals = {r._salt for r in salted.select("_salt").distinct().collect()}
     assert vals <= set(range(8)) and len(vals) > 1
+
+
+def test_absent_endpoint_conducts_in_both_paths(spark):
+    """Edges through an id absent from `vertices` conduct connectivity
+    identically on the driver and distributed paths (previously the
+    distributed path silently dropped such edges, so the answer flipped
+    with driver_edge_threshold). NULL-endpoint edges are dropped in both."""
+    from nursing_home_data_etl_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(1,), (2,), (7,)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 99), (99, 2), (None, 7)], "id_a long, id_b long"
+    )
+    for threshold in (100_000, 0):  # driver path, then distributed path
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                vertices, edges, driver_edge_threshold=threshold
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 7: 7}, f"threshold={threshold}"

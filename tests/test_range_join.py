@@ -106,3 +106,35 @@ def test_plans_hash_join_not_nested_loop(spark, data):
         .toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_shared_non_key_columns_rejected(spark):
+    import pytest
+
+    from nursing_home_data_etl_pipeline_spark.operators.ranges import (
+        range_join_points,
+    )
+
+    pts = spark.createDataFrame([(1, 5, "x")], "k long, x long, ts string")
+    ivs = spark.createDataFrame([(1, 0, 10, "y")], "k long, lo long, hi long, ts string")
+    with pytest.raises(ValueError, match="share non-key columns"):
+        range_join_points(pts, ivs, "x", "lo", "hi", on="k")
+
+
+def test_unbounded_interval_fails_fast(spark):
+    """An open-ended sentinel interval must fail with an actionable message
+    instead of exploding to tens of millions of bucket rows (or dying in
+    sequence() past 2^31)."""
+    import pytest
+
+    from nursing_home_data_etl_pipeline_spark.operators.ranges import (
+        range_join_points,
+    )
+
+    pts = spark.createDataFrame([(1, 5)], "k long, x long")
+    ivs = spark.createDataFrame(
+        [(1, 0, 253_402_300_800_000_000)], "k long, lo long, hi long"  # 9999-12-31
+    )
+    out = range_join_points(pts, ivs, "x", "lo", "hi", on="k", bucket_width=3_600_000_000)
+    with pytest.raises(Exception, match="explodes to more than"):
+        out.collect()
