@@ -97,6 +97,9 @@ def salted_group_agg(
     ``salt_buckets`` reducers; stage 2 merges the partials. Use when one key
     dominates the distribution and AQE skew handling isn't enough.
     """
+    clash = {"_salt", "_n"} & set(df.columns)
+    if clash:
+        raise ValueError(f"df columns collide with salting internals: {clash}")
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[F.sum(c).alias(c) for c in sum_cols],

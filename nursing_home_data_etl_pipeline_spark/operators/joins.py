@@ -92,8 +92,18 @@ def latest_per_key(
     """
     keys = list(keys)
     others = [c for c in df.columns if c not in keys]
-    agg = [F.expr(f"max_by({c}, {order_col})").alias(c) for c in others]
-    return df.groupBy(*keys).agg(*agg).select(*df.columns)
+    # ONE max_by over the whole row struct: per-column max_by calls would
+    # TEAR columns across different tied rows, and f-string F.expr broke on
+    # any name that isn't a bare SQL identifier. The (order, row) ordering
+    # struct makes ties deterministic (highest row by struct comparison)
+    # instead of engine-arbitrary — this feeds MERGE, so reruns must agree.
+    row = F.struct(*[F.col(c).alias(c) for c in others])
+    picked = df.groupBy(*keys).agg(
+        F.max_by(row, F.struct(F.col(order_col), row)).alias("_r")
+    )
+    return picked.select(
+        *keys, *[F.col("_r").getField(c).alias(c) for c in others]
+    ).select(*df.columns)
 
 
 def merge_scd2(
@@ -127,13 +137,27 @@ def merge_scd2(
     """
     keys = list(keys)
     scd_cols = [valid_from, valid_to, is_current]
-    tracked = [
-        c for c in target.columns if c not in keys + scd_cols and c in source.columns
-    ]
+    attrs = [c for c in target.columns if c not in keys + scd_cols]
+    missing = [c for c in attrs if c not in source.columns]
+    if missing:
+        raise ValueError(
+            f"source is missing tracked attribute column(s) {missing}: "
+            "merging would silently narrow the dimension schema (history "
+            "included) — project/rename the source upstream or drop the "
+            "columns from the target explicitly"
+        )
+    tracked = attrs
+    clash = {"_pm_t", "_pm_s"} & (set(target.columns) | set(source.columns))
+    if clash:
+        raise ValueError(f"input columns collide with merge internals: {clash}")
     batch = F.to_date(F.lit(batch_date))
 
-    history = target.filter(~F.col(is_current))
-    current = target.filter(F.col(is_current))
+    # NULL is_current counts as CURRENT (a dim bootstrapped from legacy
+    # data): filter(~col) and filter(col) would BOTH exclude such rows,
+    # silently dropping them from the merge output.
+    is_cur = F.coalesce(F.col(is_current), F.lit(True))
+    history = target.filter(~is_cur)
+    current = target.filter(is_cur).withColumn("_pm_t", F.lit(True))
 
     t_payload = F.struct(
         *[F.col(f"t.{c}").alias(c) for c in target.columns]
@@ -141,12 +165,20 @@ def merge_scd2(
     s_row = F.struct(
         *[F.col(f"s.{c}").alias(c) for c in keys + tracked],
     ).alias("_s")
+    # Presence comes from marker columns, not keys[0] IS NOT NULL: a source
+    # row with a NULL (first) key is genuinely present — the key-based test
+    # classified it as target-only, dropped its payload, and emitted an
+    # all-NULL phantom current row.
     joined = (
         current.alias("t")
-        .join(source.alias("s"), keys, "full_outer")
+        .join(
+            source.withColumn("_pm_s", F.lit(True)).alias("s"),
+            keys,
+            "full_outer",
+        )
         .select(
-            F.col(f"t.{keys[0]}").isNotNull().alias("_has_t"),
-            F.col(f"s.{keys[0]}").isNotNull().alias("_has_s"),
+            F.col("t._pm_t").isNotNull().alias("_has_t"),
+            F.col("s._pm_s").isNotNull().alias("_has_s"),
             t_payload,
             s_row,
         )

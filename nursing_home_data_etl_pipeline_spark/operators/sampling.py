@@ -14,10 +14,17 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: md5-derived uniform value in [0, 10000) — 4 hex chars = 16 bits.
+#: md5-derived uniform value in [0, 10000) — 12 hex chars = 48 bits.
+#: 16 bits (the original 4 chars) mod 10000 was measurably NON-uniform:
+#: buckets below 5536 carried 7/65536 of the mass and the rest 6/65536, so
+#: a "0.8" split actually kept 81.7% — at 48 bits the mod bias is ~4e-11.
+#: NULL keys hash via a sentinel so both operators treat them identically
+#: (previously hash_split dumped every NULL into the LAST split while
+#: deterministic_sample dropped them entirely).
 def _hash_bucket(key: Column, salt: str) -> Column:
+    safe = F.coalesce(key.cast("string"), F.lit("\x00<null>"))
     return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4), 16, 10)
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), safe)), 1, 12), 16, 10)
         .cast("long")
         % 10000
     )
@@ -43,6 +50,12 @@ def hash_split(
     train/val/test assignment that never leaks rows between splits across
     reruns or engines. Weights are normalized; boundaries are cumulative
     buckets of 1/10000 granularity."""
+    if len(weights) != len(names):
+        raise ValueError(
+            f"hash_split got {len(weights)} weights for {len(names)} names — "
+            "a silent zip-truncate would fold the unmatched weights' mass "
+            "into the last split"
+        )
     total = sum(weights)
     bucket = _hash_bucket(F.col(key_col), salt)
     acc = 0.0

@@ -80,3 +80,15 @@ def test_map_only_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan  # no Python
+
+
+def test_ssn_adjacent_digits_not_swallowed_as_card(spark):
+    """SSN runs before CARD: the card pattern tolerates single space/dash
+    separators, so it used to span '123-45-6789 2024' as one 13-digit
+    <CARD> — mistyping the SSN and destroying the non-PII year."""
+    from nursing_home_data_etl_pipeline_spark.functions.text import redact_pii
+
+    row = spark.createDataFrame(
+        [("SSN 123-45-6789 2024",)], ["text"]
+    ).select(redact_pii(F.col("text")).alias("red")).collect()[0]
+    assert row.red == "SSN <SSN> 2024"

@@ -145,3 +145,50 @@ def test_merge_scd2_idempotent_reapply(spark):
     # re-applying the same batch is a no-op: the new version matches the
     # source, so nothing closes and nothing inserts
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_latest_per_key_no_tearing_and_odd_names(spark):
+    """latest_per_key picks ONE whole row (per-column max_by could tear
+    columns across tied rows), breaks order ties deterministically, and
+    handles column names that aren't bare SQL identifiers (the f-string
+    F.expr formulation raised ParseException on them)."""
+    df = spark.createDataFrame(
+        [(1, 5, "a", "x"), (1, 5, "b", "y"), (1, 3, "c", "z")],
+        ["pk", "order col", "v1", "v2"],
+    )
+    rows = latest_per_key(df, ["pk"], "order col").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.v1, r.v2) in {("a", "x"), ("b", "y")}  # one row, not torn
+    # deterministic across reruns
+    again = latest_per_key(df, ["pk"], "order col").collect()[0]
+    assert (again.v1, again.v2) == (r.v1, r.v2)
+
+
+def test_merge_scd2_null_key_and_null_is_current(spark):
+    """A NULL-key source row inserts (presence markers, not key IS NOT
+    NULL, decide sidedness — it used to become an all-NULL phantom), a
+    NULL is_current target row is treated as current instead of vanishing,
+    and a source missing a tracked column raises instead of silently
+    narrowing the dimension schema."""
+    import pytest
+
+    from nursing_home_data_etl_pipeline_spark.operators.joins import merge_scd2
+
+    target = spark.createDataFrame(
+        [(1, "old", "2020-01-01", None, None)],
+        "pk int, val string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "pk", "val", "CAST(valid_from AS date) valid_from",
+        "CAST(valid_to AS date) valid_to", "is_current",
+    )
+    source = spark.createDataFrame([(None, "ghost")], "pk int, val string")
+    out = merge_scd2(target, source, ["pk"], "2022-06-01").collect()
+    by_val = {r.val: r for r in out}
+    assert "ghost" in by_val and by_val["ghost"].is_current  # inserted, not dropped
+    assert by_val["ghost"].pk is None
+    assert "old" in by_val  # NULL is_current row survives as current
+    assert by_val["old"].is_current
+
+    with pytest.raises(ValueError, match="missing tracked attribute"):
+        merge_scd2(target, spark.createDataFrame([(2,)], "pk int"), ["pk"], "2022-06-01")

@@ -44,3 +44,39 @@ def test_stratified_fractions(spark):
     # stratum not listed -> dropped
     out2 = stratified_deterministic_sample(df, "k", "s", {"a": 0.5})
     assert out2.filter("s = 'b'").count() == 0
+
+
+def test_hash_split_unbiased_and_null_consistent(spark):
+    """48-bit bucket hash: split fractions land within ~1% of the weights
+    (the 16-bit original skewed 0.8 to a measured 0.817), NULL keys get a
+    deterministic sentinel assignment consistent with deterministic_sample,
+    and mismatched weights/names raise instead of zip-truncating."""
+    import pytest
+
+    from nursing_home_data_etl_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    frac = {
+        r.split: r.n
+        for r in hash_split(df, "k").groupBy("split").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert abs(frac["train"] / 20_000 - 0.8) < 0.01
+    assert abs(frac["val"] / 20_000 - 0.1) < 0.01
+    assert abs(frac["test"] / 20_000 - 0.1) < 0.01
+
+    with_null = spark.createDataFrame([(None,), (1,)], "k long")
+    split_of_null = {
+        r.k: r.split for r in hash_split(with_null, "k").collect()
+    }[None]
+    sampled_keys = {
+        r.k for r in deterministic_sample(with_null, "k", 1.0).collect()
+    }
+    assert None in sampled_keys  # fraction 1.0 keeps NULL keys too
+    assert split_of_null in {"train", "val", "test"}
+
+    with pytest.raises(ValueError, match="weights"):
+        hash_split(df, "k", weights=(0.5, 0.3, 0.1, 0.1))
