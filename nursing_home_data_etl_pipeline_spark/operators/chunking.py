@@ -45,9 +45,14 @@ def chunk_table(
         ),
     )
     out = base.select(F.col(id_col), F.explode(chunks).alias("c"))
+    # split('', ' ') returns [''] (size 1), so an empty/NULL document's
+    # single empty chunk must report 0 words, not a phantom 1.
+    n_words = F.when(
+        F.coalesce(F.col("c.chunk_text"), F.lit("")) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.col("c.chunk_text"), " ")))
     return out.select(
         F.col(id_col),
         F.col("c.chunk_id").cast("long").alias("chunk_id"),
         F.col("c.chunk_text").alias("chunk_text"),
-        F.size(F.split(F.col("c.chunk_text"), " ")).cast("long").alias("n_words"),
+        n_words.cast("long").alias("n_words"),
     )

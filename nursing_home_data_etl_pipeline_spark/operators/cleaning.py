@@ -72,6 +72,13 @@ def rename_columns(df: DataFrame, rename_map: dict[str, str] | None = None) -> D
     rename_map = DEFAULT_RENAME_MAP if rename_map is None else rename_map
     wanted = {k.lower().strip(): v for k, v in rename_map.items()}
     new_names = [wanted.get(c.lower().strip(), c) for c in df.columns]
+    dupes = {c for c in new_names if new_names.count(c) > 1}
+    if dupes:
+        # e.g. both 'provider_name' and 'facility_name' present while the
+        # map renames provider_name -> facility_name: toDF would silently
+        # build a duplicate-name frame that fails with AMBIGUOUS_REFERENCE
+        # (or worse, picks positionally) far from the cause.
+        raise ValueError(f"rename produces duplicate column name(s) {sorted(dupes)}")
     if new_names == df.columns:
         return df
     return df.toDF(*new_names)
@@ -82,11 +89,21 @@ def trim_all(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
     Reference trims *all* columns because its ingest is all-string
     (nh-etl-universal-cleaning.py:41-44); the engine only touches StringType
-    columns so the operator is safe on typed frames too. One Project node.
+    columns so the operator is safe on typed frames too — including with an
+    EXPLICIT list: non-string names in ``columns`` are left untouched
+    (F.trim would silently cast them to string), and names absent from the
+    frame raise instead of silently trimming nothing. One Project node.
     """
-    targets = set(columns) if columns is not None else {
+    string_cols = {
         f.name for f in df.schema.fields if f.dataType.typeName() == "string"
     }
+    if columns is not None:
+        missing = set(columns) - set(df.columns)
+        if missing:
+            raise ValueError(f"trim_all: columns not in frame: {sorted(missing)}")
+        targets = set(columns) & string_cols
+    else:
+        targets = string_cols
     return df.select(
         *[
             F.trim(col_exact(c)).alias(c) if c in targets else col_exact(c).alias(c)
@@ -156,6 +173,12 @@ def promote_types(
                 # Spark parses '015009' as a DATE (year 15009); a pure-digit
                 # string is never a calendar value.
                 ok += f" AND NOT ({q} RLIKE '^[0-9]+$')"
+            if t == "date":
+                # try_cast accepts '2023-01-05 10:30:00' (and '2023-01') AS
+                # date and TRUNCATES — promoting such columns to date
+                # destroys the time component. Only pure yyyy-MM-dd values
+                # qualify; datetime strings fall through to timestamp.
+                ok += f" AND {q} RLIKE '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$'"
             aggs.append(
                 F.expr(
                     f"sum(CASE WHEN {non_null} AND {ok} THEN 1 ELSE 0 END)"

@@ -69,17 +69,34 @@ def exact_dedup(
     """Exact dedup on the normalized-content fingerprint: keeps the min-id
     row per fingerprint. min_by keeps it a single hash aggregate (one
     shuffle on the fingerprint — never a window over the whole corpus).
+
+    Rows with a NULL ``text_col`` pass through UNDEDUPED: a missing text is
+    not a duplicate of another missing text (grouping them would silently
+    delete every NULL-text document but one — SQL GROUP BY treats NULL as
+    one group), matching the minhash path, which excludes them from
+    pairing. The surviving row per fingerprint is picked with ONE struct
+    min_by (per-column min_by expressions could not tear here because the
+    order key is the unique id, but the struct form also survives column
+    names that aren't bare SQL identifiers).
     """
     keyed = df.withColumn("_fp", fingerprint(F.col(text_col)))
+    null_text = keyed.filter(F.col("_fp").isNull()).select(*df.columns)
     others = [c for c in df.columns if c != id_col]
-    return (
-        keyed.groupBy("_fp")
+    row = F.struct(*[F.col(c).alias(c) for c in others])
+    deduped = (
+        keyed.filter(F.col("_fp").isNotNull())
+        .groupBy("_fp")
         .agg(
             F.min(id_col).alias(id_col),
-            *[F.expr(f"min_by({c}, {id_col})").alias(c) for c in others],
+            F.min_by(row, F.col(id_col)).alias("_r"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col("_r").getField(c).alias(c) for c in others],
         )
         .select(*df.columns)
     )
+    return deduped.unionByName(null_text)
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +178,15 @@ def lsh_candidate_pairs(
 def _band_buckets(
     signatures: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """(id, band, key) bucket table from a signature frame."""
+    """(id, band, key) bucket table from a signature frame. ``bands`` must
+    divide ``num_hashes``: silent floor division would ignore the trailing
+    hashes (changing recall), and bands > num_hashes would degenerate to
+    zero-row bands whose md5('') key collides EVERYTHING — an O(n^2) pair
+    grid, or for decontaminate a scrub that drops the whole corpus."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be a positive divisor of num_hashes={num_hashes}"
+        )
     rows = num_hashes // bands
     band_cols = []
     for b in range(bands):

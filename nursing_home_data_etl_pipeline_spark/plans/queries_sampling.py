@@ -117,7 +117,9 @@ def vector_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(chunk_id AS BIGINT) AS chunk_id,
            chunk_text,
-           CAST(len(regexp_split_to_array(chunk_text, ' ')) AS BIGINT) AS n_words
+           CAST(CASE WHEN chunk_text = '' THEN 0
+                     ELSE len(regexp_split_to_array(chunk_text, ' ')) END
+                AS BIGINT) AS n_words
     FROM chunks
     """,
     doc="Document chunking: 50-word windows with 10-word overlap — the "

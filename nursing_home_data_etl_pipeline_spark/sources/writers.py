@@ -84,12 +84,18 @@ def write_bucketed(
 def replace_dir(df: DataFrame, target_path: str) -> None:
     """Overwrite ``target_path`` with ``df`` when the plan READS the target
     (self-referential merge): materialize to a staging suffix, then swap via
-    Hadoop FS delete+rename. Rename is atomic on HDFS/local filesystems, so
-    the not-there window is a metadata operation instead of a full rewrite
-    (the previous double-buffer re-materialized the result twice and held a
-    partial-overwrite window for the whole second write). On rename-less
-    object stores (S3) this degrades to copy semantics — front a table
-    format (Delta/Iceberg) there instead.
+    Hadoop FS renames. Rename is atomic on HDFS/local filesystems, so the
+    not-there window is a metadata operation instead of a full rewrite. On
+    rename-less object stores (S3) this degrades to copy semantics — front
+    a table format (Delta/Iceberg) there instead.
+
+    Crash safety: the live target is renamed ASIDE (``__old``) before
+    staging renames into place, then the backup is deleted — a crash in any
+    window leaves the data recoverable (either the target is still live, or
+    ``__old``/``__staging`` hold the previous/next version and a manual
+    rename restores service). The previous delete-then-rename order had a
+    window where the only copy of self-referential merge state was the
+    staging dir — a rename failure there lost the table outright.
     """
     spark = df.sparkSession
     staging = target_path + "__staging"
@@ -97,11 +103,21 @@ def replace_dir(df: DataFrame, target_path: str) -> None:
     jvm = spark._jvm
     src = jvm.org.apache.hadoop.fs.Path(staging)
     dst = jvm.org.apache.hadoop.fs.Path(target_path)
+    old = jvm.org.apache.hadoop.fs.Path(target_path + "__old")
     fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(dst):
-        fs.delete(dst, True)
+    if fs.exists(old):  # leftover backup from a crashed prior swap
+        fs.delete(old, True)
+    had_target = fs.exists(dst)
+    if had_target and not fs.rename(dst, old):
+        raise IOError(f"backup rename {target_path} -> {target_path}__old failed")
     if not fs.rename(src, dst):
+        # put the previous version back before failing — the target must
+        # never be the thing that's missing
+        if had_target:
+            fs.rename(old, dst)
         raise IOError(f"rename {staging} -> {target_path} failed")
+    if had_target:
+        fs.delete(old, True)
 
 
 def write_error(
@@ -112,16 +128,36 @@ def write_error(
 ) -> None:
     """S4: quarantine the failing input frame (if any) plus a diagnostics
     sidecar. Unlike the reference (bug B1) this never references an unbound
-    frame and records the actual exception.
+    frame and records the actual exception — format_exception(exc) renders
+    THAT exception's traceback (format_exc() rendered whatever happened to
+    be mid-flight, which is wrong outside an except block or in cleanup
+    code handling a different error). The sidecar goes through the Hadoop
+    FileSystem API so it lands next to the quarantined parquet on ANY
+    scheme (hdfs://, s3a://) — driver-local open() would write a garbage
+    local path on a cluster.
     """
-    os.makedirs(error_path, exist_ok=True)
     diag = {
         "context": context,
         "error": repr(exc) if exc else None,
-        "traceback": traceback.format_exc() if exc else None,
+        "traceback": "".join(traceback.format_exception(exc)) if exc else None,
     }
-    with open(os.path.join(error_path, "_diagnostics.json"), "w") as f:
-        json.dump(diag, f, indent=2)
+    from pyspark.sql import SparkSession
+
+    spark = df.sparkSession if df is not None else SparkSession.getActiveSession()
+    if spark is not None:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(error_path, "_diagnostics.json")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(json.dumps(diag, indent=2), "utf-8"))
+        finally:
+            out.close()
+    else:
+        # no session handle to reach a remote FS — driver-local fallback
+        os.makedirs(error_path, exist_ok=True)
+        with open(os.path.join(error_path, "_diagnostics.json"), "w") as f:
+            json.dump(diag, f, indent=2)
     if df is not None:
         try:
             df.write.mode("overwrite").parquet(os.path.join(error_path, "data"))

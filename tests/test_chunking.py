@@ -36,3 +36,11 @@ def test_bad_overlap_raises(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         chunk_table(df, chunk_words=10, overlap=10)
+
+
+def test_empty_and_null_documents_report_zero_words(spark):
+    from nursing_home_data_etl_pipeline_spark.operators.chunking import chunk_table
+
+    df = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    rows = chunk_table(df).collect()
+    assert all(r.n_words == 0 for r in rows)

@@ -70,3 +70,42 @@ def test_clean_table_end_to_end(spark):
     assert out.columns == ["facility_number", "facility_name"]
     row = out.collect()[0]
     assert row.facility_number == "007" and row.facility_name == "Sunny Acres"
+
+
+def test_promote_types_keeps_datetime_strings_as_timestamp(spark):
+    """try_cast('2023-01-05 10:30:00' AS date) succeeds and TRUNCATES the
+    time — such columns must promote to timestamp, not date."""
+    from nursing_home_data_etl_pipeline_spark.operators.cleaning import promote_types
+
+    df = spark.createDataFrame(
+        [("2023-01-05 10:30:00", "2023-01-05"), ("2024-02-06 11:00:01", "2024-02-06")],
+        ["dt", "d"],
+    )
+    out = promote_types(df)
+    types = dict(out.dtypes)
+    assert types["dt"] == "timestamp"
+    assert types["d"] == "date"
+    assert out.filter("hour(dt) = 10").count() == 1  # time survived
+
+
+def test_rename_columns_duplicate_target_raises(spark):
+    import pytest
+
+    from nursing_home_data_etl_pipeline_spark.operators.cleaning import rename_columns
+
+    df = spark.createDataFrame([(1, 2)], ["provider_name", "facility_name"])
+    with pytest.raises(ValueError, match="duplicate column"):
+        rename_columns(df, {"provider_name": "facility_name"})
+
+
+def test_trim_all_explicit_list_preserves_types(spark):
+    import pytest
+
+    from nursing_home_data_etl_pipeline_spark.operators.cleaning import trim_all
+
+    df = spark.createDataFrame([(1, " x ")], ["n", "s"])
+    out = trim_all(df, columns=["n", "s"])
+    assert dict(out.dtypes)["n"] == "bigint"  # not silently stringified
+    assert out.collect()[0].s == "x"
+    with pytest.raises(ValueError, match="not in frame"):
+        trim_all(df, columns=["typo"])

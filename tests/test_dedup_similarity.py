@@ -357,3 +357,32 @@ def test_pq_adc_exact_on_reconstructible_vectors(spark):
         .collect()
     }
     assert pq_n == ex_n
+
+
+def test_exact_dedup_null_text_rows_pass_through(spark):
+    """Distinct documents with NULL text are NOT duplicates of each other:
+    SQL GROUP BY would fold them into one group and silently delete all but
+    one — they pass through undeduped instead."""
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x")], "doc_id long, text string"
+    )
+    got = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert got == [1, 2, 3]
+
+
+def test_band_count_must_divide_hashes(spark):
+    import pytest
+
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    sig = minhash_signatures(docs, num_hashes=12)
+    with pytest.raises(ValueError, match="divisor"):
+        lsh_candidate_pairs(sig, "doc_id", num_hashes=12, bands=24)
+    with pytest.raises(ValueError, match="divisor"):
+        lsh_candidate_pairs(sig, "doc_id", num_hashes=12, bands=5)
