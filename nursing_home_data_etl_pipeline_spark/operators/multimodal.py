@@ -52,16 +52,21 @@ def decode_fake(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payload = pdf["payload"]
-            n_bytes = payload.map(len)
+            # NULL payload (row never had media attached) decodes to NULL
+            # metadata — distinct from an EMPTY payload (0 bytes, header "").
+            # pandas nullable Int64/Int32 carries the NA through Arrow.
+            n_bytes = payload.map(lambda b: len(b) if b is not None else None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": n_bytes.astype("int64"),
-                    "header_hex": payload.map(lambda b: bytes(b[:8]).hex()),
-                    "fake_width": (n_bytes % 640).astype("int32"),
+                    "n_bytes": n_bytes.astype("Int64"),
+                    "header_hex": payload.map(
+                        lambda b: bytes(b[:8]).hex() if b is not None else None
+                    ),
+                    "fake_width": (n_bytes % 640).astype("Int32"),
                     "fake_height": payload.map(
-                        lambda b: b[0] if len(b) else 0
-                    ).astype("int32"),
+                        lambda b: (b[0] if len(b) else 0) if b is not None else None
+                    ).astype("Int32"),
                 }
             )
 
@@ -96,12 +101,16 @@ def resize_fake(df: DataFrame, factor: int = 4) -> DataFrame:
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payload = pdf["payload"].map(lambda b: bytes(b[::factor]))
+            payload = pdf["payload"].map(
+                lambda b: bytes(b[::factor]) if b is not None else None
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": payload,
-                    "n_bytes": payload.map(len).astype("int64"),
+                    "n_bytes": payload.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
                 }
             )
 
@@ -122,7 +131,9 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "n_frames": pdf["payload"].map(
                         lambda b: max(len(b) // every_n_bytes, 0)
-                    ).astype("int64"),
+                        if b is not None
+                        else None
+                    ).astype("Int64"),
                 }
             )
 

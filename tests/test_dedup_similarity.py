@@ -144,6 +144,25 @@ def test_multimodal_plumbing(spark):
     assert rz.n_bytes == 3  # binary in -> binary out, metadata refreshed
 
 
+def test_multimodal_null_payload_propagates(spark):
+    """A NULL payload (row never had media) must decode to NULL metadata —
+    distinct from an EMPTY payload (0 bytes) — not crash the Python worker
+    (payload.map(len) raised TypeError on None before the fix)."""
+    mm = spark.createDataFrame(
+        [(1, b"hello"), (2, None), (3, b"")], "doc_id long, payload binary"
+    )
+    dec = {r.doc_id: r for r in decode_fake(mm).collect()}
+    assert dec[2].n_bytes is None and dec[2].header_hex is None
+    assert dec[2].fake_width is None and dec[2].fake_height is None
+    assert dec[3].n_bytes == 0 and dec[3].header_hex == ""
+    rz = {r.doc_id: r for r in resize_fake(mm, factor=2).collect()}
+    assert rz[2].payload is None and rz[2].n_bytes is None
+    assert bytes(rz[3].payload) == b"" and rz[3].n_bytes == 0
+    fr = {r.doc_id: r for r in sample_frames(mm).collect()}
+    assert fr[2].n_frames is None and fr[3].n_frames == 0
+    assert fr[1].n_frames == 0
+
+
 def test_rhp_derived_planes_bound_bucket_occupancy():
     """VERDICT round-1: bucket count must scale with corpus size so expected
     occupancy (and with it within-bucket pair work) stays bounded."""
