@@ -270,19 +270,21 @@ def kmeans_fit(
     )
     if not cand_rows:
         raise ValueError("kmeans_fit: empty input")
-    cand_ids = np.array([int(r["_id"]) for r in cand_rows])
+    # Sort candidates id-ascending so POSITION encodes the id tiebreak —
+    # argmax/argmin first-occurrence then break distance ties toward the
+    # lowest id with no numeric-id assumption (string/any orderable id
+    # works; the previous int() coercion crashed on string ids).
+    cand_rows.sort(key=lambda r: r["_id"])
     cand_vecs = np.array(
         [[float(x) for x in r["_v"]] for r in cand_rows], dtype=np.float64
     )
-    seed = int(np.argmin(cand_ids))
+    seed = 0  # lowest-id candidate
     chosen = [seed]
     min_d2 = ((cand_vecs - cand_vecs[seed]) ** 2).sum(axis=1)
     while len(chosen) < min(k, len(cand_rows)):
         min_d2[chosen] = -np.inf  # never re-pick a chosen candidate
-        # farthest first; ties on distance -> lowest id (lexsort keys are
-        # last-key-primary: sort by (-d2, id) means id ascending within d2)
-        order = np.lexsort((cand_ids, -min_d2))
-        nxt = int(order[0])
+        # farthest first; ties on distance -> first position = lowest id
+        nxt = int(np.argmax(min_d2))
         chosen.append(nxt)
         min_d2 = np.minimum(min_d2, ((cand_vecs - cand_vecs[nxt]) ** 2).sum(axis=1))
     cents = [[float(x) for x in cand_vecs[i]] for i in chosen]

@@ -282,6 +282,27 @@ def test_kmeans_fit_recovers_separated_clusters(spark):
     assert cents == kmeans_fit(df, k=2, iters=4, vec_col="embedding")
 
 
+def test_kmeans_fit_accepts_string_ids(spark):
+    """The id column is only an ordering/tiebreak key — string ids must
+    work (the init's int() coercion crashed on them before the fix) and
+    give the same centroids as the equivalent integer-id frame."""
+    from nursing_home_data_etl_pipeline_spark.operators.similarity import kmeans_fit
+
+    rows = []
+    for i in range(30):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + (i % 5) * 0.1] * 4))
+    ints = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # zero-padded so string sort order == numeric sort order
+    strs = spark.createDataFrame(
+        [(f"doc-{i:04d}", v) for i, v in rows],
+        "vec_id string, embedding array<float>",
+    )
+    assert kmeans_fit(strs, k=2, iters=4, vec_col="embedding") == kmeans_fit(
+        ints, k=2, iters=4, vec_col="embedding"
+    )
+
+
 def test_kmeans_job_count_independent_of_k(spark):
     """Init is one sampled job at any k: a k=64 fit must launch the same
     number of Spark jobs as a k=8 fit (the pre-round-6 serial farthest-point
