@@ -90,6 +90,12 @@ def _drain_to_memory(
     past unprocessed rows. Pass True to ASSERT that assumption — a future
     trigger/option change then fails loudly instead of silently turning
     the exact contract probabilistic.
+
+    Lifecycle: each drain registers one ``stream_out_<uuid>`` memory-sink
+    table that the RETURNED DataFrame reads from, so it cannot be dropped
+    here; the retained rows are the query's (result-sized, bounded)
+    output. A long-lived service draining repeatedly would write to a
+    real sink and own the cleanup instead.
     """
     spark = df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"

@@ -8,6 +8,7 @@ import re
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from nursing_home_data_etl_pipeline_spark.operators.cleaning import normalize_name
 from nursing_home_data_etl_pipeline_spark.sources.ingest import (
@@ -225,3 +226,124 @@ def test_dense_id_sharded_equals_flat_property(spark, keys, n_shards):
     assert shard == flat
     assert sorted(shard.values()) == list(range(1, len(keys) + 1))
     assert [k for k, _ in sorted(shard.items(), key=lambda t: t[1])] == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# As-of join vs a naive quadratic model
+# ---------------------------------------------------------------------------
+
+_asof_left = st.lists(
+    st.tuples(
+        st.none() | st.integers(0, 3),  # key (NULL never matches)
+        st.none() | st.integers(0, 40),  # ts (NULL never matches)
+    ),
+    min_size=1,
+    max_size=20,
+)
+_asof_right = st.lists(
+    st.tuples(
+        st.none() | st.integers(0, 3),
+        st.none() | st.integers(0, 40),
+        st.integers(0, 9),  # value; duplicate (key, ts) pairs exercise ties
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left_rows=_asof_left, right_rows=_asof_right)
+def test_asof_join_matches_naive_model(spark, left_rows, right_rows):
+    """For ANY inputs — NULL keys/timestamps on either side, duplicate
+    (key, ts) right rows — the union+window as-of join must equal the naive
+    quadratic model: greatest right ts <= left ts within the key, NULLs
+    never matching, equal-ts duplicates resolved to the greatest value
+    struct (the documented deterministic tiebreak)."""
+    from nursing_home_data_etl_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left_rows)],
+        "lid long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v) for k, ts, v in right_rows] or [],
+        "k long, rts long, v long",
+    )
+    got = {
+        r.lid: (r.v_asof, r.rts_asof)
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()
+    }
+    want = {}
+    for i, (lk, lts) in enumerate(left_rows):
+        cands = [
+            (rts, v)
+            for rk, rts, v in right_rows
+            if lk is not None and rk == lk and rts is not None
+            and lts is not None and rts <= lts
+        ]
+        if cands:
+            # carry = greatest (ts, value-struct); struct fields are (v, rts)
+            # so among equal-ts duplicates the max v wins
+            rts, v = max(cands, key=lambda c: (c[0], c[1]))
+            want[i] = (v, rts)
+        else:
+            want[i] = (None, None)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Sessionize vs a naive per-user scan
+# ---------------------------------------------------------------------------
+
+_session_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 500),  # ts seconds (duplicates exercise the tiebreak)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_session_events, gap=st.sampled_from([1, 30, 120]))
+def test_sessionize_matches_naive_model(spark, events, gap):
+    """For ANY event multiset and gap, batch sessionization must equal the
+    naive per-user scan over (ts, event_id)-ordered events: a session starts
+    when the gap STRICTLY exceeds gap_seconds; ids are 1-based cumulative
+    counts. event_id makes equal-ts ordering (and so the whole assignment)
+    deterministic."""
+    from nursing_home_data_etl_pipeline_spark.operators.windows import sessionize
+
+    df = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(events)],
+        "event_id long, user_id long, sec long",
+    ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
+    got = {
+        r.event_id: r.session_id
+        for r in sessionize(
+            df, "user_id", "ts", gap_seconds=gap, tiebreak=("event_id",)
+        ).collect()
+    }
+    want = {}
+    for u in {u for u, _ in events}:
+        ordered = sorted(
+            (t, i) for i, (uu, t) in enumerate(events) if uu == u
+        )
+        sid, prev = 0, None
+        for t, i in ordered:
+            if prev is None or t - prev > gap:
+                sid += 1
+            want[i] = sid
+            prev = t
+    assert got == want
