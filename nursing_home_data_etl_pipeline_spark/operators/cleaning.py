@@ -146,18 +146,25 @@ def promote_types(
     analytics then cast ad-hoc. This operator profiles each string column
     with ONE aggregate pass (per-type ``try_cast`` success counts) and
     promotes a column to the first candidate type that parses every
-    non-null, non-empty value. Profiling cost: one job over the data;
-    at 100 TB run it on a deterministic sample instead and validate with a
-    ``try_cast IS NULL`` quarantine filter on the full write.
+    non-null, non-``null_token`` value. Values equal to ``null_token``
+    become NULL in promoted columns (``NULLIF`` before the cast — they
+    were excluded from profiling, so leaving them in would throw
+    CAST_INVALID_INPUT under ANSI the moment the frame materializes).
+    Profiling cost: one job over the data; at 100 TB run it on a
+    deterministic sample instead and validate with a ``try_cast IS NULL``
+    quarantine filter on the full write.
     """
     string_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
     if not string_cols:
         return df
     numeric = {"bigint", "double", "decimal", "int", "float"}
+    # SQL-literal-escape the token: a null_token containing a quote (e.g.
+    # "N/A's") must stay a literal, not break the profiling expression.
+    tok = null_token.replace("'", "''")
     aggs = []
     for c in string_cols:
         q = "`" + c.replace("`", "``") + "`"
-        non_null = f"({q} IS NOT NULL AND {q} != '{null_token}')"
+        non_null = f"({q} IS NOT NULL AND {q} != '{tok}')"
         aggs.append(F.expr(f"sum(CASE WHEN {non_null} THEN 1 ELSE 0 END)").alias(f"{c}__n"))
         # Leading-zero guard: "015009" (a CMS CCN) parses as 15009 but is an
         # IDENTIFIER — numeric promotion would corrupt it. Any value with a
@@ -196,7 +203,18 @@ def promote_types(
             if profile[f"{c}__{t}"] == n:
                 casts[c] = t
                 break
-    return cast_columns(df, casts) if casts else df
+    if not casts:
+        return df
+    # Plain cast (not try_cast) on the NULLIF'd column: profiling proved
+    # every remaining value parses, so a cast failure here means the input
+    # changed between profile and materialization — fail loudly.
+    def promote(c: str):
+        q = "`" + c.replace("`", "``") + "`"
+        return F.expr(f"CAST(NULLIF({q}, '{tok}') AS {casts[c]})").alias(c)
+
+    return df.select(
+        *[promote(c) if c in casts else col_exact(c).alias(c) for c in df.columns]
+    )
 
 
 def clean_table(

@@ -88,6 +88,26 @@ def test_promote_types_keeps_datetime_strings_as_timestamp(spark):
     assert out.filter("hour(dt) = 10").count() == 1  # time survived
 
 
+def test_promote_types_null_token_values_become_null(spark):
+    """Values equal to null_token are excluded from profiling, so they MUST
+    be nulled before the promoted cast — under ANSI, leaving '' in a
+    promoted bigint column threw CAST_INVALID_INPUT at materialization.
+    Also covers a quote-bearing token (must act as a literal, not break
+    the profiling SQL)."""
+    from nursing_home_data_etl_pipeline_spark.operators.cleaning import promote_types
+
+    df = spark.createDataFrame([("1",), ("",), ("2",)], ["n"])
+    out = promote_types(df)  # default null_token=""
+    assert dict(out.dtypes)["n"] == "bigint"
+    assert sorted(r.n for r in out.collect() if r.n is not None) == [1, 2]
+    assert out.filter("n IS NULL").count() == 1
+
+    quoted = spark.createDataFrame([("1",), ("n'a",), ("2",)], ["n"])
+    out2 = promote_types(quoted, null_token="n'a")
+    assert dict(out2.dtypes)["n"] == "bigint"
+    assert out2.filter("n IS NULL").count() == 1
+
+
 def test_rename_columns_duplicate_target_raises(spark):
     import pytest
 
