@@ -84,6 +84,11 @@ def sessionize(
     previous event exceeds ``gap_seconds``. session_id = cumulative count of
     session starts per user (1-based). Streaming variant: ``session_window``
     (see streaming module).
+
+    NULL timestamps sort first (Spark's default asc ordering) and each such
+    event is its OWN session (a NULL gap reads as a session start) — they
+    never merge with real-time events or each other. Filter them out
+    upstream if absent-timestamp events shouldn't count as sessions.
     """
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
     w = Window.partitionBy(user_col).orderBy(*order)

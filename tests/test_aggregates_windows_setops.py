@@ -105,6 +105,24 @@ def test_sessionize_gap_boundary(spark):
     assert ids == [1, 1, 2]
 
 
+def test_sessionize_null_ts_rows_are_singleton_sessions(spark):
+    """NULL-ts events sort first and each opens its own session; real-time
+    events continue numbering after them (documented semantics)."""
+    rows = [(1, 1, None), (2, 1, None), (3, 1, 100), (4, 1, 120)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, sec long").select(
+        "event_id", "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    out = {
+        r.event_id: r.session_id
+        for r in sessionize(
+            df, "user_id", "ts", gap_seconds=30, tiebreak=("event_id",)
+        ).collect()
+    }
+    # two singleton NULL sessions, then one real session of two events
+    assert out[1] == 1 and out[2] == 2
+    assert out[3] == 3 and out[4] == 3
+
+
 def test_set_ops(spark):
     a = spark.createDataFrame([(1,), (1,), (2,)], ["k"])
     b = spark.createDataFrame([(2,), (3,)], ["k"])

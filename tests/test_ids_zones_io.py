@@ -51,6 +51,20 @@ def test_dense_id_sharded_matches_flat(spark):
     assert sorted(shard.values()) == list(range(1, 1001))
 
 
+def test_dense_id_sharded_string_keys(spark):
+    """The boundary literals and struct comparisons must work for string
+    keys too — including empty, quoted, spaced, and non-ascii values."""
+    keys = ["", "a", "Z", "émile", "b b", '"q"', "z" * 30, "aa"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string").repartition(3)
+    flat = {r.k: r.row_id for r in with_dense_id(df, ["k"]).collect()}
+    shard = {
+        r.k: r.row_id
+        for r in with_dense_id_sharded(df, ["k"], n_shards=3).collect()
+    }
+    assert shard == flat
+    assert sorted(shard.values()) == list(range(1, len(keys) + 1))
+
+
 def test_dense_id_sharded_no_corpus_single_partition_window(spark):
     # The corpus-sized row_number window must partition by the captured
     # range-partition id; the only SinglePartition exchange allowed is the
