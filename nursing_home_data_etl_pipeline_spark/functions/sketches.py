@@ -330,11 +330,15 @@ def bloom_build(
     might_contain=false even when NULLs were fed to the build): membership
     here mirrors SQL's NULL-never-equals join semantics, which is exactly
     what the exact-refine anti-join downstream implements. Contrast
-    :func:`cms_build`, where NULL is a countable frequency key.
+    :func:`cms_build`, where NULL is a countable frequency key. That
+    contract needs an explicit NULL filter here: ``xxhash64`` IGNORES null
+    arguments (hashing just the seed), so without it every NULL item would
+    set one stable probe position and NULL-probe as a hit.
     """
     item = F.col(item_col).cast("string")
     return (
-        df.select(F.explode(_bloom_probes(item, n_bits, k)).alias("p"))
+        df.filter(item.isNotNull())
+        .select(F.explode(_bloom_probes(item, n_bits, k)).alias("p"))
         .groupBy(F.col("p.word").alias("word"))
         .agg(F.bit_or("p.mask").alias("bits"))
     )
@@ -385,4 +389,7 @@ def bloom_might_contain(
     all_hit = hits[0]
     for h in hits[1:]:
         all_hit = all_hit & h
+    # NULL items probe to FALSE (never "maybe"): xxhash64 would otherwise
+    # hash the bare seed and give NULLs a stable — and likely set — position.
+    all_hit = item.isNotNull() & all_hit
     return out.select(*df.columns, all_hit.alias(out_col))

@@ -23,6 +23,19 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _is_orderable(dt: T.DataType) -> bool:
+    """Whether a type can be a sort key: maps (and anything containing
+    them) cannot (Catalyst INVALID_ORDERING_TYPE)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -95,14 +108,26 @@ def asof_join(
         ).alias("_rrow"),
     )
     unioned = lhs.unionByName(rhs)
-    # _rrow is the deterministic tiebreaker for duplicate (key, ts) right
+    # _rord is the deterministic tiebreaker for duplicate (key, ts) right
     # rows (struct comparison is lexicographic): without it, last() picks
     # whichever duplicate the shuffle delivered last — flaky across runs.
-    # Left rows all carry _rrow=NULL, so their relative order stays
-    # irrelevant (none of them contributes to the carry).
+    # Only ORDERABLE value columns participate (maps — and structs/arrays
+    # containing them — cannot be sort keys; ordering by the full _rrow
+    # failed analysis for such payloads): among duplicates that tie on
+    # every orderable column too, the carry is arbitrary but the tied
+    # columns are equal, so the choice is only observable through the
+    # non-orderable payload columns themselves. Left rows all carry
+    # _rrow=NULL, so their relative order stays irrelevant (none of them
+    # contributes to the carry).
+    rrow_fields = {f.name: f.dataType for f in rrow_type.fields}
+    ord_cols = [
+        F.col("_rrow").getField(c)
+        for c in [*value_cols, "__rts"]
+        if _is_orderable(rrow_fields[c])
+    ]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts"), F.col("_side"), F.col("_rrow"))
+        .orderBy(F.col("_ts"), F.col("_side"), *ord_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # ONE last() over the struct: the struct is non-null for every right row

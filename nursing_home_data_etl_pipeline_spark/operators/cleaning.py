@@ -158,38 +158,40 @@ def promote_types(
     if not string_cols:
         return df
     numeric = {"bigint", "double", "decimal", "int", "float"}
-    # SQL-literal-escape the token: a null_token containing a quote (e.g.
-    # "N/A's") must stay a literal, not break the profiling expression.
-    tok = null_token.replace("'", "''")
+    # The token rides as a BOUND LITERAL (F.lit), never interpolated into
+    # SQL text: string-splicing needed quote AND backslash escaping (Spark
+    # treats backslash as an escape in string literals), and any missed
+    # case corrupted the profiling predicate silently.
+    tok = F.lit(null_token)
     aggs = []
     for c in string_cols:
-        q = "`" + c.replace("`", "``") + "`"
-        non_null = f"({q} IS NOT NULL AND {q} != '{tok}')"
-        aggs.append(F.expr(f"sum(CASE WHEN {non_null} THEN 1 ELSE 0 END)").alias(f"{c}__n"))
+        col = col_exact(c)
+        non_null = col.isNotNull() & (col != tok)
+        aggs.append(
+            F.sum(F.when(non_null, 1).otherwise(0)).alias(f"{c}__n")
+        )
         # Leading-zero guard: "015009" (a CMS CCN) parses as 15009 but is an
         # IDENTIFIER — numeric promotion would corrupt it. Any value with a
         # leading zero blocks numeric candidates for the column.
         aggs.append(
-            F.expr(
-                f"sum(CASE WHEN {non_null} AND {q} RLIKE '^0[0-9]' THEN 1 ELSE 0 END)"
+            F.sum(
+                F.when(non_null & col.rlike("^0[0-9]"), 1).otherwise(0)
             ).alias(f"{c}__lz")
         )
         for t in candidates:
-            ok = f"try_cast({q} AS {t}) IS NOT NULL"
+            ok = col.try_cast(t).isNotNull()
             if t.split("(")[0] not in numeric:
                 # Spark parses '015009' as a DATE (year 15009); a pure-digit
                 # string is never a calendar value.
-                ok += f" AND NOT ({q} RLIKE '^[0-9]+$')"
+                ok = ok & ~col.rlike("^[0-9]+$")
             if t == "date":
                 # try_cast accepts '2023-01-05 10:30:00' (and '2023-01') AS
                 # date and TRUNCATES — promoting such columns to date
                 # destroys the time component. Only pure yyyy-MM-dd values
                 # qualify; datetime strings fall through to timestamp.
-                ok += f" AND {q} RLIKE '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$'"
+                ok = ok & col.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
             aggs.append(
-                F.expr(
-                    f"sum(CASE WHEN {non_null} AND {ok} THEN 1 ELSE 0 END)"
-                ).alias(f"{c}__{t}")
+                F.sum(F.when(non_null & ok, 1).otherwise(0)).alias(f"{c}__{t}")
             )
     profile = df.agg(*aggs).collect()[0].asDict()
     casts: dict[str, str] = {}
@@ -209,8 +211,7 @@ def promote_types(
     # every remaining value parses, so a cast failure here means the input
     # changed between profile and materialization — fail loudly.
     def promote(c: str):
-        q = "`" + c.replace("`", "``") + "`"
-        return F.expr(f"CAST(NULLIF({q}, '{tok}') AS {casts[c]})").alias(c)
+        return F.nullif(col_exact(c), tok).cast(casts[c]).alias(c)
 
     return df.select(
         *[promote(c) if c in casts else col_exact(c).alias(c) for c in df.columns]

@@ -30,9 +30,13 @@ def _duck_hash_bucket(key_expr: str, salt: str) -> str:
     """DuckDB twin of sampling._hash_bucket: first 12 md5 hex chars as an
     integer mod 10000, via digit arithmetic (DuckDB has no conv()). 48 bits
     keeps the mod-10000 bias at ~4e-11 — the 16-bit original skewed every
-    split fraction by up to +2% absolute."""
+    split fraction by up to +2% absolute. NULL keys hash via the same
+    ``chr(0) || '<null>'`` sentinel as the Spark side (without it the
+    concat yields NULL, every bucket comparison is false, and NULL-keyed
+    rows silently vanish from the oracle while Spark samples them)."""
+    safe = f"COALESCE(CAST({key_expr} AS VARCHAR), chr(0) || '<null>')"
     digits = " + ".join(
-        f"(instr('0123456789abcdef', substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        f"(instr('0123456789abcdef', substr(md5('{salt}' || {safe}), {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
         for i in range(12)
     )
     return f"(({digits}) % 10000)"

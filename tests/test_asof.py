@@ -103,6 +103,23 @@ def test_asof_duplicate_right_ts_deterministic(spark):
     assert got == {2.0}
 
 
+def test_asof_map_typed_value_column(spark):
+    """Map-typed payload columns are not orderable; they must be CARRIED by
+    the as-of join without entering the tiebreak ordering (ordering by the
+    full payload struct failed analysis with INVALID_ORDERING_TYPE)."""
+    left = spark.createDataFrame([("k", 10), ("k", 3)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 5, {"a": 1}), ("k", 8, {"b": 2})],
+        "k string, ts long, attrs map<string,int>",
+    )
+    out = {
+        r.ts: (r.attrs_asof, r.ts_asof)
+        for r in asof_join(left, right, "k", "ts", "ts", ["attrs"]).collect()
+    }
+    assert out[10] == ({"b": 2}, 8)
+    assert out[3] == (None, None)
+
+
 def test_asof_right_ts_in_value_cols_rejected(spark):
     import pytest
 

@@ -107,6 +107,15 @@ def test_promote_types_null_token_values_become_null(spark):
     assert dict(out2.dtypes)["n"] == "bigint"
     assert out2.filter("n IS NULL").count() == 1
 
+    # backslash-bearing token: must act as a literal (string-spliced SQL
+    # treated it as an escape and broke the profiling expression)
+    slashed = spark.createDataFrame([("1",), ("\\",), ("\\N",), ("2",)], ["n"])
+    out3 = promote_types(slashed, null_token="\\")
+    assert dict(out3.dtypes)["n"] == "string"  # "\\N" still blocks promotion
+    out4 = promote_types(slashed.filter("n != '\\\\N'"), null_token="\\")
+    assert dict(out4.dtypes)["n"] == "bigint"
+    assert out4.filter("n IS NULL").count() == 1
+
 
 def test_rename_columns_duplicate_target_raises(spark):
     import pytest

@@ -81,11 +81,14 @@ def test_dense_id_sharded_no_corpus_single_partition_window(spark):
 
 
 def test_dense_id_sharded_without_exchange_reuse(spark):
-    # The ranged subtree appears twice in the plan (window side and
+    # The sharded subtree appears twice in the plan (window side and
     # counts/offsets side). Exchange reuse normally materializes it once;
-    # with reuse DISABLED the two instances must still agree — range
-    # boundary sampling is seeded per partition index, so identical inputs
-    # sample identical boundaries — or ids would duplicate/skip.
+    # with reuse DISABLED the two instances must still agree. The literal
+    # cut points guarantee that: the shard id is a pure row-local function
+    # of the key, identical in every physical instantiation. (The earlier
+    # repartitionByRange formulation sampled boundaries per materialization
+    # and DID diverge without reuse — ids duplicated; this test pins the
+    # fix.)
     df = spark.range(0, 2000).select((2000 - F.col("id")).alias("k")).repartition(5)
     prev = spark.conf.get("spark.sql.exchange.reuse")
     spark.conf.set("spark.sql.exchange.reuse", "false")

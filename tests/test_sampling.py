@@ -80,3 +80,30 @@ def test_hash_split_unbiased_and_null_consistent(spark):
 
     with pytest.raises(ValueError, match="weights"):
         hash_split(df, "k", weights=(0.5, 0.3, 0.1, 0.1))
+
+
+def test_hash_bucket_duckdb_twin_includes_null_sentinel(spark):
+    """The DuckDB oracle twin of _hash_bucket must bucket NULL keys exactly
+    as the Spark side's chr(0)||'<null>' sentinel does — without the
+    COALESCE the concat yields NULL, every comparison is false, and
+    NULL-keyed rows vanish from the oracle while Spark samples them."""
+    import duckdb
+
+    from nursing_home_data_etl_pipeline_spark.operators.sampling import _hash_bucket
+    from nursing_home_data_etl_pipeline_spark.plans.queries_sampling import (
+        _duck_hash_bucket,
+    )
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    got = {
+        r.k: r.b
+        for r in df.select("k", _hash_bucket(F.col("k"), "split").alias("b")).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT k, {_duck_hash_bucket('k', 'split')} "
+            "FROM (VALUES (1), (2), (NULL)) t(k)"
+        ).fetchall()
+    )
+    assert got == want and got[None] is not None

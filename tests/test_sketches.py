@@ -160,6 +160,23 @@ def test_bloom_no_false_negatives_and_low_fpp(spark):
     assert fp <= 2000 * 0.012
 
 
+def test_bloom_null_items_unprobeable(spark):
+    """The documented NULL contract: NULL items never match — neither as a
+    build item nor as a probe. (xxhash64 ignores NULL args and hashes the
+    bare seed, so without the explicit NULL handling a NULL item both
+    inserted a stable bit pattern AND probed as a hit.)"""
+    members = spark.createDataFrame([("x",), (None,)], "key string")
+    bloom = bloom_build(members, "key", n_bits=1 << 12, k=3)
+    probed = {
+        r.key: r.might_contain
+        for r in bloom_might_contain(
+            bloom, members, "key", n_bits=1 << 12, k=3
+        ).collect()
+    }
+    assert probed["x"] is True
+    assert probed[None] is False  # NULL probe is false, not "maybe"
+
+
 def test_bloom_prefilter_preserves_anti_join(spark):
     corpus = spark.range(5000).select(F.concat(F.lit("d"), "id").alias("key"))
     bench = spark.range(0, 5000, 7).select(F.concat(F.lit("d"), "id").alias("key"))
