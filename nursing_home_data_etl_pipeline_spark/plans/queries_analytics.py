@@ -385,7 +385,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY user_id, event_type ORDER BY ts, event_id
                  ) > 300 * 1000000,
              TRUE) AS kept,
-           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+           TRY_CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS k
     FROM events
     """,
     doc="One pass over events combining three row-level analytics: per-user "

@@ -168,7 +168,13 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_ignored,
            MIN(doc_id) AS doc_id
     FROM corpus
+    WHERE text IS NOT NULL
     GROUP BY 1
+    UNION ALL
+    -- NULL-text rows pass through UNDEDUPED (exact_dedup's NULL contract:
+    -- a missing text is not a duplicate of another missing text); a bare
+    -- GROUP BY would collapse them into one NULL-fingerprint group
+    SELECT CAST(NULL AS VARCHAR), doc_id FROM corpus WHERE text IS NULL
     """,
     doc="Exact dedup via content-fingerprint hash aggregation (min-id "
     "survivor). Duplicates are synthesized (10% of docs re-appear with "
@@ -239,19 +245,29 @@ def _duck_minhash_sig_cte(prefix: str = "") -> str:
     )"""
 
 
+def _band_selects_sql(sig_rel: str) -> str:
+    """UNION ALL of per-band (doc_id, band, key) selects over a signature
+    relation — THE band-key layout ('|'-joined row hashes, md5 key), the
+    single generator every banding oracle must build on (within-corpus
+    pairs here; cross-corpus decontamination in queries_sampling) so a
+    banding retune cannot silently diverge one of them."""
+    rows = _NUM_HASHES // _BANDS
+    return "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS key FROM {src}".format(
+            b=b,
+            src=sig_rel,
+            parts=" || '|' || ".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+
+
 def _minhash_pairs_cte(src: str = "documents") -> str:
     """CTE chain ending in ``mh_pairs(id_a, id_b)`` — shared by the pairs
     query, the cluster query, and corpus-composition queries."""
-    rows = _NUM_HASHES // _BANDS
-    band_selects = []
-    for b in range(_BANDS):
-        parts = " || '|' || ".join(
-            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig"
-        )
-    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    bands_sql = _band_selects_sql("sig")
     return f"""{_duck_shingles(src)},
     {_duck_minhash_sig_cte()},
     bands AS (

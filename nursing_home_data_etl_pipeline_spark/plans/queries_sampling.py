@@ -28,18 +28,19 @@ from .queries_northstar import (
 
 def _duck_hash_bucket(key_expr: str, salt: str) -> str:
     """DuckDB twin of sampling._hash_bucket: first 12 md5 hex chars as an
-    integer mod 10000, via digit arithmetic (DuckDB has no conv()). 48 bits
-    keeps the mod-10000 bias at ~4e-11 — the 16-bit original skewed every
-    split fraction by up to +2% absolute. NULL keys hash via the same
-    ``chr(0) || '<null>'`` sentinel as the Spark side (without it the
-    concat yields NULL, every bucket comparison is false, and NULL-keyed
-    rows silently vanish from the oracle while Spark samples them)."""
+    integer mod 10000, via the SHARED hex-digit expansion
+    (``dedup.hex_to_bigint_sql`` — DuckDB has no conv(); one generator, so
+    a fix there reaches every oracle). 48 bits keeps the mod-10000 bias at
+    ~4e-11 — the 16-bit original skewed every split fraction by up to +2%
+    absolute. NULL keys hash via the same ``chr(0) || '<null>'`` sentinel
+    as the Spark side (without it the concat yields NULL, every bucket
+    comparison is false, and NULL-keyed rows silently vanish from the
+    oracle while Spark samples them)."""
+    from ..operators.dedup import hex_to_bigint_sql
+
     safe = f"COALESCE(CAST({key_expr} AS VARCHAR), chr(0) || '<null>')"
-    digits = " + ".join(
-        f"(instr('0123456789abcdef', substr(md5('{salt}' || {safe}), {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
-        for i in range(12)
-    )
-    return f"(({digits}) % 10000)"
+    md5_expr = f"md5('{salt}' || {safe})"
+    return f"({hex_to_bigint_sql(md5_expr, 1, 12)} % 10000)"
 
 
 @register(
@@ -139,20 +140,13 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bands_chain(prefix: str, src: str) -> str:
     """sig+bands CTE chain (names prefixed) for one corpus relation —
-    mirrors operators.dedup minhash/banding exactly; the hash count, band
-    layout, and sig CTE spec all come from queries_northstar's constants so
-    a retune there cannot silently diverge this oracle."""
-    rows = _NUM_HASHES // _BANDS
-    band_selects = "\n      UNION ALL\n      ".join(
-        "SELECT doc_id, {b} AS band, md5({parts}) AS key FROM {p}_sig".format(
-            b=b,
-            p=prefix,
-            parts=" || '|' || ".join(
-                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
-            ),
-        )
-        for b in range(_BANDS)
-    )
+    mirrors operators.dedup minhash/banding exactly; the hash count, sig
+    CTE spec, and the band-select layout itself all come from
+    queries_northstar (``_band_selects_sql`` is the one generator) so a
+    banding retune there cannot silently diverge this oracle."""
+    from .queries_northstar import _band_selects_sql
+
+    band_selects = _band_selects_sql(f"{prefix}_sig")
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     k = _SHINGLE_K
     return f"""

@@ -42,16 +42,24 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata generations (TIMESTAMP(NANOS) vs plain micros / NTZ), so probe
     the batch-inferred type once (footer-only) and build the matching
     streaming schema."""
+    from ..sources.readers import path_is_dir
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts_type = dict(
-        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
-    ).get("ts")
-    # The file stream source wants a directory; glob-filter down to the
-    # events table within the sf dir.
-    reader = spark.readStream.option("pathGlobFilter", "events.parquet")
+    events_path = f"{sf_dir}/events.parquet"
+    ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts")
+    # A directory-shaped table (standard Spark-written output) streams
+    # directly; a single-file table needs the glob filter to isolate it
+    # within the sf dir. pathGlobFilter matches LEAF file names, so
+    # applying it to a directory table would filter out every part-* file
+    # and silently drain an empty stream.
+    if path_is_dir(spark, events_path):
+        reader, stream_path = spark.readStream, events_path
+    else:
+        reader = spark.readStream.option("pathGlobFilter", "events.parquet")
+        stream_path = sf_dir
     if ts_type == "bigint":  # nanos-as-long generation
-        raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(sf_dir)
+        raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(stream_path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     fields = [
         f if f.name != "ts" else T.StructField(
@@ -60,7 +68,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for f in _EVENTS_RAW_SCHEMA.fields
     ]
-    raw = reader.schema(T.StructType(fields)).parquet(sf_dir)
+    raw = reader.schema(T.StructType(fields)).parquet(stream_path)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -149,6 +157,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id,
              ts,
+             event_id,
              epoch_ns(ts) // 1000 AS us,
              CASE WHEN (epoch_ns(ts) // 1000) - LAG(epoch_ns(ts) // 1000) OVER w
                         >= 1800 * 1000000
@@ -158,8 +167,12 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, us,
+             -- same (ts, event_id) tiebreak as the flagged window: with a
+             -- bare ORDER BY ts, equal-ts rows could order differently in
+             -- the two windows and a session-start flag could land inside
+             -- the PREVIOUS session's cumulative range
              SUM(is_start) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_id
       FROM flagged
@@ -191,8 +204,14 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Custom stateful operator (applyInPandasWithState): per-user running "
     "totals. Over bounded single-batch input the final state equals the "
-    "batch aggregate — checked against plain SQL.",
+    "batch aggregate — checked against plain SQL. Single-batch delivery is "
+    "ASSERTED: the update-mode memory sink appends one row per key per "
+    "trigger, so a multi-batch drain would duplicate keys (the complete-"
+    "mode drains above replace the table each trigger and don't need the "
+    "guard).",
 )
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
-    return _drain_to_memory(running_totals_stateful(ev), "update")
+    return _drain_to_memory(
+        running_totals_stateful(ev), "update", require_single_batch=True
+    )

@@ -84,10 +84,14 @@ def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval = _drain_to_memory(joined, "append", require_single_batch=True)
 
     cols = ["event_id", "user_id", "event_type", "ts"]
+    # SELF-union of one stream DataFrame: each union leg re-reads the file
+    # source, so every event still arrives twice — identical semantics to
+    # two separately constructed streams, minus a redundant stream_events
+    # call (each call runs an eager driver-side footer probe for the ts
+    # type).
     a = stream_events(spark, sf_dir).select(cols)
-    b = stream_events(spark, sf_dir).select(cols)
     deduped = (
-        a.unionByName(b)
+        a.unionByName(a)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select(

@@ -87,6 +87,16 @@ def data_files_exist(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def path_is_dir(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and is a directory — through the Hadoop FS
+    API, so any readable scheme answers (driver-local os.path.isdir would
+    be wrong on hdfs://, s3a://)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath)) and bool(fs.getFileStatus(jpath).isDirectory())
+
+
 def is_empty(df: DataFrame) -> bool:
     """A1: emptiness guard. The reference uses ``df.rdd.isEmpty()``
     (nh-etl-universal-cleaning.py:77) which forces RDD conversion and kills

@@ -81,13 +81,20 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def replace_dir(df: DataFrame, target_path: str) -> None:
+def replace_dir(df: DataFrame, target_path: str, meta: dict | None = None) -> None:
     """Overwrite ``target_path`` with ``df`` when the plan READS the target
     (self-referential merge): materialize to a staging suffix, then swap via
     Hadoop FS renames. Rename is atomic on HDFS/local filesystems, so the
     not-there window is a metadata operation instead of a full rewrite. On
     rename-less object stores (S3) this degrades to copy semantics — front
     a table format (Delta/Iceberg) there instead.
+
+    ``meta``, when given, is written as ``_meta.json`` INSIDE the staging
+    dir before the swap (underscore files are invisible to parquet
+    readers), so data and metadata replace atomically together — the hook
+    :func:`read_dir_meta` + foreachBatch use for replay idempotence (a
+    marker written after the swap would leave a crash window in which the
+    data is new but the marker is old).
 
     Crash safety: the live target is renamed ASIDE (``__old``) before
     staging renames into place, then the backup is deleted — a crash in any
@@ -101,6 +108,14 @@ def replace_dir(df: DataFrame, target_path: str) -> None:
     staging = target_path + "__staging"
     df.write.mode("overwrite").parquet(staging)
     jvm = spark._jvm
+    if meta is not None:
+        mpath = jvm.org.apache.hadoop.fs.Path(staging, "_meta.json")
+        mfs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        mout = mfs.create(mpath, True)
+        try:
+            mout.write(bytearray(json.dumps(meta), "utf-8"))
+        finally:
+            mout.close()
     src = jvm.org.apache.hadoop.fs.Path(staging)
     dst = jvm.org.apache.hadoop.fs.Path(target_path)
     old = jvm.org.apache.hadoop.fs.Path(target_path + "__old")
@@ -118,6 +133,23 @@ def replace_dir(df: DataFrame, target_path: str) -> None:
         raise IOError(f"rename {staging} -> {target_path} failed")
     if had_target:
         fs.delete(old, True)
+
+
+def read_dir_meta(spark, path: str) -> dict | None:
+    """Read the ``_meta.json`` a :func:`replace_dir` ``meta=`` swap left in
+    ``path``; None when absent (no meta ever written, or pre-meta data).
+    Goes through the Hadoop FS API so it works on any scheme."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path, "_meta.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "utf-8")
+    finally:
+        stream.close()
+    return json.loads(raw)
 
 
 def write_error(

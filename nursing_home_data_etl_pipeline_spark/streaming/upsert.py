@@ -12,9 +12,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from pyspark.sql import functions as F
+
 from ..operators.joins import latest_per_key, merge_scd1
 from ..sources.readers import path_exists, read_parquet
-from ..sources.writers import replace_dir
+from ..sources.writers import read_dir_meta, replace_dir
+
+
+def _latest_per_key_unordered(batch: DataFrame, keys: list[str]) -> DataFrame:
+    """One row per key with no version column: the struct-max row wins —
+    deterministic given the batch's content (unlike dropDuplicates, whose
+    survivor depends on partitioning). Used when order_col is None; a
+    micro-batch can easily contain several updates to one key, and feeding
+    them all to merge_scd1 violates its unique-source precondition (both
+    rows would land in the dim)."""
+    others = [c for c in batch.columns if c not in keys]
+    row = F.struct(*[F.col(c).alias(c) for c in others])
+    return (
+        batch.groupBy(*keys)
+        .agg(F.max_by(row, row).alias("_r"))
+        .select(*keys, *[F.col("_r").getField(c).alias(c) for c in others])
+        .select(*batch.columns)
+    )
 
 
 def start_upsert_sink(
@@ -28,8 +47,15 @@ def start_upsert_sink(
     """Merge every micro-batch into the Parquet dim at ``target_path``.
 
     ``order_col`` resolves multi-row-per-key batches (latest wins) before
-    the merge — a micro-batch can easily contain several updates to one key.
+    the merge; without one, the struct-max row per key wins — either way
+    the merge input is unique per key (merge_scd1's precondition; feeding
+    a raw multi-row batch left duplicate key rows in the dim forever).
     The double-buffered overwrite matches pipeline.merge_warehouse.
+
+    Replay safety: foreachBatch is AT-LEAST-ONCE (the epoch commits after
+    this function returns), but this merge is idempotent — re-merging an
+    already-applied batch replaces rows with identical rows — so no epoch
+    guard is needed; contrast :func:`start_incremental_agg`.
     """
     spark = stream.sparkSession
 
@@ -37,7 +63,9 @@ def start_upsert_sink(
         if batch.isEmpty():
             return
         source = (
-            latest_per_key(batch, keys, order_col) if order_col else batch
+            latest_per_key(batch, keys, order_col)
+            if order_col
+            else _latest_per_key_unordered(batch, keys)
         )
         # Bootstrap ONLY when the target verifiably does not exist: inside
         # foreachBatch a broad except would treat any transient merge error
@@ -89,11 +117,19 @@ def start_incremental_agg(
     target by the same algebra Spark uses for partial aggregation — counts
     and sums add, min/max fold. Contrast with withWatermark+window state
     (bounded by watermark, results only on emit): this keeps an unbounded
-    all-time aggregate queryable between batches, exactly-once via the
-    checkpoint + batch replay.
+    all-time aggregate queryable between batches.
+
+    Replay safety: foreachBatch is AT-LEAST-ONCE and count/sum merging is
+    NOT idempotent, so each swap records its epoch in the target's
+    ``_meta.json`` (atomically, inside the same rename) and an
+    already-applied epoch is skipped on replay — without this, a crash
+    between the swap and the checkpoint commit double-counted the whole
+    batch on restart. Consequence: the target is bound to ONE checkpoint
+    lineage (epoch ids restart at 0 with a fresh checkpoint dir; pointing
+    a new checkpoint at an existing target must be treated as a
+    bootstrap/migration, not a resume).
     """
     spark = stream.sparkSession
-    from pyspark.sql import functions as F
 
     def agg_exprs(df: DataFrame) -> DataFrame:
         return df.groupBy(*keys).agg(
@@ -106,6 +142,9 @@ def start_incremental_agg(
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        meta = read_dir_meta(spark, target_path)
+        if meta is not None and meta.get("epoch", -1) >= epoch_id:
+            return  # replayed, already applied — merging again double-counts
         partial = agg_exprs(batch)
         # Same bootstrap-only-when-absent rule as start_upsert_sink: merge
         # errors must fail the query so the checkpoint replays the batch.
@@ -123,7 +162,7 @@ def start_incremental_agg(
             )
         else:
             merged = partial
-        replace_dir(merged, target_path)
+        replace_dir(merged, target_path, meta={"epoch": epoch_id})
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)
