@@ -125,8 +125,14 @@ def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
 
     The reference has only two typed columns (row_id long, etl_date date);
     real deployments promote string staging columns to proper types here so
-    downstream aggregation/pushdown operates on native types.
+    downstream aggregation/pushdown operates on native types. Cast keys
+    absent from the frame RAISE (same contract as trim_all's explicit
+    list): a typo'd name silently leaving the column a string would
+    surface far downstream as string aggregation, not here at the cause.
     """
+    missing = set(casts) - set(df.columns)
+    if missing:
+        raise ValueError(f"cast_columns: columns not in frame: {sorted(missing)}")
     return df.select(
         *[
             col_exact(c).cast(casts[c]).alias(c) if c in casts else col_exact(c).alias(c)
@@ -172,10 +178,11 @@ def promote_types(
         )
         # Leading-zero guard: "015009" (a CMS CCN) parses as 15009 but is an
         # IDENTIFIER — numeric promotion would corrupt it. Any value with a
-        # leading zero blocks numeric candidates for the column.
+        # leading zero — including sign-prefixed like "-03" — blocks
+        # numeric candidates for the column.
         aggs.append(
             F.sum(
-                F.when(non_null & col.rlike("^0[0-9]"), 1).otherwise(0)
+                F.when(non_null & col.rlike("^[+-]?0[0-9]"), 1).otherwise(0)
             ).alias(f"{c}__lz")
         )
         for t in candidates:
@@ -190,6 +197,15 @@ def promote_types(
                 # destroys the time component. Only pure yyyy-MM-dd values
                 # qualify; datetime strings fall through to timestamp.
                 ok = ok & col.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+            if t == "timestamp":
+                # Mirror guard: try_cast accepts partial dates ('2023-01')
+                # AS timestamp and FABRICATES the day — a month-identifier
+                # column must stay a string. A full yyyy-MM-dd date
+                # qualifies with or without a time part (date -> midnight
+                # is the standard lossless widening; this is how MIXED
+                # date/datetime columns promote); try_cast itself
+                # validates whatever follows the separator.
+                ok = ok & col.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}([ T].*)?$")
             aggs.append(
                 F.sum(F.when(non_null & ok, 1).otherwise(0)).alias(f"{c}__{t}")
             )

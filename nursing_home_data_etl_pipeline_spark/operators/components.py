@@ -92,38 +92,42 @@ def connected_components(
     # (shingle -> signature -> band join) — cache it so that pipeline runs
     # once, not twice. Bounded by candidate pairs, not corpus size.
     edges = edges.select(src_col, dst_col).cache()
-    n_edges = edges.limit(driver_edge_threshold + 1).count()
-    if n_edges <= driver_edge_threshold:
-        edge_rows = [(r[0], r[1]) for r in edges.collect()]
-        edges.unpersist()
-        return _driver_union_find(vertices, edge_rows, id_col)
-    sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            edges.select(
-                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
-            )
-        )
-        .distinct()
-        .cache()
-    )
-    # Edge endpoints absent from `vertices` still CONDUCT connectivity (the
-    # driver union-find connects through them transitively); the label set
-    # must therefore include them or the distributed answer would silently
-    # depend on which side of driver_edge_threshold the edge count landed.
-    # The endpoint set is edge-bounded (small), so the probe and the final
-    # filter-back are broadcast-sized.
-    v_ids = vertices.select(F.col(id_col).alias("v"))
-    extras = (
-        sym.select(F.col("src").alias("v"))
-        .distinct()
-        .join(v_ids, "v", "left_anti")
-        .cache()
-    )
-    has_extras = extras.limit(1).count() > 0
-    seed = v_ids.unionByName(extras) if has_extras else v_ids
-    labels = seed.select("v", F.col("v").alias("label")).cache()
+    # Every cached frame is released on ANY failure (the except at the
+    # bottom): pre-loop probe/collect errors previously escaped with
+    # edges/sym/extras still cached, leaking session cache per failed run.
+    sym = extras = labels = None
     try:
+        n_edges = edges.limit(driver_edge_threshold + 1).count()
+        if n_edges <= driver_edge_threshold:
+            edge_rows = [(r[0], r[1]) for r in edges.collect()]
+            edges.unpersist()
+            return _driver_union_find(vertices, edge_rows, id_col)
+        sym = (
+            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+            .unionByName(
+                edges.select(
+                    F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                )
+            )
+            .distinct()
+            .cache()
+        )
+        # Edge endpoints absent from `vertices` still CONDUCT connectivity
+        # (the driver union-find connects through them transitively); the
+        # label set must therefore include them or the distributed answer
+        # would silently depend on which side of driver_edge_threshold the
+        # edge count landed. The endpoint set is edge-bounded (small), so
+        # the probe and the final filter-back are broadcast-sized.
+        v_ids = vertices.select(F.col(id_col).alias("v"))
+        extras = (
+            sym.select(F.col("src").alias("v"))
+            .distinct()
+            .join(v_ids, "v", "left_anti")
+            .cache()
+        )
+        has_extras = extras.limit(1).count() > 0
+        seed = v_ids.unionByName(extras) if has_extras else v_ids
+        labels = seed.select("v", F.col("v").alias("label")).cache()
         for _ in range(max_iterations):
             neighbor_min = (
                 sym.join(labels, sym["dst"] == labels["v"])
@@ -154,18 +158,34 @@ def connected_components(
             if changed == 0:
                 out = labels
                 if has_extras:  # conduct-only vertices drop out of the result
+                    # The RETURNED lazy plan anti-joins through `extras`:
+                    # fully materialize its (edge-bounded, small) cache
+                    # while sym/edges are still cached, then leave it to
+                    # LRU eviction — unpersisting it here made the
+                    # caller's first action recompute the whole upstream
+                    # edge pipeline the caches existed to avoid.
+                    extras.count()
                     out = labels.join(F.broadcast(extras), "v", "left_anti")
+                else:
+                    extras.unpersist()
+                sym.unpersist()
+                edges.unpersist()
                 return out.select(
                     F.col("v").alias(id_col), F.col("label").alias("component")
                 )
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
         )
-    finally:
-        sym.unpersist()
-        edges.unpersist()
-        extras.unpersist()
+    except BaseException:
+        # failure path: nothing escapes, release everything cached so far
+        # (labels points at the CURRENT iteration's cache)
+        for frame in (labels, extras, sym, edges):
+            if frame is not None:
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass  # cache release must never mask the real error
+        raise
 
 
 def dup_clusters(

@@ -41,6 +41,14 @@ def shingle_table(
 ) -> DataFrame:
     """(id, shingle) long table of distinct word-k-grams.
 
+    NULL and whitespace-only texts emit NO shingles, so they never enter
+    near-dup pairing (matching exact_dedup's documented NULL contract).
+    Without the filter every such document produced the empty-string
+    shingle: n NULL/blank docs then LSH-collided into O(n^2) bogus pairs
+    (Jaccard 1.0 each), and ONE blank benchmark doc made decontaminate
+    silently drop every NULL-text training row. Exact-duplicate blank
+    docs are exact_dedup's job (same fingerprint), not LSH's.
+
     Two-step on purpose: the word array is materialized as its own
     projection BEFORE the shingle lambda runs. Referencing the split
     expression directly inside ``transform``'s lambda would inline the
@@ -48,8 +56,9 @@ def shingle_table(
     document (measured 2.7x slower at sf0.1). With the array as a bound
     attribute each row tokenizes exactly once.
     """
-    w = F.split(normalize_text(F.col(text_col)), " ")
-    base = df.select(F.col(id_col), w.alias("_w"))
+    norm = normalize_text(F.col(text_col))
+    w = F.split(norm, " ")
+    base = df.filter(norm.isNotNull() & (norm != "")).select(F.col(id_col), w.alias("_w"))
     idx = F.sequence(F.lit(1), F.greatest(F.size("_w") - (k - 1), F.lit(1)))
     shingles = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, k)))
@@ -291,6 +300,12 @@ def simhash_signatures(
     Plan shape: explode distinct words -> one hash aggregate with 60
     conditional-sum columns -> rebuild the signature in a single project.
     """
+    # NULL/blank texts emit no signature (same contract as shingle_table:
+    # identical blank docs are exact_dedup's job; without the filter n
+    # blank docs simhash-pair into O(n^2) hamming-0 pairs).
+    df = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
     # Same 60-bit value token_hash_sql computes, but via the JVM conv()
     # intrinsic instead of 15 instr() digit lookups (2x faster measured at
     # sf0.1; DuckDB lacks conv(), so the ORACLE keeps the digit-arithmetic

@@ -24,6 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .asof import _is_orderable
 from .projections import drop_columns_if_present
 
 #: Denormalized columns dropped from enrich sides before joining
@@ -92,14 +93,23 @@ def latest_per_key(
     """
     keys = list(keys)
     others = [c for c in df.columns if c not in keys]
+    types = {f.name: f.dataType for f in df.schema.fields}
     # ONE max_by over the whole row struct: per-column max_by calls would
     # TEAR columns across different tied rows, and f-string F.expr broke on
-    # any name that isn't a bare SQL identifier. The (order, row) ordering
-    # struct makes ties deterministic (highest row by struct comparison)
-    # instead of engine-arbitrary — this feeds MERGE, so reruns must agree.
+    # any name that isn't a bare SQL identifier. The (order, orderable-row)
+    # ordering struct makes ties deterministic (highest row by struct
+    # comparison) instead of engine-arbitrary — this feeds MERGE, so reruns
+    # must agree. Only ORDERABLE columns enter the tiebreak (maps cannot be
+    # sort keys — ordering by the full row failed analysis for map-typed
+    # attributes): rows tying on order_col AND every orderable column are
+    # distinguishable only through their map columns, where the pick stays
+    # arbitrary.
     row = F.struct(*[F.col(c).alias(c) for c in others])
+    ord_row = F.struct(
+        *[F.col(c).alias(c) for c in others if _is_orderable(types[c])]
+    )
     picked = df.groupBy(*keys).agg(
-        F.max_by(row, F.struct(F.col(order_col), row)).alias("_r")
+        F.max_by(row, F.struct(F.col(order_col), ord_row)).alias("_r")
     )
     return picked.select(
         *keys, *[F.col("_r").getField(c).alias(c) for c in others]
@@ -183,8 +193,23 @@ def merge_scd2(
             s_row,
         )
     )
-    changed = ~F.struct(*[F.col(f"_t.{c}") for c in tracked]).eqNullSafe(
-        F.struct(*[F.col(f"_s.{c}") for c in tracked])
+    # Change detection must COMPARE every tracked attribute, but Spark's
+    # comparators reject MapType — canonicalize top-level map columns to
+    # sorted entry arrays (order-insensitive equality, matching map
+    # semantics). Maps nested deeper inside structs still fail analysis
+    # loudly rather than being silently skipped.
+    t_types = {f.name: f.dataType for f in target.schema.fields}
+
+    from pyspark.sql import types as T
+
+    def _comparable(side: str, c: str):
+        col = F.col(f"{side}.{c}")
+        if isinstance(t_types[c], T.MapType):
+            return F.array_sort(F.map_entries(col))
+        return col
+
+    changed = ~F.struct(*[_comparable("_t", c) for c in tracked]).eqNullSafe(
+        F.struct(*[_comparable("_s", c) for c in tracked])
     )
 
     def _closed_t():  # current version closed at this batch

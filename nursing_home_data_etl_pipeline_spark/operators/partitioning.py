@@ -75,6 +75,11 @@ def salted_join(
             f"(inner/left/semi/anti); got how={how!r} — the replicated side "
             f"would duplicate unmatched rows once per salt bucket"
         )
+    clash = {"_salt"} & (set(skewed.columns) | set(other.columns))
+    if clash:
+        # same contract as salted_group_agg: a pre-existing _salt column
+        # would be silently overwritten, joined on, and dropped
+        raise ValueError(f"input columns collide with salting internals: {clash}")
     keys = list(on)
     salted = with_salt(skewed, buckets, "_salt", seed)
     replicated = other.withColumn(

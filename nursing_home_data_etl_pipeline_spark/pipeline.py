@@ -40,7 +40,7 @@ from .sources.ingest import (
 )
 from .sources.readers import path_exists, read_parquet
 from .sources.validate import DEFAULT_REQUIRED_DOMAINS, require_staged
-from .sources.writers import replace_dir
+from .sources.writers import recover_dir, replace_dir
 from .transforms import PK, provider_transform, quality_transform, universal_cleaning
 from .zones import ZoneLayout
 
@@ -176,6 +176,10 @@ def merge_warehouse(
         source = read_parquet(spark, outputs[output])
         keys = [PK, "measure_code"] if output == "quality" else [PK]
         target_path = zones.warehouse(dim)
+        # A crashed prior swap can leave the dim parked at __old with the
+        # target missing; restore BEFORE the bootstrap probe, or this run
+        # would re-bootstrap the dim from the current batch alone.
+        recover_dir(spark, target_path)
         # Bootstrap ONLY when the target verifiably does not exist. A broad
         # except here would turn any transient read or schema-drift error
         # into "first run" and silently replace the whole dim with the

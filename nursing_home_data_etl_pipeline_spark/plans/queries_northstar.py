@@ -204,7 +204,8 @@ def _duck_shingles(src: str = "documents") -> str:
     (e.g. training_corpus) can shingle a filtered CTE."""
     return f"""
     words AS (SELECT doc_id, regexp_split_to_array({_DUCK_NORM}, ' ') AS wa
-              FROM {src}),
+              FROM {src}
+              WHERE {_DUCK_NORM} IS NOT NULL AND {_DUCK_NORM} != ''),
     shingles AS (
       SELECT DISTINCT doc_id,
              array_to_string(wa[i:i+{_SHINGLE_K - 1}], ' ') AS s
@@ -293,6 +294,7 @@ def _simhash_oracle() -> str:
     WITH toks AS (
       SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
       FROM documents
+      WHERE text IS NOT NULL AND trim(text) != ''
     ),
     hashed AS (SELECT doc_id, {h} AS h FROM toks),
     bits AS (

@@ -150,7 +150,9 @@ def _bands_chain(prefix: str, src: str) -> str:
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     k = _SHINGLE_K
     return f"""
-    {prefix}_words AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS wa FROM {src}),
+    {prefix}_words AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS wa
+                       FROM {src}
+                       WHERE {norm} IS NOT NULL AND {norm} != ''),
     {prefix}_shingles AS (
       SELECT DISTINCT doc_id, array_to_string(wa[i:i+{k - 1}], ' ') AS s
       FROM {prefix}_words, unnest(generate_series(1, greatest(len(wa) - {k - 1}, 1))) t(i)

@@ -135,8 +135,11 @@ class IngestLedger:
 
 def list_landing_files(spark: SparkSession, landing_dir: str) -> DataFrame:
     """Enumerate the landing directory as a listing DataFrame. file_id is
-    the content-addressed identity (name + size + mtime) — the engine analog
-    of the reference's Drive file_id."""
+    the content-addressed identity (RELATIVE path + size + mtime — basename
+    alone collided for same-named files in different subdirectories, so one
+    could shadow the other in the ledger) — the engine analog of the
+    reference's Drive file_id. file_name stays the basename: routing
+    patterns match on it."""
     rows = []
     base = Path(landing_dir)
     if base.exists():
@@ -145,7 +148,7 @@ def list_landing_files(spark: SparkSession, landing_dir: str) -> DataFrame:
                 st = p.stat()
                 rows.append(
                     (
-                        f"{p.name}:{st.st_size}:{int(st.st_mtime_ns)}",
+                        f"{p.relative_to(base)}:{st.st_size}:{int(st.st_mtime_ns)}",
                         p.name,
                         str(p),
                     )
@@ -181,7 +184,25 @@ def sync_landing_to_source(
     for r in rows:
         dest_dir = zones.source(r.domain)
         os.makedirs(dest_dir, exist_ok=True)
-        shutil.copy2(r.path, os.path.join(dest_dir, r.file_name))
+        # Flatten the RELATIVE landing path into the destination name:
+        # same-named files in different landing subdirectories (feb/x.csv,
+        # mar/x.csv) previously both copied to {domain}/x.csv — the second
+        # silently overwrote the first while the ledger recorded both as
+        # synced, losing one file unrecoverably. The flattening is not
+        # injective (feb/x.csv vs a literal feb__x.csv), so a residual
+        # collision RAISES rather than overwriting — except when the
+        # destination is byte-identical in (size, mtime), i.e. a retry of
+        # this same file after a crashed ledger append.
+        rel = os.path.relpath(r.path, landing_dir)
+        dest = os.path.join(dest_dir, rel.replace(os.sep, "__"))
+        if os.path.exists(dest):
+            s_src, s_dst = os.stat(r.path), os.stat(dest)
+            if (s_src.st_size, s_src.st_mtime_ns) != (s_dst.st_size, s_dst.st_mtime_ns):
+                raise FileExistsError(
+                    f"sync destination collision: {dest!r} already holds a "
+                    f"DIFFERENT file; landing name {rel!r} flattens onto it"
+                )
+        shutil.copy2(r.path, dest)
     if rows:
         ledger.record(new)
     return len(rows)

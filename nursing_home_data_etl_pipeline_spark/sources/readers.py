@@ -37,6 +37,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType (LTZ) column under a UTC session timezone, so every
     downstream epoch conversion is exact and matches DuckDB's naive-as-UTC
     ``epoch_ns`` semantics.
+
+    Both conf pins are deliberately SESSION-WIDE and not restored: the
+    returned DataFrame is lazy, so a conf restored here would no longer
+    hold when the caller materializes the plan. Consequence: after an
+    events read, other tables' genuine TIMESTAMP(NANOS) columns also load
+    as bigint — acceptable for this engine (UTC + nanosAsLong are its
+    global contract, pinned at session build), but the reason this
+    function, not each query, owns the setting.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

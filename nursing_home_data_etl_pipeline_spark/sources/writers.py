@@ -99,10 +99,15 @@ def replace_dir(df: DataFrame, target_path: str, meta: dict | None = None) -> No
     Crash safety: the live target is renamed ASIDE (``__old``) before
     staging renames into place, then the backup is deleted — a crash in any
     window leaves the data recoverable (either the target is still live, or
-    ``__old``/``__staging`` hold the previous/next version and a manual
-    rename restores service). The previous delete-then-rename order had a
-    window where the only copy of self-referential merge state was the
-    staging dir — a rename failure there lost the table outright.
+    ``__old``/``__staging`` hold the previous/next version and a
+    :func:`recover_dir` restores service). The previous delete-then-rename
+    order had a window where the only copy of self-referential merge state
+    was the staging dir — a rename failure there lost the table outright.
+    A leftover ``__old`` WITH the target missing means the caller built
+    ``df`` against a half-swapped state: that raises here rather than
+    deleting the backup (the only full copy) and installing a frame
+    computed without it — callers maintaining a target across restarts run
+    :func:`recover_dir` before reading it.
     """
     spark = df.sparkSession
     staging = target_path + "__staging"
@@ -120,8 +125,20 @@ def replace_dir(df: DataFrame, target_path: str, meta: dict | None = None) -> No
     dst = jvm.org.apache.hadoop.fs.Path(target_path)
     old = jvm.org.apache.hadoop.fs.Path(target_path + "__old")
     fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(old):  # leftover backup from a crashed prior swap
-        fs.delete(old, True)
+    if fs.exists(old):
+        if fs.exists(dst):
+            # stale backup from a crash AFTER a successful swap — safe to drop
+            fs.delete(old, True)
+        else:
+            # crash BETWEEN the two renames: __old is the only full copy and
+            # df was computed against a missing target (bootstrap) — deleting
+            # the backup here would replace the accumulated table with that
+            # single-batch frame. Refuse; recover_dir restores service.
+            raise IOError(
+                f"{target_path} is missing but {target_path}__old exists — a "
+                "prior swap crashed mid-rename; run recover_dir() before "
+                "reading/merging so the accumulated data is not lost"
+            )
     had_target = fs.exists(dst)
     if had_target and not fs.rename(dst, old):
         raise IOError(f"backup rename {target_path} -> {target_path}__old failed")
@@ -135,6 +152,23 @@ def replace_dir(df: DataFrame, target_path: str, meta: dict | None = None) -> No
         fs.delete(old, True)
 
 
+def recover_dir(spark, target_path: str) -> bool:
+    """Restore a :func:`replace_dir` target from its ``__old`` backup after
+    a crash between the two swap renames (target missing, backup present).
+    Returns True if a restore happened. Idempotent and cheap (one exists
+    probe) — callers that maintain a target across restarts run this
+    before every read of it."""
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(target_path)
+    old = jvm.org.apache.hadoop.fs.Path(target_path + "__old")
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(dst) or not fs.exists(old):
+        return False
+    if not fs.rename(old, dst):
+        raise IOError(f"recovery rename {target_path}__old -> {target_path} failed")
+    return True
+
+
 def read_dir_meta(spark, path: str) -> dict | None:
     """Read the ``_meta.json`` a :func:`replace_dir` ``meta=`` swap left in
     ``path``; None when absent (no meta ever written, or pre-meta data).
@@ -146,10 +180,12 @@ def read_dir_meta(spark, path: str) -> dict | None:
         return None
     stream = fs.open(jpath)
     try:
-        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "utf-8")
+        # toByteArray, not toString: py4j cannot disambiguate toString's
+        # (InputStream, String) overload and the call fails at dispatch.
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
-    return json.loads(raw)
+    return json.loads(raw.decode("utf-8"))
 
 
 def write_error(

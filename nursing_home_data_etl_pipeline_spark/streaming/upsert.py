@@ -16,21 +16,28 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import latest_per_key, merge_scd1
 from ..sources.readers import path_exists, read_parquet
-from ..sources.writers import read_dir_meta, replace_dir
+from ..sources.writers import read_dir_meta, recover_dir, replace_dir
 
 
 def _latest_per_key_unordered(batch: DataFrame, keys: list[str]) -> DataFrame:
-    """One row per key with no version column: the struct-max row wins —
-    deterministic given the batch's content (unlike dropDuplicates, whose
-    survivor depends on partitioning). Used when order_col is None; a
-    micro-batch can easily contain several updates to one key, and feeding
-    them all to merge_scd1 violates its unique-source precondition (both
-    rows would land in the dim)."""
+    """One row per key with no version column: the struct-max row (over the
+    ORDERABLE columns — maps cannot be sort keys, same contract as
+    joins.latest_per_key) wins — deterministic given the batch's content
+    (unlike dropDuplicates, whose survivor depends on partitioning). Used
+    when order_col is None; a micro-batch can easily contain several
+    updates to one key, and feeding them all to merge_scd1 violates its
+    unique-source precondition (both rows would land in the dim)."""
+    from ..operators.asof import _is_orderable
+
     others = [c for c in batch.columns if c not in keys]
+    types = {f.name: f.dataType for f in batch.schema.fields}
     row = F.struct(*[F.col(c).alias(c) for c in others])
+    ord_row = F.struct(
+        *[F.col(c).alias(c) for c in others if _is_orderable(types[c])]
+    )
     return (
         batch.groupBy(*keys)
-        .agg(F.max_by(row, row).alias("_r"))
+        .agg(F.max_by(row, ord_row).alias("_r"))
         .select(*keys, *[F.col("_r").getField(c).alias(c) for c in others])
         .select(*batch.columns)
     )
@@ -67,6 +74,10 @@ def start_upsert_sink(
             if order_col
             else _latest_per_key_unordered(batch, keys)
         )
+        # A crashed prior swap can leave the dim parked at __old with the
+        # target missing; restore it BEFORE the bootstrap probe, or this
+        # batch would re-bootstrap over the accumulated dim.
+        recover_dir(spark, target_path)
         # Bootstrap ONLY when the target verifiably does not exist: inside
         # foreachBatch a broad except would treat any transient merge error
         # on a later micro-batch as "first batch" and silently wipe the
@@ -142,7 +153,19 @@ def start_incremental_agg(
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        recover_dir(spark, target_path)
         meta = read_dir_meta(spark, target_path)
+        if meta is not None and meta.get("checkpoint") not in (None, checkpoint_dir):
+            # A fresh checkpoint restarts epochs at 0: the bare-number guard
+            # would silently SKIP its first batches (under-counting) while
+            # applying later ones. A lineage change must be an explicit
+            # migration, not a silent resume.
+            raise ValueError(
+                f"target {target_path!r} was maintained from checkpoint "
+                f"{meta.get('checkpoint')!r}, not {checkpoint_dir!r}; "
+                "re-pointing an aggregate target at a new checkpoint "
+                "requires rebuilding the target (or removing it) explicitly"
+            )
         if meta is not None and meta.get("epoch", -1) >= epoch_id:
             return  # replayed, already applied — merging again double-counts
         partial = agg_exprs(batch)
@@ -162,7 +185,11 @@ def start_incremental_agg(
             )
         else:
             merged = partial
-        replace_dir(merged, target_path, meta={"epoch": epoch_id})
+        replace_dir(
+            merged,
+            target_path,
+            meta={"epoch": epoch_id, "checkpoint": checkpoint_dir},
+        )
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -117,6 +117,45 @@ def test_promote_types_null_token_values_become_null(spark):
     assert out4.filter("n IS NULL").count() == 1
 
 
+def test_promote_types_sign_prefixed_leading_zero_blocked(spark):
+    """'-03' parses as -3 — the same leading-zero identifier destruction
+    the guard exists for, reachable via a sign prefix before the fix."""
+    from nursing_home_data_etl_pipeline_spark.operators.cleaning import promote_types
+
+    df = spark.createDataFrame([("-03",), ("-7",)], ["n"])
+    assert dict(promote_types(df).dtypes)["n"] == "string"
+    ok = spark.createDataFrame([("-3",), ("-7",), ("+2",)], ["n"])
+    assert dict(promote_types(ok).dtypes)["n"] == "bigint"
+
+
+def test_promote_types_partial_dates_stay_strings(spark):
+    """try_cast('2023-01' AS timestamp) fabricates day/time — a
+    month-identifier column must stay a string (the date branch had this
+    guard; the timestamp branch lacked it). Full-date values still promote:
+    a MIXED date/datetime column widens to timestamp (date -> midnight is
+    the standard lossless widening), including single-digit-hour times."""
+    from nursing_home_data_etl_pipeline_spark.operators.cleaning import promote_types
+
+    df = spark.createDataFrame([("2023-01",), ("2023-02",)], ["month"])
+    assert dict(promote_types(df).dtypes)["month"] == "string"
+
+    mixed = spark.createDataFrame(
+        [("2023-01-02",), ("2023-01-02 10:30:00",), ("2023-01-03 3:04:05",)],
+        ["dt"],
+    )
+    out = promote_types(mixed)
+    assert dict(out.dtypes)["dt"] == "timestamp"
+    assert out.filter("hour(dt) = 3").count() == 1  # single-digit hour kept
+
+
+def test_cast_columns_absent_key_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], ["n"])
+    with pytest.raises(ValueError, match="not in frame"):
+        cast_columns(df, {"typo_name": "bigint"})
+
+
 def test_rename_columns_duplicate_target_raises(spark):
     import pytest
 

@@ -115,6 +115,33 @@ def test_cosine_rounded_identity(spark):
     assert v == 1.0
 
 
+def test_null_and_blank_texts_never_pair(spark):
+    """NULL and whitespace-only texts emit no shingles/signatures, so the
+    MinHash-LSH, Jaccard, and SimHash paths never pair them — before the
+    fix they all shared the empty-string shingle/token, n such docs
+    produced O(n^2) bogus pairs (Jaccard 1.0), and one blank benchmark doc
+    made decontaminate drop every NULL-text training row."""
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+        decontaminate,
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "   "), (5, "real text here now")],
+        "doc_id long, text string",
+    )
+    assert minhash_dedup_pairs(docs).count() == 0
+    assert ngram_jaccard_pairs(docs, threshold=0.0).count() == 0
+    assert simhash_near_pairs(simhash_signatures(docs)).count() == 0
+
+    bench = spark.createDataFrame([(100, "")], "doc_id long, text string")
+    clean_ids = {r.doc_id for r in decontaminate(docs, bench).collect()}
+    assert clean_ids == {1, 2, 3, 4, 5}  # blank benchmark doc scrubs nothing
+
+
 def test_decontaminate_cross_corpus(spark):
     from nursing_home_data_etl_pipeline_spark.operators.dedup import decontaminate
 

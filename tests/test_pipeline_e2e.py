@@ -201,6 +201,36 @@ def test_ledger_dedup(spark, landing, tmp_path):
     assert ledger.new_files(listing).count() == 0
 
 
+def test_sync_same_basename_in_subdirs_not_lost(spark, tmp_path):
+    """Two landing files with the same basename in different subdirectories
+    must both survive the sync (the basename-keyed destination silently
+    overwrote one while the ledger recorded both as synced) and get
+    distinct ledger identities."""
+    from nursing_home_data_etl_pipeline_spark.sources.ingest import (
+        sync_landing_to_source,
+    )
+
+    landing = tmp_path / "nested_landing"
+    (landing / "feb").mkdir(parents=True)
+    (landing / "mar").mkdir(parents=True)
+    (landing / "feb" / "NH_Penalties.csv").write_text("a,b\n1,feb\n")
+    (landing / "mar" / "NH_Penalties.csv").write_text("a,b\n1,mar\n")
+
+    zones = ZoneLayout(str(tmp_path / "nz"))
+    zones.ensure()
+    ledger = IngestLedger(spark, str(tmp_path / "nledger"))
+    n = sync_landing_to_source(spark, str(landing), zones, ledger)
+    assert n == 2
+    import os
+
+    dest = zones.source("penalties")
+    files = sorted(os.listdir(dest))
+    assert len(files) == 2  # both months present, neither overwritten
+    contents = {open(os.path.join(dest, f)).read() for f in files}
+    assert contents == {"a,b\n1,feb\n", "a,b\n1,mar\n"}
+    assert ledger.read().count() == 2
+
+
 def test_validation_gate_raises(spark, tmp_path):
     zones = ZoneLayout(str(tmp_path / "empty_zones"))
     zones.ensure()

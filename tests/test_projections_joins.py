@@ -87,6 +87,50 @@ def test_latest_per_key(spark):
     assert len(out) == 1 and out[0].val == "b"
 
 
+def test_latest_per_key_map_column(spark):
+    """Map-typed payload columns cannot be sort keys; they must be CARRIED
+    (not ordered by) — ordering max_by over the full row struct failed
+    analysis with INVALID_ORDERING_TYPE for any map-bearing frame."""
+    df = spark.createDataFrame(
+        [("F1", {"a": 1}, 1), ("F1", {"b": 2}, 3), ("F1", {"c": 3}, 2)],
+        "pk string, attrs map<string,int>, ver long",
+    )
+    out = latest_per_key(df, ["pk"], "ver").collect()
+    assert len(out) == 1 and out[0].attrs == {"b": 2} and out[0].ver == 3
+
+
+def test_merge_scd2_map_tracked_attribute(spark):
+    """A map-typed tracked attribute is change-detected via sorted entries
+    (order-insensitive, NULL-safe) — the raw struct eqNullSafe failed
+    analysis on MapType."""
+    from nursing_home_data_etl_pipeline_spark.operators.joins import merge_scd2
+
+    target = spark.createDataFrame(
+        [
+            (1, {"x": 1, "y": 2}, "2021-01-01", None, True),  # will change
+            (2, {"y": 2, "x": 1}, "2021-01-01", None, True),  # same content
+            (3, None, "2021-01-01", None, True),  # NULL map both sides
+        ],
+        "pk int, attrs map<string,int>, valid_from string, valid_to string, "
+        "is_current boolean",
+    ).selectExpr(
+        "pk", "attrs", "CAST(valid_from AS date) valid_from",
+        "CAST(valid_to AS date) valid_to", "is_current",
+    )
+    source = spark.createDataFrame(
+        [(1, {"x": 9}), (2, {"x": 1, "y": 2}), (3, None)],
+        "pk int, attrs map<string,int>",
+    )
+    out = merge_scd2(target, source, ["pk"], "2022-06-01").collect()
+    current = {r.pk: r for r in out if r.is_current}
+    assert current[1].attrs == {"x": 9}  # changed -> new version
+    assert str(current[1].valid_from) == "2022-06-01"
+    # same content (different insertion order) and NULL==NULL: unchanged
+    assert str(current[2].valid_from) == "2021-01-01"
+    assert str(current[3].valid_from) == "2021-01-01"
+    assert sum(1 for r in out if not r.is_current) == 1  # only k=1 closed
+
+
 def test_merge_scd2_versions(spark):
     from nursing_home_data_etl_pipeline_spark.operators.joins import merge_scd2
 

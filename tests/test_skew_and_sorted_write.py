@@ -124,3 +124,14 @@ def test_zorder_write_narrows_file_ranges_in_both_dims(spark, tmp_path):
     assert files_hit(z, "x BETWEEN 100 AND 300") <= n_z // 2
     # the z write must not lose or duplicate rows
     assert spark.read.parquet(z).count() == 40000
+
+
+def test_salted_join_rejects_salt_column_clash(spark):
+    import pytest
+
+    a = spark.createDataFrame([(1, 7)], ["k", "_salt"])
+    b = spark.createDataFrame([(1, "x")], ["k", "v"])
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(a, b, ["k"], buckets=4)
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(b, a, ["k"], buckets=4)
