@@ -56,9 +56,14 @@ def shingle_table(
     document (measured 2.7x slower at sf0.1). With the array as a bound
     attribute each row tokenizes exactly once.
     """
-    norm = normalize_text(F.col(text_col))
-    w = F.split(norm, " ")
-    base = df.filter(norm.isNotNull() & (norm != "")).select(F.col(id_col), w.alias("_w"))
+    # Normalize ONCE into a projected column, filter on that, then split
+    # the bound attribute — repeating normalize_text in the filter and the
+    # split would run the regex chain twice per row.
+    base = (
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+        .filter(F.col("_norm").isNotNull() & (F.col("_norm") != ""))
+        .select(F.col(id_col), F.split(F.col("_norm"), " ").alias("_w"))
+    )
     idx = F.sequence(F.lit(1), F.greatest(F.size("_w") - (k - 1), F.lit(1)))
     shingles = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, k)))
@@ -302,10 +307,12 @@ def simhash_signatures(
     """
     # NULL/blank texts emit no signature (same contract as shingle_table:
     # identical blank docs are exact_dedup's job; without the filter n
-    # blank docs simhash-pair into O(n^2) hamming-0 pairs).
-    df = df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    )
+    # blank docs simhash-pair into O(n^2) hamming-0 pairs). Blankness uses
+    # normalize_text, NOT F.trim — trim strips only ASCII spaces, so a
+    # tab/newline-only document would slip through and still emit the
+    # empty-token signature.
+    norm = normalize_text(F.col(text_col))
+    df = df.filter(norm.isNotNull() & (norm != ""))
     # Same 60-bit value token_hash_sql computes, but via the JVM conv()
     # intrinsic instead of 15 instr() digit lookups (2x faster measured at
     # sf0.1; DuckDB lacks conv(), so the ORACLE keeps the digit-arithmetic

@@ -84,6 +84,27 @@ def merge_scd1(
     return updates.unionByName(keep)
 
 
+def ordering_struct(df: DataFrame, cols: Sequence[str]):
+    """Deterministic tiebreak struct over ``cols``: orderable columns enter
+    as-is; top-level map columns enter canonicalized as sorted entry
+    arrays (maps cannot be sort keys, but excluding them would make rows
+    distinguishable ONLY by map values pick engine-arbitrarily — a merge
+    fed by that would flap across replays); other non-orderable shapes
+    (maps nested deeper) are excluded and documented as tie-arbitrary.
+    Shared by latest_per_key and the streaming upsert's unordered dedup so
+    the two cannot drift."""
+    from pyspark.sql import types as T
+
+    types = {f.name: f.dataType for f in df.schema.fields}
+    parts = []
+    for c in cols:
+        if isinstance(types[c], T.MapType):
+            parts.append(F.array_sort(F.map_entries(F.col(c))).alias(c))
+        elif _is_orderable(types[c]):
+            parts.append(F.col(c).alias(c))
+    return F.struct(*parts)
+
+
 def latest_per_key(
     df: DataFrame, keys: Sequence[str], order_col: str
 ) -> DataFrame:
@@ -93,23 +114,18 @@ def latest_per_key(
     """
     keys = list(keys)
     others = [c for c in df.columns if c not in keys]
-    types = {f.name: f.dataType for f in df.schema.fields}
     # ONE max_by over the whole row struct: per-column max_by calls would
     # TEAR columns across different tied rows, and f-string F.expr broke on
-    # any name that isn't a bare SQL identifier. The (order, orderable-row)
+    # any name that isn't a bare SQL identifier. The (order, tiebreak-row)
     # ordering struct makes ties deterministic (highest row by struct
     # comparison) instead of engine-arbitrary — this feeds MERGE, so reruns
-    # must agree. Only ORDERABLE columns enter the tiebreak (maps cannot be
-    # sort keys — ordering by the full row failed analysis for map-typed
-    # attributes): rows tying on order_col AND every orderable column are
-    # distinguishable only through their map columns, where the pick stays
-    # arbitrary.
+    # must agree; see :func:`ordering_struct` for how map columns join the
+    # tiebreak.
     row = F.struct(*[F.col(c).alias(c) for c in others])
-    ord_row = F.struct(
-        *[F.col(c).alias(c) for c in others if _is_orderable(types[c])]
-    )
     picked = df.groupBy(*keys).agg(
-        F.max_by(row, F.struct(F.col(order_col), ord_row)).alias("_r")
+        F.max_by(row, F.struct(F.col(order_col), ordering_struct(df, others))).alias(
+            "_r"
+        )
     )
     return picked.select(
         *keys, *[F.col("_r").getField(c).alias(c) for c in others]

@@ -294,7 +294,7 @@ def _simhash_oracle() -> str:
     WITH toks AS (
       SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
       FROM documents
-      WHERE text IS NOT NULL AND trim(text) != ''
+      WHERE {_DUCK_NORM} IS NOT NULL AND {_DUCK_NORM} != ''
     ),
     hashed AS (SELECT doc_id, {h} AS h FROM toks),
     bits AS (

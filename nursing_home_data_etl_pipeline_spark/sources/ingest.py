@@ -139,7 +139,13 @@ def list_landing_files(spark: SparkSession, landing_dir: str) -> DataFrame:
     alone collided for same-named files in different subdirectories, so one
     could shadow the other in the ledger) — the engine analog of the
     reference's Drive file_id. file_name stays the basename: routing
-    patterns match on it."""
+    patterns match on it.
+
+    Migration note: ids for SUBDIRECTORY-resident files changed from
+    basename- to relpath-keyed; a ledger written by the older scheme
+    re-ingests such files once (under the new flattened destination name)
+    unless its file_ids are rewritten. Flat landing directories — the
+    reference's actual shape — are unaffected (relpath == basename)."""
     rows = []
     base = Path(landing_dir)
     if base.exists():
@@ -181,28 +187,34 @@ def sync_landing_to_source(
     rows = new.collect()  # listing-sized, driver-side by design (file ops)
     if dry_run:
         return len(rows)
+    # Flatten the RELATIVE landing path into the destination name:
+    # same-named files in different landing subdirectories (feb/x.csv,
+    # mar/x.csv) previously both copied to {domain}/x.csv — the second
+    # silently overwrote the first while the ledger recorded both as
+    # synced, losing one file unrecoverably. The flattening is not
+    # injective (feb/x.csv vs a literal feb__x.csv), so collisions are
+    # checked BY PROVENANCE: the same relative path re-syncing (an updated
+    # or retried file) overwrites its own stale copy as before, while two
+    # DIFFERENT relative paths claiming one destination raise. Prior
+    # claims come from the ledger (ledger-sized, already driver-side).
+    claimed: dict[tuple[str, str], str] = {}
+    for lr in ledger.read().select("path", "domain").collect():
+        lrel = os.path.relpath(lr.path, landing_dir)
+        if not lrel.startswith(".."):
+            claimed[(lr.domain, lrel.replace(os.sep, "__"))] = lrel
     for r in rows:
         dest_dir = zones.source(r.domain)
         os.makedirs(dest_dir, exist_ok=True)
-        # Flatten the RELATIVE landing path into the destination name:
-        # same-named files in different landing subdirectories (feb/x.csv,
-        # mar/x.csv) previously both copied to {domain}/x.csv — the second
-        # silently overwrote the first while the ledger recorded both as
-        # synced, losing one file unrecoverably. The flattening is not
-        # injective (feb/x.csv vs a literal feb__x.csv), so a residual
-        # collision RAISES rather than overwriting — except when the
-        # destination is byte-identical in (size, mtime), i.e. a retry of
-        # this same file after a crashed ledger append.
         rel = os.path.relpath(r.path, landing_dir)
-        dest = os.path.join(dest_dir, rel.replace(os.sep, "__"))
-        if os.path.exists(dest):
-            s_src, s_dst = os.stat(r.path), os.stat(dest)
-            if (s_src.st_size, s_src.st_mtime_ns) != (s_dst.st_size, s_dst.st_mtime_ns):
-                raise FileExistsError(
-                    f"sync destination collision: {dest!r} already holds a "
-                    f"DIFFERENT file; landing name {rel!r} flattens onto it"
-                )
-        shutil.copy2(r.path, dest)
+        dest_name = rel.replace(os.sep, "__")
+        prior = claimed.get((r.domain, dest_name))
+        if prior is not None and prior != rel:
+            raise FileExistsError(
+                f"sync destination collision in domain {r.domain!r}: landing "
+                f"files {prior!r} and {rel!r} both flatten to {dest_name!r}"
+            )
+        claimed[(r.domain, dest_name)] = rel
+        shutil.copy2(r.path, os.path.join(dest_dir, dest_name))
     if rows:
         ledger.record(new)
     return len(rows)

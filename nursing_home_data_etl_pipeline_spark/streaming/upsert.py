@@ -9,6 +9,8 @@ file ledger. Batch and streaming therefore share ONE merge implementation
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
@@ -20,24 +22,21 @@ from ..sources.writers import read_dir_meta, recover_dir, replace_dir
 
 
 def _latest_per_key_unordered(batch: DataFrame, keys: list[str]) -> DataFrame:
-    """One row per key with no version column: the struct-max row (over the
-    ORDERABLE columns — maps cannot be sort keys, same contract as
-    joins.latest_per_key) wins — deterministic given the batch's content
-    (unlike dropDuplicates, whose survivor depends on partitioning). Used
-    when order_col is None; a micro-batch can easily contain several
-    updates to one key, and feeding them all to merge_scd1 violates its
-    unique-source precondition (both rows would land in the dim)."""
-    from ..operators.asof import _is_orderable
+    """One row per key with no version column: the tiebreak-struct-max row
+    (joins.ordering_struct — orderable columns plus canonicalized maps, the
+    same machinery latest_per_key uses) wins — deterministic given the
+    batch's content (unlike dropDuplicates, whose survivor depends on
+    partitioning). Used when order_col is None; a micro-batch can easily
+    contain several updates to one key, and feeding them all to merge_scd1
+    violates its unique-source precondition (both rows would land in the
+    dim)."""
+    from ..operators.joins import ordering_struct
 
     others = [c for c in batch.columns if c not in keys]
-    types = {f.name: f.dataType for f in batch.schema.fields}
     row = F.struct(*[F.col(c).alias(c) for c in others])
-    ord_row = F.struct(
-        *[F.col(c).alias(c) for c in others if _is_orderable(types[c])]
-    )
     return (
         batch.groupBy(*keys)
-        .agg(F.max_by(row, ord_row).alias("_r"))
+        .agg(F.max_by(row, ordering_struct(batch, others)).alias("_r"))
         .select(*keys, *[F.col("_r").getField(c).alias(c) for c in others])
         .select(*batch.columns)
     )
@@ -150,19 +149,29 @@ def start_incremental_agg(
             F.max(value_col).alias("vmax"),
         )
 
+    # Lineage identity: local-path spellings normalize (trailing slash /
+    # relative forms of one dir must not hard-fail the resume as a false
+    # lineage change); URI checkpoints (s3a://...) compare verbatim.
+    ckpt_id = (
+        checkpoint_dir if "://" in checkpoint_dir else os.path.abspath(checkpoint_dir)
+    )
+
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
         recover_dir(spark, target_path)
         meta = read_dir_meta(spark, target_path)
-        if meta is not None and meta.get("checkpoint") not in (None, checkpoint_dir):
+        if meta is not None and meta.get("checkpoint") not in (None, ckpt_id):
             # A fresh checkpoint restarts epochs at 0: the bare-number guard
             # would silently SKIP its first batches (under-counting) while
             # applying later ones. A lineage change must be an explicit
-            # migration, not a silent resume.
+            # migration, not a silent resume. (A meta WITHOUT a checkpoint
+            # key — written by a pre-lineage-stamp version — is accepted as
+            # unknown lineage and stamped on the next swap; such targets
+            # keep the documented one-lineage caveat until then.)
             raise ValueError(
                 f"target {target_path!r} was maintained from checkpoint "
-                f"{meta.get('checkpoint')!r}, not {checkpoint_dir!r}; "
+                f"{meta.get('checkpoint')!r}, not {ckpt_id!r}; "
                 "re-pointing an aggregate target at a new checkpoint "
                 "requires rebuilding the target (or removing it) explicitly"
             )
@@ -188,7 +197,7 @@ def start_incremental_agg(
         replace_dir(
             merged,
             target_path,
-            meta={"epoch": epoch_id, "checkpoint": checkpoint_dir},
+            meta={"epoch": epoch_id, "checkpoint": ckpt_id},
         )
 
     writer = (

@@ -130,7 +130,10 @@ def test_null_and_blank_texts_never_pair(spark):
     )
 
     docs = spark.createDataFrame(
-        [(1, None), (2, None), (3, ""), (4, "   "), (5, "real text here now")],
+        # tab/newline-only docs too: F.trim strips only ASCII spaces, so a
+        # trim-based blankness test let them slip through
+        [(1, None), (2, None), (3, ""), (4, "   "), (5, "real text here now"),
+         (6, "\n\n"), (7, "\t \t")],
         "doc_id long, text string",
     )
     assert minhash_dedup_pairs(docs).count() == 0
@@ -139,7 +142,7 @@ def test_null_and_blank_texts_never_pair(spark):
 
     bench = spark.createDataFrame([(100, "")], "doc_id long, text string")
     clean_ids = {r.doc_id for r in decontaminate(docs, bench).collect()}
-    assert clean_ids == {1, 2, 3, 4, 5}  # blank benchmark doc scrubs nothing
+    assert clean_ids == {1, 2, 3, 4, 5, 6, 7}  # blank bench doc scrubs nothing
 
 
 def test_decontaminate_cross_corpus(spark):

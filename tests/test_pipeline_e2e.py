@@ -231,6 +231,36 @@ def test_sync_same_basename_in_subdirs_not_lost(spark, tmp_path):
     assert ledger.read().count() == 2
 
 
+def test_sync_inplace_update_resyncs_not_bricks(spark, tmp_path):
+    """An updated landing file (same relative path, new size/mtime) is a
+    NEW file_id by design and must overwrite its own stale copy — the
+    first collision check raised FileExistsError here, permanently
+    failing every subsequent sync run."""
+    import os
+    import time
+
+    from nursing_home_data_etl_pipeline_spark.sources.ingest import (
+        sync_landing_to_source,
+    )
+
+    landing = tmp_path / "upd_landing"
+    landing.mkdir()
+    f = landing / "NH_Penalties.csv"
+    f.write_text("a,b\n1,old\n")
+    zones = ZoneLayout(str(tmp_path / "uz"))
+    zones.ensure()
+    ledger = IngestLedger(spark, str(tmp_path / "uledger"))
+    assert sync_landing_to_source(spark, str(landing), zones, ledger) == 1
+
+    time.sleep(0.01)
+    f.write_text("a,b\n1,new-longer\n")  # same rel path, new content
+    assert sync_landing_to_source(spark, str(landing), zones, ledger) == 1
+    dest = zones.source("penalties")
+    files = os.listdir(dest)
+    assert len(files) == 1  # overwritten in place, not duplicated
+    assert "new-longer" in open(os.path.join(dest, files[0])).read()
+
+
 def test_validation_gate_raises(spark, tmp_path):
     zones = ZoneLayout(str(tmp_path / "empty_zones"))
     zones.ensure()
