@@ -86,47 +86,56 @@ def merge_scd1(
 
 def ordering_struct(df: DataFrame, cols: Sequence[str]):
     """Deterministic tiebreak struct over ``cols``: orderable columns enter
-    as-is; top-level map columns enter canonicalized as sorted entry
-    arrays (maps cannot be sort keys, but excluding them would make rows
-    distinguishable ONLY by map values pick engine-arbitrarily — a merge
-    fed by that would flap across replays); other non-orderable shapes
-    (maps nested deeper) are excluded and documented as tie-arbitrary.
-    Shared by latest_per_key and the streaming upsert's unordered dedup so
-    the two cannot drift."""
+    as-is; top-level map columns whose keys AND values are themselves
+    orderable enter canonicalized as sorted entry arrays (maps cannot be
+    sort keys, but excluding them would make rows distinguishable ONLY by
+    map values pick engine-arbitrarily — a merge fed by that would flap
+    across replays); any other non-orderable shape (maps nested deeper,
+    maps of maps) is excluded from the tiebreak — array_sort over its
+    entries would fail analysis, so those ties stay documented-arbitrary.
+    Shared by latest_per_key's ordered and unordered modes so the two
+    cannot drift."""
     from pyspark.sql import types as T
 
     types = {f.name: f.dataType for f in df.schema.fields}
     parts = []
     for c in cols:
-        if isinstance(types[c], T.MapType):
+        dt = types[c]
+        if (
+            isinstance(dt, T.MapType)
+            and _is_orderable(dt.keyType)
+            and _is_orderable(dt.valueType)
+        ):
             parts.append(F.array_sort(F.map_entries(F.col(c))).alias(c))
-        elif _is_orderable(types[c]):
+        elif _is_orderable(dt):
             parts.append(F.col(c).alias(c))
     return F.struct(*parts)
 
 
 def latest_per_key(
-    df: DataFrame, keys: Sequence[str], order_col: str
+    df: DataFrame, keys: Sequence[str], order_col: str | None
 ) -> DataFrame:
-    """Resolve multi-row-per-key sources to the latest row by ``order_col``
-    (deterministic MERGE input). max_by keeps this a single hash aggregate —
-    no window sort needed.
+    """Resolve multi-row-per-key sources to one row per key: the latest by
+    ``order_col``, or — with ``order_col=None`` — the tiebreak-struct-max
+    row (no version column; deterministic given the frame's content,
+    unlike dropDuplicates, whose survivor depends on partitioning). max_by
+    keeps both modes a single hash aggregate — no window sort needed.
     """
     keys = list(keys)
     others = [c for c in df.columns if c not in keys]
     # ONE max_by over the whole row struct: per-column max_by calls would
     # TEAR columns across different tied rows, and f-string F.expr broke on
-    # any name that isn't a bare SQL identifier. The (order, tiebreak-row)
+    # any name that isn't a bare SQL identifier. The (order?, tiebreak-row)
     # ordering struct makes ties deterministic (highest row by struct
     # comparison) instead of engine-arbitrary — this feeds MERGE, so reruns
     # must agree; see :func:`ordering_struct` for how map columns join the
     # tiebreak.
     row = F.struct(*[F.col(c).alias(c) for c in others])
-    picked = df.groupBy(*keys).agg(
-        F.max_by(row, F.struct(F.col(order_col), ordering_struct(df, others))).alias(
-            "_r"
-        )
+    tiebreak = ordering_struct(df, others)
+    ordering = (
+        F.struct(F.col(order_col), tiebreak) if order_col is not None else tiebreak
     )
+    picked = df.groupBy(*keys).agg(F.max_by(row, ordering).alias("_r"))
     return picked.select(
         *keys, *[F.col("_r").getField(c).alias(c) for c in others]
     ).select(*df.columns)

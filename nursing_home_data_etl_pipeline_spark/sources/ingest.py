@@ -185,7 +185,7 @@ def sync_landing_to_source(
     listing = list_landing_files(spark, landing_dir)
     new = ledger.new_files(route_files_df(listing, mapping))
     rows = new.collect()  # listing-sized, driver-side by design (file ops)
-    if dry_run:
+    if dry_run or not rows:  # no-op poll: skip the claims build entirely
         return len(rows)
     # Flatten the RELATIVE landing path into the destination name:
     # same-named files in different landing subdirectories (feb/x.csv,
@@ -196,25 +196,52 @@ def sync_landing_to_source(
     # checked BY PROVENANCE: the same relative path re-syncing (an updated
     # or retried file) overwrites its own stale copy as before, while two
     # DIFFERENT relative paths claiming one destination raise. Prior
-    # claims come from the ledger (ledger-sized, already driver-side).
+    # claims come from the ledger (ledger-sized, already driver-side);
+    # realpath on both sides keeps claims valid when the landing dir is
+    # reached through a different (symlinked) spelling across runs.
+    base = os.path.realpath(landing_dir)
+
+    def _rel(path: str) -> str | None:
+        rel = os.path.relpath(os.path.realpath(path), base)
+        outside = rel == ".." or rel.startswith(".." + os.sep)
+        return None if outside else rel
+
     claimed: dict[tuple[str, str], str] = {}
     for lr in ledger.read().select("path", "domain").collect():
-        lrel = os.path.relpath(lr.path, landing_dir)
-        if not lrel.startswith(".."):
+        lrel = _rel(lr.path)
+        if lrel is not None:
             claimed[(lr.domain, lrel.replace(os.sep, "__"))] = lrel
     for r in rows:
         dest_dir = zones.source(r.domain)
         os.makedirs(dest_dir, exist_ok=True)
-        rel = os.path.relpath(r.path, landing_dir)
+        rel = _rel(r.path)
+        assert rel is not None  # listed under landing_dir by construction
         dest_name = rel.replace(os.sep, "__")
+        dest = os.path.join(dest_dir, dest_name)
         prior = claimed.get((r.domain, dest_name))
         if prior is not None and prior != rel:
             raise FileExistsError(
                 f"sync destination collision in domain {r.domain!r}: landing "
                 f"files {prior!r} and {rel!r} both flatten to {dest_name!r}"
             )
+        if prior is None and os.path.exists(dest):
+            # Destination exists but the ledger never claimed it: an orphan
+            # from a crashed copy-then-record run. A retry of the SAME file
+            # (identical size+mtime, copy2 preserves both) may proceed;
+            # anything else refuses — the orphan may be the only copy of a
+            # file since deleted from landing.
+            s_src, s_dst = os.stat(r.path), os.stat(dest)
+            if (s_src.st_size, s_src.st_mtime_ns) != (
+                s_dst.st_size,
+                s_dst.st_mtime_ns,
+            ):
+                raise FileExistsError(
+                    f"sync destination {dest!r} exists with no ledger claim "
+                    f"and differs from landing file {rel!r}; refusing to "
+                    "overwrite an unknown-origin file"
+                )
         claimed[(r.domain, dest_name)] = rel
-        shutil.copy2(r.path, os.path.join(dest_dir, dest_name))
+        shutil.copy2(r.path, dest)
     if rows:
         ledger.record(new)
     return len(rows)

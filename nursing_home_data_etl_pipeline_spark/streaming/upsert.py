@@ -21,25 +21,6 @@ from ..sources.readers import path_exists, read_parquet
 from ..sources.writers import read_dir_meta, recover_dir, replace_dir
 
 
-def _latest_per_key_unordered(batch: DataFrame, keys: list[str]) -> DataFrame:
-    """One row per key with no version column: the tiebreak-struct-max row
-    (joins.ordering_struct — orderable columns plus canonicalized maps, the
-    same machinery latest_per_key uses) wins — deterministic given the
-    batch's content (unlike dropDuplicates, whose survivor depends on
-    partitioning). Used when order_col is None; a micro-batch can easily
-    contain several updates to one key, and feeding them all to merge_scd1
-    violates its unique-source precondition (both rows would land in the
-    dim)."""
-    from ..operators.joins import ordering_struct
-
-    others = [c for c in batch.columns if c not in keys]
-    row = F.struct(*[F.col(c).alias(c) for c in others])
-    return (
-        batch.groupBy(*keys)
-        .agg(F.max_by(row, ordering_struct(batch, others)).alias("_r"))
-        .select(*keys, *[F.col("_r").getField(c).alias(c) for c in others])
-        .select(*batch.columns)
-    )
 
 
 def start_upsert_sink(
@@ -68,11 +49,11 @@ def start_upsert_sink(
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        source = (
-            latest_per_key(batch, keys, order_col)
-            if order_col
-            else _latest_per_key_unordered(batch, keys)
-        )
+        # latest_per_key handles both modes: latest-by-order_col, or (None)
+        # the deterministic tiebreak-struct-max — either way the merge
+        # input is unique per key (merge_scd1's precondition; a raw
+        # multi-row batch left duplicate key rows in the dim forever).
+        source = latest_per_key(batch, keys, order_col)
         # A crashed prior swap can leave the dim parked at __old with the
         # target missing; restore it BEFORE the bootstrap probe, or this
         # batch would re-bootstrap over the accumulated dim.
@@ -149,19 +130,22 @@ def start_incremental_agg(
             F.max(value_col).alias("vmax"),
         )
 
-    # Lineage identity: local-path spellings normalize (trailing slash /
-    # relative forms of one dir must not hard-fail the resume as a false
-    # lineage change); URI checkpoints (s3a://...) compare verbatim.
-    ckpt_id = (
-        checkpoint_dir if "://" in checkpoint_dir else os.path.abspath(checkpoint_dir)
-    )
+    # Lineage identity: local-path spellings normalize on BOTH sides of the
+    # comparison (trailing slash / relative forms of one dir — whether in
+    # the current invocation or stamped by an earlier one — must not
+    # hard-fail the resume as a false lineage change); URI checkpoints
+    # (s3a://...) compare verbatim.
+    def _ckpt_id(p: str | None) -> str | None:
+        return p if p is None or "://" in p else os.path.abspath(p)
+
+    ckpt_id = _ckpt_id(checkpoint_dir)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
         recover_dir(spark, target_path)
         meta = read_dir_meta(spark, target_path)
-        if meta is not None and meta.get("checkpoint") not in (None, ckpt_id):
+        if meta is not None and _ckpt_id(meta.get("checkpoint")) not in (None, ckpt_id):
             # A fresh checkpoint restarts epochs at 0: the bare-number guard
             # would silently SKIP its first batches (under-counting) while
             # applying later ones. A lineage change must be an explicit

@@ -87,6 +87,27 @@ def test_latest_per_key(spark):
     assert len(out) == 1 and out[0].val == "b"
 
 
+def test_latest_per_key_nested_map_value_column(spark):
+    """A map whose VALUES are maps cannot be canonicalized (array_sort of
+    its entries is unorderable) — it must be excluded from the tiebreak
+    and carried, not fail analysis."""
+    df = spark.createDataFrame(
+        [("F1", {"a": {"x": 1}}, 1), ("F1", {"b": {"y": 2}}, 3)],
+        "pk string, attrs map<string,map<string,int>>, ver long",
+    )
+    out = latest_per_key(df, ["pk"], "ver").collect()
+    assert len(out) == 1 and out[0].attrs == {"b": {"y": 2}}
+
+
+def test_latest_per_key_unordered_mode(spark):
+    """order_col=None: the tiebreak-struct-max row wins, deterministically."""
+    df = spark.createDataFrame(
+        [("F1", "a", 1), ("F1", "b", 3), ("F1", "c", 2)], ["pk", "val", "ver"]
+    )
+    out = latest_per_key(df, ["pk"], None).collect()
+    assert len(out) == 1 and (out[0].val, out[0].ver) == ("c", 2)  # struct max
+
+
 def test_latest_per_key_map_column(spark):
     """Map-typed payload columns cannot be sort keys; they must be CARRIED
     (not ordered by) — ordering max_by over the full row struct failed
