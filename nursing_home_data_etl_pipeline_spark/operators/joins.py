@@ -116,10 +116,11 @@ def latest_per_key(
     df: DataFrame, keys: Sequence[str], order_col: str | None
 ) -> DataFrame:
     """Resolve multi-row-per-key sources to one row per key: the latest by
-    ``order_col``, or — with ``order_col=None`` — the tiebreak-struct-max
-    row (no version column; deterministic given the frame's content,
-    unlike dropDuplicates, whose survivor depends on partitioning). max_by
-    keeps both modes a single hash aggregate — no window sort needed.
+    ``order_col``, or — with ``order_col`` None/empty — the
+    tiebreak-struct-max row (no version column; deterministic given the
+    frame's content, unlike dropDuplicates, whose survivor depends on
+    partitioning). max_by keeps both modes a single hash aggregate — no
+    window sort needed.
     """
     keys = list(keys)
     others = [c for c in df.columns if c not in keys]
@@ -132,9 +133,9 @@ def latest_per_key(
     # tiebreak.
     row = F.struct(*[F.col(c).alias(c) for c in others])
     tiebreak = ordering_struct(df, others)
-    ordering = (
-        F.struct(F.col(order_col), tiebreak) if order_col is not None else tiebreak
-    )
+    # Truthiness, not `is not None`: an empty-string order_col (e.g. an
+    # unset config value threaded through) means "no version column".
+    ordering = F.struct(F.col(order_col), tiebreak) if order_col else tiebreak
     picked = df.groupBy(*keys).agg(F.max_by(row, ordering).alias("_r"))
     return picked.select(
         *keys, *[F.col("_r").getField(c).alias(c) for c in others]

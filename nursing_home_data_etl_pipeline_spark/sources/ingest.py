@@ -20,6 +20,7 @@ Reference behavior re-expressed:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 from dataclasses import dataclass
@@ -50,6 +51,14 @@ LEDGER_SCHEMA = T.StructType(
         T.StructField("synced_at", T.TimestampType(), True),
     ]
 )
+
+
+def _file_md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
 
 
 def normalize_filename(name: str) -> str:
@@ -202,9 +211,15 @@ def sync_landing_to_source(
     base = os.path.realpath(landing_dir)
 
     def _rel(path: str) -> str | None:
-        rel = os.path.relpath(os.path.realpath(path), base)
-        outside = rel == ".." or rel.startswith(".." + os.sep)
-        return None if outside else rel
+        # Resolve symlinks in the DIRECTORY part only (so a symlinked
+        # spelling of the landing dir keeps its claims across runs) but
+        # never the file itself — a landing file that is a symlink to a
+        # target outside landing_dir is still a landing file.
+        d, name = os.path.split(path)
+        rel_dir = os.path.relpath(os.path.realpath(d), base)
+        if rel_dir == ".." or rel_dir.startswith(".." + os.sep):
+            return None  # outside this landing dir (e.g. a foreign ledger row)
+        return name if rel_dir == "." else os.path.join(rel_dir, name)
 
     claimed: dict[tuple[str, str], str] = {}
     for lr in ledger.read().select("path", "domain").collect():
@@ -215,7 +230,8 @@ def sync_landing_to_source(
         dest_dir = zones.source(r.domain)
         os.makedirs(dest_dir, exist_ok=True)
         rel = _rel(r.path)
-        assert rel is not None  # listed under landing_dir by construction
+        if rel is None:  # cannot happen for rows listed under landing_dir
+            raise ValueError(f"listed file {r.path!r} not under {landing_dir!r}")
         dest_name = rel.replace(os.sep, "__")
         dest = os.path.join(dest_dir, dest_name)
         prior = claimed.get((r.domain, dest_name))
@@ -227,23 +243,24 @@ def sync_landing_to_source(
         if prior is None and os.path.exists(dest):
             # Destination exists but the ledger never claimed it: an orphan
             # from a crashed copy-then-record run. A retry of the SAME file
-            # (identical size+mtime, copy2 preserves both) may proceed;
-            # anything else refuses — the orphan may be the only copy of a
-            # file since deleted from landing.
-            s_src, s_dst = os.stat(r.path), os.stat(dest)
-            if (s_src.st_size, s_src.st_mtime_ns) != (
-                s_dst.st_size,
-                s_dst.st_mtime_ns,
-            ):
+            # (identical content — compared by hash, immune to filesystems
+            # that round mtimes) may proceed; anything else refuses — the
+            # orphan may be the only copy of a file since deleted from
+            # landing.
+            if _file_md5(r.path) != _file_md5(dest):
                 raise FileExistsError(
                     f"sync destination {dest!r} exists with no ledger claim "
                     f"and differs from landing file {rel!r}; refusing to "
                     "overwrite an unknown-origin file"
                 )
         claimed[(r.domain, dest_name)] = rel
-        shutil.copy2(r.path, dest)
-    if rows:
-        ledger.record(new)
+        # Atomic install: a crash mid-copy must never leave a partial file
+        # at the destination (it would poison the orphan check above AND
+        # read as corrupt data downstream).
+        tmp = dest + ".__tmp"
+        shutil.copy2(r.path, tmp)
+        os.replace(tmp, dest)
+    ledger.record(new)  # rows is non-empty here (early return above)
     return len(rows)
 
 

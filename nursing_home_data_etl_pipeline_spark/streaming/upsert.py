@@ -130,13 +130,19 @@ def start_incremental_agg(
             F.max(value_col).alias("vmax"),
         )
 
-    # Lineage identity: local-path spellings normalize on BOTH sides of the
-    # comparison (trailing slash / relative forms of one dir — whether in
-    # the current invocation or stamped by an earlier one — must not
-    # hard-fail the resume as a false lineage change); URI checkpoints
-    # (s3a://...) compare verbatim.
+    # Lineage identity: ABSOLUTE local-path spellings normalize on BOTH
+    # sides of the comparison via realpath (trailing slashes, redundant
+    # separators, symlinked respellings of one dir must not hard-fail the
+    # resume as a false lineage change). RELATIVE spellings and URI
+    # checkpoints (s3a://...) compare verbatim: resolving a relative
+    # spelling stamped by some EARLIER process against THIS process's cwd
+    # would be a guess, and a wrong guess can false-MATCH a genuinely new
+    # checkpoint — silently skipping its first epochs. Verbatim comparison
+    # errs loud, never silent.
     def _ckpt_id(p: str | None) -> str | None:
-        return p if p is None or "://" in p else os.path.abspath(p)
+        if p is None or "://" in p or not os.path.isabs(p):
+            return p
+        return os.path.realpath(p)
 
     ckpt_id = _ckpt_id(checkpoint_dir)
 
