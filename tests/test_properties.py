@@ -384,3 +384,104 @@ def test_route_files_df_matches_driver_router(spark, names_list):
     got = {r.i: r.domain for r in route_files_df(df).collect()}
     want = {i: route_filename(n) for i, n in enumerate(names_list)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup and n-gram Jaccard vs naive models
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.none()
+    | st.text(alphabet="ab \t\n", max_size=30),  # tiny alphabet -> collisions
+    min_size=1,
+    max_size=15,
+)
+
+
+def _norm_py(t):
+    import re
+
+    return re.sub(r"\s+", " ", t.lower()).strip() if t is not None else None
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_exact_dedup_matches_naive_model(spark, texts):
+    """For ANY text multiset (NULLs, blanks, whitespace variants): one
+    min-id survivor per normalized fingerprint; NULL texts pass through
+    undeduped."""
+    import hashlib
+
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(r.doc_id for r in exact_dedup(df).collect())
+    survivors = {}
+    nulls = []
+    for i, t in enumerate(texts):
+        if t is None:
+            nulls.append(i)
+            continue
+        fp = hashlib.md5(_norm_py(t).encode()).hexdigest()
+        survivors[fp] = min(survivors.get(fp, i), i)
+    assert got == sorted(list(survivors.values()) + nulls)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.none() | st.text(alphabet="abc \n", max_size=40),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_ngram_jaccard_matches_naive_model(spark, texts, k):
+    """For ANY text multiset: exact shingle-set Jaccard for every pair
+    sharing a shingle, NULL/blank docs never pairing, short docs
+    contributing their whole text as one shingle."""
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, shingle_k=k, threshold=0.0, hot_shingle_cap=10_000
+        ).collect()
+    }
+
+    def shingles(t):
+        n = _norm_py(t)
+        if not n:
+            return None  # NULL/blank: no shingles, never pairs
+        w = n.split(" ")
+        if len(w) <= k:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                if inter:
+                    j = round(inter / len(sets[a] | sets[b]), 6)
+                    want[(a, b)] = (inter, j)
+    assert got == want
