@@ -485,3 +485,123 @@ def test_ngram_jaccard_matches_naive_model(spark, texts, k):
                     j = round(inter / len(sets[a] | sets[b]), 6)
                     want[(a, b)] = (inter, j)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures and SimHash vs bit-exact Python models
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.none() | st.text(alphabet="abc \n", max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_minhash_signatures_match_python_model(spark, texts):
+    """The Kirsch-Mitzenmacher double-hashed MinHash signature is pure
+    md5 + integer arithmetic — a Python reimplementation must reproduce it
+    BIT-EXACTLY for any input (the portability contract every DuckDB
+    oracle twin relies on)."""
+    import hashlib
+
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_signatures,
+    )
+
+    k, num_hashes = 3, 6
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: tuple(r[f"mh_{s}"] for s in range(num_hashes))
+        for r in minhash_signatures(
+            df, num_hashes=num_hashes, shingle_k=k
+        ).collect()
+    }
+
+    def shingles(t):
+        n = _norm_py(t)
+        if not n:
+            return None
+        w = n.split(" ")
+        if len(w) <= k:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    want = {}
+    for i, t in enumerate(texts):
+        sh = shingles(t)
+        if not sh:
+            continue  # NULL/blank docs emit no signature
+        sig = []
+        for s in range(num_hashes):
+            best = None
+            for x in sh:
+                d = hashlib.md5(x.encode()).hexdigest()
+                h1, h2 = int(d[:12], 16), int(d[12:24], 16)
+                v = (h1 + s * h2) % MINHASH_P
+                best = v if best is None or v < best else best
+            sig.append(best)
+        want[i] = tuple(sig)
+    assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.none() | st.text(alphabet="abcd \t\n", max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_simhash_signatures_match_python_model(spark, texts):
+    """The 60-bit SimHash is md5-derived bit arithmetic — a Python
+    reimplementation must reproduce every signature bit-exactly, with
+    NULL/blank docs emitting none."""
+    import hashlib
+    import re
+
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+
+    want = {}
+    for i, t in enumerate(texts):
+        if t is None or _norm_py(t) == "":
+            continue
+        # Model Spark exactly: F.trim strips ASCII spaces ONLY, and
+        # F.split (limit -1) KEEPS leading and trailing empty strings —
+        # a leading or trailing tab/newline therefore contributes an
+        # ''-token to the signature on every engine (quirky but
+        # engine-consistent; DuckDB's regexp_split_to_array agrees).
+        toks = set(re.split(r"\s+", t.lower().strip(" ")))
+        sig = 0
+        for j in range(SIMHASH_BITS):
+            s = 0
+            for tok in toks:
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                s += 1 if (h >> j) & 1 else -1
+            if s > 0:
+                sig |= 1 << j
+        want[i] = sig
+    assert got == want
