@@ -256,8 +256,14 @@ def sync_landing_to_source(
         claimed[(r.domain, dest_name)] = rel
         # Atomic install: a crash mid-copy must never leave a partial file
         # at the destination (it would poison the orphan check above AND
-        # read as corrupt data downstream).
-        tmp = dest + ".__tmp"
+        # read as corrupt data downstream). The tmp name is DOT-prefixed —
+        # outside the data namespace (Spark/Hadoop readers and
+        # data_files_exist skip dotfiles, and no flattened landing name
+        # can equal it) — and pid-suffixed so concurrent syncs can't
+        # interleave. Stale tmps from crashed runs are swept before use.
+        for stale in Path(dest_dir).glob(".*.__tmp*"):
+            stale.unlink(missing_ok=True)
+        tmp = os.path.join(dest_dir, f".{dest_name}.__tmp{os.getpid()}")
         shutil.copy2(r.path, tmp)
         os.replace(tmp, dest)
     ledger.record(new)  # rows is non-empty here (early return above)

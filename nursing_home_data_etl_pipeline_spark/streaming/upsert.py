@@ -130,17 +130,16 @@ def start_incremental_agg(
             F.max(value_col).alias("vmax"),
         )
 
-    # Lineage identity: ABSOLUTE local-path spellings normalize on BOTH
-    # sides of the comparison via realpath (trailing slashes, redundant
-    # separators, symlinked respellings of one dir must not hard-fail the
-    # resume as a false lineage change). RELATIVE spellings and URI
-    # checkpoints (s3a://...) compare verbatim: resolving a relative
-    # spelling stamped by some EARLIER process against THIS process's cwd
-    # would be a guess, and a wrong guess can false-MATCH a genuinely new
-    # checkpoint — silently skipping its first epochs. Verbatim comparison
-    # errs loud, never silent.
+    # Lineage identity: local-path spellings resolve to a canonical
+    # absolute form via realpath on BOTH sides — at stamp time AND compare
+    # time — so trailing slashes, relative spellings, and symlinked
+    # respellings of one dir resume cleanly, while the same RELATIVE
+    # string from a different cwd resolves to a different absolute path
+    # and fails loudly (never a silent epoch skip). Stored metas are
+    # always stamped RESOLVED, so no ambiguous relative spelling ever
+    # persists. URI checkpoints (s3a://...) compare verbatim.
     def _ckpt_id(p: str | None) -> str | None:
-        if p is None or "://" in p or not os.path.isabs(p):
+        if p is None or "://" in p:
             return p
         return os.path.realpath(p)
 

@@ -261,6 +261,34 @@ def test_sync_inplace_update_resyncs_not_bricks(spark, tmp_path):
     assert "new-longer" in open(os.path.join(dest, files[0])).read()
 
 
+def test_sync_tmp_name_outside_data_namespace(spark, tmp_path):
+    """The atomic-install temp name must not collide with any real
+    flattened landing name: a landing file literally named x.csv.__tmp,
+    synced first, previously got silently destroyed when a later sync of
+    x.csv staged through the same dest + '.__tmp' path."""
+    import os
+
+    from nursing_home_data_etl_pipeline_spark.sources.ingest import (
+        sync_landing_to_source,
+    )
+
+    landing = tmp_path / "tmp_landing"
+    landing.mkdir()
+    (landing / "NH_Penalties.csv.__tmp").write_text("a,b\n1,first\n")
+    zones = ZoneLayout(str(tmp_path / "tz"))
+    zones.ensure()
+    ledger = IngestLedger(spark, str(tmp_path / "tledger"))
+    assert sync_landing_to_source(spark, str(landing), zones, ledger) == 1
+
+    (landing / "NH_Penalties.csv").write_text("a,b\n1,second\n")
+    assert sync_landing_to_source(spark, str(landing), zones, ledger) == 1
+    dest = zones.source("penalties")
+    files = sorted(f for f in os.listdir(dest) if not f.startswith("."))
+    assert files == ["NH_Penalties.csv", "NH_Penalties.csv.__tmp"]
+    contents = {open(os.path.join(dest, f)).read() for f in files}
+    assert contents == {"a,b\n1,first\n", "a,b\n1,second\n"}  # both survive
+
+
 def test_validation_gate_raises(spark, tmp_path):
     zones = ZoneLayout(str(tmp_path / "empty_zones"))
     zones.ensure()

@@ -404,6 +404,19 @@ def _norm_py(t):
     return re.sub(r"\s+", " ", t.lower()).strip() if t is not None else None
 
 
+def _shingles_py(t, k):
+    """Python model of dedup.shingle_table's word-k-gram set: None for
+    NULL/blank (no shingles -> never pairs), whole text when shorter than
+    k words. One definition for every model test so they cannot drift."""
+    n = _norm_py(t)
+    if not n:
+        return None
+    w = n.split(" ")
+    if len(w) <= k:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=8,
@@ -466,16 +479,7 @@ def test_ngram_jaccard_matches_naive_model(spark, texts, k):
         ).collect()
     }
 
-    def shingles(t):
-        n = _norm_py(t)
-        if not n:
-            return None  # NULL/blank: no shingles, never pairs
-        w = n.split(" ")
-        if len(w) <= k:
-            return {" ".join(w)}
-        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
-
-    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    sets = {i: _shingles_py(t, k) for i, t in enumerate(texts)}
     want = {}
     for a in sets:
         for b in sets:
@@ -528,18 +532,9 @@ def test_minhash_signatures_match_python_model(spark, texts):
         ).collect()
     }
 
-    def shingles(t):
-        n = _norm_py(t)
-        if not n:
-            return None
-        w = n.split(" ")
-        if len(w) <= k:
-            return {" ".join(w)}
-        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
-
     want = {}
     for i, t in enumerate(texts):
-        sh = shingles(t)
+        sh = _shingles_py(t, k)
         if not sh:
             continue  # NULL/blank docs emit no signature
         sig = []
