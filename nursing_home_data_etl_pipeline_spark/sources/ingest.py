@@ -61,6 +61,27 @@ def _file_md5(path: str) -> str:
     return h.hexdigest()
 
 
+def _sweep_stale_tmps(dest_dir: str) -> None:
+    """Remove dot-prefixed ``.*.__tmp<pid>`` install leftovers from crashed
+    sync runs. Tmps whose pid is still ALIVE are spared — a concurrent
+    sync's in-flight tmp must not be unlinked out from under its rename
+    (that is the whole point of the pid suffix). Leftovers in the OLD
+    non-dot ``<name>.__tmp`` format (pre-dot-prefix versions) are NOT
+    auto-deleted: such a name can also be a legitimate synced landing
+    file, so distinguishing them is a manual migration step."""
+    for stale in Path(dest_dir).glob(".*.__tmp*"):
+        suffix = stale.name.rsplit("__tmp", 1)[-1]
+        if suffix.isdigit():
+            try:
+                os.kill(int(suffix), 0)
+                continue  # owner process alive: in-flight, leave it
+            except ProcessLookupError:
+                pass  # owner dead: crash leftover
+            except PermissionError:
+                continue  # alive under another uid
+        stale.unlink(missing_ok=True)
+
+
 def normalize_filename(name: str) -> str:
     """Reference filename normalization (sync-drive-to-s3.py:41-44):
     drop the ``NH_`` prefix and underscores, lowercase, strip extension."""
@@ -226,9 +247,13 @@ def sync_landing_to_source(
         lrel = _rel(lr.path)
         if lrel is not None:
             claimed[(lr.domain, lrel.replace(os.sep, "__"))] = lrel
+    swept: set[str] = set()
     for r in rows:
         dest_dir = zones.source(r.domain)
         os.makedirs(dest_dir, exist_ok=True)
+        if dest_dir not in swept:  # once per domain dir, not per file
+            _sweep_stale_tmps(dest_dir)
+            swept.add(dest_dir)
         rel = _rel(r.path)
         if rel is None:  # cannot happen for rows listed under landing_dir
             raise ValueError(f"listed file {r.path!r} not under {landing_dir!r}")
@@ -260,9 +285,8 @@ def sync_landing_to_source(
         # outside the data namespace (Spark/Hadoop readers and
         # data_files_exist skip dotfiles, and no flattened landing name
         # can equal it) — and pid-suffixed so concurrent syncs can't
-        # interleave. Stale tmps from crashed runs are swept before use.
-        for stale in Path(dest_dir).glob(".*.__tmp*"):
-            stale.unlink(missing_ok=True)
+        # interleave. Stale crash leftovers are swept once per domain dir
+        # (see _sweep_stale_tmps; live-process tmps are spared).
         tmp = os.path.join(dest_dir, f".{dest_name}.__tmp{os.getpid()}")
         shutil.copy2(r.path, tmp)
         os.replace(tmp, dest)

@@ -145,12 +145,29 @@ def start_incremental_agg(
 
     ckpt_id = _ckpt_id(checkpoint_dir)
 
+    def _stored_ckpt_id(stored: str | None) -> str | None:
+        # A RELATIVE stored stamp (possible only from a pre-resolution
+        # version) is ambiguous — resolving it against THIS process's cwd
+        # could false-match a genuinely different checkpoint and silently
+        # skip its first epochs. Ambiguity fails loud instead.
+        if stored is not None and "://" not in stored and not os.path.isabs(stored):
+            raise ValueError(
+                f"target {target_path!r} carries an ambiguous relative "
+                f"checkpoint stamp {stored!r} (written by an older version); "
+                "rewrite _meta.json with the absolute checkpoint path (or "
+                "rebuild the target) before resuming"
+            )
+        return _ckpt_id(stored)
+
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
         recover_dir(spark, target_path)
         meta = read_dir_meta(spark, target_path)
-        if meta is not None and _ckpt_id(meta.get("checkpoint")) not in (None, ckpt_id):
+        if meta is not None and _stored_ckpt_id(meta.get("checkpoint")) not in (
+            None,
+            ckpt_id,
+        ):
             # A fresh checkpoint restarts epochs at 0: the bare-number guard
             # would silently SKIP its first batches (under-counting) while
             # applying later ones. A lineage change must be an explicit
