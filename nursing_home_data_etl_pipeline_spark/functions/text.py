@@ -29,7 +29,15 @@ STOPWORDS = {
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokenization -> array<string> (empty array for blank text)."""
+    """Whitespace tokenization -> array<string> (empty array for blank text).
+
+    Edge semantics, shared bit-for-bit with the DuckDB oracle twins:
+    ``F.trim`` strips ASCII spaces only, so text that is entirely
+    tab/newline whitespace does not hit the empty-array branch — it
+    splits to empty-string tokens instead (``"\\n"`` -> ``["", ""]``;
+    DuckDB's trim + regexp_split_to_array produce the same). Callers
+    needing true blankness tests use ``normalize_text(...) == ''``
+    (see dedup.shingle_table), which collapses ALL whitespace first."""
     trimmed = F.trim(text)
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
