@@ -331,6 +331,40 @@ def test_merge_warehouse_error_propagates_not_bootstraps(spark, tmp_path):
             spark.read.parquet(zones.warehouse("dim_facility")).collect()} == {"f1", "f2"}
 
 
+def test_merge_warehouse_recovers_crashed_swap(spark, tmp_path):
+    """A dim parked at __old with the target missing (crash between
+    replace_dir's two renames) must be RESTORED before the bootstrap probe
+    — otherwise the next nightly run re-bootstraps the dim from the
+    current batch alone, dropping every key absent from it."""
+    import os
+
+    from nursing_home_data_etl_pipeline_spark.pipeline import merge_warehouse
+    from nursing_home_data_etl_pipeline_spark.zones import ZoneLayout
+
+    zones = ZoneLayout(str(tmp_path / "rz"))
+    zones.ensure()
+    src1 = str(tmp_path / "fac1")
+    spark.createDataFrame(
+        [("f1", "A"), ("f2", "B")], ["facility_number", "facility_name"]
+    ).write.parquet(src1)
+    merge_warehouse(spark, zones, {"facility": src1})
+    target = zones.warehouse("dim_facility")
+
+    # simulate the crash window: target renamed aside, new version never landed
+    os.rename(target, target + "__old")
+
+    src2 = str(tmp_path / "fac2")
+    spark.createDataFrame(
+        [("f3", "C")], ["facility_number", "facility_name"]
+    ).write.parquet(src2)
+    merge_warehouse(spark, zones, {"facility": src2})
+    keys = {
+        r.facility_number for r in spark.read.parquet(target).collect()
+    }
+    assert keys == {"f1", "f2", "f3"}  # recovered + merged, not re-bootstrapped
+    assert not os.path.exists(target + "__old")
+
+
 def _read_log(path):
     import json
 
