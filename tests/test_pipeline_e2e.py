@@ -331,6 +331,29 @@ def test_merge_warehouse_error_propagates_not_bootstraps(spark, tmp_path):
             spark.read.parquet(zones.warehouse("dim_facility")).collect()} == {"f1", "f2"}
 
 
+def test_sweep_stale_tmps_spares_live_owners(tmp_path):
+    """Crash leftovers (dead owner pid) are removed; a concurrent sync's
+    in-flight tmp (live pid) is spared — unlinking it would break that
+    process's rename mid-install."""
+    import os
+
+    from nursing_home_data_etl_pipeline_spark.sources.ingest import (
+        _sweep_stale_tmps,
+    )
+
+    d = tmp_path / "dom"
+    d.mkdir()
+    dead = d / ".x.csv.__tmp999999999"  # pid far above pid_max: never alive
+    live = d / f".y.csv.__tmp{os.getpid()}"
+    junk = d / ".z.csv.__tmp"  # no pid suffix: old crash artifact
+    data = d / "real.csv"
+    for f in (dead, live, junk, data):
+        f.write_text("x")
+    _sweep_stale_tmps(str(d))
+    assert not dead.exists() and not junk.exists()
+    assert live.exists() and data.exists()
+
+
 def test_merge_warehouse_recovers_crashed_swap(spark, tmp_path):
     """A dim parked at __old with the target missing (crash between
     replace_dir's two renames) must be RESTORED before the bootstrap probe
