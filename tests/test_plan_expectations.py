@@ -75,6 +75,46 @@ def test_q18_big_key_semi_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin LeftSemi BuildRight" in full
 
 
+#: Queries whose physical plan legitimately contains a
+#: BroadcastNestedLoopJoin: each broadcasts a BOUNDED tiny side (the 20-row
+#: query batch in brute-force top-k / IVF cell scoring at similarity.py:92,
+#: 444 and queries_northstar2.py:202, the 1-row corpus count in TF-IDF at
+#: queries_northstar2.py:96, the quantile boundary row set in
+#: quantile_bands), so the "nested loop" is a map-side constant join — the
+#: intended physical op, not a scale risk.
+_BNLJ_ALLOWED = {
+    "quantile_bands",
+    "similarity_topk",
+    "tfidf_terms",
+    "similarity_ann_ivf",
+}
+
+
+def test_no_unbounded_join_strategies_anywhere(spark, sf_dir):
+    """Blanket scale-safety invariant over EVERY batch catalog entry: no
+    CartesianProduct in any physical plan, and BroadcastNestedLoopJoin only
+    in the documented bounded-broadcast cases above. Catches a join
+    condition silently degrading out of the equi-join path (e.g. a refactor
+    turning a key equality into an expression Spark can't hash on) — a
+    correctness-invisible change that becomes a corpus x corpus product at
+    scale. Streaming entries are excluded: executing them drains real
+    streams, and their returned frame is a drained in-memory table whose
+    plan is a LocalTableScan anyway."""
+    offenders = {}
+    for name, e in catalog.entries().items():
+        if name.startswith("streaming"):
+            continue
+        plan = e.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        hits = [
+            n
+            for n in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if n in plan
+        ]
+        if "CartesianProduct" in hits or (hits and name not in _BNLJ_ALLOWED):
+            offenders[name] = hits
+    assert not offenders, f"unbounded join strategies appeared: {offenders}"
+
+
 def test_bloom_probe_chain_has_no_probed_side_exchange(spark, sf_dir):
     """The Bloom probe path (decontaminate_corpus's bloom branch): k chained
     BroadcastHashJoins of the bitmap against the corpus, ZERO hash-partition
