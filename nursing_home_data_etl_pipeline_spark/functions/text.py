@@ -29,18 +29,28 @@ STOPWORDS = {
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokenization -> array<string> (empty array for blank text).
+    """Whitespace tokenization -> array<string>; NULL text -> NULL.
 
-    Edge semantics, shared bit-for-bit with the DuckDB oracle twins:
-    ``F.trim`` strips ASCII spaces only, so text that is entirely
-    tab/newline whitespace does not hit the empty-array branch — it
-    splits to empty-string tokens instead (``"\\n"`` -> ``["", ""]``;
-    DuckDB's trim + regexp_split_to_array produce the same). Callers
-    needing true blankness tests use ``normalize_text(...) == ''``
-    (see dedup.shingle_table), which collapses ALL whitespace first."""
-    trimmed = F.trim(text)
+    Well-defined on dirty input: BOTH ends are trimmed of ALL whitespace
+    (regexp, not ``F.trim``, which strips ASCII spaces only), and text that
+    is empty after that trim — including tab/newline-only documents —
+    yields the EMPTY array, never empty-string tokens. So ``size(words(x))``
+    is a real word count for any input. The DuckDB twin is
+    :func:`duck_words_sql`; keep the two in lockstep."""
+    trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
+    )
+
+
+def duck_words_sql(col: str = "text") -> str:
+    """DuckDB SQL twin of :func:`words` for the oracle queries: full
+    whitespace trim on both ends, blank -> empty array (regexp_split of a
+    blank string would yield ``['']`` — one phantom word)."""
+    t = f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+    return (
+        f"(CASE WHEN {t} = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE regexp_split_to_array({t}, '\\s+') END)"
     )
 
 

@@ -26,6 +26,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Raw cosine — UNDEFINED (ANSI divide-by-zero) when either norm is 0.
+    Callers must exclude NULL/zero-norm vectors first; every operator in
+    ``operators.similarity`` does (filter ``norm > 0`` at norm-compute
+    time), so one dirty embedding cannot abort a corpus-scale job."""
     return dot(a, b) / (norm(a) * norm(b))
 
 

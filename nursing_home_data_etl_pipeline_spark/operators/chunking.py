@@ -21,15 +21,19 @@ def chunk_table(
     overlap: int = 10,
 ) -> DataFrame:
     """Output (id, chunk_id, chunk_text, n_words), one row per chunk;
-    documents shorter than ``chunk_words`` yield a single chunk. Chunk i
-    starts at word i*(chunk_words-overlap), so consecutive chunks share
-    ``overlap`` words. The word array is materialized before the slicing
-    lambda (see dedup.shingle_table for why that matters)."""
+    documents shorter than ``chunk_words`` yield a single chunk, and
+    NULL/blank documents yield NO chunks (an empty chunk is useless to any
+    downstream consumer, and a NULL one would poison concat/token counts).
+    Chunk i starts at word i*(chunk_words-overlap), so consecutive chunks
+    share ``overlap`` words. The word array is materialized before the
+    slicing lambda (see dedup.shingle_table for why that matters)."""
     if overlap >= chunk_words:
         raise ValueError("overlap must be smaller than chunk_words")
     stride = chunk_words - overlap
-    w = F.split(normalize_text(F.col(text_col)), " ")
-    base = df.select(F.col(id_col), w.alias("_w"))
+    norm = normalize_text(F.col(text_col))
+    base = df.filter(norm.isNotNull() & (norm != "")).select(
+        F.col(id_col), F.split(norm, " ").alias("_w")
+    )
     n = F.size("_w")
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)

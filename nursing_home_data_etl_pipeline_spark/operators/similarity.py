@@ -78,17 +78,22 @@ def cosine_topk_bruteforce(
     to an arbitrarily large corpus as long as the query set fits in memory
     (the standard "probe a small batch" shape). Ranking uses the ROUNDED
     cosine + neighbor id as tiebreak — fully deterministic.
+
+    Contract shared by every similarity op here: NULL and zero-norm
+    embeddings are EXCLUDED on both the query and corpus side — a zero
+    vector has no direction, so its cosine is undefined, and under ANSI
+    mode the division would abort the whole job on one dirty row.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         norm(F.col(vec_col)).alias("_qn"),
-    )
+    ).filter(F.col("_qn") > 0)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         norm(F.col(vec_col)).alias("_cn"),
-    )
+    ).filter(F.col("_cn") > 0)
     pairs = c.join(F.broadcast(q), F.lit(True), "inner")
     if not include_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -148,7 +153,7 @@ def cosine_topk_lsh(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
             norm(F.col(vec_col)).alias("_qn"),
-        ),
+        ).filter(F.col("_qn") > 0),
         planes,
         "_qv",
     )
@@ -157,7 +162,7 @@ def cosine_topk_lsh(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cv"),
             norm(F.col(vec_col)).alias("_cn"),
-        ),
+        ).filter(F.col("_cn") > 0),
         planes,
         "_cv",
     )
@@ -201,7 +206,9 @@ def embedding_near_dup_pairs(
         n_planes = derive_n_planes(df.count())
     planes = hyperplanes(n_planes, dim)
     b = rhp_bucket(
-        df.select(id_col, vec_col, norm(F.col(vec_col)).alias("_n")),
+        df.select(id_col, vec_col, norm(F.col(vec_col)).alias("_n")).filter(
+            F.col("_n") > 0
+        ),
         planes,
         vec_col,
     )

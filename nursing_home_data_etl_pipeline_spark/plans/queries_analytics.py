@@ -344,7 +344,8 @@ def topk_global_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_linenumber,
            ROUND(SUM(l_quantity) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
+                      l_linenumber NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ), 2) AS running
     FROM lineitem
@@ -377,12 +378,13 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
            user_id,
            event_type,
            ROUND(value - LAG(value, 1) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
            ), 6) AS delta,
            COALESCE(
              (epoch_ns(ts) // 1000)
                - LAG(epoch_ns(ts) // 1000) OVER (
-                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                  ) > 300 * 1000000,
              TRUE) AS kept,
            TRY_CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS k
@@ -441,7 +443,7 @@ def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderstatus FROM orders WHERE o_orderkey % 12 = 0
     ) GROUP BY status
     UNION ALL
-    SELECT 'distinct', l_returnflag || '/' || l_linestatus, 1
+    SELECT 'distinct', concat_ws('/', l_returnflag, l_linestatus), 1
     FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
     """,
     doc="The set-op family as one tagged union: UNION/INTERSECT/EXCEPT chain "

@@ -34,9 +34,18 @@ _RANGE_WINDOW_US = 3_600_000_000  # attribute clicks within 1h after a purchase
            c.user_id,
            p.value  AS value_r,
            p.us     AS ts_r_us
-    FROM clicks c
-    ASOF LEFT JOIN purchases p
+    FROM (SELECT * FROM clicks WHERE ts IS NOT NULL AND user_id IS NOT NULL) c
+    ASOF LEFT JOIN (SELECT * FROM purchases
+                    WHERE ts IS NOT NULL AND user_id IS NOT NULL) p
       ON c.user_id = p.user_id AND c.ts >= p.ts
+    UNION ALL
+    -- Engine contract (operators/asof.py): a probe with a NULL timestamp
+    -- or NULL key matches nothing (SQL join semantics). DuckDB's native
+    -- ASOF instead sorts NULL ts last, so an un-guarded oracle would match
+    -- a NULL-ts probe to the LATEST right row.
+    SELECT 'asof', event_id, user_id,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM clicks WHERE ts IS NULL OR user_id IS NULL
     UNION ALL
     SELECT 'range', c.event_id, c.user_id, p.value, p.us
     FROM clicks c JOIN purchases p

@@ -48,8 +48,11 @@ from .catalog import register
 # Text analysis
 # ---------------------------------------------------------------------------
 
-#: DuckDB expression for whitespace words of the raw text column.
-_DUCK_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+from ..functions.text import duck_words_sql
+
+#: DuckDB expression for whitespace words of the raw text column — the
+#: exact twin of functions.text.words() (blank-safe: [] for blank text).
+_DUCK_WORDS = duck_words_sql("text")
 #: DuckDB expression for Spark's normalize_text().
 _DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -57,7 +60,7 @@ _DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 def _duck_sw_hits(lang_words: tuple[str, ...]) -> str:
     arr = ", ".join(f"'{w}'" for w in lang_words)
     return (
-        f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"len(list_filter({duck_words_sql('lower(text)')}, "
         f"x -> list_contains([{arr}], x)))"
     )
 
@@ -88,7 +91,10 @@ def _text_profile_oracle() -> str:
            CAST(len(w) AS BIGINT)                                        AS n_words,
            CAST(len(regexp_extract_all(text,
                 '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS BIGINT)            AS n_tokens,
-           ROUND(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE)))
+           -- list_sum([]) is NULL in DuckDB; the engine's fold seeds 0.0,
+           -- so a 0-word doc has mean word length 0, not NULL
+           ROUND(COALESCE(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))),
+                          CASE WHEN w IS NOT NULL THEN 0.0 END)
                 / greatest(len(w), 1), 6)                                AS avg_word_len,
            ROUND(CAST(len(list_distinct(w)) AS DOUBLE)
                 / greatest(len(w), 1), 6)                                AS distinct_ratio,
@@ -101,7 +107,9 @@ def _text_profile_oracle() -> str:
            declared_lang,
            {case} AS detected_lang,
            md5({_DUCK_NORM}) AS fp,
-           CAST(len(regexp_split_to_array({_DUCK_NORM}, ' ')) AS BIGINT) AS n_words_norm
+           CAST(CASE WHEN {_DUCK_NORM} = '' THEN 0
+                     ELSE len(regexp_split_to_array({_DUCK_NORM}, ' '))
+                END AS BIGINT)                                           AS n_words_norm
     FROM t
     """
 
@@ -405,7 +413,8 @@ _TOP_K = 10
 _DUCK_COSINE_BASE = f"""
     ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
-    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY vec_id)
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY vec_id
+              HAVING sum(x * x) > 0)  -- zero/NULL-norm excluded (engine contract)
 """
 
 
@@ -590,7 +599,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT)        AS n_bytes,
-           lower(hex(encode(substr(text, 1, 8))))            AS header_hex,
+           -- first 8 BYTES of the encoded payload = first 16 hex chars
+           -- (this DuckDB lacks BLOB substring). A char slice of the text
+           -- would diverge on multibyte input: the engine's header read is
+           -- a byte op.
+           substr(lower(hex(encode(text))), 1, 16)           AS header_hex,
            CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
            CAST(ascii(substr(text, 1, 1)) AS INTEGER)        AS fake_height
     FROM documents

@@ -119,7 +119,8 @@ _N_PROBE = 2  # query probes its 2 nearest cells — the IVF recall/cost knob
 _DUCK_EX = """
     ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
-    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY vec_id)
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY vec_id
+              HAVING sum(x * x) > 0)  -- zero/NULL-norm excluded (engine contract)
 """
 
 
@@ -205,10 +206,17 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus side: ONE cell per vector via a single hash aggregate (never a
     # window over the full corpus). The norm is computed here — once per
     # VECTOR, not per candidate pair (HOF folds are the per-pair cost).
-    assigned = scored_cells.groupBy("vec_id").agg(
-        F.expr("min_by(cent_id, struct(d2, cent_id))").alias("cell"),
-        F.first("embedding").alias("embedding"),
-    ).withColumn("_nrm", vec_norm(F.col("embedding")))
+    assigned = (
+        scored_cells.groupBy("vec_id")
+        .agg(
+            F.expr("min_by(cent_id, struct(d2, cent_id))").alias("cell"),
+            F.first("embedding").alias("embedding"),
+        )
+        .withColumn("_nrm", vec_norm(F.col("embedding")))
+        # NULL/zero-norm vectors have no cosine — excluded (same contract
+        # as operators.similarity; one dirty row must not abort the job).
+        .filter(F.col("_nrm") > 0)
+    )
     # Query side is a bounded batch — the nprobe ranking window only ever
     # sees n_queries x n_cells rows.
     wq = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cent_id"))
@@ -222,6 +230,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("_qv"),
             vec_norm(F.col("embedding")).alias("_qn"),
         )
+        .filter(F.col("_qn") > 0)
     )
     c = assigned.select(
         F.col("vec_id").alias("neighbor_id"),

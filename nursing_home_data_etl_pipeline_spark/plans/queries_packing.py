@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import words
+from ..functions.text import duck_words_sql, words
 from ..operators.dedup import hex_to_bigint_sql
 from ..operators.packing import pack_sequences
 from ..sources.readers import read_table
@@ -34,10 +34,12 @@ def _packing_oracle() -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+             len({duck_words_sql("text")}) AS tok,
              {_DUCK_SHARD} AS shard
       FROM documents
-      WHERE trim(text) <> ''
+      -- pack_sequences filters _tok > 0: blank and NULL-text docs own no
+      -- token interval (len of the blank-safe words twin is 0 or NULL)
+      WHERE len({duck_words_sql("text")}) > 0
     ),
     placed AS (
       SELECT doc_id, tok,

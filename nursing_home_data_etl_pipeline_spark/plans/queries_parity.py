@@ -42,7 +42,7 @@ _DIRTY_CUSTOMER_HEADERS = [
            CAST(c_nationkey AS VARCHAR)  AS nation_key,
            CAST(c_acctbal AS VARCHAR)    AS account_balance,
            c_mktsegment                  AS market_segment_code,
-           ROW_NUMBER() OVER (ORDER BY CAST(c_custkey AS VARCHAR)) AS row_id,
+           ROW_NUMBER() OVER (ORDER BY CAST(c_custkey AS VARCHAR) NULLS FIRST) AS row_id,
            CURRENT_DATE                  AS etl_date
     FROM customer
     """,
@@ -348,7 +348,7 @@ _DIRTY_PENALTY_HEADERS = [
            CAST(q4 AS VARCHAR)                       AS q4_measure_score,
            CAST(ROUND((q1 + q2 + q3 + q4) / 4, 6) AS VARCHAR)
                                                      AS four_quarter_average_score,
-           ROW_NUMBER() OVER (ORDER BY ccn, mcode)   AS row_id,
+           ROW_NUMBER() OVER (ORDER BY ccn NULLS FIRST, mcode NULLS FIRST)   AS row_id,
            CURRENT_DATE                              AS etl_date
     FROM q
     """,
@@ -399,7 +399,7 @@ def cms_quality_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(fine_total AS VARCHAR)            AS total_amount_of_fines_in_dollars,
            CAST(n_denials AS VARCHAR)             AS number_of_payment_denials,
            CAST(n_fines + n_denials AS VARCHAR)   AS total_number_of_penalties,
-           ROW_NUMBER() OVER (ORDER BY ccn)       AS row_id,
+           ROW_NUMBER() OVER (ORDER BY ccn NULLS FIRST)       AS row_id,
            CURRENT_DATE                           AS etl_date
     FROM p
     """,

@@ -108,6 +108,8 @@ def vector_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS wa
       FROM documents
+      -- NULL/blank documents yield NO chunks (chunk_table's contract)
+      WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
     ),
     meta AS (
       SELECT doc_id, wa,
@@ -258,9 +260,9 @@ _QUALITY_MIN = 0.5
 
 #: DuckDB quality expression (must mirror functions.text.quality_score).
 _DUCK_QUALITY = """
-      ROUND((least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 50.0, 1.0)
-            + CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
-              / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+      ROUND((least(CAST(len((CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END)) AS DOUBLE) / 50.0, 1.0)
+            + CAST(len(list_distinct((CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END))) AS DOUBLE)
+              / greatest(len((CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END)), 1)
             + (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')))
                            / CAST(greatest(length(text), 1) AS DOUBLE) * 5, 1.0))
             ) / 3, 6)
@@ -289,7 +291,7 @@ _DUCK_QUALITY = """
     SELECT k.doc_id,
            k.lang,
            md5(trim(regexp_replace(lower(k.text), '\\s+', ' ', 'g'))) AS fp,
-           CAST(len(regexp_split_to_array(trim(k.text), '\\s+')) AS BIGINT) AS n_words
+           CAST(len((CASE WHEN regexp_replace(k.text, '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(regexp_replace(k.text, '^\\s+|\\s+$', '', 'g'), '\\s+') END)) AS BIGINT) AS n_words
     FROM kept k JOIN comp ON comp.doc_id = k.doc_id
     WHERE comp.cluster_id = k.doc_id
     """,

@@ -140,6 +140,9 @@ def _drain_to_memory(
            COUNT(*)              AS n_events,
            ROUND(SUM(value), 4)  AS sum_value
     FROM events
+    -- event-time contract: a NULL event time belongs to no window; the
+    -- streaming engine drops such rows at window assignment
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="Streaming tumbling-window aggregation (watermark + complete mode, "
@@ -164,6 +167,8 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_start
       FROM events
+      -- event-time contract: NULL-ts rows belong to no session window
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, us,

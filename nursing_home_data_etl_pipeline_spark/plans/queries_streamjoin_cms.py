@@ -41,6 +41,13 @@ _WINDOW = "INTERVAL 1 HOUR"
     UNION ALL
     SELECT 'dedup', event_id, user_id, CAST(NULL AS DOUBLE), event_type
     FROM events
+    -- event-time contract: a NULL watermark column drops the row before
+    -- the stateful dedup (same as every watermark-bearing op). Rows AT or
+    -- before the epoch are also dropped: Spark initializes the watermark
+    -- to 0, and the late-row filter discards event times <= watermark even
+    -- in the first microbatch — a documented boundary of the exact-oracle
+    -- contract, not a data-dependent behavior.
+    WHERE epoch_ns(ts) > 0
     """,
     doc="Watermark-bearing streaming operators, one tagged row set per "
     "drain. variant='interval_join' (num = purchase value, tag = purchase "
@@ -91,7 +98,13 @@ def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # type).
     a = stream_events(spark, sf_dir).select(cols)
     deduped = (
+        # Event-time contract, made EXPLICIT here because
+        # dropDuplicatesWithinWatermark (unlike window/session assignment)
+        # would otherwise pass NULL-ts rows through its late-row filter
+        # (NULL < watermark is NULL, not true): watermark-bearing ops take
+        # non-NULL event time.
         a.unionByName(a)
+        .filter(F.col("ts").isNotNull())
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select(

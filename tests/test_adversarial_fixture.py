@@ -1,0 +1,72 @@
+"""Adversarial-input oracle gate: the driver fixture is benign (no NULL
+keys, no blank/unicode text, no zero-norm vectors, no tied or NULL
+timestamps), and every latent round-5/6 defect lived in exactly those input
+classes. tools/adversarial_fixture.py manufactures them; this test re-runs
+the oracle comparison over the mutated fixture for the queries that class
+of input can reach.
+
+The streaming drains and the heaviest batch queries are exercised by the
+same gate via ``python tools/adversarial_fixture.py && python
+tools/check_correctness.py /tmp/advdata`` (kept out of the suite for
+runtime); this in-suite subset pins the cheap, formerly-failing ones.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nursing_home_data_etl_pipeline_spark.plans import catalog  # noqa: E402
+from nursing_home_data_etl_pipeline_spark.plans.verify import (  # noqa: E402
+    compare_query,
+    duckdb_connection,
+)
+
+
+def _load_builder():
+    spec = importlib.util.spec_from_file_location(
+        "adversarial_fixture",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "adversarial_fixture.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("advdata"))
+    _load_builder().build("/root/testdata/sf0.001", dest)
+    return dest
+
+
+# Queries that adversarial rows can reach, cheap enough for the suite.
+# Each was RED on this gate before the round-6 hardening: zero-norm
+# crashes, NULL-ordering divergence, blank-text semantics, byte-vs-char
+# slicing, '' vs NULL concat keys.
+ADV_QUERIES = [
+    "similarity_ann_ivf",
+    "embedding_near_dup",
+    "text_profile",
+    "chunk_documents",
+    "set_ops_all",
+    "window_running_sum",
+    "events_lag_debounce",
+    "asof_join_events",
+    "multimodal_decode",
+    "cms_penalty_transform",
+    "pack_training_sequences",
+]
+
+
+@pytest.mark.parametrize("name", ADV_QUERIES)
+def test_adversarial_oracle_gate(spark, adv_dir, name):
+    con = duckdb_connection(adv_dir)
+    entry = catalog.entries()[name]
+    problems = compare_query(spark, con, entry.spark, entry.oracle, adv_dir)
+    assert not problems, f"{name} on adversarial fixture: {problems}"

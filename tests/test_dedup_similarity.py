@@ -456,3 +456,35 @@ def test_band_count_must_divide_hashes(spark):
         lsh_candidate_pairs(sig, "doc_id", num_hashes=12, bands=24)
     with pytest.raises(ValueError, match="divisor"):
         lsh_candidate_pairs(sig, "doc_id", num_hashes=12, bands=5)
+
+
+def test_similarity_excludes_null_and_zero_norm_vectors(spark):
+    """One dirty embedding (zero vector: no direction, cosine undefined;
+    or NULL) must neither abort the job (ANSI divide-by-zero) nor appear
+    in any result — on either the query or the corpus side."""
+    from nursing_home_data_etl_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero norm
+        (4, None),  # NULL embedding
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    brute = cosine_topk_bruteforce(df, df, k=10).collect()
+    ids = {r.query_id for r in brute} | {r.neighbor_id for r in brute}
+    assert ids == {0, 1, 2}
+
+    lsh = cosine_topk_lsh(df, df, k=10, n_planes=2, dim=4).collect()
+    ids = {r.query_id for r in lsh} | {r.neighbor_id for r in lsh}
+    assert ids <= {0, 1, 2}
+
+    pairs = embedding_near_dup_pairs(df, threshold=0.9, n_planes=2, dim=4).collect()
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert ids == {0, 1}

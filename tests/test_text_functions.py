@@ -63,3 +63,40 @@ def test_normalize_and_shingles(spark):
     assert sorted(sh) == ["a b c d e", "b c d e f"]
     # shorter than k -> whole text as one shingle
     assert _one(spark, "a b", lambda c: word_shingles(c, 5)) == ["a b"]
+
+
+def test_words_blank_and_whitespace_semantics(spark):
+    """words(): full-whitespace trim on both ends; blank (including
+    tab/newline-only) -> empty array, never empty-string tokens; NULL ->
+    NULL. size(words(x)) is therefore a true word count on dirty input."""
+    from nursing_home_data_etl_pipeline_spark.functions.text import words
+
+    rows = [
+        (1, ""),
+        (2, " \t\n  "),
+        (3, "\ta b\n"),
+        (4, None),
+        (5, "one"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.w
+        for r in df.select("id", words(F.col("text")).alias("w")).collect()
+    }
+    assert got[1] == []
+    assert got[2] == []
+    assert got[3] == ["a", "b"]  # no phantom '' tokens from edge whitespace
+    assert got[4] is None
+    assert got[5] == ["one"]
+
+
+def test_chunk_table_skips_blank_and_null_docs(spark):
+    from nursing_home_data_etl_pipeline_spark.operators.chunking import chunk_table
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, " \t "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_table(df, chunk_words=2, overlap=1).collect()
+    assert {r.doc_id for r in out} == {1}
+    assert all(r.chunk_text for r in out) and all(r.n_words > 0 for r in out)

@@ -1,0 +1,188 @@
+"""Derive an ADVERSARIAL test fixture from the driver's sf0.001 parquet.
+
+Every latent defect found in rounds 5-6 lived in an input class the driver
+fixture never exercises (NULL keys, blank/unicode text, tied timestamps,
+orphan foreign keys). This tool manufactures that class deliberately: it
+copies each table's original rows untouched (so structural assumptions —
+`vec_id < 20` query batches, required domains, dense key ranges — keep
+holding) and APPENDS edge rows with fresh keys: NULLs in every nullable
+attribute, empty/whitespace-only/unicode/regex-metacharacter text, exact
+and near duplicate documents, duplicate (user, ts) event ties, orphan
+foreign keys, and epoch-boundary timestamps.
+
+Schemas are preserved byte-identically (same arrow types; all fixture
+columns are nullable already), so the DuckDB oracle and the Spark engine
+read the same shapes they read in production.
+
+Usage:
+    python tools/adversarial_fixture.py [src_sf_dir] [dest_dir]
+    python tools/check_correctness.py <dest_dir>           # the gate
+
+Floats in appended rows are exactly-representable values away from the
+6-decimal rounding boundary, so an engine-order difference in summation
+cannot flip a rounded comparison.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EPOCH = dt.datetime(1970, 1, 1)
+FAR_FUTURE = dt.datetime(2099, 12, 31, 23, 59, 59)
+
+
+def _read(src: str, table: str) -> pa.Table:
+    return pq.read_table(f"{src}/{table}.parquet")
+
+
+def _append(tbl: pa.Table, rows: list[dict]) -> pa.Table:
+    extra = pa.Table.from_pylist(rows, schema=tbl.schema)
+    return pa.concat_tables([tbl, extra])
+
+
+def build(src: str, dest: str) -> dict[str, int]:
+    os.makedirs(dest, exist_ok=True)
+    added: dict[str, int] = {}
+
+    # -- documents --------------------------------------------------------
+    docs = _read(src, "documents")
+    base = max(x for x in docs.column("doc_id").to_pylist() if x is not None)
+    sample_text = next(
+        t for t in docs.column("text").to_pylist() if t and len(t.split()) > 8
+    )
+    near_dup = " ".join(
+        w if i != 3 else "ADVERSARIAL" for i, w in enumerate(sample_text.split())
+    )
+    doc_rows = [
+        {"doc_id": base + 1, "text": None, "lang": "en", "source": "adv", "n_chars": None},
+        {"doc_id": base + 2, "text": "", "lang": "en", "source": "adv", "n_chars": 0},
+        {"doc_id": base + 3, "text": " \t\n  ", "lang": None, "source": "adv", "n_chars": 5},
+        {"doc_id": base + 4, "text": sample_text, "lang": "en", "source": "adv", "n_chars": len(sample_text)},  # exact dup
+        {"doc_id": base + 5, "text": near_dup, "lang": "en", "source": "adv", "n_chars": len(near_dup)},  # near dup
+        {"doc_id": base + 6, "text": "x", "lang": "en", "source": None, "n_chars": 1},
+        {"doc_id": base + 7, "text": "naïve café 北京 🎉 éé́ combining", "lang": "fr", "source": "adv", "n_chars": 30},
+        {"doc_id": base + 8, "text": "a.*b (c) [d] {5} \\ $ ^ | + ? regex", "lang": "en", "source": "adv", "n_chars": 34},
+        {"doc_id": base + 9, "text": "supercalifragilisticexpialidocious" * 40, "lang": "en", "source": "adv", "n_chars": 34 * 40},
+        {"doc_id": base + 10, "text": "word " * 200, "lang": None, "source": None, "n_chars": 1000},
+    ]
+    pq.write_table(_append(docs, doc_rows), f"{dest}/documents.parquet")
+    added["documents"] = len(doc_rows)
+
+    # -- events -----------------------------------------------------------
+    ev = _read(src, "events")
+    ebase = max(x for x in ev.column("event_id").to_pylist() if x is not None)
+    some_ts = next(t for t in ev.column("ts").to_pylist() if t is not None)
+    ev_rows = [
+        {"event_id": ebase + 1, "ts": None, "user_id": 1, "event_type": "click", "value": 1.25, "props": "{}"},
+        {"event_id": ebase + 2, "ts": some_ts, "user_id": None, "event_type": "click", "value": 2.5, "props": None},
+        {"event_id": ebase + 3, "ts": some_ts, "user_id": 1, "event_type": None, "value": None, "props": "{not json"},
+        # duplicate (user_id, ts) tie with distinct event ids and values
+        {"event_id": ebase + 4, "ts": some_ts, "user_id": 999999, "event_type": "tie", "value": 3.75, "props": '{"k": "v"}'},
+        {"event_id": ebase + 5, "ts": some_ts, "user_id": 999999, "event_type": "tie", "value": 4.5, "props": '{"k": "w"}'},
+        {"event_id": ebase + 6, "ts": EPOCH, "user_id": 999998, "event_type": "epoch", "value": 0.0, "props": "{}"},
+        {"event_id": ebase + 7, "ts": FAR_FUTURE, "user_id": 999998, "event_type": "future", "value": -7.5, "props": "{}"},
+    ]
+    pq.write_table(_append(ev, ev_rows), f"{dest}/events.parquet")
+    added["events"] = len(ev_rows)
+
+    # -- embeddings -------------------------------------------------------
+    emb = _read(src, "embeddings")
+    vbase = max(x for x in emb.column("vec_id").to_pylist() if x is not None)
+    dim = len(emb.column("embedding")[0].as_py())
+    zero_vec = [0.0] * dim
+    dup_vec = emb.column("embedding")[0].as_py()  # exact duplicate of vec 0
+    emb_rows = [
+        {"vec_id": vbase + 1, "embedding": zero_vec, "label": None},
+        {"vec_id": vbase + 2, "embedding": dup_vec, "label": 0},
+        {"vec_id": vbase + 3, "embedding": [(-1.0) ** i * 0.5 for i in range(dim)], "label": 1},
+    ]
+    pq.write_table(_append(emb, emb_rows), f"{dest}/embeddings.parquet")
+    added["embeddings"] = len(emb_rows)
+
+    # -- orders -----------------------------------------------------------
+    orders = _read(src, "orders")
+    obase = max(x for x in orders.column("o_orderkey").to_pylist() if x is not None)
+    odate = next(d for d in orders.column("o_orderdate").to_pylist() if d is not None)
+    order_rows = [
+        {"o_orderkey": obase + 1, "o_custkey": None, "o_orderstatus": "O", "o_totalprice": 100.25, "o_orderdate": odate, "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": obase + 2, "o_custkey": 999999999, "o_orderstatus": None, "o_totalprice": None, "o_orderdate": None, "o_orderpriority": None},
+        {"o_orderkey": obase + 3, "o_custkey": 1, "o_orderstatus": "F", "o_totalprice": 0.0, "o_orderdate": EPOCH, "o_orderpriority": ""},
+        {"o_orderkey": obase + 4, "o_custkey": 1, "o_orderstatus": "Ø", "o_totalprice": -50.5, "o_orderdate": FAR_FUTURE, "o_orderpriority": "5-LOW"},
+    ]
+    pq.write_table(_append(orders, order_rows), f"{dest}/orders.parquet")
+    added["orders"] = len(order_rows)
+
+    # -- lineitem ---------------------------------------------------------
+    li = _read(src, "lineitem")
+    sdate = next(d for d in li.column("l_shipdate").to_pylist() if d is not None)
+    li_rows = [
+        {"l_orderkey": obase + 1, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1, "l_quantity": None, "l_extendedprice": 10.25, "l_discount": None, "l_tax": None, "l_returnflag": None, "l_linestatus": None, "l_shipdate": None},
+        {"l_orderkey": 999999901, "l_partkey": None, "l_suppkey": None, "l_linenumber": 1, "l_quantity": -5.0, "l_extendedprice": 0.0, "l_discount": 0.5, "l_tax": 0.0, "l_returnflag": "R", "l_linestatus": "F", "l_shipdate": sdate},  # orphan order
+        {"l_orderkey": obase + 3, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 2, "l_quantity": 1.0, "l_extendedprice": 1.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "", "l_linestatus": "", "l_shipdate": EPOCH},
+    ]
+    pq.write_table(_append(li, li_rows), f"{dest}/lineitem.parquet")
+    added["lineitem"] = len(li_rows)
+
+    # -- customer ---------------------------------------------------------
+    cust = _read(src, "customer")
+    cbase = max(x for x in cust.column("c_custkey").to_pylist() if x is not None)
+    cust_rows = [
+        {"c_custkey": cbase + 1, "c_name": None, "c_nationkey": None, "c_acctbal": None, "c_mktsegment": None},
+        {"c_custkey": cbase + 2, "c_name": "Ünïcode Çustomer 顧客", "c_nationkey": 999, "c_acctbal": -10.5, "c_mktsegment": ""},  # orphan nation
+    ]
+    pq.write_table(_append(cust, cust_rows), f"{dest}/customer.parquet")
+    added["customer"] = len(cust_rows)
+
+    # -- supplier / part / nation / region --------------------------------
+    sup = _read(src, "supplier")
+    sbase = max(x for x in sup.column("s_suppkey").to_pylist() if x is not None)
+    pq.write_table(
+        _append(sup, [{"s_suppkey": sbase + 1, "s_name": None, "s_nationkey": None, "s_acctbal": None}]),
+        f"{dest}/supplier.parquet",
+    )
+    added["supplier"] = 1
+
+    part = _read(src, "part")
+    pbase = max(x for x in part.column("p_partkey").to_pylist() if x is not None)
+    pq.write_table(
+        _append(part, [{"p_partkey": pbase + 1, "p_name": None, "p_brand": "", "p_type": None, "p_size": None, "p_retailprice": None}]),
+        f"{dest}/part.parquet",
+    )
+    added["part"] = 1
+
+    nat = _read(src, "nation")
+    nbase = max(x for x in nat.column("n_nationkey").to_pylist() if x is not None)
+    pq.write_table(
+        _append(nat, [{"n_nationkey": nbase + 1, "n_name": None, "n_regionkey": None}]),
+        f"{dest}/nation.parquet",
+    )
+    added["nation"] = 1
+
+    reg = _read(src, "region")
+    rbase = max(x for x in reg.column("r_regionkey").to_pylist() if x is not None)
+    pq.write_table(
+        _append(reg, [{"r_regionkey": rbase + 1, "r_name": None}]),
+        f"{dest}/region.parquet",
+    )
+    added["region"] = 1
+
+    return added
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dest = sys.argv[2] if len(sys.argv) > 2 else "/tmp/advdata"
+    added = build(src, dest)
+    for t, n in sorted(added.items()):
+        print(f"{t:12s} +{n} adversarial rows")
+    print(f"fixture at {dest}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
