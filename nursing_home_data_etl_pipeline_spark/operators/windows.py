@@ -51,11 +51,20 @@ def running_agg(
     agg: str = "sum",
     out_name: str = "running",
 ) -> DataFrame:
-    """Cumulative aggregate over rows unbounded-preceding..current."""
+    """Cumulative aggregate over unbounded-preceding..current — RANGE
+    frame (peers of the current row by ``order_by`` are INCLUDED), the SQL
+    default when ORDER BY is present. The frame choice is load-bearing for
+    determinism: with a ROWS frame, rows TIED on the full ordering would
+    take order-dependent running values (hit in practice — sf0.1 lineitem
+    reuses (orderkey, linenumber), and one (suppkey, shipdate, orderkey,
+    linenumber) collision flipped the cumulative sum between engines);
+    with RANGE, every tie group shares the sum through its last member,
+    deterministic for ANY data without needing ``order_by`` to be a
+    provable total order."""
     w = (
         Window.partitionBy(*partition_by)
         .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_name, getattr(F, agg)(agg_col).over(w))
 

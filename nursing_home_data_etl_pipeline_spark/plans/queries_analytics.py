@@ -346,7 +346,7 @@ def topk_global_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY l_suppkey
              ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
                       l_linenumber NULLS FIRST
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ), 2) AS running
     FROM lineitem
     """,

@@ -410,11 +410,22 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_QUERIES = 20
 _TOP_K = 10
 
+#: Declared embedding dimensionality; vectors of any OTHER length are
+#: excluded from similarity search (engine contract): a ragged vector has
+#: no defined cosine against the corpus — Spark's zip_with would NULL-pad
+#: it while a long-form SQL join would silently compute a partial dot.
+_DIM_CONTRACT = 64
+
 _DUCK_COSINE_BASE = f"""
     ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-           FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+           FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+           WHERE len(embedding) = {_DIM_CONTRACT}),
     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY vec_id
-              HAVING sum(x * x) > 0)  -- zero/NULL-norm excluded (engine contract)
+              HAVING sum(x * x) > 0
+                 -- COUNT(x) counts NON-NULL components: DuckDB SUM skips
+                 -- NULL addends (partial dot), Spark's fold NULLs the whole
+                 -- product -- vectors with any NULL element are excluded
+                 AND COUNT(x) = {_DIM_CONTRACT})
 """
 
 
@@ -515,7 +526,12 @@ def _ann_lsh_oracle() -> str:
     "buckets; deterministic planes replicated verbatim in the oracle.",
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    # Fixed-dim contract: off-dimension vectors are excluded (see
+    # _DIM_CONTRACT) — zip_with would NULL-pad a ragged pair into a NULL
+    # cosine while the long-form oracle would compute a partial dot.
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == _DIM_CONTRACT
+    )
     queries_batch = emb.filter(F.col("vec_id") < _N_QUERIES)
     brute = cosine_topk_bruteforce(queries_batch, emb, k=_TOP_K).select(
         F.lit("brute").alias("variant"), "query_id", "neighbor_id",
@@ -542,7 +558,7 @@ def _near_dup_oracle() -> str:
     np AS (
       SELECT GREATEST(4, LEAST({RHP_MAX_PLANES},
              CAST(CEIL(LOG2(COUNT(*) / {RHP_TARGET_OCCUPANCY}.0)) AS INT))) AS np
-      FROM embeddings
+      FROM embeddings WHERE len(embedding) = {_DIM_CONTRACT}
     ),
     pdots AS (
       SELECT ex.vec_id, planes.p, SUM(ex.x * planes.v) AS d
@@ -585,7 +601,11 @@ def _near_dup_oracle() -> str:
     "masking its 24 embedded hyperplanes down to the derived count.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    # Fixed-dim contract (also keeps the derived plane count — a function
+    # of the corpus COUNT — identical on both sides).
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == _DIM_CONTRACT
+    )
     return embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_THRESHOLD, dim=_DIM)
 
 

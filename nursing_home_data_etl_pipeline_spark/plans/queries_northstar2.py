@@ -115,12 +115,22 @@ _N_QUERIES = 20
 _TOP_K = 10
 _N_PROBE = 2  # query probes its 2 nearest cells — the IVF recall/cost knob
 
+#: Declared embedding dim; off-dim vectors excluded (engine contract —
+#: see queries_northstar._DIM_CONTRACT for why ragged vectors must not
+#: reach a cosine).
+_DIM_CONTRACT = 64
+
 #: DuckDB long-form embeddings + norms (shared with the LSH oracles).
-_DUCK_EX = """
+_DUCK_EX = f"""
     ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-           FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+           FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+           WHERE len(embedding) = {_DIM_CONTRACT}),
     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY vec_id
-              HAVING sum(x * x) > 0)  -- zero/NULL-norm excluded (engine contract)
+              HAVING sum(x * x) > 0
+                 -- COUNT(x) counts NON-NULL components: DuckDB SUM skips
+                 -- NULL addends (partial dot), Spark's fold NULLs the whole
+                 -- product -- vectors with any NULL element are excluded
+                 AND COUNT(x) = {_DIM_CONTRACT})
 """
 
 
@@ -184,7 +194,12 @@ def _ivf_oracle() -> str:
     "contract as the RHP variant.",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    # Fixed-dim contract: a ragged vector would NULL out its L2 distance
+    # to every centroid (zip_with NULL-pads) while the long-form oracle
+    # would rank it by a partial distance.
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == _DIM_CONTRACT
+    )
     cents = (
         emb.filter(F.col("vec_id") < _N_CELLS)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))

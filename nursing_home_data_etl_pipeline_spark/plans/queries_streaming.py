@@ -135,7 +135,13 @@ def _drain_to_memory(
 @register(
     "streaming_windowed_agg",
     oracle="""
-    SELECT make_timestamp((epoch_ns(ts) // 1000) // 21600000000 * 21600000000) AS window_start,
+    -- FLOORED division to the window start: DuckDB's // truncates toward
+    -- zero, which would snap a pre-epoch (negative-us) event to window 0
+    -- instead of its true 1969 window; Spark's window() floors.
+    SELECT make_timestamp(
+             (epoch_ns(ts) // 1000)
+               - ((((epoch_ns(ts) // 1000) % 21600000000) + 21600000000) % 21600000000)
+           ) AS window_start,
            event_type,
            COUNT(*)              AS n_events,
            ROUND(SUM(value), 4)  AS sum_value
@@ -167,8 +173,11 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_start
       FROM events
-      -- event-time contract: NULL-ts rows belong to no session window
-      WHERE ts IS NOT NULL
+      -- event-time contract: NULL-ts rows belong to no session window, and
+      -- PRE-EPOCH rows fall to Spark's initial watermark(0) late filter
+      -- (event time < 0 is "late" in the very first microbatch) — the same
+      -- boundary documented on the streaming dedup drain
+      WHERE ts IS NOT NULL AND epoch_ns(ts) >= 0
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, us,

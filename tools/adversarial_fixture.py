@@ -69,6 +69,10 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"doc_id": base + 8, "text": "a.*b (c) [d] {5} \\ $ ^ | + ? regex", "lang": "en", "source": "adv", "n_chars": 34},
         {"doc_id": base + 9, "text": "supercalifragilisticexpialidocious" * 40, "lang": "en", "source": "adv", "n_chars": 34 * 40},
         {"doc_id": base + 10, "text": "word " * 200, "lang": None, "source": None, "n_chars": 1000},
+        # phase 2: punctuation-only, windows newlines, non-breaking space
+        {"doc_id": base + 11, "text": "!!! ??? ... ;;; ###", "lang": "en", "source": "adv", "n_chars": 19},
+        {"doc_id": base + 12, "text": "line one\r\nline two\r\n", "lang": "en", "source": "adv", "n_chars": 20},
+        {"doc_id": base + 13, "text": "nb space word", "lang": "en", "source": "adv", "n_chars": 13},
     ]
     pq.write_table(_append(docs, doc_rows), f"{dest}/documents.parquet")
     added["documents"] = len(doc_rows)
@@ -86,6 +90,8 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"event_id": ebase + 5, "ts": some_ts, "user_id": 999999, "event_type": "tie", "value": 4.5, "props": '{"k": "w"}'},
         {"event_id": ebase + 6, "ts": EPOCH, "user_id": 999998, "event_type": "epoch", "value": 0.0, "props": "{}"},
         {"event_id": ebase + 7, "ts": FAR_FUTURE, "user_id": 999998, "event_type": "future", "value": -7.5, "props": "{}"},
+        # phase 2: pre-epoch event time (below Spark's initial watermark 0)
+        {"event_id": ebase + 8, "ts": dt.datetime(1969, 12, 31, 23, 0, 0), "user_id": 999997, "event_type": "preepoch", "value": 2.25, "props": "{}"},
     ]
     pq.write_table(_append(ev, ev_rows), f"{dest}/events.parquet")
     added["events"] = len(ev_rows)
@@ -100,6 +106,11 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"vec_id": vbase + 1, "embedding": zero_vec, "label": None},
         {"vec_id": vbase + 2, "embedding": dup_vec, "label": 0},
         {"vec_id": vbase + 3, "embedding": [(-1.0) ** i * 0.5 for i in range(dim)], "label": 1},
+        # phase 2: shape violations — the fixed-dim similarity contract
+        {"vec_id": vbase + 4, "embedding": [], "label": 2},  # empty
+        {"vec_id": vbase + 5, "embedding": [0.5] * (dim // 2), "label": 2},  # short
+        {"vec_id": vbase + 6, "embedding": [0.25] * (dim + 8), "label": 2},  # long
+        {"vec_id": vbase + 7, "embedding": [None] + [0.5] * (dim - 1), "label": 2},  # NULL element
     ]
     pq.write_table(_append(emb, emb_rows), f"{dest}/embeddings.parquet")
     added["embeddings"] = len(emb_rows)
