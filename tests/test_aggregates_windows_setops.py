@@ -132,3 +132,23 @@ def test_set_ops(spark):
     assert intersect_all(a, b).count() == 1
     assert {r.k for r in except_(a, b).collect()} == {1}
     assert except_all(a, b).count() == 2
+
+
+def test_running_agg_ties_share_the_range_sum(spark):
+    """running_agg uses a RANGE frame: rows tied on the full ordering are
+    peers and BOTH include the tie group's total — deterministic for any
+    data. A ROWS frame would hand the two tied rows order-dependent
+    values (hit in practice: sf0.1 lineitem reuses (orderkey,
+    linenumber), and one full-ordering collision flipped the cumulative
+    sum between engines)."""
+    from nursing_home_data_etl_pipeline_spark.operators.windows import running_agg
+
+    df = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 10, 3.0), (1, 20, 5.0)],
+        "k int, ord int, v double",
+    )
+    out = running_agg(
+        df, partition_by=["k"], order_by=[F.col("ord")], agg_col="v"
+    ).collect()
+    got = sorted((r.ord, r.v, r.running) for r in out)
+    assert got == [(10, 2.0, 5.0), (10, 3.0, 5.0), (20, 5.0, 10.0)]

@@ -100,3 +100,37 @@ def test_chunk_table_skips_blank_and_null_docs(spark):
     out = chunk_table(df, chunk_words=2, overlap=1).collect()
     assert {r.doc_id for r in out} == {1}
     assert all(r.chunk_text for r in out) and all(r.n_words > 0 for r in out)
+
+
+def test_words_duckdb_twin_lockstep(spark):
+    """words() and duck_words_sql() must tokenize IDENTICALLY — the oracle
+    twins for text_profile/quality/packing are built on that claim. Runs a
+    corpus of nasty strings through both engines in one pass each."""
+    import duckdb
+
+    from nursing_home_data_etl_pipeline_spark.functions.text import (
+        duck_words_sql,
+        words,
+    )
+
+    corpus = [
+        "", " ", " \t\n  ", "\ta b\n", "a  b", "a\tb", "a\nb", "a\rb",
+        "one", " lead", "trail ", "  both  ", "a b c d", "x" * 100,
+        "naïve café 北京", "🎉 party 🎉", "a.b,c;d", "tab\t\ttab",
+        "\r\n", "crlf line\r\nnext", "nb sp", "mix \t mix \n mix",
+        None,
+    ]
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    sdf = spark.createDataFrame(rows, "id long, text string")
+    got_spark = {
+        r.id: r.w
+        for r in sdf.select("id", words(F.col("text")).alias("w")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got_duck = dict(
+        con.execute(f"SELECT id, {duck_words_sql('text')} FROM t").fetchall()
+    )
+    for i, t in enumerate(corpus):
+        assert got_spark[i] == got_duck[i], (t, got_spark[i], got_duck[i])
