@@ -212,7 +212,12 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*)             AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           -- NaN totals emit as NULL: the Arrow pandas-worker boundary
+           -- uses NaN as its null sentinel, so the Python-side stateful
+           -- operator cannot represent a NaN result (documented in
+           -- streaming/aggregations._accumulate); Inf round-trips fine
+           CASE WHEN isnan(SUM(value)) THEN NULL
+                ELSE ROUND(SUM(value), 4) END AS total_value
     FROM events
     GROUP BY user_id
     """,

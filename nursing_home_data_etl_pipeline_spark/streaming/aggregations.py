@@ -9,6 +9,7 @@ state at unbounded input, the streaming analog of "design for 100 TB".
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -73,6 +74,11 @@ _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
         T.StructField("total", T.DoubleType()),
+        # whether any NON-NULL value was ever seen: SQL SUM over an
+        # all-NULL group is NULL, and inside the Arrow worker a SQL NULL
+        # and a genuine NaN both arrive as float NaN — only the upstream
+        # _vnull flag can tell them apart.
+        T.StructField("has_val", T.BooleanType()),
     ]
 )
 
@@ -81,7 +87,14 @@ def _round4_half_up(x: float) -> float:
     """HALF_UP on the shortest decimal representation — matches Spark's
     F.round and the DuckDB oracle's ROUND. Python's built-in round() is
     banker's rounding on the binary double and can differ by one ulp of
-    the 4th decimal at midpoints, failing the batch-equivalence check."""
+    the 4th decimal at midpoints, failing the batch-equivalence check.
+
+    Non-finite totals pass through unchanged: rounding NaN/Inf is the
+    identity in both engines, and Decimal.quantize raises
+    InvalidOperation on them — one NaN-valued event must not abort the
+    whole stateful stream."""
+    if not math.isfinite(x):
+        return x
     return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
 
 
@@ -107,14 +120,40 @@ def _accumulate(
     value_col: str,
 ) -> pd.DataFrame:
     """Shared accumulation body for both stateful variants — one site for
-    the count/total/rounding logic so the TTL twin can't drift."""
-    n, total = state.get if state.exists else (0, 0.0)
+    the count/total/rounding logic so the TTL twin can't drift.
+
+    SQL SUM semantics, exactly: NULL values are ignored (the upstream
+    ``_vnull`` flag identifies them — in the worker a SQL NULL is
+    indistinguishable from a genuine NaN, both arrive as float NaN), a
+    genuine NaN poisons the total (``skipna=False``; pandas' default
+    skipna would silently drop NaN and emit the sum of the rest), and a
+    key that never saw a non-NULL value totals NULL, not 0.0."""
+    n, total, has_val = state.get if state.exists else (0, 0.0, False)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf[value_col].sum())
-    state.update((n, total))
+        genuine = pdf.loc[~pdf["_vnull"].astype(bool), value_col]
+        if len(genuine):
+            total += float(genuine.sum(skipna=False))
+            has_val = True
+    state.update((n, total, has_val))
+    # Emission contract: an all-NULL key totals NULL (SQL SUM), and a NaN
+    # total ALSO emits NULL — the Arrow pandas-worker boundary uses NaN as
+    # its null sentinel, so a Python-side stateful operator cannot
+    # represent NaN in a float column at all (verified empirically: both
+    # object-dtype and float64 NaN arrive JVM-side as NULL). The state
+    # keeps the true NaN so later batches stay poisoned correctly;
+    # +/-Infinity round-trips fine.
+    out_total = (
+        _round4_half_up(total) if has_val and not math.isnan(total) else None
+    )
     return pd.DataFrame(
-        {key_col: [key[0]], "n_events": [n], "total_value": [_round4_half_up(total)]}
+        {
+            key_col: [key[0]],
+            "n_events": [n],
+            "total_value": pd.Series(
+                [out_total], dtype="float64" if out_total is not None else "object"
+            ),
+        }
     )
 
 
@@ -129,6 +168,8 @@ def running_totals_stateful(
     def update(key, pdfs, state):
         yield _accumulate(key, pdfs, state, key_col, value_col)
 
+    # NULL-vs-NaN flag for SQL SUM semantics (see _accumulate)
+    events = events.withColumn("_vnull", F.col(value_col).isNull())
     return events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=_running_totals_schema(events, key_col),
@@ -161,6 +202,8 @@ def running_totals_stateful_ttl(
         state.setTimeoutDuration(_TTL_MS)
         yield out
 
+    # NULL-vs-NaN flag for SQL SUM semantics (see _accumulate)
+    events = events.withColumn("_vnull", F.col(value_col).isNull())
     return events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=_running_totals_schema(events, key_col),

@@ -195,3 +195,66 @@ def test_stateful_totals_with_string_key(spark):
         )
         got = {(r.event_type, r.n_events, r.total_value) for r in out.collect()}
     assert got == {("click", 10, 90.0), ("view", 10, 100.0)}
+
+
+def test_accumulate_sql_sum_semantics_on_dirty_values():
+    """_accumulate implements SQL SUM exactly at the pandas boundary:
+    NULLs ignored (via the _vnull flag — in-worker they're NaN-conflated),
+    genuine NaN poisons the total but EMITS as NULL (the Arrow boundary
+    uses NaN as its null sentinel, so a Python stateful op cannot emit
+    NaN), Infinity round-trips, and an all-NULL key totals NULL."""
+    import math
+
+    import pandas as pd
+
+    from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
+        _accumulate,
+        _round4_half_up,
+    )
+
+    assert math.isnan(_round4_half_up(float("nan")))
+    assert _round4_half_up(float("inf")) == float("inf")
+    assert _round4_half_up(1.00005) == 1.0001  # HALF_UP, not banker's
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(vals):
+        return pd.DataFrame(
+            {
+                "value": pd.Series(vals, dtype="float64"),
+                "_vnull": [v is None for v in vals],
+            }
+        )
+
+    # all-NULL key -> NULL total, n counts all rows
+    st = FakeState()
+    out = _accumulate((7,), [batch([None, None])], st, "user_id", "value")
+    assert out["n_events"].iloc[0] == 2 and out["total_value"].iloc[0] is None
+
+    # NULL ignored, real values summed
+    st2 = FakeState()
+    out = _accumulate((7,), [batch([None, 2.0, 3.0])], st2, "user_id", "value")
+    assert out["total_value"].iloc[0] == 5.0
+
+    # NaN poisons (pandas default skipna would emit 2.0) but emits NULL;
+    # state keeps the true NaN for later batches
+    st3 = FakeState()
+    out = _accumulate((7,), [batch([2.0, float("nan")])], st3, "user_id", "value")
+    assert out["total_value"].iloc[0] is None
+    assert math.isnan(st3.get[1])
+
+    # Infinity survives
+    st4 = FakeState()
+    out = _accumulate((7,), [batch([1.0, float("inf")])], st4, "user_id", "value")
+    assert out["total_value"].iloc[0] == float("inf")

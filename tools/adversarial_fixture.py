@@ -92,6 +92,9 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"event_id": ebase + 7, "ts": FAR_FUTURE, "user_id": 999998, "event_type": "future", "value": -7.5, "props": "{}"},
         # phase 2: pre-epoch event time (below Spark's initial watermark 0)
         {"event_id": ebase + 8, "ts": dt.datetime(1969, 12, 31, 23, 0, 0), "user_id": 999997, "event_type": "preepoch", "value": 2.25, "props": "{}"},
+        # phase 3: non-finite doubles
+        {"event_id": ebase + 9, "ts": some_ts, "user_id": 999996, "event_type": "nan", "value": float("nan"), "props": "{}"},
+        {"event_id": ebase + 10, "ts": some_ts, "user_id": 999996, "event_type": "inf", "value": float("inf"), "props": "{}"},
     ]
     pq.write_table(_append(ev, ev_rows), f"{dest}/events.parquet")
     added["events"] = len(ev_rows)
@@ -111,6 +114,9 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"vec_id": vbase + 5, "embedding": [0.5] * (dim // 2), "label": 2},  # short
         {"vec_id": vbase + 6, "embedding": [0.25] * (dim + 8), "label": 2},  # long
         {"vec_id": vbase + 7, "embedding": [None] + [0.5] * (dim - 1), "label": 2},  # NULL element
+        # phase 3: NaN component (norm NaN; NaN > 0 is TRUE in both
+        # engines' orderings — probes whether NaN poisons top-k agreement)
+        {"vec_id": vbase + 8, "embedding": [float("nan")] + [0.5] * (dim - 1), "label": 3},
     ]
     pq.write_table(_append(emb, emb_rows), f"{dest}/embeddings.parquet")
     added["embeddings"] = len(emb_rows)
