@@ -47,10 +47,10 @@ def duck_words_sql(col: str = "text") -> str:
     """DuckDB SQL twin of :func:`words` for the oracle queries: full
     whitespace trim on both ends, blank -> empty array (regexp_split of a
     blank string would yield ``['']`` — one phantom word)."""
-    t = f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+    t = f"regexp_replace({col}, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')"
     return (
         f"(CASE WHEN {t} = '' THEN CAST([] AS VARCHAR[]) "
-        f"ELSE regexp_split_to_array({t}, '\\s+') END)"
+        f"ELSE regexp_split_to_array({t}, '[ \\t\\n\\x0B\\f\\r]+') END)"
     )
 
 

@@ -30,10 +30,16 @@ def chunk_table(
     if overlap >= chunk_words:
         raise ValueError("overlap must be smaller than chunk_words")
     stride = chunk_words - overlap
-    norm = normalize_text(F.col(text_col))
-    base = df.filter(norm.isNotNull() & (norm != "")).select(
-        F.col(id_col), F.split(norm, " ").alias("_w")
+    # Normalize ONCE into a projected column, filter on the column, then
+    # split the column (same reasoning as dedup.shingle_table: filtering
+    # on the expression and then splitting it would run the regex chain
+    # twice per row).
+    normed = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
     )
+    base = normed.filter(
+        F.col("_norm").isNotNull() & (F.col("_norm") != "")
+    ).select(F.col(id_col), F.split(F.col("_norm"), " ").alias("_w"))
     n = F.size("_w")
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)

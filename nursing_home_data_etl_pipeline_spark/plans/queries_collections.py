@@ -19,12 +19,12 @@ from .catalog import register
     oracle="""
     WITH w AS (
       SELECT doc_id,
-             regexp_split_to_array(trim(text), '\\s+') AS wa
+             regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS wa
       FROM documents WHERE doc_id < 100
     ),
     wc AS (
       SELECT doc_id, word, COUNT(*) AS n FROM (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
         FROM documents WHERE doc_id < 100
       ) GROUP BY doc_id, word
     ),

@@ -54,7 +54,7 @@ from ..functions.text import duck_words_sql
 #: exact twin of functions.text.words() (blank-safe: [] for blank text).
 _DUCK_WORDS = duck_words_sql("text")
 #: DuckDB expression for Spark's normalize_text().
-_DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_DUCK_NORM = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
 
 def _duck_sw_hits(lang_words: tuple[str, ...]) -> str:
@@ -82,7 +82,7 @@ def _text_profile_oracle() -> str:
              text,
              {_DUCK_WORDS} AS w,
              length(text) AS n_chars,
-             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n\\x0B\\f\\r]', '', 'g')) AS n_punct,
              {best} AS best
       FROM documents
     )
@@ -90,7 +90,7 @@ def _text_profile_oracle() -> str:
            CAST(n_chars AS BIGINT)                                       AS n_chars,
            CAST(len(w) AS BIGINT)                                        AS n_words,
            CAST(len(regexp_extract_all(text,
-                '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS BIGINT)            AS n_tokens,
+                '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \\t\\n\\x0B\\f\\r]')) AS BIGINT)            AS n_tokens,
            -- list_sum([]) is NULL in DuckDB; the engine's fold seeds 0.0,
            -- so a 0-word doc has mean word length 0, not NULL
            ROUND(COALESCE(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))),
@@ -173,7 +173,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id + 1000000, text || '  ' FROM documents WHERE doc_id % 10 = 0
     )
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_ignored,
+    SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp_ignored,
            MIN(doc_id) AS doc_id
     FROM corpus
     WHERE text IS NOT NULL
@@ -300,7 +300,7 @@ def _simhash_oracle() -> str:
     )
     return f"""
     WITH toks AS (
-      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
       FROM documents
       WHERE {_DUCK_NORM} IS NOT NULL AND {_DUCK_NORM} != ''
     ),

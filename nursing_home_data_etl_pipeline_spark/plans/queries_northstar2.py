@@ -58,7 +58,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_terms",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
       FROM documents
     ),
     tf AS (

@@ -24,8 +24,13 @@ _N_SHARDS = 64
 
 #: DuckDB twin of operators.packing._shard: first 8 md5 hex chars of
 #: 'pack' || doc_id as an integer, mod n_shards (conv() is Spark-only).
+#: NULL ids coalesce to the SAME chr(0)-sentinel as _shard — a NULL
+#: concat would shard NULL and desync the whole packed stream's offsets.
 _DUCK_SHARD = (
-    hex_to_bigint_sql("md5('pack' || CAST(doc_id AS VARCHAR))", n_chars=8)
+    hex_to_bigint_sql(
+        "md5('pack' || COALESCE(CAST(doc_id AS VARCHAR), chr(0) || '<null>'))",
+        n_chars=8,
+    )
     + f" % {_N_SHARDS}"
 )
 
@@ -38,13 +43,14 @@ def _packing_oracle() -> str:
              {_DUCK_SHARD} AS shard
       FROM documents
       -- pack_sequences filters _tok > 0: blank and NULL-text docs own no
-      -- token interval (len of the blank-safe words twin is 0 or NULL)
-      WHERE len({duck_words_sql("text")}) > 0
+      -- token interval (len of the blank-safe words twin is 0 or NULL;
+      -- the alias keeps the two-regex words expression evaluated once)
+      WHERE tok > 0
     ),
     placed AS (
       SELECT doc_id, tok,
              CAST(COALESCE(SUM(tok) OVER (
-               ORDER BY shard, doc_id
+               ORDER BY shard, doc_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ), 0) AS BIGINT) AS s0
       FROM toks

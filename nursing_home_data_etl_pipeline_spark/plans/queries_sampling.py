@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, quality_score, words
+from ..functions.text import duck_words_sql, fingerprint, quality_score, words
 from ..operators.components import dup_clusters
 from ..operators.dedup import minhash_dedup_pairs
 from ..operators.sampling import (
@@ -106,10 +106,10 @@ def vector_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT doc_id,
-             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS wa
+             regexp_split_to_array(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS wa
       FROM documents
       -- NULL/blank documents yield NO chunks (chunk_table's contract)
-      WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+      WHERE trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) <> ''
     ),
     meta AS (
       SELECT doc_id, wa,
@@ -149,7 +149,7 @@ def _bands_chain(prefix: str, src: str) -> str:
     from .queries_northstar import _band_selects_sql
 
     band_selects = _band_selects_sql(f"{prefix}_sig")
-    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    norm = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
     k = _SHINGLE_K
     return f"""
     {prefix}_words AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS wa
@@ -171,7 +171,7 @@ _BLOOM_BITS = 1 << 16
 _BLOOM_K = 5
 
 #: DuckDB twin of functions.text.fingerprint (md5 of normalized text).
-_DUCK_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+_DUCK_FP = "md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
 
 
 @register(
@@ -258,12 +258,14 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUALITY_MIN = 0.5
 
-#: DuckDB quality expression (must mirror functions.text.quality_score).
-_DUCK_QUALITY = """
-      ROUND((least(CAST(len((CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END)) AS DOUBLE) / 50.0, 1.0)
-            + CAST(len(list_distinct((CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END))) AS DOUBLE)
-              / greatest(len((CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END)), 1)
-            + (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')))
+#: DuckDB quality expression (must mirror functions.text.quality_score) —
+#: built on duck_words_sql, the ONE words twin, so a tokenizer change
+#: there reaches this oracle automatically.
+_DUCK_QUALITY = f"""
+      ROUND((least(CAST(len({duck_words_sql("text")}) AS DOUBLE) / 50.0, 1.0)
+            + CAST(len(list_distinct({duck_words_sql("text")})) AS DOUBLE)
+              / greatest(len({duck_words_sql("text")}), 1)
+            + (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n\\x0B\\f\\r]', '', 'g')))
                            / CAST(greatest(length(text), 1) AS DOUBLE) * 5, 1.0))
             ) / 3, 6)
 """
@@ -290,8 +292,8 @@ _DUCK_QUALITY = """
     comp AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v)
     SELECT k.doc_id,
            k.lang,
-           md5(trim(regexp_replace(lower(k.text), '\\s+', ' ', 'g'))) AS fp,
-           CAST(len((CASE WHEN regexp_replace(k.text, '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(regexp_replace(k.text, '^\\s+|\\s+$', '', 'g'), '\\s+') END)) AS BIGINT) AS n_words
+           md5(trim(regexp_replace(lower(k.text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp,
+           CAST(len({duck_words_sql("k.text")}) AS BIGINT) AS n_words
     FROM kept k JOIN comp ON comp.doc_id = k.doc_id
     WHERE comp.cluster_id = k.doc_id
     """,

@@ -150,9 +150,9 @@ def _accumulate(
         {
             key_col: [key[0]],
             "n_events": [n],
-            "total_value": pd.Series(
-                [out_total], dtype="float64" if out_total is not None else "object"
-            ),
+            # float64 throughout: None becomes NaN here, and NaN IS the
+            # boundary's null sentinel, so NULL emission is identical
+            "total_value": pd.Series([out_total], dtype="float64"),
         }
     )
 

@@ -40,8 +40,10 @@ def _load_builder():
 
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory):
+    from conftest import SF_SMOKE
+
     dest = str(tmp_path_factory.mktemp("advdata"))
-    _load_builder().build("/root/testdata/sf0.001", dest)
+    _load_builder().build(SF_SMOKE, dest)
     return dest
 
 

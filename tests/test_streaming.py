@@ -237,10 +237,11 @@ def test_accumulate_sql_sum_semantics_on_dirty_values():
             }
         )
 
-    # all-NULL key -> NULL total, n counts all rows
+    # all-NULL key -> NULL total (emitted as the NaN sentinel the Arrow
+    # boundary converts to SQL NULL), n counts all rows
     st = FakeState()
     out = _accumulate((7,), [batch([None, None])], st, "user_id", "value")
-    assert out["n_events"].iloc[0] == 2 and out["total_value"].iloc[0] is None
+    assert out["n_events"].iloc[0] == 2 and pd.isna(out["total_value"].iloc[0])
 
     # NULL ignored, real values summed
     st2 = FakeState()
@@ -251,7 +252,7 @@ def test_accumulate_sql_sum_semantics_on_dirty_values():
     # state keeps the true NaN for later batches
     st3 = FakeState()
     out = _accumulate((7,), [batch([2.0, float("nan")])], st3, "user_id", "value")
-    assert out["total_value"].iloc[0] is None
+    assert pd.isna(out["total_value"].iloc[0])
     assert math.isnan(st3.get[1])
 
     # Infinity survives

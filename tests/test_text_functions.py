@@ -117,6 +117,7 @@ def test_words_duckdb_twin_lockstep(spark):
         "", " ", " \t\n  ", "\ta b\n", "a  b", "a\tb", "a\nb", "a\rb",
         "one", " lead", "trail ", "  both  ", "a b c d", "x" * 100,
         "naïve café 北京", "🎉 party 🎉", "a.b,c;d", "tab\t\ttab",
+        "\x0b", "a\x0bb", "\x0bvtab lead", "form\x0cfeed",
         "\r\n", "crlf line\r\nnext", "nb sp", "mix \t mix \n mix",
         None,
     ]

@@ -72,6 +72,10 @@ def build(src: str, dest: str) -> dict[str, int]:
         # phase 2: punctuation-only, windows newlines, non-breaking space
         {"doc_id": base + 11, "text": "!!! ??? ... ;;; ###", "lang": "en", "source": "adv", "n_chars": 19},
         {"doc_id": base + 12, "text": "line one\r\nline two\r\n", "lang": "en", "source": "adv", "n_chars": 20},
+        # vertical tab: Java \\s matches it, RE2's does not — the class the
+        # oracle twins spell out explicitly
+        {"doc_id": base + 14, "text": "vert\x0btab words here", "lang": "en", "source": "adv", "n_chars": 20},
+        {"doc_id": base + 15, "text": "\x0b\x0c", "lang": "en", "source": "adv", "n_chars": 2},
         {"doc_id": base + 13, "text": "nb space word", "lang": "en", "source": "adv", "n_chars": 13},
     ]
     pq.write_table(_append(docs, doc_rows), f"{dest}/documents.parquet")
