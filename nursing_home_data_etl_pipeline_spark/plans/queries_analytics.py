@@ -194,6 +194,11 @@ def _time_rollup_oracle_branch() -> str:
            COUNT(*)                             AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- Spark's rollup/cube/grouping-sets emit NO rows on EMPTY input,
+    -- while the SQL standard (and DuckDB) still emits the grand-total
+    -- grouping-set row (COUNT 0); on any non-empty input every group has
+    -- COUNT >= 1, so this HAVING only mirrors the empty-input behavior
+    HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'cube',
            l_returnflag,
@@ -203,6 +208,7 @@ def _time_rollup_oracle_branch() -> str:
            COUNT(*)
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'gsets',
            l_returnflag,
@@ -212,6 +218,7 @@ def _time_rollup_oracle_branch() -> str:
            COUNT(*)
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    HAVING COUNT(*) > 0
     UNION ALL{_time_rollup_oracle_branch()}
     """,
     doc="The grouping-sets family as one tagged union (round-6 catalog "

@@ -557,7 +557,10 @@ def _near_dup_oracle() -> str:
     {_planes_values_sql(RHP_MAX_PLANES)},
     np AS (
       SELECT GREATEST(4, LEAST({RHP_MAX_PLANES},
-             CAST(CEIL(LOG2(COUNT(*) / {RHP_TARGET_OCCUPANCY}.0)) AS INT))) AS np
+             CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / {RHP_TARGET_OCCUPANCY}.0)) AS INT))) AS np
+      -- GREATEST(.,1): LOG2(0) is an error in DuckDB; the engine's
+      -- derive_n_planes returns the lower clamp for tiny corpora,
+      -- and ceil(log2(1/32)) clamps to the same value
       FROM embeddings WHERE len(embedding) = {_DIM_CONTRACT}
     ),
     pdots AS (

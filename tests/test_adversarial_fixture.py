@@ -72,3 +72,46 @@ def test_adversarial_oracle_gate(spark, adv_dir, name):
     entry = catalog.entries()[name]
     problems = compare_query(spark, con, entry.spark, entry.oracle, adv_dir)
     assert not problems, f"{name} on adversarial fixture: {problems}"
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    """Zero-row twin of every table, schemas byte-identical — the
+    empty-input axis: a first run, a fully-filtered source, or an empty
+    partition must yield empty results, not crashes (log2(0) in the LSH
+    plane derivation and Spark's no-grand-total-row grouping-set behavior
+    on empty input were both caught here)."""
+    import pyarrow.parquet as pq
+
+    from conftest import SF_SMOKE
+
+    dest = tmp_path_factory.mktemp("emptydata")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        tbl = pq.read_table(f"{SF_SMOKE}/{t}.parquet").slice(0, 0)
+        pq.write_table(tbl, str(dest / f"{t}.parquet"))
+    return str(dest)
+
+
+EMPTY_QUERIES = [
+    "rollup_cube_summary",   # Spark emits no grand-total row on empty input
+    "embedding_near_dup",    # log2(0) guard in the derived plane count
+    "similarity_topk",
+    "dedup_exact",
+    "text_profile",
+    "pricing_summary",
+    "quantile_bands",
+    "pack_training_sequences",
+    "training_corpus",
+    "asof_join_events",
+]
+
+
+@pytest.mark.parametrize("name", EMPTY_QUERIES)
+def test_empty_input_oracle_gate(spark, empty_dir, name):
+    con = duckdb_connection(empty_dir)
+    entry = catalog.entries()[name]
+    problems = compare_query(spark, con, entry.spark, entry.oracle, empty_dir)
+    assert not problems, f"{name} on empty fixture: {problems}"
