@@ -121,6 +121,12 @@ def exact_dedup(
 #: Largest prime below 2^48 — the modulus of the double-hashing family.
 MINHASH_P = 281474976710597
 
+#: Default stop-shingle guard for ngram_jaccard_pairs: shingles appearing
+#: in more than this many documents are dropped from PAIRING (still count
+#: in set sizes). Exposed as a constant so the DuckDB oracle twin
+#: (plans.queries_northstar) mirrors the same cap.
+HOT_SHINGLE_CAP = 1000
+
 
 def minhash_signatures(
     df: DataFrame,
@@ -395,7 +401,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.5,
-    hot_shingle_cap: int = 1000,
+    hot_shingle_cap: int = HOT_SHINGLE_CAP,
 ) -> DataFrame:
     """Exact Jaccard similarity over word-k-gram shingle sets, computed only
     for pairs sharing >= 1 shingle (inverted-index self-join).

@@ -26,6 +26,7 @@ from ..functions.text import (
     token_count,
 )
 from ..operators.dedup import (
+    HOT_SHINGLE_CAP,
     MINHASH_P,
     SIMHASH_BITS,
     exact_dedup,
@@ -338,12 +339,21 @@ def _simhash_pairs_oracle(max_hamming: int = 3, bands: int = 4) -> str:
 
 _JACCARD_THRESHOLD = 0.05
 
-_JACCARD_PAIRS_SQL = f"""
+def _jaccard_pairs_sql(cap: int, threshold: float) -> str:
+    """Jaccard-pairs oracle, parameterized so tests can exercise a tiny
+    cap. Mirrors ngram_jaccard_pairs exactly: set SIZES count every
+    shingle, but only COLD shingles (document frequency <= cap) pair —
+    Jaccard is under-estimated for pairs sharing only hot shingles, the
+    engine's documented conservative direction."""
+    return f"""
     WITH {_DUCK_SHINGLES},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    cold AS (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) <= {cap}),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shingles a
+      JOIN cold ON cold.s = a.s
+      JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, n_common,
@@ -351,8 +361,11 @@ _JACCARD_PAIRS_SQL = f"""
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD}
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {threshold}
     """
+
+
+_JACCARD_PAIRS_SQL = _jaccard_pairs_sql(HOT_SHINGLE_CAP, _JACCARD_THRESHOLD)
 
 
 @register(

@@ -488,3 +488,43 @@ def test_similarity_excludes_null_and_zero_norm_vectors(spark):
     pairs = embedding_near_dup_pairs(df, threshold=0.9, n_planes=2, dim=4).collect()
     ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
     assert ids == {0, 1}
+
+
+def test_jaccard_hot_shingle_cap_matches_oracle(spark):
+    """The hot-shingle cap (stop-shingle guard) must be mirrored by the
+    DuckDB oracle twin: set sizes count every shingle, but shingles whose
+    document frequency exceeds the cap never PAIR. Exercised with cap=2 on
+    a corpus where boilerplate text is shared by 3 docs (dropped) and a
+    rare text by 2 (paired)."""
+    import duckdb
+
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from nursing_home_data_etl_pipeline_spark.plans.queries_northstar import (
+        _jaccard_pairs_sql,
+    )
+
+    rows = [
+        (1, "common boiler plate"),
+        (2, "common boiler plate"),
+        (3, "common boiler plate"),
+        (4, "rare pair text"),
+        (5, "rare pair text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", shingle_k=5, threshold=0.0, hot_shingle_cap=2
+        ).collect()
+    )
+    assert got == [(4, 5, 1.0)]  # boilerplate trio suppressed by the cap
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = sorted(
+        (a, b, j) for a, b, _, j in con.execute(_jaccard_pairs_sql(2, 0.0)).fetchall()
+    )
+    assert oracle == got
