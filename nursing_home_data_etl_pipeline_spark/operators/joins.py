@@ -113,7 +113,8 @@ def ordering_struct(df: DataFrame, cols: Sequence[str]):
 
 
 def latest_per_key(
-    df: DataFrame, keys: Sequence[str], order_col: str | None
+    df: DataFrame, keys: Sequence[str], order_col: str | None,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Resolve multi-row-per-key sources to one row per key: the latest by
     ``order_col``, or — with ``order_col`` None/empty — the
@@ -121,21 +122,30 @@ def latest_per_key(
     frame's content, unlike dropDuplicates, whose survivor depends on
     partitioning). max_by keeps both modes a single hash aggregate — no
     window sort needed.
+
+    ``prefer_col``: optional numeric precedence that ranks BETWEEN the
+    version and the attribute tiebreak — the versioned merge passes a
+    source=1/target=0 flag here so a re-emitted row with an UNCHANGED
+    version still beats the stale row it corrects (without it, the
+    attribute tiebreak could deterministically keep the old row).
     """
     keys = list(keys)
     others = [c for c in df.columns if c not in keys]
     # ONE max_by over the whole row struct: per-column max_by calls would
     # TEAR columns across different tied rows, and f-string F.expr broke on
-    # any name that isn't a bare SQL identifier. The (order?, tiebreak-row)
-    # ordering struct makes ties deterministic (highest row by struct
-    # comparison) instead of engine-arbitrary — this feeds MERGE, so reruns
-    # must agree; see :func:`ordering_struct` for how map columns join the
-    # tiebreak.
+    # any name that isn't a bare SQL identifier. The (order?, prefer?,
+    # tiebreak-row) ordering struct makes ties deterministic (highest row
+    # by struct comparison) instead of engine-arbitrary — this feeds
+    # MERGE, so reruns must agree; see :func:`ordering_struct` for how map
+    # columns join the tiebreak.
     row = F.struct(*[F.col(c).alias(c) for c in others])
     tiebreak = ordering_struct(df, others)
     # Truthiness, not `is not None`: an empty-string order_col (e.g. an
     # unset config value threaded through) means "no version column".
-    ordering = F.struct(F.col(order_col), tiebreak) if order_col else tiebreak
+    parts = [F.col(order_col)] if order_col else []
+    if prefer_col:
+        parts.append(F.col(prefer_col))
+    ordering = F.struct(*parts, tiebreak) if parts else tiebreak
     picked = df.groupBy(*keys).agg(F.max_by(row, ordering).alias("_r"))
     return picked.select(
         *keys, *[F.col("_r").getField(c).alias(c) for c in others]

@@ -54,6 +54,12 @@ DIM_TABLES = {
     "quality": "dim_quality",
 }
 
+#: Transform outputs that are ONE row per merge key (facility attributes /
+#: the (facility, measure) grain) — deduped before the warehouse merge.
+#: penalties and surveys are FAN-OUT (several rows per facility by design)
+#: and merge as whole key groups instead.
+UNIQUE_KEY_OUTPUTS = frozenset({"facility", "staffing", "rating", "quality"})
+
 
 @dataclass
 class PipelineResult:
@@ -132,17 +138,33 @@ def run_stage(
         pool = ThreadPoolExecutor(max_workers=1)
         timed_out = False
         try:
-            out = pool.submit(worker).result(timeout=policy.timeout_s)
+            fut = pool.submit(worker)
+            out = fut.result(timeout=policy.timeout_s)
             if detail_of:
-                detail.update(detail_of(out))
+                # A broken detail extractor must not fail (or re-run!) a
+                # stage whose side effects already committed — the stage
+                # SUCCEEDED; the log row just carries less detail.
+                try:
+                    detail.update(detail_of(out))
+                except Exception as exc:
+                    detail["detail_error"] = repr(exc)
             log.append(RunLogEntry(run_id, step, "SUCCESS", t0, time.time(), detail))
             return out
-        except FutureTimeout:
-            spark.sparkContext.cancelJobGroup(group)
-            timed_out = True
-            last_exc = TimeoutError(
-                f"stage {step!r} exceeded timeout_s={policy.timeout_s}"
-            )
+        except FutureTimeout as exc:
+            # Python >= 3.11 aliases concurrent.futures.TimeoutError to the
+            # BUILTIN TimeoutError, so a TimeoutError raised INSIDE the
+            # stage (e.g. socket.timeout from transient IO) lands here too.
+            # Only a future that is still running is a wall-clock stage
+            # timeout; a completed future means the stage itself raised —
+            # an ordinary, retryable failure.
+            if fut.done():
+                last_exc = exc
+            else:
+                spark.sparkContext.cancelJobGroup(group)
+                timed_out = True
+                last_exc = TimeoutError(
+                    f"stage {step!r} exceeded timeout_s={policy.timeout_s}"
+                )
         except Exception as exc:
             last_exc = exc
         finally:
@@ -169,12 +191,24 @@ def merge_warehouse(
     First run bootstraps the dim from the source as-is. The merge key is the
     facility PK (plus measure_code for the quality grain).
     """
+    from .operators.joins import latest_per_key
+
     merged = []
     for output, dim in DIM_TABLES.items():
         if output not in outputs:
             continue
-        source = read_parquet(spark, outputs[output])
         keys = [PK, "measure_code"] if output == "quality" else [PK]
+        source = read_parquet(spark, outputs[output])
+        # ONE-ROW-PER-KEY dims: a multi-file cycle (pipeline down for a
+        # month, two drops staged in one run) yields several rows per
+        # facility in the transform output; merge_scd1 would install them
+        # all. Resolve to the deterministic tiebreak-struct survivor — the
+        # same rule the streaming upsert applies to its micro-batches.
+        # FAN-OUT dims (penalties, surveys: several rows per facility by
+        # design) are NOT deduped — merge_scd1's anti-join+union already
+        # replaces the whole key GROUP with the batch's group.
+        if output in UNIQUE_KEY_OUTPUTS:
+            source = latest_per_key(source, keys, None)
         target_path = zones.warehouse(dim)
         # A crashed prior swap can leave the dim parked at __old with the
         # target missing; restore BEFORE the bootstrap probe, or this run
@@ -233,7 +267,12 @@ def run(
         lambda staged: {"staged": staged},
     )
 
-    known = {d for d in mapping.values() if d != "unknown"}
+    # Known = every explicitly ROUTED domain; the _DEFAULT route's target
+    # is excluded by KEY, not by comparing against the literal 'unknown' —
+    # a custom default target (mapping={'_DEFAULT': 'misc'}) is still the
+    # quarantine bucket and must go to the error zone, not be archived as
+    # successfully handled.
+    known = {d for p, d in mapping.items() if p != "_DEFAULT"}
     res.archived = stage(
         "archive", lambda: archive_source_files(zones, known), lambda a: dict(a)
     )

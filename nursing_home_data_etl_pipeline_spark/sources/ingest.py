@@ -181,6 +181,15 @@ def list_landing_files(spark: SparkSession, landing_dir: str) -> DataFrame:
     if base.exists():
         for p in sorted(base.rglob("*")):
             if p.is_file():
+                # HIDDEN files (any '.'- or '_'-prefixed path component,
+                # the Hadoop convention) are ignored entirely — syncing
+                # one would ledger-record it yet flatten it to a dotfile
+                # destination every downstream reader skips: data loss
+                # that LOOKS ingested. Skipping here also keeps landing
+                # names out of _sweep_stale_tmps' '.*.__tmp*' namespace.
+                rel_parts = p.relative_to(base).parts
+                if any(part.startswith((".", "_")) for part in rel_parts):
+                    continue
                 st = p.stat()
                 rows.append(
                     (
@@ -290,7 +299,11 @@ def sync_landing_to_source(
         tmp = os.path.join(dest_dir, f".{dest_name}.__tmp{os.getpid()}")
         shutil.copy2(r.path, tmp)
         os.replace(tmp, dest)
-    ledger.record(new)  # rows is non-empty here (early return above)
+    # Record from the MATERIALIZED rows (non-empty here; early return
+    # above): passing `new` back would re-execute the listing+anti-join
+    # plan at write time — a third ledger scan per sync, and a silent
+    # assumption that the ledger hasn't changed since the collect.
+    ledger.record(spark.createDataFrame(rows, new.schema))
     return len(rows)
 
 

@@ -21,6 +21,17 @@ from ..sources.readers import path_exists, read_parquet
 from ..sources.writers import read_dir_meta, recover_dir, replace_dir
 
 
+def _start_foreach_batch(stream, merge_batch, checkpoint_dir, available_now):
+    """Shared writer construction for both foreachBatch sinks — one place
+    for the checkpoint/output-mode/trigger wiring."""
+    w = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def start_upsert_sink(
@@ -49,10 +60,7 @@ def start_upsert_sink(
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        # latest_per_key handles both modes: latest-by-order_col, or (None)
-        # the deterministic tiebreak-struct-max — either way the merge
-        # input is unique per key (merge_scd1's precondition; a raw
-        # multi-row batch left duplicate key rows in the dim forever).
+        # Unique-per-key merge input (see docstring for both modes)
         source = latest_per_key(batch, keys, order_col)
         # A crashed prior swap can leave the dim parked at __old with the
         # target missing; restore it BEFORE the bootstrap probe, or this
@@ -70,25 +78,28 @@ def start_upsert_sink(
                 # Version-aware merge: out-of-order batches cannot regress a
                 # key — max(order_col) wins across target AND source, not
                 # arrival order. Without order_col, SCD1 arrival-order wins.
+                # On an order_col TIE the SOURCE row wins (prefer_col): a
+                # correction re-emitted with an unchanged version must
+                # replace the stale row, matching the no-version path where
+                # source always wins — the attribute tiebreak alone could
+                # deterministically keep the old row.
                 result = latest_per_key(
-                    target.unionByName(source.select(*target.columns)),
+                    target.withColumn("_prio", F.lit(0)).unionByName(
+                        source.select(*target.columns).withColumn(
+                            "_prio", F.lit(1)
+                        )
+                    ),
                     keys,
                     order_col,
-                )
+                    prefer_col="_prio",
+                ).drop("_prio")
             else:
                 result = merge_scd1(target, source.select(*target.columns), keys)
         else:
             result = source  # first batch bootstraps the dim
         replace_dir(result, target_path)
 
-    writer = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(stream, merge_batch, checkpoint_dir, available_now)
 
 
 def start_incremental_agg(
@@ -206,11 +217,4 @@ def start_incremental_agg(
             meta={"epoch": epoch_id, "checkpoint": ckpt_id},
         )
 
-    writer = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(stream, merge_batch, checkpoint_dir, available_now)

@@ -529,3 +529,130 @@ def test_validation_bug_parity_status_vs_raise(spark, tmp_path):
     # Engine gate: the same condition FAILS the pipeline (corrected semantics).
     with pytest.raises(ValidationError, match="penalties"):
         require_staged(spark, zones, domains)
+
+
+def test_stage_raised_timeouterror_is_retryable_not_wall_clock(spark, tmp_path):
+    """Python >= 3.11 aliases concurrent.futures.TimeoutError to the
+    builtin TimeoutError, so a TimeoutError raised INSIDE a stage (e.g.
+    socket.timeout from transient IO) must be classified as an ordinary
+    retryable failure — not as a wall-clock stage timeout, which is
+    terminal and would burn the retry budget."""
+    from nursing_home_data_etl_pipeline_spark.pipeline import StagePolicy, run_stage
+    from nursing_home_data_etl_pipeline_spark.runlog import RunLog
+
+    log = RunLog(str(tmp_path / "log.jsonl"))
+    attempts = []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) == 1:
+            raise TimeoutError("transient IO timeout from inside the stage")
+        return "ok"
+
+    out = run_stage(
+        spark, log, "r1", "flaky", flaky,
+        StagePolicy(max_retries=1, timeout_s=60, backoff_s=0.0),
+    )
+    assert out == "ok" and len(attempts) == 2  # retried, not terminal
+
+
+def test_stage_detail_extractor_failure_does_not_rerun_stage(spark, tmp_path):
+    """A broken detail_of must not re-run (or fail) a stage whose side
+    effects already committed."""
+    import json
+
+    from nursing_home_data_etl_pipeline_spark.pipeline import StagePolicy, run_stage
+    from nursing_home_data_etl_pipeline_spark.runlog import RunLog
+
+    path = tmp_path / "log.jsonl"
+    log = RunLog(str(path))
+    runs = []
+    out = run_stage(
+        spark, log, "r1", "s", lambda: runs.append(1) or "done",
+        StagePolicy(max_retries=2, timeout_s=60, backoff_s=0.0),
+        detail_of=lambda o: {"k": o["missing"]},  # raises TypeError
+    )
+    assert out == "done" and len(runs) == 1
+    row = json.loads(path.read_text().splitlines()[-1])
+    assert row["status"] == "SUCCESS" and "detail_error" in row["detail"]
+
+
+def test_hidden_landing_files_are_ignored_not_half_ingested(spark, tmp_path):
+    """Dot/underscore-prefixed landing files (and files inside hidden
+    directories) are skipped entirely: syncing one would ledger-record it
+    yet land it as a dotfile every downstream reader skips — data loss
+    that LOOKS ingested."""
+    from nursing_home_data_etl_pipeline_spark.sources.ingest import (
+        list_landing_files,
+    )
+
+    land = tmp_path / "landing"
+    (land / ".hidden_dir").mkdir(parents=True)
+    (land / "NH_ProviderInfo_Feb2025.csv").write_text("a,b\n1,2\n")
+    (land / ".NH_Secret.csv").write_text("a,b\n9,9\n")
+    (land / "_staging.csv").write_text("a,b\n8,8\n")
+    (land / ".hidden_dir" / "NH_ProviderInfo_Mar2025.csv").write_text("a,b\n3,4\n")
+    names = [r.file_name for r in list_landing_files(spark, str(land)).collect()]
+    assert names == ["NH_ProviderInfo_Feb2025.csv"]
+
+
+def test_versioned_upsert_tie_source_wins(spark, tmp_path):
+    """A correction re-emitted with an UNCHANGED version must replace the
+    stale row: on an order_col tie the source side wins, same as the
+    no-version SCD1 path."""
+    from nursing_home_data_etl_pipeline_spark.streaming.upsert import (
+        start_upsert_sink,
+    )
+
+    target = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+
+    def emit(name, rows):
+        spark.createDataFrame(rows, "k long, name string, ver long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src_dir / name))
+
+    emit("b1", [(1, "typo", 10)])
+    stream = (
+        spark.readStream.schema("k long, name string, ver long")
+        .option("maxFilesPerTrigger", "100")
+        .parquet(str(src_dir) + "/*")
+    )
+    q = start_upsert_sink(stream, target, ["k"], ckpt, order_col="ver")
+    q.awaitTermination()
+    emit("b2", [(1, "fixed", 10)])  # same version, corrected attribute
+    q2 = start_upsert_sink(
+        spark.readStream.schema("k long, name string, ver long")
+        .option("maxFilesPerTrigger", "100")
+        .parquet(str(src_dir) + "/*"),
+        target, ["k"], ckpt, order_col="ver",
+    )
+    q2.awaitTermination()
+    rows = spark.read.parquet(target).collect()
+    assert [(r.k, r.name, r.ver) for r in rows] == [(1, "fixed", 10)]
+
+
+def test_merge_warehouse_dedupes_multi_row_source(spark, tmp_path):
+    """Two files for one facility staged in a single run produce a
+    multi-row transform output; the warehouse merge must install ONE row
+    per key (merge_scd1's precondition), picking the deterministic
+    tiebreak survivor."""
+    from nursing_home_data_etl_pipeline_spark.pipeline import merge_warehouse
+    from nursing_home_data_etl_pipeline_spark.transforms import PK
+    from nursing_home_data_etl_pipeline_spark.zones import ZoneLayout
+
+    zones = ZoneLayout(str(tmp_path))
+    zones.ensure()
+    out = str(tmp_path / "facility_out")
+    spark.createDataFrame(
+        [("f1", "February Name"), ("f1", "March Name"), ("f2", "Solo")],
+        f"{PK} string, provider_name string",
+    ).write.parquet(out)
+    merged = merge_warehouse(spark, zones, {"facility": out})
+    assert merged == ["dim_facility"]
+    dim = spark.read.parquet(zones.warehouse("dim_facility"))
+    got = {r[PK]: r.provider_name for r in dim.collect()}
+    assert len(got) == 2 and got["f2"] == "Solo"
+    assert got["f1"] == "March Name"  # struct-max survivor, deterministic
