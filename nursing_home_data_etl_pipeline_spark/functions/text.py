@@ -167,12 +167,27 @@ def fingerprint(text: Column) -> Column:
 def word_shingles(text: Column, k: int = 5) -> Column:
     """Distinct word k-grams (space-joined) -> array<string>. Documents
     shorter than k words yield a single whole-text shingle so they still
-    participate in dedup."""
+    participate in dedup; NULL/blank documents yield the EMPTY array (a
+    blank doc must not shingle to [''] — n identical blank docs would
+    LSH-collide into O(n^2) bogus pairs, the failure shingle_table's
+    filter exists to prevent).
+
+    Scale note: as a pure Column expression this inlines the tokenizer
+    into each per-index slice (Catalyst cannot bind it to an attribute
+    here). For corpus-scale dedup use ``operators.dedup.shingle_table``,
+    which materializes the word array once per row."""
     w = words(normalize_text(text))
     n = F.size(w)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
-    return F.array_distinct(sh)
+    return (
+        # NULL must be tested BEFORE the blank case: greatest() ignores
+        # NULL, so the otherwise-branch would turn a NULL text into the
+        # [''] shingle (concat_ws over a NULL slice yields '').
+        F.when(n.isNull(), F.lit(None).cast("array<string>"))
+        .when(n == 0, F.array().cast("array<string>"))
+        .otherwise(F.array_distinct(sh))
+    )
 
 
 #: PII patterns applied in order (order matters: emails before bare
@@ -213,14 +228,23 @@ def redact_pii(text: Column) -> Column:
 def pii_hit_count(text: Column) -> Column:
     """Number of PII placeholder insertions ``redact_pii`` would make —
     a per-document risk score, filterable without materializing the
-    redacted text."""
+    redacted text.
+
+    Counts placeholders in the redacted text MINUS those already present
+    in the input: a document that legitimately contains the literal
+    string '<EMAIL>' (already-redacted text re-ingested, redaction docs)
+    makes zero insertions and must score zero — no pattern matches a
+    placeholder, so pre-existing ones pass through redact_pii unchanged
+    and subtract out exactly."""
     red = redact_pii(text)
-    total = F.lit(0).cast("long")
-    for _, token in PII_PATTERNS:
-        # count occurrences of each placeholder in the redacted text
-        n = (
-            (F.length(red) - F.length(F.replace(red, F.lit(token), F.lit(""))))
+
+    def _count(src: Column, token: str) -> Column:
+        return (
+            (F.length(src) - F.length(F.replace(src, F.lit(token), F.lit(""))))
             / F.length(F.lit(token))
         ).cast("long")
-        total = total + n
+
+    total = F.lit(0).cast("long")
+    for _, token in PII_PATTERNS:
+        total = total + _count(red, token) - _count(text, token)
     return total

@@ -65,6 +65,19 @@ def asof_join(
             f"{right_ts!r} is already emitted as {right_ts}{suffix}; listing "
             "it in value_cols would duplicate that output column"
         )
+    # Output-name collisions fail HERE, not as an AMBIGUOUS_REFERENCE far
+    # downstream: the select happily emits two columns with one name (e.g.
+    # chaining two asof_joins, or a left frame already carrying a
+    # '<col><suffix>' column).
+    emitted = [f"{c}{suffix}" for c in [*value_cols, right_ts]]
+    clashes = (set(emitted) & set(left.columns)) | {
+        n for n in emitted if emitted.count(n) > 1
+    }
+    if clashes:
+        raise ValueError(
+            f"asof_join output name collision on {sorted(clashes)!r}; "
+            "rename the left columns or pass a different suffix"
+        )
 
     # SQL join semantics for NULLs: a right row with a NULL key or NULL
     # timestamp can never satisfy `l.key = r.key AND r.ts <= l.ts`, so it

@@ -27,8 +27,10 @@ def chunk_table(
     Chunk i starts at word i*(chunk_words-overlap), so consecutive chunks
     share ``overlap`` words. The word array is materialized before the
     slicing lambda (see dedup.shingle_table for why that matters)."""
-    if overlap >= chunk_words:
-        raise ValueError("overlap must be smaller than chunk_words")
+    if not 0 <= overlap < chunk_words:
+        # A negative overlap would silently DROP the words between
+        # consecutive chunks (stride > chunk_words) — loud, not lossy.
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_words")
     stride = chunk_words - overlap
     # Normalize ONCE into a projected column, filter on the column, then
     # split the column (same reasoning as dedup.shingle_table: filtering
@@ -55,11 +57,11 @@ def chunk_table(
         ),
     )
     out = base.select(F.col(id_col), F.explode(chunks).alias("c"))
-    # split('', ' ') returns [''] (size 1), so an empty/NULL document's
-    # single empty chunk must report 0 words, not a phantom 1.
-    n_words = F.when(
-        F.coalesce(F.col("c.chunk_text"), F.lit("")) == "", F.lit(0)
-    ).otherwise(F.size(F.split(F.col("c.chunk_text"), " ")))
+    # Every emitted chunk holds >= 1 word: blank/NULL docs were filtered
+    # above, and the last chunk's start (n_chunks-1)*stride + 1 <= n, so
+    # no slice is empty — chunk_text is never '' and the split is a true
+    # word count.
+    n_words = F.size(F.split(F.col("c.chunk_text"), " "))
     return out.select(
         F.col(id_col),
         F.col("c.chunk_id").cast("long").alias("chunk_id"),

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, normalize_text
+from ..functions.text import fingerprint, normalize_text, words
 
 
 def shingle_table(
@@ -94,12 +94,19 @@ def exact_dedup(
     names that aren't bare SQL identifiers).
     """
     keyed = df.withColumn("_fp", fingerprint(F.col(text_col)))
-    null_text = keyed.filter(F.col("_fp").isNull()).select(*df.columns)
+    # ONE scan, ONE shuffle: NULL-text rows take a PER-ROW sentinel group
+    # key (chr(0)-prefixed id — cannot collide with an md5 hex
+    # fingerprint), so they ride the same aggregate as singleton groups
+    # instead of a second full-corpus scan through a union branch (the
+    # previous two-branch plan re-read and re-fingerprinted the corpus
+    # once per branch).
+    group_key = F.coalesce(
+        F.col("_fp"), F.concat(F.lit("\x00row\x00"), F.col(id_col).cast("string"))
+    )
     others = [c for c in df.columns if c != id_col]
     row = F.struct(*[F.col(c).alias(c) for c in others])
-    deduped = (
-        keyed.filter(F.col("_fp").isNotNull())
-        .groupBy("_fp")
+    return (
+        keyed.groupBy(group_key.alias("_k"))
         .agg(
             F.min(id_col).alias(id_col),
             F.min_by(row, F.col(id_col)).alias("_r"),
@@ -110,7 +117,6 @@ def exact_dedup(
         )
         .select(*df.columns)
     )
-    return deduped.unionByName(null_text)
 
 
 # ---------------------------------------------------------------------------
@@ -313,12 +319,16 @@ def simhash_signatures(
     """
     # NULL/blank texts emit no signature (same contract as shingle_table:
     # identical blank docs are exact_dedup's job; without the filter n
-    # blank docs simhash-pair into O(n^2) hamming-0 pairs). Blankness uses
-    # normalize_text, NOT F.trim — trim strips only ASCII spaces, so a
-    # tab/newline-only document would slip through and still emit the
-    # empty-token signature.
+    # blank docs simhash-pair into O(n^2) hamming-0 pairs).
     norm = normalize_text(F.col(text_col))
     df = df.filter(norm.isNotNull() & (norm != ""))
+    # Tokenize with words() — the blank-safe whitespace-hardened
+    # tokenizer: the previous F.trim+split form injected a phantom
+    # ''-token for text with leading/trailing tab/newline whitespace,
+    # and md5('') then voted in all 60 bit sums, inflating hamming
+    # distances for such documents (missed near-dups). The DuckDB twin
+    # (queries_northstar) and the bit-exact Python property model moved
+    # in lockstep.
     # Same 60-bit value token_hash_sql computes, but via the JVM conv()
     # intrinsic instead of 15 instr() digit lookups (2x faster measured at
     # sf0.1; DuckDB lacks conv(), so the ORACLE keeps the digit-arithmetic
@@ -326,7 +336,7 @@ def simhash_signatures(
     toks = df.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+            F.array_distinct(words(F.lower(F.col(text_col))))
         ).alias("_tok"),
     ).withColumn(
         "_h", F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
@@ -356,6 +366,15 @@ def simhash_near_pairs(
     guarantees some band matches; with max_hamming < bands recall is exact).
     Self-join on (band_idx, band_bits), verify with bit_count(xor).
     """
+    if bands < 1 or SIMHASH_BITS % bands != 0:
+        # Same guard class as lsh_candidate_pairs: a non-divisor silently
+        # leaves SIMHASH_BITS % bands high bits in NO band (breaking the
+        # pigeonhole recall guarantee), and bands > SIMHASH_BITS gives
+        # zero-bit bands where EVERY doc collides — the full n^2 grid.
+        raise ValueError(
+            f"bands must be a divisor of SIMHASH_BITS={SIMHASH_BITS}; "
+            f"got {bands}"
+        )
     bits_per = SIMHASH_BITS // bands
     mask = (1 << bits_per) - 1
     band_cols = [

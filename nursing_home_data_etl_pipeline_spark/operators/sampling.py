@@ -35,7 +35,10 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep ~fraction of rows, chosen by content hash of ``key_col`` —
     reproducible across runs, partitionings, and engines."""
-    return df.filter(_hash_bucket(F.col(key_col), salt) < int(fraction * 10000))
+    # round(), NOT int(): IEEE truncation loses a bucket for fractions
+    # like 0.57 (int(0.57 * 10000) == 5699), skewing every split/keep
+    # rate off its documented 1/10000 granularity.
+    return df.filter(_hash_bucket(F.col(key_col), salt) < round(fraction * 10000))
 
 
 def hash_split(
@@ -63,7 +66,7 @@ def hash_split(
     bounds = []
     for w, name in zip(weights[:-1], names[:-1]):
         acc += w / total
-        bounds.append((int(acc * 10000), name))
+        bounds.append((round(acc * 10000), name))
     for bound, name in reversed(bounds):
         expr = F.when(bucket < bound, F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
@@ -83,6 +86,6 @@ def stratified_deterministic_sample(
     cond = F.lit(False)
     for stratum, frac in fractions.items():
         cond = cond | (
-            (F.col(strata_col) == stratum) & (bucket < int(frac * 10000))
+            (F.col(strata_col) == stratum) & (bucket < round(frac * 10000))
         )
     return df.filter(cond)

@@ -270,7 +270,16 @@ def kmeans_fit(
     # cluster and the empty-cell rule never splits them apart.
     n_cand = max(8 * k, 256)
     cand_rows = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        # Dirty-input contract shared with every similarity op: NULL
+        # embeddings (or arrays containing a NULL element) are excluded
+        # from training — one such row in the sample crashed the driver-
+        # side float() conversion. Zero vectors STAY: they are valid L2
+        # points (only cosine is undefined on them).
+        df.filter(
+            F.col(vec_col).isNotNull()
+            & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        )
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_cand)
         .collect()

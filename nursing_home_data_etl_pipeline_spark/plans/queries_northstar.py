@@ -291,6 +291,10 @@ def _minhash_pairs_cte(src: str = "documents") -> str:
 
 
 def _simhash_oracle() -> str:
+    # Tokenizer twin of the engine's words(F.lower(text)) — blank-safe, no
+    # phantom ''-token from edge whitespace (moved in lockstep with
+    # simhash_signatures and the bit-exact Python property model).
+    dw = duck_words_sql("lower(text)")
     h = token_hash_sql("w")
     bit_sums = ",\n             ".join(
         f"SUM(CASE WHEN (h // {2 ** j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
@@ -301,7 +305,7 @@ def _simhash_oracle() -> str:
     )
     return f"""
     WITH toks AS (
-      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+      SELECT DISTINCT doc_id, unnest({dw}) AS w
       FROM documents
       WHERE {_DUCK_NORM} IS NOT NULL AND {_DUCK_NORM} != ''
     ),

@@ -584,12 +584,12 @@ def test_simhash_signatures_match_python_model(spark, texts):
     for i, t in enumerate(texts):
         if t is None or _norm_py(t) == "":
             continue
-        # Model Spark exactly: F.trim strips ASCII spaces ONLY, and
-        # F.split (limit -1) KEEPS leading and trailing empty strings —
-        # a leading or trailing tab/newline therefore contributes an
-        # ''-token to the signature on every engine (quirky but
-        # engine-consistent; DuckDB's regexp_split_to_array agrees).
-        toks = set(re.split(r"\s+", t.lower().strip(" ")))
+        # Model the blank-safe words() tokenizer exactly: full whitespace
+        # trim on both ends, then split — NO phantom ''-token from edge
+        # tab/newline whitespace (the old F.trim+split form injected one,
+        # and md5('') voted in all 60 bit sums).
+        stripped = re.sub(r"^\s+|\s+$", "", t.lower())
+        toks = set(re.split(r"\s+", stripped)) if stripped else set()
         sig = 0
         for j in range(SIMHASH_BITS):
             s = 0
