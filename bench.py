@@ -26,7 +26,13 @@ def execute(df) -> None:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Best-effort sf label from the dir name; any non-sfN.N spelling
+    # (sf-data, sf_custom) degrades to -1.0 instead of crashing the
+    # bench before a single query runs.
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    except ValueError:
+        sf = -1.0
 
     spark = get_spark("bench")
     # Warm up the JVM / parquet reader once outside any timed region.
@@ -70,6 +76,10 @@ def main() -> int:
             print(f"bench error in {name}: {ex!r}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # A failed query is timed -1.0 and EXCLUDED from the total, which
+    # would otherwise read as a perf WIN; surface the failure count as a
+    # first-class field so metric consumers can't miss it.
+    n_errors = sum(1 for t in timings.values() if t < 0)
     # ONE compact JSON line, nothing after it: harnesses that capture only a
     # bounded output tail must still see the complete line (round-1 bench
     # output exceeded such a window and failed to parse).
@@ -81,6 +91,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": n_errors,
                 "sf": sf,
             },
             separators=(",", ":"),

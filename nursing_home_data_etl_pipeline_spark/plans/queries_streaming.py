@@ -42,10 +42,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata generations (TIMESTAMP(NANOS) vs plain micros / NTZ), so probe
     the batch-inferred type once (footer-only) and build the matching
     streaming schema."""
-    from ..sources.readers import path_is_dir
+    from ..sources.readers import (
+        normalize_events_ts,
+        path_is_dir,
+        pin_events_time_confs,
+    )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_events_time_confs(spark)  # shared encoding contract (readers.py)
     events_path = f"{sf_dir}/events.parquet"
     ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts")
     # A directory-shaped table (standard Spark-written output) streams
@@ -58,18 +61,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         reader = spark.readStream.option("pathGlobFilter", "events.parquet")
         stream_path = sf_dir
+    # readStream needs an EXPLICIT schema: substitute the probed ts type,
+    # then normalize through the same shared helper the batch reader uses.
     if ts_type == "bigint":  # nanos-as-long generation
         raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(stream_path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    fields = [
-        f if f.name != "ts" else T.StructField(
-            "ts",
-            T.TimestampNTZType() if ts_type == "timestamp_ntz" else T.TimestampType(),
-        )
-        for f in _EVENTS_RAW_SCHEMA.fields
-    ]
-    raw = reader.schema(T.StructType(fields)).parquet(stream_path)
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        fields = [
+            f if f.name != "ts" else T.StructField(
+                "ts",
+                T.TimestampNTZType()
+                if ts_type == "timestamp_ntz"
+                else T.TimestampType(),
+            )
+            for f in _EVENTS_RAW_SCHEMA.fields
+        ]
+        raw = reader.schema(T.StructType(fields)).parquet(stream_path)
+    return normalize_events_ts(raw, ts_type)
 
 
 def _drain_to_memory(

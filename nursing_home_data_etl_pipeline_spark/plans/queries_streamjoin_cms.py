@@ -93,10 +93,11 @@ def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["event_id", "user_id", "event_type", "ts"]
     # SELF-union of one stream DataFrame: each union leg re-reads the file
     # source, so every event still arrives twice — identical semantics to
-    # two separately constructed streams, minus a redundant stream_events
-    # call (each call runs an eager driver-side footer probe for the ts
-    # type).
-    a = stream_events(spark, sf_dir).select(cols)
+    # two separately constructed streams. The DEFINITION `ev` is reused
+    # from the joined drain above (a streaming DataFrame is a plan, not a
+    # running query), avoiding a second stream_events call and its eager
+    # driver-side footer probe.
+    a = ev.select(cols)
     deduped = (
         # Event-time contract, made EXPLICIT here because
         # dropDuplicatesWithinWatermark (unlike window/session assignment)

@@ -8,7 +8,9 @@ column-name-sorted hashing scheme.
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
+import os
 from collections import Counter
 
 import duckdb
@@ -19,18 +21,46 @@ TABLES = (
 
 FLOAT_DECIMALS = 6
 
+#: Non-colliding NaN sentinel: canonicalizing NaN to the STRING 'NaN'
+#: would compare equal to a genuine string value 'NaN' on the other side
+#: (the schema check compares column names, not types), false-PASSing a
+#: query that stringifies a numeric column. A tuple cannot collide with
+#: any scalar either engine returns.
+_NAN = ("__float_nan__",)
+
+
+def _require_utc_process() -> None:
+    """The comparison is only sound on a UTC host: PySpark's collect()
+    materializes TimestampType via the PROCESS-local timezone (the
+    session's spark.sql.session.timeZone=UTC pin does not reach that
+    conversion path), while DuckDB returns UTC-naive datetimes. On a
+    non-UTC host every timestamp-bearing query would spuriously fail —
+    make that precondition loud instead of a mystery diff."""
+    now = _dt.datetime.now(), _dt.datetime.utcnow()
+    if abs((now[0] - now[1]).total_seconds()) > 1:
+        raise RuntimeError(
+            "oracle comparison requires a UTC process timezone (PySpark "
+            "collect() localizes timestamps via the OS zone; DuckDB stays "
+            "UTC-naive) — run with TZ=UTC"
+        )
+
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    _require_utc_process()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files; DuckDB can
+        # only scan file globs — mirror readers.path_is_dir's dispatch.
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return _NAN
         return round(v, FLOAT_DECIMALS)
     if isinstance(v, bytes):
         return v.hex()

@@ -47,21 +47,36 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     function, not each query, owns the setting.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # NTZ -> LTZ interprets the wall clock in the session timezone; pin
-        # it to UTC UNCONDITIONALLY (session.py already does at build time;
-        # re-pinning on both branches keeps the read order-independent for
-        # sessions built without that pin) so epoch math is deterministic
-        # regardless of the host default.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        pin_events_time_confs(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_events_ts(df, dict(df.dtypes).get("ts"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pin_events_time_confs(spark: SparkSession) -> None:
+    """The two session confs the events encoding depends on. NTZ -> LTZ
+    interprets the wall clock in the session timezone; pin it to UTC
+    UNCONDITIONALLY (session.py already does at build time; re-pinning
+    keeps any read order-independent for sessions built without that pin)
+    so epoch math is deterministic regardless of the host default.
+
+    SHARED by read_table and the streaming reader
+    (plans.queries_streaming.stream_events) — one place for the encoding
+    contract, so a new testdata generation cannot split batch vs stream
+    ts semantics."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_events_ts(df: DataFrame, ts_type: str | None) -> DataFrame:
+    """Normalize the probed on-disk ``ts`` encoding (bigint nanos /
+    TIMESTAMP_NTZ / plain timestamp) to one canonical TimestampType (LTZ)
+    column — the batch/stream-shared half of the contract above."""
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def path_exists(spark: SparkSession, path: str) -> bool:
