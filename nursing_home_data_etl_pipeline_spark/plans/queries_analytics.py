@@ -394,7 +394,14 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                  ) > 300 * 1000000,
              TRUE) AS kept,
-           TRY_CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS k
+           -- real JSON parsing, like the engine's from_json: any spacing or
+           -- sign parses; non-integer shapes (1.5, strings, booleans) are
+           -- NULL (DuckDB's TRY_CAST would ROUND '1.5', Spark nulls it)
+           TRY_CAST(CASE WHEN json_valid(props)
+                          AND regexp_matches(json_extract_string(props, '$.k'),
+                                             '^-?[0-9]+$')
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) AS k
     FROM events
     """,
     doc="One pass over events combining three row-level analytics: per-user "
@@ -637,17 +644,36 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_ks"
         ),
     )
-    merged = partials.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("_hs", True)).alias("_hll_d"),
-        F.theta_sketch_estimate(F.theta_union_agg("_ts", 12)).alias("_theta_d"),
-        F.expr(
-            """kll_sketch_get_quantile_double(
-                 reduce(slice(collect_list(_ks), 2, 2147483646),
-                        collect_list(_ks)[0],
-                        (acc, x) -> kll_sketch_merge_double(acc, x)), 0.5)"""
-        ).alias("_kll_p50"),
+    from ..functions.sketches import _fold_binary
+
+    merged = (
+        partials.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_hs", True)).alias("_hll_d"),
+            F.theta_sketch_estimate(F.theta_union_agg("_ts", 12)).alias("_theta_d"),
+            # the ONE KLL fold idiom (functions.sketches) — no inline copy
+            _fold_binary("_ks", "kll_sketch_merge_double").alias("_kll_m"),
+        )
+        .withColumn(
+            "_kll_p50", F.expr("kll_sketch_get_quantile_double(_kll_m, 0.5)")
+        )
+        .drop("_kll_m")
     )
-    g = exact.join(sk, "event_type").join(merged, "event_type")
+
+    # NULL-safe three-way join: GROUP BY keeps the NULL-event_type group on
+    # every side, but an equi-join silently drops it (NULL never equals
+    # NULL) — join on a chr(0)-sentinel key instead, same pattern as the
+    # cms_hh branch's NULL handling below.
+    def _jk(frame: DataFrame) -> DataFrame:
+        return frame.withColumn(
+            "_jk", F.coalesce(F.col("event_type"), F.lit("\x00null"))
+        )
+
+    g = (
+        _jk(exact)
+        .join(_jk(sk).drop("event_type"), "_jk")
+        .join(_jk(merged).drop("event_type"), "_jk")
+    )
     # 3 sigma of the requested 5% relative standard deviation, floored for
     # tiny groups where one-off error dominates the relative bound.
     tol = F.greatest(F.col("_exact_d") * 0.15, F.lit(2.0))

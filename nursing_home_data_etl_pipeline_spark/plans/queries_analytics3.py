@@ -17,15 +17,16 @@ from .catalog import register
     SELECT o_orderkey,
            o_orderstatus,
            o_custkey,
-           RANK()         OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority)                AS rnk,
-           DENSE_RANK()   OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority)                AS drnk,
-           NTILE(4)       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)       AS quartile,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority), 6)      AS prank,
+           RANK()         OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST)                AS rnk,
+           DENSE_RANK()   OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST)                AS drnk,
+           NTILE(4)       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST, o_orderkey)       AS quartile,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST), 6)      AS prank,
            FIRST_VALUE(o_totalprice)  OVER wc AS first_price,
            LAST_VALUE(o_totalprice)   OVER wc AS last_price,
            NTH_VALUE(o_totalprice, 2) OVER wc AS second_price
     FROM orders
-    WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    -- NULLS FIRST pins Spark's ASC default; DuckDB defaults NULLS LAST
+    WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     doc="Ranking family (rank/dense_rank tie-stable by value, ntile and "

@@ -104,6 +104,12 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"event_id": ebase + 7, "ts": FAR_FUTURE, "user_id": 999998, "event_type": "future", "value": -7.5, "props": "{}"},
         # phase 2: pre-epoch event time (below Spark's initial watermark 0)
         {"event_id": ebase + 8, "ts": dt.datetime(1969, 12, 31, 23, 0, 0), "user_id": 999997, "event_type": "preepoch", "value": 2.25, "props": "{}"},
+        # phase 4 (review-confirmed gate escapes): NULL event_type in a
+        # NON-lonely position (event_id % 5 == 0 reaches the sketch-band
+        # join), compact and negative props JSON (the engine's from_json
+        # parses them; a naive oracle regexp did not)
+        {"event_id": ebase + 11, "ts": some_ts, "user_id": 2, "event_type": None, "value": 6.25, "props": '{"k":7}'},
+        {"event_id": ebase + 12, "ts": some_ts, "user_id": 2, "event_type": "click", "value": 7.25, "props": '{"k": -4}'},
         # phase 3: non-finite doubles
         {"event_id": ebase + 9, "ts": some_ts, "user_id": 999996, "event_type": "nan", "value": float("nan"), "props": "{}"},
         {"event_id": ebase + 10, "ts": some_ts, "user_id": 999996, "event_type": "inf", "value": float("inf"), "props": "{}"},
@@ -142,6 +148,12 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"o_orderkey": obase + 2, "o_custkey": 999999999, "o_orderstatus": None, "o_totalprice": None, "o_orderdate": None, "o_orderpriority": None},
         {"o_orderkey": obase + 3, "o_custkey": 1, "o_orderstatus": "F", "o_totalprice": 0.0, "o_orderdate": EPOCH, "o_orderpriority": ""},
         {"o_orderkey": obase + 4, "o_custkey": 1, "o_orderstatus": "Ø", "o_totalprice": -50.5, "o_orderdate": FAR_FUTURE, "o_orderpriority": "5-LOW"},
+        # phase 4: NULL sort keys inside POPULATED window partitions
+        # (status 'O' has many peers; custkey 1 already has rows above) —
+        # rank/percent_rank/first_value diverge unless the oracle pins
+        # NULLS FIRST
+        {"o_orderkey": obase + 5, "o_custkey": 2, "o_orderstatus": "O", "o_totalprice": 77.25, "o_orderdate": odate, "o_orderpriority": None},
+        {"o_orderkey": obase + 6, "o_custkey": 1, "o_orderstatus": "F", "o_totalprice": 88.25, "o_orderdate": None, "o_orderpriority": "2-HIGH"},
     ]
     pq.write_table(_append(orders, order_rows), f"{dest}/orders.parquet")
     added["orders"] = len(order_rows)
