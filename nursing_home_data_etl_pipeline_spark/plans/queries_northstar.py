@@ -365,7 +365,9 @@ def _jaccard_pairs_sql(cap: int, threshold: float) -> str:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {threshold}
+    -- threshold the ROUNDED value, like the engine (round(j,6) >= t):
+    -- raw-ratio filtering drops pairs in [t-5e-7, t) that Spark keeps
+    WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= {threshold}
     """
 
 
@@ -636,7 +638,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT)        AS n_bytes,
            -- first 8 BYTES of the encoded payload = first 16 hex chars
@@ -645,7 +647,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- a byte op.
            substr(lower(hex(encode(text))), 1, 16)           AS header_hex,
            CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
-           CAST(ascii(substr(text, 1, 1)) AS INTEGER)        AS fake_height
+           -- first BYTE of the payload (via 2 hex chars), not the first
+           -- CHARACTER's code point: ascii('é') is 233 but the engine
+           -- reads payload[0] = 195 (the first UTF-8 byte)
+           CAST({hex_to_bigint_sql("lower(hex(encode(text)))", 1, 2)} AS INTEGER) AS fake_height
     FROM documents
     """,
     doc="Multimodal plumbing: BinaryType payload + metadata struct, decoded "

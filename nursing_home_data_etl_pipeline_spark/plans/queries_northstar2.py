@@ -115,23 +115,12 @@ _N_QUERIES = 20
 _TOP_K = 10
 _N_PROBE = 2  # query probes its 2 nearest cells — the IVF recall/cost knob
 
-#: Declared embedding dim; off-dim vectors excluded (engine contract —
-#: see queries_northstar._DIM_CONTRACT for why ragged vectors must not
-#: reach a cosine).
-_DIM_CONTRACT = 64
-
-#: DuckDB long-form embeddings + norms (shared with the LSH oracles).
-_DUCK_EX = f"""
-    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-           FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
-           WHERE len(embedding) = {_DIM_CONTRACT}),
-    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY vec_id
-              HAVING sum(x * x) > 0
-                 -- COUNT(x) counts NON-NULL components: DuckDB SUM skips
-                 -- NULL addends (partial dot), Spark's fold NULLs the whole
-                 -- product -- vectors with any NULL element are excluded
-                 AND COUNT(x) = {_DIM_CONTRACT})
-"""
+#: Long-form embeddings + norms and the fixed-dim contract: ONE
+#: definition, imported from queries_northstar — a contract change there
+#: (dim filter, zero-norm, NULL-element clauses) reaches the IVF oracle
+#: automatically instead of via a hand-kept copy.
+from .queries_northstar import _DIM_CONTRACT  # noqa: E402
+from .queries_northstar import _DUCK_COSINE_BASE as _DUCK_EX  # noqa: E402
 
 
 def _ivf_oracle() -> str:

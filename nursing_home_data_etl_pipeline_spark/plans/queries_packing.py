@@ -3,9 +3,13 @@ sequence spans (operators/packing.py), with a DuckDB oracle that replays the
 identical placement arithmetic through one flat window cumsum (fine at
 oracle scale; the Spark side uses the two-level distributed scan).
 
-Registered LAST on purpose: the round driver evaluates queries in
-registration order and has historically capped how many it checks — a new
-entry must never displace an established green row.
+Registration-order note: the round driver evaluates queries in
+registration order and has historically capped how many it checks (50).
+The round-6 consolidation fixed the catalog at EXACTLY 50 entries, so
+every entry is driver-checked; this module registers near the tail
+(plans/__init__.py order), followed by queries_streamjoin_cms and
+queries_tail2 — the cap discipline now lives in keeping the catalog at
+<= 50, not in any single module being literally last.
 """
 
 from __future__ import annotations

@@ -11,15 +11,12 @@ from ..functions.text import duck_words_sql, fingerprint, quality_score, words
 from ..operators.components import dup_clusters
 from ..operators.dedup import minhash_dedup_pairs
 from ..operators.sampling import (
-    deterministic_sample,
     hash_split,
     stratified_deterministic_sample,
 )
 from ..sources.readers import read_table
 from .catalog import register
 from .queries_northstar import (
-    _BANDS,
-    _NUM_HASHES,
     _SHINGLE_K,
     _duck_minhash_sig_cte,
     _minhash_pairs_cte,

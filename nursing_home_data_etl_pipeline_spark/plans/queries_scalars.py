@@ -23,7 +23,9 @@ from .catalog import register
            CAST(dayofmonth(o_orderdate) AS INT)           AS order_day,
            upper(o_orderpriority)                         AS priority_uc,
            substr(o_orderstatus, 1, 1)                    AS status_1,
-           concat(o_orderstatus, '-', o_orderpriority)    AS status_priority,
+           -- concat_ws, like the engine: a NULL part drops ITS separator
+           -- (concat('F','-',NULL) = 'F-' but concat_ws('-','F',NULL) = 'F')
+           concat_ws('-', o_orderstatus, o_orderpriority) AS status_priority,
            abs(o_totalprice - 250000.0)                   AS dist_from_250k,
            CAST(ceil(o_totalprice / 1000.0) AS BIGINT)    AS price_k_ceil,
            CAST(floor(o_totalprice / 1000.0) AS BIGINT)   AS price_k_floor,

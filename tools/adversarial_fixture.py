@@ -73,7 +73,7 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"doc_id": base + 4, "text": sample_text, "lang": "en", "source": "adv", "n_chars": len(sample_text)},  # exact dup
         {"doc_id": base + 5, "text": near_dup, "lang": "en", "source": "adv", "n_chars": len(near_dup)},  # near dup
         {"doc_id": base + 6, "text": "x", "lang": "en", "source": None, "n_chars": 1},
-        {"doc_id": base + 7, "text": "naïve café 北京 🎉 éé́ combining", "lang": "fr", "source": "adv", "n_chars": 30},
+        {"doc_id": base + 7, "text": "naïve café 北京 🎉 éé́ combining", "lang": "fr", "source": "adv", "n_chars": 29},
         {"doc_id": base + 8, "text": "a.*b (c) [d] {5} \\ $ ^ | + ? regex", "lang": "en", "source": "adv", "n_chars": 34},
         {"doc_id": base + 9, "text": "supercalifragilisticexpialidocious" * 40, "lang": "en", "source": "adv", "n_chars": 34 * 40},
         {"doc_id": base + 10, "text": "word " * 200, "lang": None, "source": None, "n_chars": 1000},
@@ -82,8 +82,11 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"doc_id": base + 12, "text": "line one\r\nline two\r\n", "lang": "en", "source": "adv", "n_chars": 20},
         # vertical tab: Java \\s matches it, RE2's does not — the class the
         # oracle twins spell out explicitly
-        {"doc_id": base + 14, "text": "vert\x0btab words here", "lang": "en", "source": "adv", "n_chars": 20},
+        {"doc_id": base + 14, "text": "vert\x0btab words here", "lang": "en", "source": "adv", "n_chars": 19},
         {"doc_id": base + 15, "text": "\x0b\x0c", "lang": "en", "source": "adv", "n_chars": 2},
+        # leading MULTIBYTE char: byte-wise vs char-wise header/height
+        # reads diverge (ascii('é')=233 vs first UTF-8 byte 195)
+        {"doc_id": base + 16, "text": "été warm words here now", "lang": "fr", "source": "adv", "n_chars": 23},
         {"doc_id": base + 13, "text": "nb space word", "lang": "en", "source": "adv", "n_chars": 13},
     ]
     pq.write_table(_append(docs, doc_rows), f"{dest}/documents.parquet")
@@ -154,6 +157,9 @@ def build(src: str, dest: str) -> dict[str, int]:
         # NULLS FIRST
         {"o_orderkey": obase + 5, "o_custkey": 2, "o_orderstatus": "O", "o_totalprice": 77.25, "o_orderdate": odate, "o_orderpriority": None},
         {"o_orderkey": obase + 6, "o_custkey": 1, "o_orderstatus": "F", "o_totalprice": 88.25, "o_orderdate": None, "o_orderpriority": "2-HIGH"},
+        # NULL priority on a key the scalar query's % 50 filter keeps:
+        # concat-vs-concat_ws NULL handling reaches the output
+        {"o_orderkey": ((obase // 50) + 2) * 50, "o_custkey": 3, "o_orderstatus": "O", "o_totalprice": 55.25, "o_orderdate": odate, "o_orderpriority": None},
     ]
     pq.write_table(_append(orders, order_rows), f"{dest}/orders.parquet")
     added["orders"] = len(order_rows)

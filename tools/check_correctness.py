@@ -27,6 +27,12 @@ def main() -> int:
     con = duckdb_connection(sf_dir)
 
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # A typo'd or RENAMED query (round-6 consolidations renamed several)
+        # must not let the gate print '0 failures' without checking anything.
+        print(f"ERROR: unknown query names: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
