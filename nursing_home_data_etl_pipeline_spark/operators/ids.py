@@ -16,8 +16,9 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def with_fast_id(df: DataFrame, name: str = "row_id") -> DataFrame:
@@ -26,8 +27,42 @@ def with_fast_id(df: DataFrame, name: str = "row_id") -> DataFrame:
     return df.withColumn(name, F.monotonically_increasing_id().cast("long"))
 
 
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark defines a total ordering for the type (MapType does
+    not; containers are orderable iff their elements are)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _tiebreak(df: DataFrame, order_by: Sequence[str]) -> list[Column]:
+    """Deterministic tie contract for dense ids: ``order_by`` SHOULD be a
+    unique key, but nothing upstream enforces it, and ``row_number`` over a
+    tied ordering is nondeterministic across reruns/partitionings. Appending
+    a struct of the remaining ORDERABLE columns to the sort makes the output
+    multiset deterministic whenever tied rows differ anywhere orderable
+    (rows identical in every orderable column are interchangeable, so any
+    assignment yields the same output). Costs nothing when keys are unique —
+    the struct is only compared on a key tie."""
+    rest = [
+        c
+        for c in df.columns
+        if c not in order_by and _orderable(df.schema[c].dataType)
+    ]
+    if not rest:
+        return []
+    return [F.struct(*[F.col(c).alias(c) for c in rest])]
+
+
 def with_dense_id(
-    df: DataFrame, order_by: Sequence[str], name: str = "row_id"
+    df: DataFrame,
+    order_by: Sequence[str],
+    name: str = "row_id",
+    tiebreak: bool = True,
 ) -> DataFrame:
     """Stable, dense 1..N id given a total ordering — FLAT variant.
 
@@ -36,9 +71,53 @@ def with_dense_id(
     reference's actual use: ~15k facilities); for fact-table-sized frames
     use :func:`with_dense_id_sharded`, which computes the identical ids
     without any corpus-sized single-partition stage.
+
+    ``order_by`` should be a unique key; if it can tie, the default
+    ``tiebreak`` extends the sort with the remaining orderable columns so
+    ids stay deterministic (see :func:`_tiebreak`). Pass ``tiebreak=False``
+    only when uniqueness is guaranteed and the wider sort key matters.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_by])
+    cols = [F.col(c) for c in order_by]
+    tb = _tiebreak(df, order_by) if tiebreak else []
+    w = Window.orderBy(*cols, *tb)
     return df.withColumn(name, F.row_number().over(w).cast("long"))
+
+
+def _shard_case_tree(
+    key: Column, cuts: list[tuple], order_by: Sequence[str]
+) -> tuple[Column, int]:
+    """Log-depth binary-search CASE tree computing ``#cuts <= key`` (the
+    shard id). A flat ``sum(when(key >= cut, 1))`` chain is O(n_shards)
+    struct comparisons PER ROW and nests the plan n_shards deep — at the
+    1024-shard cap that risks codegen's interpreted fallback exactly where
+    the operator must shine. The binary tree evaluates ceil(log2(n+1))
+    comparisons per row with matching expression depth; the cut literals
+    still appear once each (O(n) plan size, unavoidable — they ARE the
+    routing table).
+
+    NULL-component keys: every struct comparison yields NULL, so each CASE
+    takes its ``otherwise`` (left) branch and the row lands in shard 0 —
+    identical to the flat variant's nulls-first sort position.
+
+    Returns ``(expr, depth)`` where depth counts nested CASE levels —
+    pinned by a pytest at n_shards=1024.
+    """
+
+    def lit_struct(cut: tuple) -> Column:
+        return F.struct(*[F.lit(v).alias(c) for v, c in zip(cut, order_by)])
+
+    def build(lo: int, hi: int) -> tuple[Column, int]:
+        # shard index for keys whose answer lies in [lo, hi]
+        if lo == hi:
+            return F.lit(lo), 0
+        mid = (lo + hi) // 2
+        left, dl = build(lo, mid)
+        right, dr = build(mid + 1, hi)
+        return F.when(key >= lit_struct(cuts[mid]), right).otherwise(left), (
+            1 + max(dl, dr)
+        )
+
+    return build(0, len(cuts))
 
 
 def with_dense_id_sharded(
@@ -46,20 +125,25 @@ def with_dense_id_sharded(
     order_by: Sequence[str],
     name: str = "row_id",
     n_shards: int | None = None,
+    tiebreak: bool = True,
 ) -> DataFrame:
     """Stable, dense 1..N id given a total ordering — DISTRIBUTED variant.
 
     Same ids as :func:`with_dense_id` (1..N following ``order_by``; pass a
-    unique key list — ties make row_number nondeterministic in either
-    variant), but no stage ever holds the whole frame. Two-level scan,
-    the same pattern as ``operators.packing.pack_sequences``:
+    unique key list — if it can tie, the default ``tiebreak`` extends the
+    intra-shard sort with the remaining orderable columns, keeping ids
+    deterministic; ties never cross shards because the shard id is a pure
+    function of the key alone), but no stage ever holds the whole frame.
+    Two-level scan, the same pattern as ``operators.packing.pack_sequences``:
 
     1. ONE bounded job collects an equi-depth boundary sample of the key
        space (exact hash-ordered top-N — deterministic for a given input,
        unlike reservoir sampling) and embeds the cut points as LITERALS;
        every row's shard id ``_pid`` is then a pure row-local function of
-       its key — the count of boundaries <= key — so it is monotone in key
-       order and IDENTICAL in every physical instantiation of the subtree.
+       its key — the count of boundaries <= key, evaluated as a log-depth
+       binary-search CASE tree (:func:`_shard_case_tree`) — so it is
+       monotone in key order and IDENTICAL in every physical
+       instantiation of the subtree.
        (An earlier ``repartitionByRange`` + ``spark_partition_id``
        formulation was only correct while Catalyst reused the range
        exchange between the window side and the counts side: with
@@ -101,13 +185,11 @@ def with_dense_id_sharded(
     cuts = vals[step::step][: n_shards - 1]
 
     key = F.struct(*[F.col(c).alias(c) for c in order_by])
-    pid = F.lit(0)
-    for cut in cuts:
-        blit = F.struct(*[F.lit(v).alias(c) for v, c in zip(cut, order_by)])
-        pid = pid + F.when(key >= blit, 1).otherwise(0)
+    pid, _ = _shard_case_tree(key, cuts, order_by)
 
     sharded = df.withColumn("_pid", pid)
-    w = Window.partitionBy("_pid").orderBy(*cols)
+    tb = _tiebreak(df, order_by) if tiebreak else []
+    w = Window.partitionBy("_pid").orderBy(*cols, *tb)
     intra = sharded.withColumn("_intra", F.row_number().over(w))
     counts = intra.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -100,6 +100,72 @@ def test_dense_id_sharded_without_exchange_reuse(spark):
     assert [k for k, _ in sorted(shard.items(), key=lambda t: t[1])] == sorted(shard)
 
 
+def test_shard_case_tree_log_depth_at_1024(spark):
+    """The shard router must be a log-depth binary-search CASE tree, not an
+    O(n_shards) comparison chain: at the 1024-shard cap the per-row cost is
+    ceil(log2(1024)) = 10 nested CASEs (a flat chain would nest 1023 deep
+    and risk codegen's interpreted fallback)."""
+    import math
+
+    from nursing_home_data_etl_pipeline_spark.operators.ids import _shard_case_tree
+
+    cuts = [(i,) for i in range(1, 1024)]  # 1023 cuts -> 1024 shards
+    key = F.struct(F.col("k").alias("k"))
+    expr, depth = _shard_case_tree(key, cuts, ["k"])
+    assert depth == math.ceil(math.log2(len(cuts) + 1)) == 10
+    # and it routes correctly: shard id == #cuts <= key, NULL key -> shard 0
+    df = spark.createDataFrame(
+        [(None,), (0,), (1,), (512,), (1023,), (5000,)], "k int"
+    )
+    got = {r.k: r.pid for r in df.select("k", expr.alias("pid")).collect()}
+    assert got == {None: 0, 0: 0, 1: 1, 512: 512, 1023: 1023, 5000: 1023}
+
+
+def test_dense_id_sharded_full_1024_shards(spark):
+    """End-to-end at the shard cap: 5000 rows through 1024 shards must give
+    the exact flat ids (routing, per-shard numbering, and offsets all agree
+    at maximum plan width)."""
+    df = spark.range(0, 5000).select((5000 - F.col("id")).alias("k")).repartition(5)
+    shard = {
+        r.k: r.row_id
+        for r in with_dense_id_sharded(df, ["k"], n_shards=1024).collect()
+    }
+    assert sorted(shard.values()) == list(range(1, 5001))
+    assert [k for k, _ in sorted(shard.items(), key=lambda t: t[1])] == sorted(shard)
+
+
+def test_dense_id_tiebreak_deterministic(spark):
+    """Tie contract: order_by SHOULD be unique, but when it ties the default
+    tiebreak (struct of remaining orderable columns) makes ids deterministic
+    — same assignment across partitionings, and flat == sharded."""
+    rows = [(k, v) for k in (1, 1, 2, 2, 2, 3) for v in ("x", "m", "a")]
+    # give each (k, v) pair a distinguishing payload so ties differ somewhere
+    data = [(k, f"{v}{i}") for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, v string")
+    a = {(r.k, r.v): r.row_id for r in with_dense_id(df.repartition(7), ["k"]).collect()}
+    b = {(r.k, r.v): r.row_id for r in with_dense_id(df.coalesce(1), ["k"]).collect()}
+    c = {
+        (r.k, r.v): r.row_id
+        for r in with_dense_id_sharded(df.repartition(3), ["k"], n_shards=4).collect()
+    }
+    assert a == b == c
+    # within each tied key group, ids follow the tiebreak (v) order
+    for k in (1, 2, 3):
+        grp = sorted((v, rid) for (kk, v), rid in a.items() if kk == k)
+        assert [rid for _, rid in grp] == sorted(rid for _, rid in grp)
+
+
+def test_dense_id_tiebreak_skips_unorderable_columns(spark):
+    """MapType has no Spark ordering — the tiebreak must exclude it instead
+    of generating an unresolvable sort."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1}, "x"), (1, {"b": 2}, "y"), (2, {"c": 3}, "z")],
+        "k int, m map<string,int>, v string",
+    )
+    out = with_dense_id(df, ["k"]).collect()
+    assert sorted(r.row_id for r in out) == [1, 2, 3]
+
+
 def test_etl_metadata_switches_to_sharded(spark):
     df = spark.range(0, 500).select(F.col("id").alias("k"))
     from _plan_utils import full_plan_of
