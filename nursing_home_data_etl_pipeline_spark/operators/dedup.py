@@ -99,9 +99,28 @@ def exact_dedup(
     # fingerprint), so they ride the same aggregate as singleton groups
     # instead of a second full-corpus scan through a union branch (the
     # previous two-branch plan re-read and re-fingerprinted the corpus
-    # once per branch).
+    # once per branch). The sentinel NEEDS a non-null id: a NULL id would
+    # null the whole key and silently collapse every (NULL text, NULL id)
+    # row into one group with a degenerate all-NULL-min survivor — so that
+    # case raises instead. Coalesce lazily skips the check for every row
+    # that has a fingerprint, and for NULL-text rows with an id the branch
+    # is a single null test.
     group_key = F.coalesce(
-        F.col("_fp"), F.concat(F.lit("\x00row\x00"), F.col(id_col).cast("string"))
+        F.col("_fp"),
+        F.concat(
+            F.lit("\x00row\x00"),
+            F.when(
+                F.col(id_col).isNotNull(), F.col(id_col).cast("string")
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "exact_dedup: a NULL-text row carries a NULL id; "
+                        "NULL-text rows pass through keyed by their id, so "
+                        "the id must be non-null"
+                    )
+                )
+            ),
+        ),
     )
     others = [c for c in df.columns if c != id_col]
     row = F.struct(*[F.col(c).alias(c) for c in others])

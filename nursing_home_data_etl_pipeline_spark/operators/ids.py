@@ -18,7 +18,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def with_fast_id(df: DataFrame, name: str = "row_id") -> DataFrame:
@@ -27,35 +26,23 @@ def with_fast_id(df: DataFrame, name: str = "row_id") -> DataFrame:
     return df.withColumn(name, F.monotonically_increasing_id().cast("long"))
 
 
-def _orderable(dt: T.DataType) -> bool:
-    """Whether Spark defines a total ordering for the type (MapType does
-    not; containers are orderable iff their elements are)."""
-    if isinstance(dt, T.MapType):
-        return False
-    if isinstance(dt, T.ArrayType):
-        return _orderable(dt.elementType)
-    if isinstance(dt, T.StructType):
-        return all(_orderable(f.dataType) for f in dt.fields)
-    return True
-
-
 def _tiebreak(df: DataFrame, order_by: Sequence[str]) -> list[Column]:
     """Deterministic tie contract for dense ids: ``order_by`` SHOULD be a
     unique key, but nothing upstream enforces it, and ``row_number`` over a
     tied ordering is nondeterministic across reruns/partitionings. Appending
-    a struct of the remaining ORDERABLE columns to the sort makes the output
-    multiset deterministic whenever tied rows differ anywhere orderable
-    (rows identical in every orderable column are interchangeable, so any
-    assignment yields the same output). Costs nothing when keys are unique —
-    the struct is only compared on a key tie."""
-    rest = [
-        c
-        for c in df.columns
-        if c not in order_by and _orderable(df.schema[c].dataType)
-    ]
+    the remaining columns' ordering struct (``joins.ordering_struct`` — the
+    same canonicalization the merge tiebreak uses: orderable columns as-is,
+    eligible maps as sorted entry arrays, the rest excluded) to the sort
+    makes the output multiset deterministic whenever tied rows differ
+    anywhere the struct can see (rows identical everywhere orderable are
+    interchangeable, so any assignment yields the same output). Costs
+    nothing when keys are unique — the struct is only compared on a tie."""
+    from .joins import ordering_struct
+
+    rest = [c for c in df.columns if c not in order_by]
     if not rest:
         return []
-    return [F.struct(*[F.col(c).alias(c) for c in rest])]
+    return [ordering_struct(df, rest)]
 
 
 def with_dense_id(

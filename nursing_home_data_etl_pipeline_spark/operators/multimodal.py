@@ -73,21 +73,64 @@ def decode_fake(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode — STUB: Pillow/opencv are not in this container.
+#: Output schema of the real image decode — true dimensions + color mode.
+IMAGE_DECODE_SCHEMA = "doc_id long, n_bytes long, width int, height int, mode string"
 
-    A deployment with Pillow installs it on the executors and swaps the
-    body for ``Image.open(io.BytesIO(b))`` inside the same mapInPandas
-    batch loop used by :func:`decode_fake` (schema and plumbing identical).
+
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real image decode over the same mapInPandas plumbing as
+    :func:`decode_fake` — the ENVIRONMENT is the only gate: Pillow is not
+    in this container (verified by import), so the import check raises
+    NotImplementedError here, but the body is complete and runs wherever
+    Pillow is installed on the executors (covered by a skipif(no PIL) test).
+
+    Same contracts as the fake: bytes stay in Arrow buffers between stages;
+    a NULL payload decodes to NULL metadata (distinct from an EMPTY payload,
+    which is a decode ERROR — Pillow raises, failing the task loudly rather
+    than emitting fabricated dimensions). The per-item loop inside the
+    Arrow batch is inherent to codecs (Pillow decodes one image at a time);
+    the batch boundary is still Arrow-sized, never row-at-a-time Python.
     """
     try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - stub by design
+        from PIL import Image
+    except ImportError as exc:
         raise NotImplementedError(
             "image decode requires Pillow on the executors; "
             "use decode_fake() for plumbing tests"
         ) from exc
-    raise NotImplementedError("wire PIL decode into the decode_fake batch loop")
+    import io
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf[payload_col]
+            widths: list[int | None] = []
+            heights: list[int | None] = []
+            modes: list[str | None] = []
+            for b in payload:
+                if b is None:
+                    widths.append(None)
+                    heights.append(None)
+                    modes.append(None)
+                else:
+                    with Image.open(io.BytesIO(bytes(b))) as im:
+                        widths.append(im.width)
+                        heights.append(im.height)
+                        modes.append(im.mode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payload.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
+                    "width": pd.Series(widths, dtype="Int32"),
+                    "height": pd.Series(heights, dtype="Int32"),
+                    "mode": pd.Series(modes, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(decode, schema=IMAGE_DECODE_SCHEMA)
 
 
 def resize_fake(df: DataFrame, factor: int = 4) -> DataFrame:

@@ -41,7 +41,13 @@ from .sources.ingest import (
 from .sources.readers import path_exists, read_parquet
 from .sources.validate import DEFAULT_REQUIRED_DOMAINS, require_staged
 from .sources.writers import recover_dir, replace_dir
-from .transforms import PK, provider_transform, quality_transform, universal_cleaning
+from .transforms import (
+    PK,
+    RECENCY_COL,
+    provider_transform,
+    quality_transform,
+    universal_cleaning,
+)
 from .zones import ZoneLayout
 
 #: transform-zone output -> warehouse dim name (reference README.md:247-252).
@@ -137,9 +143,8 @@ def run_stage(
 
         pool = ThreadPoolExecutor(max_workers=1)
         timed_out = False
-        try:
-            fut = pool.submit(worker)
-            out = fut.result(timeout=policy.timeout_s)
+
+        def succeed(out):
             if detail_of:
                 # A broken detail extractor must not fail (or re-run!) a
                 # stage whose side effects already committed — the stage
@@ -150,15 +155,27 @@ def run_stage(
                     detail["detail_error"] = repr(exc)
             log.append(RunLogEntry(run_id, step, "SUCCESS", t0, time.time(), detail))
             return out
-        except FutureTimeout as exc:
+
+        try:
+            fut = pool.submit(worker)
+            return succeed(fut.result(timeout=policy.timeout_s))
+        except FutureTimeout:
             # Python >= 3.11 aliases concurrent.futures.TimeoutError to the
             # BUILTIN TimeoutError, so a TimeoutError raised INSIDE the
             # stage (e.g. socket.timeout from transient IO) lands here too.
             # Only a future that is still running is a wall-clock stage
-            # timeout; a completed future means the stage itself raised —
-            # an ordinary, retryable failure.
+            # timeout; a completed future means the stage finished in the
+            # race window between the wait expiring and this check. If it
+            # finished SUCCESSFULLY it must be reported as SUCCESS — its
+            # side effects committed, and re-running a committed stage is
+            # the exact hazard timeouts-are-terminal exists to prevent. If
+            # it raised, that's an ordinary, retryable failure (and the
+            # worker's own exception, not the timeout, is the cause).
             if fut.done():
-                last_exc = exc
+                worker_exc = fut.exception()
+                if worker_exc is None:
+                    return succeed(fut.result())
+                last_exc = worker_exc
             else:
                 spark.sparkContext.cancelJobGroup(group)
                 timed_out = True
@@ -202,13 +219,17 @@ def merge_warehouse(
         # ONE-ROW-PER-KEY dims: a multi-file cycle (pipeline down for a
         # month, two drops staged in one run) yields several rows per
         # facility in the transform output; merge_scd1 would install them
-        # all. Resolve to the deterministic tiebreak-struct survivor — the
-        # same rule the streaming upsert applies to its micro-batches.
+        # all. Resolve to the NEWEST DROP via the per-file recency stamp
+        # the transforms thread through (transforms.RECENCY_COL) — the
+        # attribute-struct tiebreak alone could deterministically install
+        # the stale month's row (ADVICE round 6); pre-upgrade outputs
+        # without the stamp fall back to the struct survivor.
         # FAN-OUT dims (penalties, surveys: several rows per facility by
         # design) are NOT deduped — merge_scd1's anti-join+union already
         # replaces the whole key GROUP with the batch's group.
         if output in UNIQUE_KEY_OUTPUTS:
-            source = latest_per_key(source, keys, None)
+            order_col = RECENCY_COL if RECENCY_COL in source.columns else None
+            source = latest_per_key(source, keys, order_col)
         target_path = zones.warehouse(dim)
         # A crashed prior swap can leave the dim parked at __old with the
         # target missing; restore BEFORE the bootstrap probe, or this run

@@ -396,10 +396,16 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
              TRUE) AS kept,
            -- real JSON parsing, like the engine's from_json: any spacing or
            -- sign parses; non-integer shapes (1.5, strings, booleans) are
-           -- NULL (DuckDB's TRY_CAST would ROUND '1.5', Spark nulls it)
+           -- NULL (DuckDB's TRY_CAST would ROUND '1.5', Spark nulls it).
+           -- The regex guard runs on json_extract's RAW JSON text, which
+           -- keeps quotes: a string-typed {"k": "7"} stays '"7"' and fails
+           -- the integer regex, matching from_json's NULL for a string
+           -- value in a LongType field (json_extract_string strips the
+           -- quotes and would wrongly admit it — ADVICE r6).
            TRY_CAST(CASE WHEN json_valid(props)
-                          AND regexp_matches(json_extract_string(props, '$.k'),
-                                             '^-?[0-9]+$')
+                          AND regexp_matches(
+                                CAST(json_extract(props, '$.k') AS VARCHAR),
+                                '^-?[0-9]+$')
                          THEN json_extract_string(props, '$.k') END
                     AS BIGINT) AS k
     FROM events

@@ -212,25 +212,35 @@ def write_error(
     from pyspark.sql import SparkSession
 
     spark = df.sparkSession if df is not None else SparkSession.getActiveSession()
-    if spark is not None:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(error_path, "_diagnostics.json")
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        out = fs.create(jpath, True)
-        try:
-            out.write(bytearray(json.dumps(diag, indent=2), "utf-8"))
-        finally:
-            out.close()
-    else:
-        # no session handle to reach a remote FS — driver-local fallback
-        os.makedirs(error_path, exist_ok=True)
-        with open(os.path.join(error_path, "_diagnostics.json"), "w") as f:
-            json.dump(diag, f, indent=2)
+
+    def put_diagnostics() -> None:
+        if spark is not None:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(error_path, "_diagnostics.json")
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            out = fs.create(jpath, True)
+            try:
+                out.write(bytearray(json.dumps(diag, indent=2), "utf-8"))
+            finally:
+                out.close()
+        else:
+            # no session handle to reach a remote FS — driver-local fallback
+            os.makedirs(error_path, exist_ok=True)
+            with open(os.path.join(error_path, "_diagnostics.json"), "w") as f:
+                json.dump(diag, f, indent=2)
+
+    put_diagnostics()
     if df is not None:
         try:
             df.write.mode("overwrite").parquet(os.path.join(error_path, "data"))
-        except Exception:  # the frame itself may be the unreadable thing
-            pass
+        except Exception as exc2:
+            # The frame itself may be the unreadable thing — swallowing is
+            # right (the error sink must not mask the ORIGINAL failure),
+            # but a doubly-failed dump must not be silent: rewrite the
+            # sidecar carrying the secondary failure too.
+            diag["quarantine_error"] = repr(exc2)
+            diag["quarantine_traceback"] = "".join(traceback.format_exception(exc2))
+            put_diagnostics()
 
 
 def write_jsonl(

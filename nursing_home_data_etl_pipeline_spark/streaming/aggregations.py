@@ -127,8 +127,21 @@ def _accumulate(
     indistinguishable from a genuine NaN, both arrive as float NaN), a
     genuine NaN poisons the total (``skipna=False``; pandas' default
     skipna would silently drop NaN and emit the sum of the rest), and a
-    key that never saw a non-NULL value totals NULL, not 0.0."""
-    n, total, has_val = state.get if state.exists else (0, 0.0, False)
+    key that never saw a non-NULL value totals NULL, not 0.0.
+
+    State-shape compatibility: has_val was ADDED to _STATE_SCHEMA (round 6);
+    a stream restarted from a checkpoint written before that stores 2-field
+    state rows. Restore len-checks before unpacking and maps the legacy
+    shape to ``has_val = n > 0`` — the pre-flag semantics (which COULD emit
+    0.0 for an all-NULL key; that was the bug the flag fixed, accepted once
+    per migrated key rather than failing the restored stream). Discarding
+    the checkpoint on upgrade avoids even that."""
+    if state.exists:
+        stored = tuple(state.get)
+        n, total = stored[0], stored[1]
+        has_val = stored[2] if len(stored) > 2 else n > 0
+    else:
+        n, total, has_val = 0, 0.0, False
     for pdf in pdfs:
         n += len(pdf)
         genuine = pdf.loc[~pdf["_vnull"].astype(bool), value_col]

@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators.cleaning import clean_table
 from .operators.ids import with_etl_metadata
@@ -34,6 +35,13 @@ from .sources.writers import write_error, write_parquet
 from .zones import ZoneLayout
 
 PK = "facility_number"
+
+#: Per-file recency stamp threaded from staging through every transform
+#: output so the warehouse merge's "latest per key" means NEWEST DROP, not
+#: attribute-struct max: two drops staged in one run previously resolved to
+#: the struct-max row, which could deterministically install the stale
+#: month's attributes (ADVICE round 6).
+RECENCY_COL = "synced_at"
 
 #: The facility dimension's canonical projection
 #: (nh-etl-provider-transform.py:36-61). Applied non-strictly: the
@@ -114,6 +122,12 @@ def universal_cleaning(
             df = read_csv_untyped(spark, zones.source(domain))
             if is_empty(df):
                 continue
+            # Per-file recency from the scan's _metadata pseudo-column (the
+            # landing file's mtime IS its sync time); added pre-clean so a
+            # source header that would normalize onto it collides loudly.
+            df = df.withColumn(
+                RECENCY_COL, F.col("_metadata.file_modification_time")
+            )
             cleaned = with_etl_metadata(clean_table(df))
             write_parquet(cleaned, zones.staging(domain))
             staged.append(domain)
@@ -131,14 +145,18 @@ def provider_transform(spark: SparkSession, zones: ZoneLayout) -> dict[str, str]
     provider = read_parquet(spark, zones.staging("provider_info")).cache()
     outputs: dict[str, DataFrame] = {}
 
-    outputs["facility"] = select_columns(provider, FACILITY_COLUMNS, strict=False)
+    # Every output carries the recency stamp (non-strict: absent on
+    # pre-upgrade staging); enrich sides drop theirs so the join stays
+    # unambiguous — the entity row's drop time is the one that matters.
+    keep_recency = (*FACILITY_COLUMNS, RECENCY_COL)
+    outputs["facility"] = select_columns(provider, keep_recency, strict=False)
 
     trimmed = drop_columns_if_present(provider, DEFAULT_DENORM_COLS)
     outputs["staffing"] = select_columns_matching(
-        trimmed, STAFFING_KEYWORDS, always_include=(PK,)
+        trimmed, STAFFING_KEYWORDS, always_include=(PK, RECENCY_COL)
     )
     outputs["rating"] = select_columns_matching(
-        trimmed, RATING_KEYWORDS, always_include=(PK,)
+        trimmed, RATING_KEYWORDS, always_include=(PK, RECENCY_COL)
     )
     # The two enrich sides are OPTIONAL inputs (the reference's dynamic-
     # schema model): absence — including a created-but-never-committed
@@ -146,25 +164,29 @@ def provider_transform(spark: SparkSession, zones: ZoneLayout) -> dict[str, str]
     # present-but-broken input (corrupt footer, schema clash, join bug)
     # fails loudly instead of silently dropping the enrich — a bare
     # except around the read swallowed real errors until round 6.
-    surveys = select_columns_matching(trimmed, SURVEY_KEYWORDS, always_include=(PK,))
+    surveys = select_columns_matching(
+        trimmed, SURVEY_KEYWORDS, always_include=(PK, RECENCY_COL)
+    )
     survey_path = zones.staging("survey_summary")
     if data_files_exist(spark, survey_path):
         surveys = left_enrich(
             surveys,
             read_parquet(spark, survey_path),
             on=PK,
-            drop_from_other=DEFAULT_DENORM_COLS,
+            drop_from_other=(*DEFAULT_DENORM_COLS, RECENCY_COL),
         )
     outputs["surveys"] = surveys
 
-    penalties_dim = select_columns(trimmed, PENALTY_COLUMNS, strict=False)
+    penalties_dim = select_columns(
+        trimmed, (*PENALTY_COLUMNS, RECENCY_COL), strict=False
+    )
     penalties_path = zones.staging("penalties")
     if data_files_exist(spark, penalties_path):
         penalties_dim = left_enrich(
             penalties_dim,
             read_parquet(spark, penalties_path),
             on=PK,
-            drop_from_other=DEFAULT_DENORM_COLS,
+            drop_from_other=(*DEFAULT_DENORM_COLS, RECENCY_COL),
         )
     outputs["penalties"] = penalties_dim
 
@@ -186,7 +208,7 @@ def quality_transform(spark: SparkSession, zones: ZoneLayout) -> dict[str, str]:
     df = None
     try:
         df = read_parquet(spark, zones.staging("qualitymsr_mds"))
-        out = select_columns(df, QUALITY_COLUMNS, strict=False)
+        out = select_columns(df, (*QUALITY_COLUMNS, RECENCY_COL), strict=False)
         path = zones.transform("quality")
         write_parquet(with_etl_metadata(out, order_by=[PK, "measure_code"]), path)
         return {"quality": path}

@@ -41,6 +41,30 @@ def test_exact_dedup_keeps_min_id(spark):
     assert ids == [1, 2, 3]  # 4 collapses into 1
 
 
+def test_exact_dedup_null_text_rows_pass_through_keyed_by_id(spark):
+    """NULL-text rows are NOT duplicates of each other: each passes through
+    on its own id-keyed sentinel group."""
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)], ["doc_id", "text"]
+    )
+    out = sorted(r.doc_id for r in exact_dedup(df, "text", "doc_id").collect())
+    assert out == [1, 3, 4]
+
+
+def test_exact_dedup_null_text_null_id_raises_not_collapses(spark):
+    """A NULL-text row with a NULL id cannot be sentinel-keyed; silently
+    collapsing all such rows into one NULL group (with an all-NULL-min
+    degenerate survivor) is the ADVICE-r6 hazard — the precondition is
+    enforced with a clear error instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, None), (None, None)], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="must be non-null"):
+        exact_dedup(df, "text", "doc_id").collect()
+
+
 def test_minhash_signature_identical_for_dups(spark):
     sig = minhash_signatures(_docs(spark), num_hashes=6, shingle_k=3).collect()
     by_id = {r.doc_id: tuple(r)[1:] for r in sig}
@@ -191,6 +215,37 @@ def test_multimodal_null_payload_propagates(spark):
     fr = {r.doc_id: r for r in sample_frames(mm).collect()}
     assert fr[2].n_frames is None and fr[3].n_frames == 0
     assert fr[1].n_frames == 0
+
+
+def test_decode_image_env_gate_or_real_decode(spark):
+    """decode_image's ONLY gate is the environment: without Pillow it
+    raises NotImplementedError at plan-build time (not deep in a task);
+    with Pillow it must actually decode — real dimensions, mode, and the
+    same NULL-payload contract as decode_fake."""
+    import pytest
+
+    from nursing_home_data_etl_pipeline_spark.operators.multimodal import decode_image
+
+    try:
+        from PIL import Image
+    except ImportError:
+        df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(df)
+        return
+    import io
+
+    def png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, png(4, 3)), (2, None)], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in decode_image(df).collect()}
+    assert (got[1].width, got[1].height, got[1].mode) == (4, 3, "RGB")
+    assert got[2].width is None and got[2].n_bytes is None
 
 
 def test_rhp_derived_planes_bound_bucket_occupancy():

@@ -218,6 +218,21 @@ def test_error_sink_with_frame(spark, tmp_path):
     assert (tmp_path / "err" / "data").exists()
 
 
+def test_error_sink_records_secondary_quarantine_failure(spark, tmp_path):
+    """When the in-flight frame itself is unwritable (its evaluation
+    raises), the sink must still land the diagnostics AND record the
+    secondary failure there — a doubly-failed dump must not be silent."""
+    import json
+
+    poisoned = spark.createDataFrame([(1,)], ["k"]).select(
+        F.assert_true(F.col("k") > 5).alias("x"), "k"
+    )
+    write_error(poisoned, str(tmp_path / "err"), "transform failed", RuntimeError("orig"))
+    diag = json.loads((tmp_path / "err" / "_diagnostics.json").read_text())
+    assert diag["error"] == "RuntimeError('orig')"
+    assert "quarantine_error" in diag and diag["quarantine_traceback"]
+
+
 def test_jsonl_roundtrip(spark, tmp_path):
     """JSONL export/import round-trip with explicit schema (no inference
     scan) and partitioned layout."""

@@ -556,6 +556,91 @@ def test_stage_raised_timeouterror_is_retryable_not_wall_clock(spark, tmp_path):
     assert out == "ok" and len(attempts) == 2  # retried, not terminal
 
 
+def test_stage_success_in_timeout_race_window_is_success(spark, tmp_path):
+    """If the worker completes successfully in the window between
+    fut.result() raising FutureTimeout and the fut.done() check, the stage
+    SUCCEEDED — its side effects committed, so it must be logged SUCCESS
+    and returned, never retried (ADVICE round 6). Simulated with a fake
+    future that is done-without-exception at classification time."""
+    import json
+    from unittest import mock
+
+    from nursing_home_data_etl_pipeline_spark import pipeline as P
+    from nursing_home_data_etl_pipeline_spark.runlog import RunLog
+
+    class RaceFuture:
+        def result(self, timeout=None):
+            if timeout is not None:
+                raise P.FutureTimeout()  # the wait expired...
+            return "committed"  # ...but the worker had just finished
+
+        def done(self):
+            return True
+
+        def exception(self):
+            return None
+
+    class FakePool:
+        def __init__(self, max_workers):
+            pass
+
+        def submit(self, fn):
+            return RaceFuture()
+
+        def shutdown(self, wait=False, cancel_futures=False):
+            pass
+
+    path = tmp_path / "log.jsonl"
+    with mock.patch.object(P, "ThreadPoolExecutor", FakePool):
+        out = P.run_stage(
+            spark, RunLog(str(path)), "r1", "racy", lambda: "never-called",
+            P.StagePolicy(max_retries=2, timeout_s=0.01, backoff_s=0.0),
+        )
+    assert out == "committed"
+    rows = [json.loads(line) for line in path.read_text().splitlines()]
+    assert [r["status"] for r in rows] == ["SUCCESS"]  # one attempt, no retry
+
+
+def test_stage_failure_in_timeout_race_window_reports_worker_error(spark, tmp_path):
+    """Same race window, but the worker RAISED: classify as an ordinary
+    retryable failure whose cause is the worker's own exception, not the
+    timeout."""
+    from unittest import mock
+
+    from nursing_home_data_etl_pipeline_spark import pipeline as P
+    from nursing_home_data_etl_pipeline_spark.runlog import RunLog
+
+    boom = ValueError("stage blew up just as the wait expired")
+
+    class RaceFuture:
+        def result(self, timeout=None):
+            raise P.FutureTimeout()
+
+        def done(self):
+            return True
+
+        def exception(self):
+            return boom
+
+    class FakePool:
+        def __init__(self, max_workers):
+            pass
+
+        def submit(self, fn):
+            return RaceFuture()
+
+        def shutdown(self, wait=False, cancel_futures=False):
+            pass
+
+    with mock.patch.object(P, "ThreadPoolExecutor", FakePool):
+        with pytest.raises(ValueError, match="blew up"):
+            P.run_stage(
+                spark, RunLog(str(tmp_path / "log.jsonl")), "r1", "racy",
+                lambda: None,
+                P.StagePolicy(max_retries=0, timeout_s=0.01, backoff_s=0.0),
+            )
+
+
 def test_stage_detail_extractor_failure_does_not_rerun_stage(spark, tmp_path):
     """A broken detail_of must not re-run (or fail) a stage whose side
     effects already committed."""
@@ -656,3 +741,45 @@ def test_merge_warehouse_dedupes_multi_row_source(spark, tmp_path):
     got = {r[PK]: r.provider_name for r in dim.collect()}
     assert len(got) == 2 and got["f2"] == "Solo"
     assert got["f1"] == "March Name"  # struct-max survivor, deterministic
+
+
+def test_merge_warehouse_multi_drop_newest_wins_by_recency(spark, tmp_path):
+    """When the transform output carries the per-file recency stamp
+    (transforms.RECENCY_COL), 'latest per key' means NEWEST DROP — even when
+    the stale drop's attributes are struct-greater, the case where the bare
+    tiebreak would deterministically install the old month (ADVICE r6)."""
+    import datetime
+
+    from nursing_home_data_etl_pipeline_spark.pipeline import merge_warehouse
+    from nursing_home_data_etl_pipeline_spark.transforms import PK, RECENCY_COL
+    from nursing_home_data_etl_pipeline_spark.zones import ZoneLayout
+
+    zones = ZoneLayout(str(tmp_path))
+    zones.ensure()
+    out = str(tmp_path / "facility_out")
+    t_feb = datetime.datetime(2025, 2, 1, 12, 0, 0)
+    t_mar = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    # struct-max would pick "Z Old Name" (Feb); recency must pick "A New Name"
+    spark.createDataFrame(
+        [("f1", "Z Old Name", t_feb), ("f1", "A New Name", t_mar)],
+        f"{PK} string, provider_name string, {RECENCY_COL} timestamp",
+    ).write.parquet(out)
+    merge_warehouse(spark, zones, {"facility": out})
+    dim = spark.read.parquet(zones.warehouse("dim_facility"))
+    got = {r[PK]: r.provider_name for r in dim.collect()}
+    assert got == {"f1": "A New Name"}
+
+
+def test_pipeline_staging_and_dims_carry_recency(spark, landing, tmp_path):
+    """End-to-end: the recency stamp flows landing-file mtime -> staging ->
+    every transform output -> warehouse dims, and enrich joins stay
+    unambiguous (one recency column, the entity side's)."""
+    from nursing_home_data_etl_pipeline_spark.transforms import RECENCY_COL
+
+    zones = ZoneLayout(str(tmp_path / "zones"))
+    pipeline.run(spark, zones, landing_dir=str(landing))
+    for dim in ("dim_facility", "dim_quality", "dim_surveys", "dim_penalties"):
+        cols = spark.read.parquet(zones.warehouse(dim)).columns
+        assert cols.count(RECENCY_COL) == 1, (dim, cols)
+    fac = spark.read.parquet(zones.warehouse("dim_facility"))
+    assert fac.filter(f"{RECENCY_COL} IS NULL").count() == 0

@@ -113,6 +113,10 @@ def build(src: str, dest: str) -> dict[str, int]:
         # parses them; a naive oracle regexp did not)
         {"event_id": ebase + 11, "ts": some_ts, "user_id": 2, "event_type": None, "value": 6.25, "props": '{"k":7}'},
         {"event_id": ebase + 12, "ts": some_ts, "user_id": 2, "event_type": "click", "value": 7.25, "props": '{"k": -4}'},
+        # phase 5 (ADVICE r6): numeric-CONTENT JSON string — from_json with
+        # a LongType field nulls it; an oracle regexing the quote-stripped
+        # json_extract_string would wrongly admit it as 7
+        {"event_id": ebase + 13, "ts": some_ts, "user_id": 2, "event_type": "click", "value": 8.25, "props": '{"k": "7"}'},
         # phase 3: non-finite doubles
         {"event_id": ebase + 9, "ts": some_ts, "user_id": 999996, "event_type": "nan", "value": float("nan"), "props": "{}"},
         {"event_id": ebase + 10, "ts": some_ts, "user_id": 999996, "event_type": "inf", "value": float("inf"), "props": "{}"},
