@@ -33,6 +33,8 @@ from ..operators.setops import except_, except_all, intersect, intersect_all, un
 from ..operators.windows import running_agg, top_k_global, top_k_per_group
 from ..sources.readers import read_table
 from .catalog import register
+from ..operators.asof import asof_join
+from ..operators.ranges import range_join_points
 
 # ---------------------------------------------------------------------------
 # P9 row predicates + P7 name-predicate projection, one scan
@@ -731,3 +733,219 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bands.unionByName(hh)
+
+
+# ===========================================================================
+# (merged from queries_analytics2) Second analytics batch: as-of join, SQL grouping sets, null-safe joins,
+# ===========================================================================
+
+_RANGE_WINDOW_US = 3_600_000_000  # attribute clicks within 1h after a purchase
+
+
+@register(
+    "asof_join_events",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, epoch_ns(ts) // 1000 AS us
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value, epoch_ns(ts) // 1000 AS us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT 'asof' AS variant,
+           c.event_id,
+           c.user_id,
+           p.value  AS value_r,
+           p.us     AS ts_r_us
+    FROM (SELECT * FROM clicks WHERE ts IS NOT NULL AND user_id IS NOT NULL) c
+    ASOF LEFT JOIN (SELECT * FROM purchases
+                    WHERE ts IS NOT NULL AND user_id IS NOT NULL) p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    UNION ALL
+    -- Engine contract (operators/asof.py): a probe with a NULL timestamp
+    -- or NULL key matches nothing (SQL join semantics). DuckDB's native
+    -- ASOF instead sorts NULL ts last, so an un-guarded oracle would match
+    -- a NULL-ts probe to the LATEST right row.
+    SELECT 'asof', event_id, user_id,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM clicks WHERE ts IS NULL OR user_id IS NULL
+    UNION ALL
+    SELECT 'range', c.event_id, c.user_id, p.value, p.us
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND c.us >= p.us
+     AND c.us < p.us + {_RANGE_WINDOW_US}
+    """,
+    doc="Temporal joins Spark lacks natively, one tagged row set per "
+    "operator. variant='asof': backward as-of join (for each click, the "
+    "latest prior purchase of the same user) — union+window formulation, "
+    "one shuffle on the key, no Python; oracle is DuckDB's native ASOF "
+    "JOIN. variant='range': interval join (every purchase whose 1-hour "
+    "attribution window contains the click) via operators.ranges bucketized "
+    "rewrite — equi-join on (user_id, hour bucket) with the range refine in "
+    "the join condition, a hash join where the naive theta join plans a "
+    "nested loop; oracle is the plain theta join.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", F.unix_micros("ts").alias("us")
+    )
+    asof = asof_join(
+        clicks.drop("us"), purchases.drop("us"), on="user_id",
+        left_ts="ts", right_ts="ts", value_cols=["value"],
+    ).select(
+        F.lit("asof").alias("variant"),
+        "event_id",
+        "user_id",
+        F.col("value_asof").alias("value_r"),
+        F.unix_micros(F.col("ts_asof")).alias("ts_r_us"),
+    )
+    windows = purchases.select(
+        "user_id",
+        F.col("us").alias("lo"),
+        (F.col("us") + F.lit(_RANGE_WINDOW_US)).alias("hi"),
+        "value",
+    )
+    ranged = range_join_points(
+        clicks.select("event_id", "user_id", F.col("us").alias("x")),
+        windows,
+        "x",
+        "lo",
+        "hi",
+        on="user_id",
+        bucket_width=_RANGE_WINDOW_US,
+    ).select(
+        F.lit("range").alias("variant"),
+        "event_id",
+        "user_id",
+        F.col("value").alias("value_r"),
+        F.col("lo").alias("ts_r_us"),
+    )
+    return asof.unionByName(ranged)
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    r AS (
+      SELECT DISTINCT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS status
+      FROM orders
+    )
+    SELECT l.o_orderkey, l.status, r.status IS NOT NULL OR l.status IS NULL AS matched
+    FROM l JOIN r ON l.status IS NOT DISTINCT FROM r.status
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other — the semantics a plain equi-join silently drops.",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    status = F.when(F.col("o_orderstatus") == "O", None).otherwise(
+        F.col("o_orderstatus")
+    )
+    left = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", status.alias("status")
+    )
+    right = orders.select(status.alias("status")).distinct()
+    joined = left.join(
+        right.withColumnRenamed("status", "r_status"),
+        left["status"].eqNullSafe(F.col("r_status")),
+    )
+    return joined.select(
+        "o_orderkey",
+        "status",
+        (F.col("r_status").isNotNull() | F.col("status").isNull()).alias("matched"),
+    )
+
+
+@register(
+    "quantile_bands",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT CASE WHEN o_totalprice < q.q1 THEN 'low'
+                WHEN o_totalprice > q.q3 THEN 'high'
+                ELSE 'mid' END AS band,
+           COUNT(*)            AS n
+    FROM orders, q
+    GROUP BY 1
+    """,
+    doc="Banding rows by exact quantiles (percentile via sort-based exact "
+    "computation here; approx_percentile is the 100 TB variant with the "
+    "same plan shape minus the full sort).",
+)
+def quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    q = orders.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    banded = orders.join(F.broadcast(q)).withColumn(
+        "band",
+        F.when(F.col("o_totalprice") < F.col("q1"), "low")
+        .when(F.col("o_totalprice") > F.col("q3"), "high")
+        .otherwise("mid"),
+    )
+    return banded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+
+# ===========================================================================
+# (merged from queries_analytics3) Third analytics batch: the full ranking-function family plus
+# ===========================================================================
+
+@register(
+    "window_rank_values",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           o_custkey,
+           RANK()         OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST)                AS rnk,
+           DENSE_RANK()   OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST)                AS drnk,
+           NTILE(4)       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST, o_orderkey)       AS quartile,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST), 6)      AS prank,
+           FIRST_VALUE(o_totalprice)  OVER wc AS first_price,
+           LAST_VALUE(o_totalprice)   OVER wc AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER wc AS second_price
+    FROM orders
+    -- NULLS FIRST pins Spark's ASC default; DuckDB defaults NULLS LAST
+    WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Ranking family (rank/dense_rank tie-stable by value, ntile and "
+    "percent_rank over a unique total order) plus first/last/nth value over "
+    "a full-partition frame (explicit UNBOUNDED FOLLOWING — the default "
+    "frame makes last_value a footgun). Three window specs over two "
+    "partitionings; specs sharing a partitioning share one shuffle.",
+)
+def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    by_priority = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    by_price = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    by_cust = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_custkey",
+        F.rank().over(by_priority).alias("rnk"),
+        F.dense_rank().over(by_priority).alias("drnk"),
+        F.ntile(4).over(by_price).alias("quartile"),
+        F.round(F.percent_rank().over(by_priority), 6).alias("prank"),
+        F.first("o_totalprice").over(by_cust).alias("first_price"),
+        F.last("o_totalprice").over(by_cust).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(by_cust).alias("second_price"),
+    )

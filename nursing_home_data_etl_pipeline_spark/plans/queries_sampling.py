@@ -1,5 +1,8 @@
-"""Training-data assembly queries: deterministic splits, stratified
-sampling, vector aggregation, and the end-to-end corpus composition.
+"""Collection (array + map) functions, schema-evolution union, and string
+similarity — the long tail of the §2.8 relational surface. (Round-2 catalog
+consolidation: array and map functions share one registered query; date
+arithmetic lives with the scalar functions; first/last/nth windows live with
+the ranking family; debounce lives in events_lag_debounce.)
 """
 
 from __future__ import annotations
@@ -7,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.readers import read_table
+from .catalog import register
 from ..functions.text import duck_words_sql, fingerprint, quality_score, words
 from ..operators.components import dup_clusters
 from ..operators.dedup import minhash_dedup_pairs
@@ -14,14 +19,149 @@ from ..operators.sampling import (
     hash_split,
     stratified_deterministic_sample,
 )
-from ..sources.readers import read_table
-from .catalog import register
+
+
+@register(
+    "collection_functions",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS wa
+      FROM documents WHERE doc_id < 100
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS n FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
+        FROM documents WHERE doc_id < 100
+      ) GROUP BY doc_id, word
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(cardinality(map_from_entries(list((word, n)))) AS INT) AS n_distinct_words,
+             CAST(element_at(map_from_entries(list((word, n))), 'data')[1] AS BIGINT) AS n_data
+      FROM wc GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           array_to_string(list_sort(list_distinct(wa)), ',') AS sorted_vocab,
+           array_to_string(wa[1:3], ',')                      AS first3,
+           len(list_filter(wa, x -> length(x) > 4))           AS n_long_words,
+           array_to_string(list_reverse_sort(list_distinct(wa))[1:2], ',') AS top2_rev,
+           list_contains(wa, 'data')                          AS has_data,
+           m.n_distinct_words,
+           m.n_data
+    FROM w JOIN m USING (doc_id)
+    """,
+    doc="Collection-function surface in one pass: array HOFs (sort/distinct/"
+    "slice/filter/reverse-sort/contains over word arrays — all builtin, "
+    "row-local; array outputs serialized with array_join so order-"
+    "insensitive canonicalizers can sort the result columns) joined with "
+    "map-typed columns (word->count maps built with map_from_entries, "
+    "probed with element_at — the per-row associative shape for sparse "
+    "feature vectors).",
+)
+def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("wa")
+    )
+    arrays = base.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct("wa")), ",").alias("sorted_vocab"),
+        F.array_join(F.slice("wa", 1, 3), ",").alias("first3"),
+        F.size(F.filter("wa", lambda x: F.length(x) > 4)).alias("n_long_words"),
+        F.concat_ws(
+            ",", F.slice(F.reverse(F.array_sort(F.array_distinct("wa"))), 1, 2)
+        ).alias("top2_rev"),
+        F.array_contains("wa", "data").alias("has_data"),
+    )
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    maps = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "n"))).alias("m")
+    ).select(
+        "doc_id",
+        F.size("m").alias("n_distinct_words"),
+        F.element_at("m", "data").alias("n_data"),
+    )
+    return arrays.join(maps, "doc_id")
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+    SELECT lang, COUNT(*) AS n FROM (
+      SELECT doc_id, text, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1
+    )
+    GROUP BY lang
+    """,
+    doc="Schema-evolution union: an old staging batch (no lang column) "
+    "unioned BY NAME with a newer one — missing columns null-fill instead "
+    "of silently mis-aligning (the positional-union corruption bug).",
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    old_batch = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang")
+    merged = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return merged.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "string_similarity",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.c_name AS name_a, b.c_name AS name_b
+      FROM customer a JOIN customer b
+        ON b.c_custkey = a.c_custkey + 1
+      WHERE a.c_custkey < 200
+    )
+    SELECT id_a, id_b,
+           levenshtein(name_a, name_b) AS edit_distance,
+           levenshtein(name_a, name_b) <= 2 AS near_name
+    FROM pairs
+    """,
+    doc="String similarity (Levenshtein edit distance) over candidate "
+    "pairs — the entity-resolution primitive for name/address matching; "
+    "JVM builtin, applied post-blocking (never all-pairs).",
+)
+def string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a")
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b")
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return pairs.select(
+        "id_a", "id_b",
+        dist.alias("edit_distance"),
+        (dist <= 2).alias("near_name"),
+    )
+
+
+# ===========================================================================
+# (merged from queries_sampling) Training-data assembly queries: deterministic splits, stratified
+# ===========================================================================
+
+# Importing queries_northstar HERE (not at the top) keeps the catalog's
+# driver-visible registration order: its entries historically registered
+# between the collections block above and the sampling block below.
 from .queries_northstar import (
     _SHINGLE_K,
     _duck_minhash_sig_cte,
     _minhash_pairs_cte,
 )
-
 
 def _duck_hash_bucket(key_expr: str, salt: str) -> str:
     """DuckDB twin of sampling._hash_bucket: first 12 md5 hex chars as an
@@ -162,12 +302,12 @@ def _bands_chain(prefix: str, src: str) -> str:
     )"""
 
 
-#: Bloom sizing for the benchmark-fingerprint set (~n/17 docs): ~1k words of
-#: bitmap, broadcast-joined at probe time.
 _BLOOM_BITS = 1 << 16
+
+
 _BLOOM_K = 5
 
-#: DuckDB twin of functions.text.fingerprint (md5 of normalized text).
+
 _DUCK_FP = "md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
 
 
@@ -255,9 +395,7 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUALITY_MIN = 0.5
 
-#: DuckDB quality expression (must mirror functions.text.quality_score) —
-#: built on duck_words_sql, the ONE words twin, so a tokenizer change
-#: there reaches this oracle automatically.
+
 _DUCK_QUALITY = f"""
       ROUND((least(CAST(len({duck_words_sql("text")}) AS DOUBLE) / 50.0, 1.0)
             + CAST(len(list_distinct({duck_words_sql("text")})) AS DOUBLE)
@@ -320,4 +458,102 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         fingerprint(F.col("text")).alias("fp"),
         F.size(words(F.col("text"))).cast("long").alias("n_words"),
+    )
+
+# ===========================================================================
+# (merged from queries_scalars) Scalar-function and statistical-aggregate coverage (SURVEY.md §2.6 F1-F6
+# ===========================================================================
+
+@register(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                 AS order_year,
+           CAST(month(o_orderdate) AS INT)                AS order_month,
+           CAST(dayofmonth(o_orderdate) AS INT)           AS order_day,
+           upper(o_orderpriority)                         AS priority_uc,
+           substr(o_orderstatus, 1, 1)                    AS status_1,
+           -- concat_ws, like the engine: a NULL part drops ITS separator
+           -- (concat('F','-',NULL) = 'F-' but concat_ws('-','F',NULL) = 'F')
+           concat_ws('-', o_orderstatus, o_orderpriority) AS status_priority,
+           abs(o_totalprice - 250000.0)                   AS dist_from_250k,
+           CAST(ceil(o_totalprice / 1000.0) AS BIGINT)    AS price_k_ceil,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT)   AS price_k_floor,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')   AS status_named,
+           length(o_orderpriority)                        AS prio_len,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)           AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP)              AS due_date,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)             AS month_end
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+    doc="Scalar-function surface: date parts, string ops (upper/substr/"
+    "concat/length), math (abs/ceil/floor), null handling (coalesce/nullif), "
+    "and date/interval arithmetic (truncation, interval addition, datediff, "
+    "month boundaries) — all whole-stage-codegen built-ins.",
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.upper("o_orderpriority").alias("priority_uc"),
+        F.substring("o_orderstatus", 1, 1).alias("status_1"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.abs(F.col("o_totalprice") - 250000.0).alias("dist_from_250k"),
+        F.ceil(F.col("o_totalprice") / 1000.0).cast("long").alias("price_k_ceil"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("price_k_floor"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_named"
+        ),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_eoy"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@register(
+    "stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(var_samp(l_discount), 6)         AS var_disc,
+           ROUND(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2)  AS cov_qty_price,
+           ROUND(min(l_extendedprice), 2)         AS min_price,
+           ROUND(max(l_extendedprice), 2)         AS max_price,
+           ROUND(quantile_cont(l_quantity, 0.5), 6)       AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
+           ROUND(quantile_cont(l_discount, 0.25), 6)      AS p25_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: stddev/variance/correlation/covariance "
+    "(one-pass numerically-stable implementations in both engines; rounded "
+    "to absorb summation-order noise) plus exact per-group quantiles "
+    "(linear interpolation — Spark percentile == DuckDB quantile_cont; "
+    "the exact form sorts each group's values, percentile_approx is the "
+    "sublinear 100 TB variant, verified in approx_stats_events).",
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("p25_disc"),
     )

@@ -1,27 +1,281 @@
-"""Streaming queries under the driver contract: each runs a bounded
-Structured Streaming job over the events table (memory sink, drained with
-processAllAvailable) and returns the result table — so the DuckDB oracle can
-check STREAMING results against batch SQL, proving batch/stream equivalence.
-
-The events parquet stores TIMESTAMP(NANOS): the streaming schema reads ts
-as long (nanosAsLong) and converts to microseconds exactly as read_table
-does for batch.
+"""Second north-star batch: TF-IDF term weighting and an IVF-style ANN
+variant (coarse-quantizer cells instead of hyperplane buckets).
 """
 
 from __future__ import annotations
 
-import uuid
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+from ..functions.vectors import cosine_rounded_prenorm
+from ..functions.vectors import norm as vec_norm
+from ..operators.components import dup_clusters
+from ..operators.dedup import minhash_dedup_pairs
+from ..sources.readers import read_table
+from .catalog import register
+from .queries_northstar import _minhash_pairs_cte
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_cte()},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(v, l) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size
+    FROM comp JOIN sizes USING (cluster_id)
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=_clusters_oracle(),
+    doc="Near-dup CLUSTERS from MinHash-LSH pairs via distributed connected "
+    "components (min-label propagation, converges in diameter rounds; "
+    "each round is two hash joins). The keep-one dedup is then "
+    "doc_id == cluster_id. Oracle: DuckDB recursive-CTE reachability.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs)
+    return dup_clusters(docs, pairs)
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term,
+             COUNT(*) AS n,
+             SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS doc_len
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id,
+           tf.term,
+           ROUND((CAST(tf.n AS DOUBLE) / tf.doc_len)
+                 * (ln((n_docs.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n_docs
+    """,
+    doc="TF-IDF term weighting: term frequency per doc x smoothed inverse "
+    "document frequency — explode + two hash aggregations + one broadcast "
+    "join on the (vocabulary-sized) df table; no Python.",
+)
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    tf = tf.withColumn("doc_len", F.sum("n").over(Window.partitionBy("doc_id")))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # Corpus size as a broadcast 1-row aggregate instead of a driver-side
+    # .count(): the whole query stays one lazy plan, no extra job.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("n").cast("double") / F.col("doc_len"))
+                * (F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN
+# ---------------------------------------------------------------------------
+
+_N_CELLS = 8
+_N_QUERIES = 20
+_TOP_K = 10
+_N_PROBE = 2  # query probes its 2 nearest cells — the IVF recall/cost knob
+
+#: Long-form embeddings + norms and the fixed-dim contract: ONE
+#: definition, imported from queries_northstar — a contract change there
+#: (dim filter, zero-norm, NULL-element clauses) reaches the IVF oracle
+#: automatically instead of via a hand-kept copy.
+from .queries_northstar import _DIM_CONTRACT  # noqa: E402
+from .queries_northstar import _DUCK_COSINE_BASE as _DUCK_EX  # noqa: E402
+import uuid
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 from ..streaming.aggregations import (
     running_totals_stateful,
     session_counts,
     windowed_counts,
 )
-from .catalog import register
+from ..functions.text import duck_words_sql, words
+from ..operators.dedup import hex_to_bigint_sql
+from ..operators.packing import pack_sequences
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH {_DUCK_EX},
+    cents AS (SELECT vec_id AS cent_id, i, x FROM ex WHERE vec_id < {_N_CELLS}),
+    assign AS (
+      SELECT e.vec_id, c.cent_id,
+             SUM((e.x - c.x) * (e.x - c.x)) AS d2
+      FROM ex e JOIN cents c USING (i)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+      FROM assign
+    ),
+    cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id, cent_id AS cell FROM ranked
+      WHERE rn <= {_N_PROBE} AND vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qprobe q JOIN cells c ON q.cell = c.cell
+      WHERE c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT cand.query_id, cand.neighbor_id, SUM(a.x * b.x) AS dot
+      FROM cand
+      JOIN ex a ON a.vec_id = cand.query_id
+      JOIN ex b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND(dot / (na.n * nb.n), 6) AS cos_sim
+      FROM dots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=_ivf_oracle(),
+    doc="IVF-style ANN: coarse quantizer (first 8 vectors as fixed cells — "
+    "deterministic, training-free), assign every corpus vector to its "
+    "nearest cell by L2 (min_by with (distance, cell_id) tiebreak), probe "
+    "each query's nprobe=2 nearest cells with exact cosine — the standard "
+    "IVF recall/cost knob; near-boundary queries recover neighbors their "
+    "own cell misses for 2x candidate work on the (bounded, broadcast) "
+    "query side only. The cell equi-join replaces the cross join, same "
+    "contract as the RHP variant.",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-dim contract: a ragged vector would NULL out its L2 distance
+    # to every centroid (zip_with NULL-pads) while the long-form oracle
+    # would rank it by a partial distance.
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == _DIM_CONTRACT
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < _N_CELLS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+    # L2 distance via zip_with fold; min_by with deterministic tiebreak.
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored_cells = emb.join(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cent_id", d2.alias("d2")
+    )
+    # Corpus side: ONE cell per vector via a single hash aggregate (never a
+    # window over the full corpus). The norm is computed here — once per
+    # VECTOR, not per candidate pair (HOF folds are the per-pair cost).
+    assigned = (
+        scored_cells.groupBy("vec_id")
+        .agg(
+            F.expr("min_by(cent_id, struct(d2, cent_id))").alias("cell"),
+            F.first("embedding").alias("embedding"),
+        )
+        .withColumn("_nrm", vec_norm(F.col("embedding")))
+        # NULL/zero-norm vectors have no cosine — excluded (same contract
+        # as operators.similarity; one dirty row must not abort the job).
+        .filter(F.col("_nrm") > 0)
+    )
+    # Query side is a bounded batch — the nprobe ranking window only ever
+    # sees n_queries x n_cells rows.
+    wq = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cent_id"))
+    q = (
+        scored_cells.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= _N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("cell"),
+            F.col("embedding").alias("_qv"),
+            vec_norm(F.col("embedding")).alias("_qn"),
+        )
+        .filter(F.col("_qn") > 0)
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell"),
+        F.col("embedding").alias("_cv"),
+        F.col("_nrm").alias("_cn"),
+    )
+    # A query appears once per probed cell and each neighbor owns ONE cell,
+    # so (query, neighbor) pairs are already distinct — no dedup needed.
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_rounded_prenorm(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _TOP_K
+    )
+
+
+# ===========================================================================
+# (merged from queries_streaming) Streaming queries under the driver contract: each runs a bounded
+# ===========================================================================
 
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
@@ -240,4 +494,341 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     return _drain_to_memory(
         running_totals_stateful(ev), "update", require_single_batch=True
+    )
+
+# ===========================================================================
+# (merged from queries_packing) Sequence-packing catalog query: documents -> fixed-budget training
+# ===========================================================================
+
+_BUDGET = 512
+
+
+_N_SHARDS = 64
+
+
+_DUCK_SHARD = (
+    hex_to_bigint_sql(
+        "md5('pack' || COALESCE(CAST(doc_id AS VARCHAR), chr(0) || '<null>'))",
+        n_chars=8,
+    )
+    + f" % {_N_SHARDS}"
+)
+
+
+def _packing_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len({duck_words_sql("text")}) AS tok,
+             {_DUCK_SHARD} AS shard
+      FROM documents
+      -- pack_sequences filters _tok > 0: blank and NULL-text docs own no
+      -- token interval (len of the blank-safe words twin is 0 or NULL;
+      -- the alias keeps the two-regex words expression evaluated once)
+      WHERE tok > 0
+    ),
+    placed AS (
+      SELECT doc_id, tok,
+             CAST(COALESCE(SUM(tok) OVER (
+               ORDER BY shard, doc_id NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS s0
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, s0, tok,
+             unnest(generate_series(s0 // {_BUDGET}, (s0 + tok - 1) // {_BUDGET}))
+               AS seq_id
+      FROM placed
+    )
+    SELECT doc_id,
+           seq_id,
+           GREATEST(s0, seq_id * {_BUDGET}) - seq_id * {_BUDGET} AS seq_offset,
+           LEAST(s0 + tok, (seq_id + 1) * {_BUDGET})
+             - GREATEST(s0, seq_id * {_BUDGET}) AS n_tokens,
+           GREATEST(s0, seq_id * {_BUDGET}) = s0 AS is_head
+    FROM spans
+    """
+
+
+@register(
+    "pack_training_sequences",
+    oracle=_packing_oracle(),
+    doc="GPT-style concat-and-chunk sequence packing: place every document's "
+    "word-token interval into a stream of back-to-back 512-token training "
+    "sequences; long documents straddle boundaries. Spark side is the "
+    "two-level distributed prefix sum (per-shard window cumsum + broadcast "
+    "shard offsets — no corpus-sized single-partition stage); the oracle "
+    "replays the same placement with one flat window.",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("n_tok")
+    )
+    return pack_sequences(
+        with_tok, "n_tok", budget=_BUDGET, id_col="doc_id", n_shards=_N_SHARDS
+    )
+
+# ===========================================================================
+# (merged from queries_streamjoin_cms) Driver-visible query for the watermark-bearing streaming operators:
+# ===========================================================================
+
+_WINDOW = "INTERVAL 1 HOUR"
+
+
+@register(
+    "streaming_join_dedup",
+    oracle=f"""
+    SELECT 'interval_join' AS variant,
+           c.event_id,
+           c.user_id,
+           p.value AS num,
+           CAST(epoch_ns(p.ts) // 1000 AS VARCHAR) AS tag
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + {_WINDOW}
+    UNION ALL
+    SELECT 'dedup', event_id, user_id, CAST(NULL AS DOUBLE), event_type
+    FROM events
+    -- event-time contract: a NULL watermark column drops the row before
+    -- the stateful dedup (same as every watermark-bearing op). Rows AT or
+    -- before the epoch are also dropped: Spark initializes the watermark
+    -- to 0, and the late-row filter discards event times <= watermark even
+    -- in the first microbatch — a documented boundary of the exact-oracle
+    -- contract, not a data-dependent behavior.
+    WHERE epoch_ns(ts) > 0
+    """,
+    doc="Watermark-bearing streaming operators, one tagged row set per "
+    "drain. variant='interval_join' (num = purchase value, tag = purchase "
+    "ts in micros): stream-stream interval join — clicks joined to same-"
+    "user purchases within 1 hour; both sides buffer bounded state keyed "
+    "by the watermark + time-range condition; drained over the bounded "
+    "events table it must equal the batch interval join (the stream-stream "
+    "twin of the batch/stream equivalence contract). variant='dedup' "
+    "(tag = event_type): exact dedup with BOUNDED state — two identical "
+    "event streams unioned (every event arrives twice), deduped on "
+    "event_id via dropDuplicatesWithinWatermark; per-key state is dropped "
+    "once the watermark passes, so state scales with the in-flight window "
+    "instead of all history (the difference between a dedup that survives "
+    "a year of stream and one that OOMs). Bounded drain => exactly the "
+    "distinct event rows.",
+)
+def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_cols = ["variant", "event_id", "user_id", "num", "tag"]
+
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(f"c_user = p_user AND p_ts >= c_ts AND p_ts < c_ts + {_WINDOW}"),
+    ).select(
+        F.lit("interval_join").alias("variant"),
+        "event_id",
+        F.col("c_user").alias("user_id"),
+        F.col("value").alias("num"),
+        F.unix_micros(F.col("p_ts")).cast("string").alias("tag"),
+    )
+    interval = _drain_to_memory(joined, "append", require_single_batch=True)
+
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    # SELF-union of one stream DataFrame: each union leg re-reads the file
+    # source, so every event still arrives twice — identical semantics to
+    # two separately constructed streams. The DEFINITION `ev` is reused
+    # from the joined drain above (a streaming DataFrame is a plan, not a
+    # running query), avoiding a second stream_events call and its eager
+    # driver-side footer probe.
+    a = ev.select(cols)
+    deduped = (
+        # Event-time contract, made EXPLICIT here because
+        # dropDuplicatesWithinWatermark (unlike window/session assignment)
+        # would otherwise pass NULL-ts rows through its late-row filter
+        # (NULL < watermark is NULL, not true): watermark-bearing ops take
+        # non-NULL event time.
+        a.unionByName(a)
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            F.lit("dedup").alias("variant"),
+            "event_id",
+            "user_id",
+            F.lit(None).cast("double").alias("num"),
+            F.col("event_type").alias("tag"),
+        )
+    )
+    dedup = _drain_to_memory(deduped, "append", require_single_batch=True)
+
+    return interval.select(*out_cols).unionByName(dedup.select(*out_cols))
+
+# ===========================================================================
+# (merged from queries_tail2) TPC-H-shaped multi-join queries beyond Q3/Q5/Q10/Q14: Q4 (EXISTS
+# ===========================================================================
+
+_NULL_COLS_SQL = (
+    "CAST(NULL AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS k_id2, "
+    "CAST(NULL AS VARCHAR) AS k_date, CAST(NULL AS DOUBLE) AS price, "
+    "CAST(NULL AS DOUBLE) AS qty"
+)
+
+
+@register(
+    "tpch_shapes_q4_q13_q18",
+    oracle=f"""
+    SELECT 'q4' AS variant,
+           o.o_orderpriority AS k_str,
+           {_NULL_COLS_SQL},
+           COUNT(*) AS cnt
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    UNION ALL
+    SELECT 'q13',
+           CAST(NULL AS VARCHAR),
+           c_count,
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           COUNT(*)
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    UNION ALL
+    SELECT 'q18',
+           c.c_name,
+           o.o_orderkey,
+           c.c_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d'),
+           ROUND(o.o_totalprice, 2),
+           SUM(l.l_quantity),
+           CAST(NULL AS BIGINT)
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 260
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    doc="Three TPC-H shapes, one tagged row set per query (adapted to this "
+    "schema's columns). variant='q4': one quarter of orders, EXISTS-"
+    "correlated to late-shipping lineitems, counted per priority — the "
+    "EXISTS plans as a LEFT SEMI join; the lineitem side is filtered by "
+    "the pushed date bound and never duplicates orders; the correlated "
+    "date comparison rides the join condition, not a post-filter. "
+    "variant='q13': per-customer order counts INCLUDING zero-order "
+    "customers (left outer join, COUNT of the nullable key — not "
+    "COUNT(*)), then the histogram of those counts; the histogram shuffle "
+    "input is one row per customer. variant='q18': orders whose total "
+    "quantity clears a threshold (the HAVING subquery becomes an aggregate "
+    "+ semi join), re-joined to customer detail — only the tiny big-order "
+    "key set carries an explicit broadcast hint; the orders/customer joins "
+    "are left to AQE so data-dependent frames can't blow the broadcast "
+    "limit at larger scale factors.",
+)
+def tpch_shapes_q4_q13_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_str = F.lit(None).cast("string")
+    null_long = F.lit(None).cast("long")
+    null_dbl = F.lit(None).cast("double")
+    out_cols = ["variant", "k_str", "k_id", "k_id2", "k_date", "price", "qty", "cnt"]
+
+    # --- q4: EXISTS semi-join with correlated date bound ------------------
+    o4 = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    l4 = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o4.join(
+        l4,
+        (o4["o_orderkey"] == l4["l_orderkey"])
+        & (l4["l_shipdate"] > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    q4 = late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(
+        F.lit("q4").alias("variant"),
+        F.col("o_orderpriority").alias("k_str"),
+        null_long.alias("k_id"),
+        null_long.alias("k_id2"),
+        null_str.alias("k_date"),
+        null_dbl.alias("price"),
+        null_dbl.alias("qty"),
+        "cnt",
+    )
+
+    # --- q13: outer-join count distribution -------------------------------
+    c13 = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o13 = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c13.join(o13, c13["c_custkey"] == o13["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    q13 = per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(
+        F.lit("q13").alias("variant"),
+        null_str.alias("k_str"),
+        F.col("c_count").alias("k_id"),
+        null_long.alias("k_id2"),
+        null_str.alias("k_date"),
+        null_dbl.alias("price"),
+        null_dbl.alias("qty"),
+        "cnt",
+    )
+
+    # --- q18: having-subquery detail join ---------------------------------
+    l18 = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l18.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_s"))
+        .filter(F.col("_s") > 260)
+        .select("l_orderkey")
+    )
+    # Only the tiny big-order key set gets an explicit broadcast hint; the
+    # orders/customer sides are data-dependent — AQE picks their strategy.
+    o18 = read_table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c18 = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = l18.join(o18, l18["l_orderkey"] == o18["o_orderkey"]).join(
+        c18, o18["o_custkey"] == c18["c_custkey"]
+    )
+    q18 = joined.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.sum("l_quantity").alias("qty")).select(
+        F.lit("q18").alias("variant"),
+        F.col("c_name").alias("k_str"),
+        F.col("o_orderkey").alias("k_id"),
+        F.col("c_custkey").alias("k_id2"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("k_date"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+        "qty",
+        null_long.alias("cnt"),
+    )
+
+    return (
+        q4.select(*out_cols)
+        .unionByName(q13.select(*out_cols))
+        .unionByName(q18.select(*out_cols))
     )

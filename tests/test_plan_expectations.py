@@ -78,8 +78,8 @@ def test_q18_big_key_semi_join_broadcasts(spark, sf_dir):
 #: Queries whose physical plan legitimately contains a
 #: BroadcastNestedLoopJoin: each broadcasts a BOUNDED tiny side (the 20-row
 #: query batch in brute-force top-k / IVF cell scoring at similarity.py:92,
-#: 444 and queries_northstar2.py:202, the 1-row corpus count in TF-IDF at
-#: queries_northstar2.py:96, the quantile boundary row set in
+#: 444 and the IVF cell scoring in plans/queries_streaming.py, the 1-row
+#: corpus count in TF-IDF there too, the quantile boundary row set in
 #: quantile_bands), so the "nested loop" is a map-side constant join — the
 #: intended physical op, not a scale risk.
 _BNLJ_ALLOWED = {
