@@ -38,11 +38,27 @@ def left_enrich(
     on: str | Sequence[str],
     drop_from_other: Sequence[str] = (),
     broadcast_other: bool = True,
+    drop_overlap: bool = False,
 ) -> DataFrame:
     """J1/J2: left equi-join against an enrichment table, dropping the enrich
     side's denormalized duplicates first (provider-transform.py:84-88).
+
+    ``drop_overlap=True`` additionally drops every non-key enrich column
+    whose name (case-insensitive, Spark's resolution rule) already exists on
+    ``df`` — without it, any shared name beyond ``drop_from_other`` joins
+    into a duplicate-name frame whose first column reference raises
+    AMBIGUOUS_REFERENCE. The entity row's value wins, same rationale as the
+    denorm drop: the enrich side contributes NEW attributes only.
     """
     other = drop_columns_if_present(other, drop_from_other)
+    if drop_overlap:
+        keys = {on.lower()} if isinstance(on, str) else {k.lower() for k in on}
+        left_names = {c.lower() for c in df.columns}
+        overlap = [
+            c for c in other.columns
+            if c.lower() in left_names and c.lower() not in keys
+        ]
+        other = drop_columns_if_present(other, overlap)
     if broadcast_other:
         other = F.broadcast(other)
     return df.join(other, on=on, how="left")

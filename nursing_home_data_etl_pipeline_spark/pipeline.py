@@ -265,7 +265,7 @@ def run(
     its retries fails the whole run, Catch->FailAll style."""
     mapping = mapping or DEFAULT_FILE_TYPE_MAPPING
     policies = {**DEFAULT_STAGE_POLICIES, **(policies or {})}
-    zones.ensure()
+    zones.ensure(spark)
     log = RunLog(run_log_path or f"{zones.root}/run_log.jsonl")
     res = PipelineResult(run_id=uuid.uuid4().hex[:12])
 

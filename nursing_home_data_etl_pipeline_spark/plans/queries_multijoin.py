@@ -84,7 +84,10 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-style multijoin revenue, tagged union of two shapes. "
     "variant='q5' (TPC-H Q5): 5-table star join (region->nation->customer->"
     "orders->lineitem) with a region filter; every dimension side "
-    "broadcasts, the fact side never shuffles until the final aggregate. "
+    "broadcasts, and the broadcast reduction (region-filtered customers) "
+    "is applied to orders BEFORE the one unavoidable large-large shuffle, "
+    "so lineitem><orders exchanges a ~1/5-filtered, 2-column orders side "
+    "and a 3-column lineitem projection — not the full tables. "
     "variant='q14_*' (TPC-H Q14 shape): promo-vs-other revenue split over "
     "a date-filtered part><lineitem broadcast join — the numerator and "
     "denominator of Q14's promo ratio as separately-rounded rows (the "
@@ -101,8 +104,14 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("c_custkey", "n_name")
     )
-    joined = l.join(o, l["l_orderkey"] == o["o_orderkey"]).join(
+    # broadcast-reduce orders first: the lineitem shuffle is unavoidable
+    # (large-large equi-join), but its partner should be the ASIA-filtered
+    # 2-column orders projection, not all of orders pre-filter
+    o_asia = o.join(
         F.broadcast(dims), o["o_custkey"] == dims["c_custkey"]
+    ).select("o_orderkey", "n_name")
+    joined = l.select("l_orderkey", "l_extendedprice", "l_discount").join(
+        o_asia, l["l_orderkey"] == o_asia["o_orderkey"]
     )
     q5 = joined.groupBy(F.col("n_name").alias("nation")).agg(
         F.round(

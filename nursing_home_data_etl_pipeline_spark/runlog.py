@@ -3,17 +3,17 @@
 every ``SP_MERGE_DIM_*`` call at :254-266).
 
 Stored as JSON-lines next to the zone root: human-readable, append-only,
-and trivially loadable as a DataFrame for ops queries.
+and trivially loadable for ops queries (``spark.read.json(log.path)``).
+
+All writes go through :func:`pipeline.run_stage`, which owns the
+status/retry semantics; this module is just the durable record.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import time
 from dataclasses import asdict, dataclass, field
-
-from pyspark.sql import DataFrame, SparkSession
 
 
 @dataclass
@@ -34,31 +34,3 @@ class RunLog:
     def append(self, entry: RunLogEntry) -> None:
         with open(self.path, "a") as f:
             f.write(json.dumps(asdict(entry)) + "\n")
-
-    def step(self, run_id: str, step: str):
-        """Context manager: times the step and records SUCCESS/FAILURE."""
-        log = self
-
-        class _Ctx:
-            def __enter__(self):
-                self.t0 = time.time()
-                self.detail: dict = {}
-                return self
-
-            def __exit__(self, exc_type, exc, tb):
-                log.append(
-                    RunLogEntry(
-                        run_id,
-                        step,
-                        "FAILURE" if exc else "SUCCESS",
-                        self.t0,
-                        time.time(),
-                        {**self.detail, **({"error": repr(exc)} if exc else {})},
-                    )
-                )
-                return False  # propagate
-
-        return _Ctx()
-
-    def as_dataframe(self, spark: SparkSession) -> DataFrame:
-        return spark.read.json(self.path)

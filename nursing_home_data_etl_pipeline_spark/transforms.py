@@ -116,7 +116,7 @@ def universal_cleaning(
     in-flight frame to the error zone and re-raise.
     """
     staged = []
-    for domain in domains or zones.list_domains("source"):
+    for domain in domains or zones.list_domains("source", spark):
         df = None
         try:
             df = read_csv_untyped(spark, zones.source(domain))
@@ -124,7 +124,18 @@ def universal_cleaning(
                 continue
             # Per-file recency from the scan's _metadata pseudo-column (the
             # landing file's mtime IS its sync time); added pre-clean so a
-            # source header that would normalize onto it collides loudly.
+            # source header that would normalize onto it collides loudly in
+            # clean_table. An EXACT (case-insensitive) 'synced_at' header
+            # would instead be silently replaced by withColumn, so that one
+            # is refused here.
+            clash = [c for c in df.columns if c.lower() == RECENCY_COL]
+            if clash:
+                raise ValueError(
+                    f"source domain {domain!r} carries a column {clash} that "
+                    f"collides with the engine's recency stamp {RECENCY_COL!r}; "
+                    "rename it upstream (a write_csv round-trip re-landing its "
+                    "own stamp must not silently lose the source values)"
+                )
             df = df.withColumn(
                 RECENCY_COL, F.col("_metadata.file_modification_time")
             )
@@ -174,6 +185,7 @@ def provider_transform(spark: SparkSession, zones: ZoneLayout) -> dict[str, str]
             read_parquet(spark, survey_path),
             on=PK,
             drop_from_other=(*DEFAULT_DENORM_COLS, RECENCY_COL),
+            drop_overlap=True,
         )
     outputs["surveys"] = surveys
 
@@ -187,19 +199,26 @@ def provider_transform(spark: SparkSession, zones: ZoneLayout) -> dict[str, str]
             read_parquet(spark, penalties_path),
             on=PK,
             drop_from_other=(*DEFAULT_DENORM_COLS, RECENCY_COL),
+            drop_overlap=True,
         )
     outputs["penalties"] = penalties_dim
 
     written: dict[str, str] = {}
-    for name, df in outputs.items():
-        path = zones.transform(name)
-        try:
-            write_parquet(with_etl_metadata(df, order_by=[PK]), path)
-        except Exception as exc:
-            write_error(df, zones.error(f"transform_{name}"), f"provider:{name}", exc)
-            raise
-        written[name] = path
-    provider.unpersist()
+    try:
+        for name, df in outputs.items():
+            path = zones.transform(name)
+            try:
+                write_parquet(with_etl_metadata(df, order_by=[PK]), path)
+            except Exception as exc:
+                write_error(
+                    df, zones.error(f"transform_{name}"), f"provider:{name}", exc
+                )
+                raise
+            written[name] = path
+    finally:
+        # also on failure: a leaked cache would pin executor storage memory
+        # across this stage's retries and every later stage in the session
+        provider.unpersist()
     return written
 
 

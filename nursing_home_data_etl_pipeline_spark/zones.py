@@ -15,6 +15,8 @@ import os
 from dataclasses import dataclass, field
 from pathlib import Path
 
+from pyspark.sql import SparkSession
+
 #: The reference's five buckets plus a ``warehouse`` zone — the engine
 #: replaces the out-of-Spark Snowflake star schema (reference README.md
 #: :183-282) with merged Parquet dims, so the warehouse becomes a sixth
@@ -53,20 +55,42 @@ class ZoneLayout:
     def warehouse(self, domain: str | None = None) -> str:
         return self.path("warehouse", domain)
 
-    def list_domains(self, zone: str) -> list[str]:
+    def list_domains(self, zone: str, spark: SparkSession | None = None) -> list[str]:
         """Enumerate immediate child domains of a zone.
 
         Catalog discovery — the engine analog of the reference's
         ``list_objects_v2(Delimiter='/')`` prefix walk
         (``nh-etl-universal-cleaning.py:58-63``, ``move_sources_files.py:16-17``).
-        Local-filesystem implementation; an object-store deployment swaps in a
-        listing client behind the same signature.
+        Goes through the Hadoop FileSystem API (``spark`` argument, or the
+        active session) so an ``s3a://``/``hdfs://`` root lists the real
+        zone, not a driver-local phantom path; only with no JVM at all does
+        it fall back to the local filesystem.
         """
-        base = Path(self.path(zone))
-        if not base.exists():
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            base = Path(self.path(zone))
+            if not base.exists():
+                return []
+            return sorted(p.name for p in base.iterdir() if p.is_dir())
+        jvm = spark._jvm
+        base = jvm.org.apache.hadoop.fs.Path(self.path(zone))
+        fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(base):
             return []
-        return sorted(p.name for p in base.iterdir() if p.is_dir())
+        return sorted(
+            s.getPath().getName() for s in fs.listStatus(base) if s.isDirectory()
+        )
 
-    def ensure(self) -> None:
+    def ensure(self, spark: SparkSession | None = None) -> None:
+        """Create every zone directory — through the Hadoop FS API when a
+        session is available (same scheme rule as :meth:`list_domains`)."""
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            for z in self.zones:
+                os.makedirs(self.path(z), exist_ok=True)
+            return
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
         for z in self.zones:
-            os.makedirs(self.path(z), exist_ok=True)
+            p = jvm.org.apache.hadoop.fs.Path(self.path(z))
+            p.getFileSystem(conf).mkdirs(p)

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import datetime
 import os
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -304,3 +305,17 @@ def test_avro_raises_clearly_when_absent(spark, tmp_path):
         assert "spark-avro" in str(ex)
     else:  # classpath does provide avro: the write must have produced data
         assert spark.read.format("avro").load(str(tmp_path / "avro")).count() == 3
+
+
+def test_zone_layout_hadoop_fs_parity(spark, tmp_path):
+    """list_domains/ensure go through the Hadoop FS API whenever a session
+    exists (an s3a:// root must list the real zone, not a driver-local
+    phantom path); on a local root the two implementations must agree."""
+    z = ZoneLayout(str(tmp_path))
+    z.ensure(spark)
+    for zone in z.zones:
+        assert os.path.isdir(z.path(zone))
+    os.makedirs(z.source("d1"))
+    (Path(z.path("source")) / "not_a_dir.csv").write_text("a\n")
+    assert z.list_domains("source", spark) == ["d1"]  # files excluded
+    assert z.list_domains("source") == ["d1"]         # active-session path

@@ -783,3 +783,48 @@ def test_pipeline_staging_and_dims_carry_recency(spark, landing, tmp_path):
         assert cols.count(RECENCY_COL) == 1, (dim, cols)
     fac = spark.read.parquet(zones.warehouse("dim_facility"))
     assert fac.filter(f"{RECENCY_COL} IS NULL").count() == 0
+
+
+def test_enrich_overlapping_noncolumn_key_does_not_crash(spark, tmp_path):
+    """A survey drop sharing a non-denorm column name with provider staging
+    (real CMS files carry e.g. 'Rating Cycle 1 Revisit Score' in BOTH) must
+    enrich cleanly — entity row wins — not build a duplicate-name frame that
+    dies with AMBIGUOUS_REFERENCE at the first column reference."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "NH_ProviderInfo_Jun2025.csv").write_text(PROVIDER_CSV)
+    (d / "NH_QualityMsr_MDS_Jun2025.csv").write_text(QUALITY_CSV)
+    (d / "NH_Penalties_Jun2025.csv").write_text(PENALTIES_CSV)
+    (d / "NH_SurveySummary_Jun2025.csv").write_text(
+        "CMS Certification Number (CCN),Provider Name,Survey Date,"
+        "Rating Cycle 1 Revisit Score\n"
+        "015009,Sunny Acres,2024-05-01,99\n"
+    )
+    zones = ZoneLayout(str(tmp_path / "zones"))
+    res = pipeline.run(spark, zones, landing_dir=str(d))
+    assert "surveys" in res.transformed
+    surveys = spark.read.parquet(zones.warehouse("dim_surveys"))
+    assert surveys.columns.count("rating_cycle_1_revisit_score") == 1
+    row = {r.facility_number: r for r in surveys.collect()}["015009"]
+    # provider staging's value (10), not the enrich side's (99)
+    assert row.rating_cycle_1_revisit_score == "10"
+    assert row.survey_date == "2024-05-01"  # new attributes still joined
+
+
+def test_source_synced_at_header_refused_loudly(spark, tmp_path):
+    """A re-landed write_csv export carries the engine's own recency stamp
+    as a source header; silently replacing it with the file mtime would be
+    invisible data loss, so universal_cleaning refuses (exact and case-
+    variant names — the normalization-collision guard only catches variants
+    like 'Synced At' that normalize onto the name inside clean_table)."""
+    from nursing_home_data_etl_pipeline_spark import transforms
+
+    zones = ZoneLayout(str(tmp_path / "zones"))
+    zones.ensure()
+    src = tmp_path / "zones" / "source" / "provider_info"
+    src.mkdir(parents=True)
+    (src / "a.csv").write_text(
+        "CMS Certification Number (CCN),Provider Name,Synced_At\n015009,Sunny,x\n"
+    )
+    with pytest.raises(ValueError, match="synced_at"):
+        transforms.universal_cleaning(spark, zones)

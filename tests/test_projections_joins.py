@@ -257,3 +257,22 @@ def test_merge_scd2_null_key_and_null_is_current(spark):
 
     with pytest.raises(ValueError, match="missing tracked attribute"):
         merge_scd2(target, spark.createDataFrame([(2,)], "pk int"), ["pk"], "2022-06-01")
+
+
+def test_left_enrich_drop_overlap(spark):
+    """drop_overlap: non-key enrich columns whose names already exist on the
+    entity side (case-insensitively, Spark's resolution rule) are dropped so
+    the join can't produce an AMBIGUOUS_REFERENCE duplicate-name frame; the
+    entity row's value wins and genuinely new columns still join."""
+    left = spark.createDataFrame(
+        [("F1", 10), ("F2", 20)], ["facility_number", "revisit_score"]
+    )
+    right = spark.createDataFrame(
+        [("F1", 99, "2024-05-01")],
+        ["facility_number", "Revisit_Score", "survey_date"],
+    )
+    out = left_enrich(left, right, on="facility_number", drop_overlap=True)
+    assert out.columns == ["facility_number", "revisit_score", "survey_date"]
+    rows = {r.facility_number: r for r in out.collect()}
+    assert rows["F1"].revisit_score == 10 and rows["F1"].survey_date == "2024-05-01"
+    assert rows["F2"].survey_date is None

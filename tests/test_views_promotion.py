@@ -48,3 +48,30 @@ def test_promote_types_preserves_leading_zero_ids(spark):
     assert types["rating"] == "string"  # "03" blocks too
     df2 = spark.createDataFrame([("15009",), ("123456",)], ["ccn"])
     assert promote_types(df2).schema["ccn"].dataType.simpleString() == "bigint"
+
+
+def test_register_warehouse_views_heals_crashed_swap(spark, tmp_path):
+    """A replace_dir swap that crashed between its two renames leaves
+    dim__old as the only full copy; registration must recover the real dim
+    and never expose __old/__staging leftovers as queryable views."""
+    import os
+
+    from nursing_home_data_etl_pipeline_spark.plans.views import (
+        register_warehouse_views,
+    )
+    from nursing_home_data_etl_pipeline_spark.zones import ZoneLayout
+
+    zones = ZoneLayout(str(tmp_path))
+    zones.ensure()
+    spark.createDataFrame([("f1", 5)], "facility_number string, rating int")\
+        .write.parquet(zones.warehouse("dim_rating_t"))
+    # crash between the renames: target gone, __old is the only copy
+    os.rename(zones.warehouse("dim_rating_t"), zones.warehouse("dim_rating_t__old"))
+    # partial write leftover from an interrupted staging
+    os.makedirs(zones.warehouse("dim_junk__staging"))
+
+    registered = register_warehouse_views(spark, zones)
+    assert registered == ["dim_rating_t"]
+    assert spark.sql("SELECT rating FROM dim_rating_t").collect()[0].rating == 5
+    assert os.path.isdir(zones.warehouse("dim_rating_t"))       # healed on disk
+    assert not os.path.isdir(zones.warehouse("dim_rating_t__old"))
