@@ -139,3 +139,25 @@ def test_bloom_probe_chain_has_no_probed_side_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning" not in full, full.split("\n\n")[0]
     tree = full.split("\n\n")[0]
     assert tree.count("BroadcastHashJoin") == k
+
+
+def test_q5_scans_are_column_pruned(spark, sf_dir):
+    """regional_revenue_q5: the one unavoidable large-large join must
+    exchange projections, not tables — the q5 branch's lineitem scan reads
+    exactly its 3 needed columns and orders exactly its 2 join keys (the
+    pre-reorder shape joined full lineitem x full orders before the
+    broadcast reduction ever applied)."""
+    from nursing_home_data_etl_pipeline_spark.plans import catalog
+
+    df = catalog.entries()["regional_revenue_q5"].spark(spark, sf_dir)
+    jvm = spark._jvm
+    full = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    schemas = [
+        line.split("ReadSchema:")[1].strip()
+        for line in full.splitlines()
+        if "ReadSchema" in line
+    ]
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in schemas
+    assert "struct<o_orderkey:bigint,o_custkey:bigint>" in schemas
