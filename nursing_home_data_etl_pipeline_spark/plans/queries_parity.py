@@ -40,7 +40,7 @@ _DIRTY_CUSTOMER_HEADERS = [
     SELECT CAST(c_custkey AS VARCHAR)    AS facility_number,
            c_name                        AS facility_name,
            CAST(c_nationkey AS VARCHAR)  AS nation_key,
-           CAST(c_acctbal AS VARCHAR)    AS account_balance,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS account_balance,
            c_mktsegment                  AS market_segment_code,
            ROW_NUMBER() OVER (ORDER BY CAST(c_custkey AS VARCHAR) NULLS FIRST) AS row_id,
            CURRENT_DATE                  AS etl_date
@@ -55,6 +55,12 @@ _DIRTY_CUSTOMER_HEADERS = [
 )
 def cms_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = read_table(spark, sf_dir, "customer").toDF(*_DIRTY_CUSTOMER_HEADERS)
+    # money renders via DECIMAL on both engines: Spark's double->string
+    # switches to scientific notation at 1e7 where DuckDB never does
+    # (skew-axis finding, round 7)
+    raw = raw.withColumn(
+        "Account.Balance", F.col("`Account.Balance`").cast("decimal(18,2)")
+    )
     raw = cast_all_to_string(raw)
     # Pad one column with whitespace so trim provably does work.
     raw = raw.withColumn(
@@ -342,11 +348,11 @@ _DIRTY_PENALTY_HEADERS = [
     )
     SELECT ccn                                       AS facility_number,
            mcode                                     AS measure_code,
-           CAST(q1 AS VARCHAR)                       AS q1_measure_score,
-           CAST(q2 AS VARCHAR)                       AS q2_measure_score,
-           CAST(q3 AS VARCHAR)                       AS q3_measure_score,
-           CAST(q4 AS VARCHAR)                       AS q4_measure_score,
-           CAST(ROUND((q1 + q2 + q3 + q4) / 4, 6) AS VARCHAR)
+           CAST(CAST(q1 AS DECIMAL(18,2)) AS VARCHAR) AS q1_measure_score,
+           CAST(CAST(q2 AS DECIMAL(18,2)) AS VARCHAR) AS q2_measure_score,
+           CAST(CAST(q3 AS DECIMAL(18,2)) AS VARCHAR) AS q3_measure_score,
+           CAST(CAST(q4 AS DECIMAL(18,2)) AS VARCHAR) AS q4_measure_score,
+           CAST(CAST(ROUND((q1 + q2 + q3 + q4) / 4, 6) AS DECIMAL(28,6)) AS VARCHAR)
                                                      AS four_quarter_average_score,
            ROW_NUMBER() OVER (ORDER BY ccn NULLS FIRST, mcode NULLS FIRST)   AS row_id,
            CURRENT_DATE                              AS etl_date
@@ -375,9 +381,15 @@ def cms_quality_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity"), 2))
     )
     qs = [F.col(str(i)) for i in (1, 2, 3, 4)]
+    # the avg is computed in DOUBLE on both engines (decimal arithmetic
+    # precision/scale inference differs between them), then each display
+    # column renders via DECIMAL so a score >= 1e7 can't flip Spark's
+    # double->string into scientific notation (skew-axis finding, round 7)
     staged = wide.select(
-        "ccn", "mcode", *qs,
-        F.round((qs[0] + qs[1] + qs[2] + qs[3]) / 4, 6).alias("avg4"),
+        "ccn", "mcode",
+        *[q.cast("decimal(18,2)") for q in qs],
+        F.round((qs[0] + qs[1] + qs[2] + qs[3]) / 4, 6)
+        .cast("decimal(28,6)").alias("avg4"),
     ).toDF(*_DIRTY_QUALITY_HEADERS)
     cleaned = clean_table(cast_all_to_string(staged))
     out = select_columns(cleaned, QUALITY_COLUMNS, strict=False)
@@ -390,7 +402,8 @@ def cms_quality_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
       SELECT CAST(o_custkey AS VARCHAR) AS ccn,
              COUNT(*) FILTER (WHERE o_orderstatus = 'F')                    AS n_fines,
-             ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS fine_total,
+             CAST(ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+                  AS DECIMAL(18,2))                                          AS fine_total,
              COUNT(*) FILTER (WHERE o_orderstatus = 'P')                    AS n_denials
       FROM orders GROUP BY 1
     )
@@ -415,9 +428,13 @@ def cms_penalty_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     rolled = o.groupBy(F.col("o_custkey").cast("string").alias("ccn")).agg(
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_fines"),
+        # decimal, not double, under the downstream all-string cast: Spark
+        # renders a double >= 1e7 as '6.18E8' where DuckDB keeps decimal
+        # notation (skew-axis finding, round 7); decimal(18,2) strings
+        # identically on both engines and is lossless after ROUND(..., 2)
         F.round(
             F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
-        ).alias("fine_total"),
+        ).cast("decimal(18,2)").alias("fine_total"),
         F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_denials"),
     )
     staged = rolled.select(

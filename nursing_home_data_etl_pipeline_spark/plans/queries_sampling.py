@@ -125,13 +125,21 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.c_custkey < 200
     )
     SELECT id_a, id_b,
-           levenshtein(name_a, name_b) AS edit_distance,
-           levenshtein(name_a, name_b) <= 2 AS near_name
+           levenshtein(regexp_replace(name_a, '[^ -~]', '?', 'g'),
+                       regexp_replace(name_b, '[^ -~]', '?', 'g')) AS edit_distance,
+           levenshtein(regexp_replace(name_a, '[^ -~]', '?', 'g'),
+                       regexp_replace(name_b, '[^ -~]', '?', 'g')) <= 2 AS near_name
     FROM pairs
     """,
     doc="String similarity (Levenshtein edit distance) over candidate "
     "pairs — the entity-resolution primitive for name/address matching; "
-    "JVM builtin, applied post-blocking (never all-pairs).",
+    "JVM builtin, applied post-blocking (never all-pairs). Contract: the "
+    "distance runs over the ASCII projection (every non-ASCII code point "
+    "folds to '?') — Spark's levenshtein counts code points while "
+    "DuckDB's counts BYTES, so unprojected unicode names diverge (adv "
+    "phase 5); the fold makes bytes == code points on both engines, at "
+    "the documented cost that two different non-ASCII chars at the same "
+    "position compare equal.",
 )
 def string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
@@ -142,7 +150,10 @@ def string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b")
     )
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    # ASCII projection before the distance — see the oracle contract note
+    # (Spark counts code points, DuckDB counts bytes)
+    fold = lambda c: F.regexp_replace(c, "[^ -~]", "?")  # noqa: E731
+    dist = F.levenshtein(fold(F.col("name_a")), fold(F.col("name_b")))
     return pairs.select(
         "id_a", "id_b",
         dist.alias("edit_distance"),

@@ -23,8 +23,11 @@ BASELINE.md round 6): EMPTY fixture (every table sliced to 0 rows —
 tests/test_adversarial_fixture.py builds it in-suite), SINGLE-ROW
 fixture (slice(0, 1)), ALL-DUPLICATES corpus (identical text/vector in
 every row — drives the quadratic pair paths and the >100k-edge
-distributed connected-components branch), and partition-count
-sensitivity (SPARK_GRAFT_CPUS=3 vs the default).
+distributed connected-components branch), SKEW fixture (half of events
+on one user, half of orders on one customer — hot window partitions,
+hot groups, a skewed join side; found the double->string scientific-
+notation divergence), and partition-count sensitivity
+(SPARK_GRAFT_CPUS=3 vs the default).
 
 Floats in appended rows are exactly-representable values away from the
 6-decimal rounding boundary, so an engine-order difference in summation
@@ -164,6 +167,11 @@ def build(src: str, dest: str) -> dict[str, int]:
         # NULL priority on a key the scalar query's % 50 filter keeps:
         # concat-vs-concat_ws NULL handling reaches the output
         {"o_orderkey": ((obase // 50) + 2) * 50, "o_custkey": 3, "o_orderstatus": "O", "o_totalprice": 55.25, "o_orderdate": odate, "o_orderpriority": None},
+        # phase 5 (skew-axis finding): a fine total >= 1e7 — Spark casts
+        # such a double to '6.18E8'-style scientific notation where DuckDB
+        # keeps decimal digits; the penalty transform must stringify via
+        # DECIMAL so both engines agree
+        {"o_orderkey": obase + 7, "o_custkey": 4, "o_orderstatus": "F", "o_totalprice": 987654321.25, "o_orderdate": odate, "o_orderpriority": "3-MEDIUM"},
     ]
     pq.write_table(_append(orders, order_rows), f"{dest}/orders.parquet")
     added["orders"] = len(order_rows)
@@ -175,6 +183,9 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"l_orderkey": obase + 1, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1, "l_quantity": None, "l_extendedprice": 10.25, "l_discount": None, "l_tax": None, "l_returnflag": None, "l_linestatus": None, "l_shipdate": None},
         {"l_orderkey": 999999901, "l_partkey": None, "l_suppkey": None, "l_linenumber": 1, "l_quantity": -5.0, "l_extendedprice": 0.0, "l_discount": 0.5, "l_tax": 0.0, "l_returnflag": "R", "l_linestatus": "F", "l_shipdate": sdate},  # orphan order
         {"l_orderkey": obase + 3, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 2, "l_quantity": 1.0, "l_extendedprice": 1.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "", "l_linestatus": "", "l_shipdate": EPOCH},
+        # phase 5: a quarterly quantity sum >= 1e7 (exactly-representable)
+        # — the quality transform's score strings must render via DECIMAL
+        {"l_orderkey": obase + 3, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 3, "l_quantity": 25000000.0, "l_extendedprice": 2.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "A", "l_linestatus": "F", "l_shipdate": sdate},
     ]
     pq.write_table(_append(li, li_rows), f"{dest}/lineitem.parquet")
     added["lineitem"] = len(li_rows)
@@ -185,6 +196,9 @@ def build(src: str, dest: str) -> dict[str, int]:
     cust_rows = [
         {"c_custkey": cbase + 1, "c_name": None, "c_nationkey": None, "c_acctbal": None, "c_mktsegment": None},
         {"c_custkey": cbase + 2, "c_name": "Ünïcode Çustomer 顧客", "c_nationkey": 999, "c_acctbal": -10.5, "c_mktsegment": ""},  # orphan nation
+        # phase 5: balance >= 1e7 — double->string scientific-notation
+        # divergence unless the clean-project renders via DECIMAL
+        {"c_custkey": cbase + 3, "c_name": "Big Balance", "c_nationkey": 0, "c_acctbal": 98765432.25, "c_mktsegment": "MACHINERY"},
     ]
     pq.write_table(_append(cust, cust_rows), f"{dest}/customer.parquet")
     added["customer"] = len(cust_rows)
