@@ -9,6 +9,14 @@ worker serde.
 The reference pipeline has no row-level text functions (SURVEY.md §2.6 —
 its string work is driver-side column-NAME normalization), so this module is
 pure capability-gap surface for the north star.
+
+Case-folding contract: ``lower()`` here is Java's full Unicode folding,
+which differs from DuckDB's utf8proc on a handful of special-cased code
+points (Java lower('İ') = 'i' + combining dot U+0307, DuckDB = 'i'; Java
+upper('ß') = 'SS', DuckDB = 'ẞ'). A SQL oracle cannot mirror Java's
+tables, so those code points (İ U+0130, ß/ẞ, ſ U+017F, the Dž-class
+digraphs) are excluded from oracle-gated fixtures BY POLICY — the engine's
+behavior on them is Java's, which is the behavior Spark users get.
 """
 
 from __future__ import annotations

@@ -170,7 +170,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact",
     oracle=f"""
     WITH corpus AS (
-      SELECT doc_id, text FROM documents
+      -- NULL-id rows are excluded by contract: a row without an identity
+      -- has no min-id survivor (Spark's min_by SKIPS NULL ordering keys,
+      -- emitting a NULL survivor struct where a GROUP BY oracle would
+      -- emit the fingerprint), and exact_dedup's NULL-text sentinel
+      -- requires a non-null id
+      SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
       UNION ALL
       SELECT doc_id + 1000000, text || '  ' FROM documents WHERE doc_id % 10 = 0
     )
@@ -187,10 +192,16 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact dedup via content-fingerprint hash aggregation (min-id "
     "survivor). Duplicates are synthesized (10% of docs re-appear with "
-    "trailing whitespace + shifted ids) to prove normalization + collapse.",
+    "trailing whitespace + shifted ids) to prove normalization + collapse. "
+    "Contract: NULL-id rows are excluded on both sides — no identity, no "
+    "survivor (see the oracle's corpus CTE note).",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
     dups = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit("  ")).alias("text"),
@@ -435,6 +446,12 @@ _TOP_K = 10
 #: it while a long-form SQL join would silently compute a partial dot.
 _DIM_CONTRACT = 64
 
+#: PRECONDITION of every query built on this CTE: ``vec_id`` is unique.
+#: The long-form oracle GROUPs BY vec_id, so two physical rows sharing an
+#: id would conflate into one 2x-dim group (silently excluded by the
+#: COUNT(x) = dim guard) while the engine scores each row independently.
+#: Like a PK, uniqueness is the table's contract, not data-dependent
+#: behavior — resolve duplicates upstream (latest_per_key) before ANN.
 _DUCK_COSINE_BASE = f"""
     ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import duck_words_sql, words
 from ..functions.vectors import cosine_rounded_prenorm
 from ..functions.vectors import norm as vec_norm
 from ..operators.components import dup_clusters
@@ -25,7 +26,7 @@ def _clusters_oracle() -> str:
       SELECT id_b, id_a FROM mh_pairs
     ),
     reach(v, l) AS (
-      SELECT doc_id, doc_id FROM documents
+      SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
       UNION
       SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
     ),
@@ -42,10 +43,16 @@ def _clusters_oracle() -> str:
     doc="Near-dup CLUSTERS from MinHash-LSH pairs via distributed connected "
     "components (min-label propagation, converges in diameter rounds; "
     "each round is two hash joins). The keep-one dedup is then "
-    "doc_id == cluster_id. Oracle: DuckDB recursive-CTE reachability.",
+    "doc_id == cluster_id. Oracle: DuckDB recursive-CTE reachability. "
+    "Contract: a NULL doc_id cannot be clustered (no identity to propagate "
+    "or join on — the oracle's equi-joins would drop it while the engine "
+    "emitted a degenerate NULL singleton), so NULL-id rows are excluded on "
+    "both sides.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     pairs = minhash_dedup_pairs(docs)
     return dup_clusters(docs, pairs)
 
@@ -56,9 +63,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tfidf_terms",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
+      SELECT doc_id, unnest({duck_words_sql('lower(text)')}) AS term
       FROM documents
     ),
     tf AS (
@@ -76,14 +83,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tf JOIN df USING (term) CROSS JOIN n_docs
     """,
     doc="TF-IDF term weighting: term frequency per doc x smoothed inverse "
-    "document frequency — explode + two hash aggregations + one broadcast "
-    "join on the (vocabulary-sized) df table; no Python.",
+    "document frequency — explode + two hash aggregations + an equi-join "
+    "on the df table (vocabulary-sized, so it grows with the corpus: AQE "
+    "decides broadcast-vs-shuffle from its measured size rather than a "
+    "pinned hint that would OOM at a billion-term vocabulary); no Python. "
+    "Tokenization is the shared blank-safe words()/duck_words_sql pair, so "
+    "whitespace-only documents contribute no phantom '' terms.",
 )
 def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+        F.explode(words(F.lower(F.col("text")))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
     tf = tf.withColumn("doc_len", F.sum("n").over(Window.partitionBy("doc_id")))
@@ -92,7 +103,7 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .count(): the whole query stays one lazy plan, no extra job.
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -121,23 +132,30 @@ _N_PROBE = 2  # query probes its 2 nearest cells — the IVF recall/cost knob
 #: automatically instead of via a hand-kept copy.
 from .queries_northstar import _DIM_CONTRACT  # noqa: E402
 from .queries_northstar import _DUCK_COSINE_BASE as _DUCK_EX  # noqa: E402
-import uuid
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
-from ..streaming.aggregations import (
+import uuid  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+from ..streaming.aggregations import (  # noqa: E402
     running_totals_stateful,
     session_counts,
     windowed_counts,
 )
-from ..functions.text import duck_words_sql, words
-from ..operators.dedup import hex_to_bigint_sql
-from ..operators.packing import pack_sequences
+from ..operators.dedup import hex_to_bigint_sql  # noqa: E402
+from ..operators.packing import pack_sequences  # noqa: E402
 
 
 def _ivf_oracle() -> str:
     return f"""
     WITH {_DUCK_EX},
-    cents AS (SELECT vec_id AS cent_id, i, x FROM ex WHERE vec_id < {_N_CELLS}),
+    cents AS (
+      -- seed slots restricted to VALID vectors (norms = full-dim, all
+      -- elements non-NULL, nonzero norm): a NULL-element seed would NULL
+      -- the engine's whole-fold d2 against every vector (min_by sorts the
+      -- NULL struct first -> the entire corpus collapses into the broken
+      -- cell) while this SUM would skip the NULL addend and rank by a
+      -- partial distance
+      SELECT vec_id AS cent_id, i, x FROM ex
+      WHERE vec_id < {_N_CELLS} AND vec_id IN (SELECT vec_id FROM norms)
+    ),
     assign AS (
       SELECT e.vec_id, c.cent_id,
              SUM((e.x - c.x) * (e.x - c.x)) AS d2
@@ -200,8 +218,15 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").filter(
         F.size("embedding") == _DIM_CONTRACT
     )
+    # Seed slots must be VALID vectors (all elements non-NULL, nonzero
+    # norm — vec_norm is NULL on a NULL element, failing > 0): one broken
+    # seed would otherwise NULL every d2 and collapse the whole corpus
+    # into its cell (and the oracle, whose SUM skips NULL addends, would
+    # assign by partial distances instead). Mirrors the cents CTE.
     cents = (
-        emb.filter(F.col("vec_id") < _N_CELLS)
+        emb.filter(
+            (F.col("vec_id") < _N_CELLS) & (vec_norm(F.col("embedding")) > 0)
+        )
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
     )
     # L2 distance via zip_with fold; min_by with deterministic tiebreak.
@@ -434,11 +459,13 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_start
       FROM events
-      -- event-time contract: NULL-ts rows belong to no session window, and
-      -- PRE-EPOCH rows fall to Spark's initial watermark(0) late filter
-      -- (event time < 0 is "late" in the very first microbatch) — the same
-      -- boundary documented on the streaming dedup drain
-      WHERE ts IS NOT NULL AND epoch_ns(ts) >= 0
+      -- event-time contract: NULL-ts rows belong to no session window.
+      -- Spark's initial watermark(0) late filter tests each event's OWN
+      -- session window END (ts + gap) against 0: an event at exactly
+      -- -gap (end == 0) is dropped, an event one second later is kept
+      -- and may merge into a post-epoch session (probed empirically,
+      -- round 7) — so the filter is ts + gap > 0, NOT ts >= 0
+      WHERE ts IS NOT NULL AND epoch_ns(ts) + 1800000000000::BIGINT > 0
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, us,
@@ -589,6 +616,11 @@ _WINDOW = "INTERVAL 1 HOUR"
       ON c.user_id = p.user_id
      AND c.event_type = 'click' AND p.event_type = 'purchase'
      AND p.ts >= c.ts AND p.ts < c.ts + {_WINDOW}
+    -- event-time contract on BOTH join inputs, same boundary as the dedup
+    -- branch below: each side's watermark(0) late filter drops rows with
+    -- event time <= epoch 0 in the first microbatch (probed empirically,
+    -- round 7 — a pre-epoch click never pairs with a post-epoch purchase)
+    WHERE epoch_ns(c.ts) > 0 AND epoch_ns(p.ts) > 0
     UNION ALL
     SELECT 'dedup', event_id, user_id, CAST(NULL AS DOUBLE), event_type
     FROM events
@@ -719,7 +751,10 @@ _NULL_COLS_SQL = (
            c.c_custkey,
            strftime(o.o_orderdate, '%Y-%m-%d'),
            ROUND(o.o_totalprice, 2),
-           SUM(l.l_quantity),
+           -- qty rounded like price: a raw double SUM is summation-order
+           -- sensitive (Spark partial-merge vs DuckDB scan order) past the
+           -- verifier's 6-decimal canon under catastrophic cancellation
+           ROUND(SUM(l.l_quantity), 2),
            CAST(NULL AS BIGINT)
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -816,7 +851,7 @@ def tpch_shapes_q4_q13_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q18 = joined.groupBy(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
-    ).agg(F.sum("l_quantity").alias("qty")).select(
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("qty")).select(
         F.lit("q18").alias("variant"),
         F.col("c_name").alias("k_str"),
         F.col("o_orderkey").alias("k_id"),

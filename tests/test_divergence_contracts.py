@@ -1,0 +1,159 @@
+"""Regression gates for the round-7 confirmed engine/oracle divergences:
+each test mutates ONE table of the smoke fixture into the exact input class
+that used to diverge (reviewer-confirmed by execution) and re-runs the
+oracle comparison for the affected query only, so the blast radius of the
+crafted input stays local to the pinned contract.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from conftest import SF_SMOKE  # noqa: E402
+
+from nursing_home_data_etl_pipeline_spark.plans import catalog  # noqa: E402
+from nursing_home_data_etl_pipeline_spark.plans.verify import (  # noqa: E402
+    compare_query,
+    duckdb_connection,
+)
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _derive(tmp_path, mutate_table: str, mutate):
+    """Copy the smoke fixture, applying ``mutate`` to one table."""
+    dest = str(tmp_path / "fix")
+    os.makedirs(dest)
+    for t in _TABLES:
+        src = f"{SF_SMOKE}/{t}.parquet"
+        if t == mutate_table:
+            pq.write_table(mutate(pq.read_table(src)), f"{dest}/{t}.parquet")
+        else:
+            shutil.copy(src, f"{dest}/{t}.parquet")
+    return dest
+
+
+def _check(spark, sf_dir, name):
+    con = duckdb_connection(sf_dir)
+    entry = catalog.entries()[name]
+    problems = compare_query(spark, con, entry.spark, entry.oracle, sf_dir)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_ivf_null_element_centroid_seed(spark, tmp_path):
+    """A NULL element inside a SEED vector (vec_id < 8, correct length)
+    previously NULLed the engine's whole-fold d2 against every vector —
+    min_by sorted the NULL struct first and the entire corpus collapsed
+    into the broken cell — while the oracle's NULL-skipping SUM assigned
+    cells by partial distance. Contract: seed slots are valid vectors."""
+
+    def poison_seed(tbl):
+        idx = tbl.column("vec_id").to_pylist().index(2)
+        emb = tbl.column("embedding").to_pylist()
+        emb[idx] = [None if i == 5 else v for i, v in enumerate(emb[idx])]
+        return tbl.set_column(
+            tbl.schema.get_field_index("embedding"),
+            "embedding",
+            pa.array(emb, tbl.schema.field("embedding").type),
+        )
+
+    d = _derive(tmp_path, "embeddings", poison_seed)
+    _check(spark, d, "similarity_ann_ivf")
+
+
+def test_dedup_null_doc_id_excluded_both_sides(spark, tmp_path):
+    """A NULL doc_id row previously made Spark's min_by emit a NULL
+    survivor (min_by skips NULL ordering keys) while the oracle emitted
+    the md5 fingerprint, and dedup_clusters' oracle USING join dropped the
+    row the engine kept as a NULL singleton. Contract: no id, no row."""
+
+    def add_null_id(tbl):
+        row = {name: None for name in tbl.schema.names}
+        row.update({"text": "an orphan document with no identity",
+                    "lang": "en", "n_chars": 35})
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist([row], schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "documents", add_null_id)
+    _check(spark, d, "dedup_exact")
+    _check(spark, d, "dedup_clusters")
+
+
+@pytest.fixture()
+def epoch_events_dir(spark, tmp_path):
+    """Events straddling the epoch: a pre-epoch click/purchase pair, a
+    click at exactly epoch 0, and a session event in (-gap, 0)."""
+
+    def add_epoch_rows(tbl):
+        base = max(x for x in tbl.column("event_id").to_pylist() if x is not None)
+        ts = lambda m: datetime.datetime(1969, 12, 31, 23, m)  # noqa: E731
+        rows = [
+            # pre-epoch click/purchase pair 10 min apart (both must drop
+            # from the stream-stream interval join on BOTH sides)
+            {"event_id": base + 1, "user_id": 777771, "ts": ts(0),
+             "event_type": "click", "value": 1.25, "props": "{}"},
+            {"event_id": base + 2, "user_id": 777771, "ts": ts(10),
+             "event_type": "purchase", "value": 9.25, "props": "{}"},
+            # click at exactly epoch 0: still late (event time <= watermark)
+            {"event_id": base + 3, "user_id": 777772,
+             "ts": datetime.datetime(1970, 1, 1), "event_type": "click",
+             "value": 1.25, "props": "{}"},
+            # session event at -10 min: its window END (+20 min) is past the
+            # watermark, so Spark KEEPS it and merges it into the post-epoch
+            # session — the oracle must not drop it
+            {"event_id": base + 4, "user_id": 777773, "ts": ts(50),
+             "event_type": "view", "value": 0.25, "props": "{}"},
+            {"event_id": base + 5, "user_id": 777773,
+             "ts": datetime.datetime(1970, 1, 1, 0, 5), "event_type": "view",
+             "value": 0.25, "props": "{}"},
+        ]
+        typed = []
+        for r in rows:
+            row = {name: r.get(name) for name in tbl.schema.names}
+            typed.append(row)
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist(typed, schema=tbl.schema)]
+        )
+
+    return _derive(tmp_path, "events", add_epoch_rows)
+
+
+def test_interval_join_drops_pre_epoch_pairs(spark, epoch_events_dir):
+    _check(spark, epoch_events_dir, "streaming_join_dedup")
+
+
+def test_session_window_straddles_epoch(spark, epoch_events_dir):
+    _check(spark, epoch_events_dir, "streaming_session_counts")
+
+
+def test_tfidf_whitespace_only_doc_no_phantom_terms(spark, tmp_path):
+    """A whitespace-only document previously contributed tf rows for
+    term='' on both engines (agreeing but semantically wrong); the shared
+    words()/duck_words_sql tokenizer emits no tokens for it."""
+
+    def add_blank_doc(tbl):
+        row = {name: None for name in tbl.schema.names}
+        row.update({"doc_id": 777770, "text": " \t\n ", "lang": "en",
+                    "n_chars": 4})
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist([row], schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "documents", add_blank_doc)
+    _check(spark, d, "tfidf_terms")
+    entry = catalog.entries()["tfidf_terms"]
+    out = entry.spark(spark, d)
+    assert out.filter("term = '' OR doc_id = 777770").count() == 0

@@ -31,7 +31,12 @@ notation divergence), and partition-count sensitivity
 
 Floats in appended rows are exactly-representable values away from the
 6-decimal rounding boundary, so an engine-order difference in summation
-cannot flip a rounded comparison.
+cannot flip a rounded comparison. This is a POLICY, not an accident:
+decimal-midpoint doubles round differently by construction — Spark's
+F.round does HALF_UP on the shortest decimal repr while DuckDB ROUND
+multiplies the binary value, so e.g. round(0.00015, 4) = 0.0002 in Spark
+but 0.0001 in DuckDB (confirmed round 7). No SQL oracle can mirror
+Spark's repr-based rounding; midpoint inputs stay excluded.
 """
 
 from __future__ import annotations
