@@ -225,7 +225,14 @@ def kll_rollup_quantiles(
     folded = _fold_binary(sketch_col, "kll_sketch_merge_double").alias("_merged")
     out = df.groupBy(*group_cols).agg(folded)
     cols = [
-        F.expr(f"kll_sketch_get_quantile_double(_merged, {q})").alias(
+        # a group whose every value was NULL yields an EMPTY (non-NULL)
+        # sketch buffer, and get_quantile on an empty sketch raises
+        # KLL_INVALID_INPUT_SKETCH_BUFFER instead of returning NULL —
+        # quantile-of-nothing is NULL, matching percentile()
+        F.expr(
+            f"CASE WHEN _merged IS NULL OR kll_sketch_get_n_double(_merged) = 0 "
+            f"THEN NULL ELSE kll_sketch_get_quantile_double(_merged, {q}) END"
+        ).alias(
             # 0.5 -> q_5, 0.95 -> q_95; any residual dot (q=1.0, float
             # noise) becomes an underscore so the name stays selectable
             # without backticks.

@@ -15,8 +15,11 @@ which differs from DuckDB's utf8proc on a handful of special-cased code
 points (Java lower('İ') = 'i' + combining dot U+0307, DuckDB = 'i'; Java
 upper('ß') = 'SS', DuckDB = 'ẞ'). A SQL oracle cannot mirror Java's
 tables, so those code points (İ U+0130, ß/ẞ, ſ U+017F, the Dž-class
-digraphs) are excluded from oracle-gated fixtures BY POLICY — the engine's
-behavior on them is Java's, which is the behavior Spark users get.
+digraphs, the ﬁ/ﬀ-family ligatures U+FB00-FB06, ΐ U+0390 / ΰ U+03B0, and
+ŉ U+0149 — every code point whose Java FULL case mapping expands or
+differs from utf8proc's SIMPLE mapping) are excluded from oracle-gated
+fixtures BY POLICY — the engine's behavior on them is Java's, which is
+the behavior Spark users get.
 """
 
 from __future__ import annotations

@@ -309,15 +309,15 @@ def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_global_grouped",
     oracle="""
     SELECT 'global' AS variant, o_custkey, o_orderkey, o_totalprice,
-           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
-    FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST) AS rank
+    FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST LIMIT 100)
     UNION ALL
     SELECT 'grouped', o_custkey, o_orderkey, o_totalprice, rank FROM (
       SELECT o_custkey,
              o_orderkey,
              o_totalprice,
              ROW_NUMBER() OVER (
-               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST
              ) AS rank
       FROM orders
     ) WHERE rank <= 3
@@ -390,8 +390,8 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
            ), 6) AS delta,
            COALESCE(
-             (epoch_ns(ts) // 1000)
-               - LAG(epoch_ns(ts) // 1000) OVER (
+             epoch_us(ts)
+               - LAG(epoch_us(ts)) OVER (
                    PARTITION BY user_id, event_type
                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                  ) > 300 * 1000000,
@@ -663,7 +663,14 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fold_binary("_ks", "kll_sketch_merge_double").alias("_kll_m"),
         )
         .withColumn(
-            "_kll_p50", F.expr("kll_sketch_get_quantile_double(_kll_m, 0.5)")
+            # an all-NULL-value group folds to an EMPTY sketch buffer and
+            # get_quantile on it RAISES (KLL_INVALID_INPUT_SKETCH_BUFFER)
+            # rather than returning NULL — same guard as kll_rollup_quantiles
+            "_kll_p50",
+            F.expr(
+                "CASE WHEN _kll_m IS NULL OR kll_sketch_get_n_double(_kll_m) = 0 "
+                "THEN NULL ELSE kll_sketch_get_quantile_double(_kll_m, 0.5) END"
+            ),
         )
         .drop("_kll_m")
     )
@@ -685,20 +692,31 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3 sigma of the requested 5% relative standard deviation, floored for
     # tiny groups where one-off error dominates the relative bound.
     tol = F.greatest(F.col("_exact_d") * 0.15, F.lit(2.0))
+    # Percentile bands are VACUOUSLY TRUE for a group with zero non-NULL
+    # measures: percentile-of-nothing is NULL, between(NULL, ...) is NULL,
+    # and the oracle asserts literal TRUE per group — without the coalesce
+    # an all-NULL-value event_type diverged (NULL != TRUE under the
+    # row-multiset compare). The distinct bands need no guard (count
+    # distinct of an all-NULL column is 0 on both sides, |0-0| <= tol).
+    vac = lambda c: F.coalesce(c, F.lit(True))  # noqa: E731
     bands = g.select(
         F.lit("sketch_bands").alias("variant"),
         F.col("event_type").alias("key"),
         "n",
         (F.abs(F.col("_approx_d") - F.col("_exact_d")) <= tol).alias("distinct_ok"),
-        F.col("_p50").between(F.col("_bands")[0], F.col("_bands")[1]).alias("p50_ok"),
-        F.col("_p95").between(F.col("_bands")[2], F.col("_bands")[3]).alias("p95_ok"),
+        vac(
+            F.col("_p50").between(F.col("_bands")[0], F.col("_bands")[1])
+        ).alias("p50_ok"),
+        vac(
+            F.col("_p95").between(F.col("_bands")[2], F.col("_bands")[3])
+        ).alias("p95_ok"),
         (F.abs(F.col("_hll_d") - F.col("_exact_d")) <= tol).alias("hll_merge_ok"),
         (F.abs(F.col("_theta_d") - F.col("_exact_d")) <= tol).alias(
             "theta_merge_ok"
         ),
-        F.col("_kll_p50")
-        .between(F.col("_bands")[0], F.col("_bands")[1])
-        .alias("kll_merge_ok"),
+        vac(
+            F.col("_kll_p50").between(F.col("_bands")[0], F.col("_bands")[1])
+        ).alias("kll_merge_ok"),
     )
     # CMS heavy-hitter branch: NULL keys are excluded on BOTH sides — the
     # semi-join refine would drop the NULL group SQL GROUP BY keeps.
@@ -712,10 +730,12 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = cms_estimate(
         cms, keys, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH
     ).filter(F.col("est") >= _HH_MIN)
+    # No pinned broadcast on the candidate list: its size is data-dependent
+    # (a saturated sketch passes nearly every key, degrading candidates to
+    # ~all distinct user_ids), so AQE must pick the join strategy from the
+    # measured size — a hint here OOMs exactly when the sketch is weakest.
     hh = (
-        hh_ev.join(
-            F.broadcast(candidates.select("user_id")), "user_id", "left_semi"
-        )
+        hh_ev.join(candidates.select("user_id"), "user_id", "left_semi")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= _HH_MIN)
@@ -746,12 +766,24 @@ _RANGE_WINDOW_US = 3_600_000_000  # attribute clicks within 1h after a purchase
     "asof_join_events",
     oracle=f"""
     WITH clicks AS (
-      SELECT event_id, user_id, ts, epoch_ns(ts) // 1000 AS us
+      SELECT event_id, user_id, ts, epoch_us(ts) AS us
       FROM events WHERE event_type = 'click'
     ),
     purchases AS (
-      SELECT user_id, ts, value, epoch_ns(ts) // 1000 AS us
+      SELECT user_id, ts, value, epoch_us(ts) AS us
       FROM events WHERE event_type = 'purchase'
+    ),
+    -- Right-side TIES: among purchases sharing (user_id, ts) the engine's
+    -- last()-over-window with the value-struct tiebreaker (asof.py _rord)
+    -- deterministically attaches the MAX value, while DuckDB's native ASOF
+    -- picks an input-order-dependent row — pre-aggregating to max(value)
+    -- per (user_id, ts) pins the same rule here (MAX also skips NULLs,
+    -- matching Spark's NULLS-FIRST struct order under mixed ties)
+    purchases_asof AS (
+      SELECT user_id, ts, us, MAX(value) AS value
+      FROM purchases
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id, ts, us
     )
     SELECT 'asof' AS variant,
            c.event_id,
@@ -759,8 +791,7 @@ _RANGE_WINDOW_US = 3_600_000_000  # attribute clicks within 1h after a purchase
            p.value  AS value_r,
            p.us     AS ts_r_us
     FROM (SELECT * FROM clicks WHERE ts IS NOT NULL AND user_id IS NOT NULL) c
-    ASOF LEFT JOIN (SELECT * FROM purchases
-                    WHERE ts IS NOT NULL AND user_id IS NOT NULL) p
+    ASOF LEFT JOIN purchases_asof p
       ON c.user_id = p.user_id AND c.ts >= p.ts
     UNION ALL
     -- Engine contract (operators/asof.py): a probe with a NULL timestamp
@@ -912,14 +943,14 @@ def quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_custkey,
            RANK()         OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST)                AS rnk,
            DENSE_RANK()   OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST)                AS drnk,
-           NTILE(4)       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST, o_orderkey)       AS quartile,
+           NTILE(4)       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)       AS quartile,
            ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST), 6)      AS prank,
            FIRST_VALUE(o_totalprice)  OVER wc AS first_price,
            LAST_VALUE(o_totalprice)   OVER wc AS last_price,
            NTH_VALUE(o_totalprice, 2) OVER wc AS second_price
     FROM orders
     -- NULLS FIRST pins Spark's ASC default; DuckDB defaults NULLS LAST
-    WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
+    WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     doc="Ranking family (rank/dense_rank tie-stable by value, ntile and "

@@ -425,8 +425,8 @@ def _drain_to_memory(
     -- zero, which would snap a pre-epoch (negative-us) event to window 0
     -- instead of its true 1969 window; Spark's window() floors.
     SELECT make_timestamp(
-             (epoch_ns(ts) // 1000)
-               - ((((epoch_ns(ts) // 1000) % 21600000000) + 21600000000) % 21600000000)
+             epoch_us(ts)
+               - (((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000)
            ) AS window_start,
            event_type,
            COUNT(*)              AS n_events,
@@ -453,8 +453,8 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              ts,
              event_id,
-             epoch_ns(ts) // 1000 AS us,
-             CASE WHEN (epoch_ns(ts) // 1000) - LAG(epoch_ns(ts) // 1000) OVER w
+             epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                         >= 1800 * 1000000
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_start
@@ -465,7 +465,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- -gap (end == 0) is dropped, an event one second later is kept
       -- and may merge into a post-epoch session (probed empirically,
       -- round 7) — so the filter is ts + gap > 0, NOT ts >= 0
-      WHERE ts IS NOT NULL AND epoch_ns(ts) + 1800000000000::BIGINT > 0
+      WHERE ts IS NOT NULL AND epoch_us(ts) + 1800000000::BIGINT > 0
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, us,
@@ -611,7 +611,7 @@ _WINDOW = "INTERVAL 1 HOUR"
            c.event_id,
            c.user_id,
            p.value AS num,
-           CAST(epoch_ns(p.ts) // 1000 AS VARCHAR) AS tag
+           CAST(epoch_us(p.ts) AS VARCHAR) AS tag
     FROM events c JOIN events p
       ON c.user_id = p.user_id
      AND c.event_type = 'click' AND p.event_type = 'purchase'
@@ -620,7 +620,7 @@ _WINDOW = "INTERVAL 1 HOUR"
     -- branch below: each side's watermark(0) late filter drops rows with
     -- event time <= epoch 0 in the first microbatch (probed empirically,
     -- round 7 — a pre-epoch click never pairs with a post-epoch purchase)
-    WHERE epoch_ns(c.ts) > 0 AND epoch_ns(p.ts) > 0
+    WHERE epoch_us(c.ts) > 0 AND epoch_us(p.ts) > 0
     UNION ALL
     SELECT 'dedup', event_id, user_id, CAST(NULL AS DOUBLE), event_type
     FROM events
@@ -630,7 +630,7 @@ _WINDOW = "INTERVAL 1 HOUR"
     -- to 0, and the late-row filter discards event times <= watermark even
     -- in the first microbatch — a documented boundary of the exact-oracle
     -- contract, not a data-dependent behavior.
-    WHERE epoch_ns(ts) > 0
+    WHERE epoch_us(ts) > 0
     """,
     doc="Watermark-bearing streaming operators, one tagged row set per "
     "drain. variant='interval_join' (num = purchase value, tag = purchase "

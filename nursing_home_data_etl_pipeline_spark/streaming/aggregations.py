@@ -181,8 +181,15 @@ def running_totals_stateful(
     def update(key, pdfs, state):
         yield _accumulate(key, pdfs, state, key_col, value_col)
 
-    # NULL-vs-NaN flag for SQL SUM semantics (see _accumulate)
-    events = events.withColumn("_vnull", F.col(value_col).isNull())
+    # NULL-vs-NaN flag for SQL SUM semantics (see _accumulate). The frame
+    # is pruned to exactly the columns the accumulator reads BEFORE it
+    # crosses the Arrow boundary: pandas timestamps are int64 NANOSECONDS,
+    # so an unused ts column with a year outside 1677-2262 would abort the
+    # worker (pyarrow out-of-bounds cast) even though the operator never
+    # touches it — and less Arrow transfer is free speed.
+    events = events.withColumn("_vnull", F.col(value_col).isNull()).select(
+        key_col, value_col, "_vnull"
+    )
     return events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=_running_totals_schema(events, key_col),
@@ -215,8 +222,11 @@ def running_totals_stateful_ttl(
         state.setTimeoutDuration(_TTL_MS)
         yield out
 
-    # NULL-vs-NaN flag for SQL SUM semantics (see _accumulate)
-    events = events.withColumn("_vnull", F.col(value_col).isNull())
+    # NULL-vs-NaN flag + the same Arrow-boundary pruning as the NoTimeout
+    # variant (see the comment there)
+    events = events.withColumn("_vnull", F.col(value_col).isNull()).select(
+        key_col, value_col, "_vnull"
+    )
     return events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=_running_totals_schema(events, key_col),

@@ -37,6 +37,14 @@ F.round does HALF_UP on the shortest decimal repr while DuckDB ROUND
 multiplies the binary value, so e.g. round(0.00015, 4) = 0.0002 in Spark
 but 0.0001 in DuckDB (confirmed round 7). No SQL oracle can mirror
 Spark's repr-based rounding; midpoint inputs stay excluded.
+
+Two more unmirrorable classes stay excluded by the same policy (round-7
+review, both confirmed by execution): duplicate-key JSON documents
+('{"k":1,"k":2}' — Spark from_json keeps the LAST occurrence via Jackson
+streaming overwrite, DuckDB json_extract returns the FIRST), and
+percentile-interpolation ulp straddles (Spark percentile interpolates
+lo+(hi-lo)*f, DuckDB quantile_cont lo*(1-f)+hi*f — 1-ulp apart, visible
+only when the two interpolants straddle a ROUND boundary).
 """
 
 from __future__ import annotations
@@ -128,6 +136,21 @@ def build(src: str, dest: str) -> dict[str, int]:
         # phase 3: non-finite doubles
         {"event_id": ebase + 9, "ts": some_ts, "user_id": 999996, "event_type": "nan", "value": float("nan"), "props": "{}"},
         {"event_id": ebase + 10, "ts": some_ts, "user_id": 999996, "event_type": "inf", "value": float("inf"), "props": "{}"},
+        # phase 6 (round-7 review): an event_type whose value column is
+        # ENTIRELY NULL — percentile-of-nothing is NULL, so sketch-band
+        # booleans must be vacuously TRUE, not NULL (event_id % 5 == 0
+        # rows so the group reaches the bands CTE)
+        {"event_id": ((ebase // 5) + 10) * 5, "ts": some_ts, "user_id": 999995, "event_type": "allnull", "value": None, "props": "{}"},
+        {"event_id": ((ebase // 5) + 11) * 5, "ts": some_ts, "user_id": 999995, "event_type": "allnull", "value": None, "props": "{}"},
+        # phase 6: duplicate (user_id, ts) PURCHASES with distinct values —
+        # DuckDB's native ASOF picks an input-order-dependent tied row; the
+        # oracle must pre-aggregate to the engine's max-value tie rule
+        {"event_id": ebase + 14, "ts": some_ts, "user_id": 999994, "event_type": "purchase", "value": 3.25, "props": "{}"},
+        {"event_id": ebase + 15, "ts": some_ts, "user_id": 999994, "event_type": "purchase", "value": 4.25, "props": "{}"},
+        {"event_id": ebase + 16, "ts": some_ts + dt.timedelta(minutes=5), "user_id": 999994, "event_type": "click", "value": 1.25, "props": "{}"},
+        # phase 6: timestamp beyond the int64-NANOSECOND range (2262-04-11)
+        # — oracles must do epoch_us arithmetic; epoch_ns hard-errors here
+        {"event_id": ebase + 17, "ts": dt.datetime(2500, 1, 1, 12, 0, 0), "user_id": 999993, "event_type": "farfuture_ns", "value": 5.25, "props": "{}"},
     ]
     pq.write_table(_append(ev, ev_rows), f"{dest}/events.parquet")
     added["events"] = len(ev_rows)
@@ -192,6 +215,13 @@ def build(src: str, dest: str) -> dict[str, int]:
         # — the quality transform's score strings must render via DECIMAL
         {"l_orderkey": obase + 3, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 3, "l_quantity": 25000000.0, "l_extendedprice": 2.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "A", "l_linestatus": "F", "l_shipdate": sdate},
     ]
+    # phase 6 (round-7 review): a NULL o_orderkey row TIED with an existing
+    # adversarial row on (o_custkey, o_orderdate) and on o_totalprice —
+    # window orderings' SECONDARY o_orderkey tiebreaker must pin NULLS
+    # FIRST (Spark's ASC default) or first/last/nth_value flip sides
+    order_rows.append(
+        {"o_orderkey": None, "o_custkey": 2, "o_orderstatus": "O", "o_totalprice": 77.25, "o_orderdate": odate, "o_orderpriority": "1-URGENT"}
+    )
     pq.write_table(_append(li, li_rows), f"{dest}/lineitem.parquet")
     added["lineitem"] = len(li_rows)
 
