@@ -483,7 +483,7 @@ _BRUTE_TOPK_SQL = f"""
     SELECT * FROM (
       SELECT query_id, neighbor_id, cos_sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+                                ORDER BY cos_sim DESC, neighbor_id NULLS FIRST) AS rank
       FROM scored
     ) WHERE rank <= {_TOP_K}
     """
@@ -537,7 +537,7 @@ def _ann_lsh_oracle() -> str:
     SELECT * FROM (
       SELECT query_id, neighbor_id, cos_sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+                                ORDER BY cos_sim DESC, neighbor_id NULLS FIRST) AS rank
       FROM scored
     ) WHERE rank <= {_TOP_K}
     """

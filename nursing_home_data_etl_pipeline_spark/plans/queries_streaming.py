@@ -193,7 +193,7 @@ def _ivf_oracle() -> str:
     SELECT * FROM (
       SELECT query_id, neighbor_id, cos_sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+                                ORDER BY cos_sim DESC, neighbor_id NULLS FIRST) AS rank
       FROM scored
     ) WHERE rank <= {_TOP_K}
     """
@@ -466,7 +466,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- and may merge into a post-epoch session (probed empirically,
       -- round 7) — so the filter is ts + gap > 0, NOT ts >= 0
       WHERE ts IS NOT NULL AND epoch_us(ts) + 1800000000::BIGINT > 0
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)
     ), sessions AS (
       SELECT user_id, us,
              -- same (ts, event_id) tiebreak as the flagged window: with a
@@ -474,7 +474,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- the two windows and a session-start flag could land inside
              -- the PREVIOUS session's cumulative range
              SUM(is_start) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_id
       FROM flagged
