@@ -26,8 +26,10 @@ every row — drives the quadratic pair paths and the >100k-edge
 distributed connected-components branch), SKEW fixture (half of events
 on one user, half of orders on one customer — hot window partitions,
 hot groups, a skewed join side; found the double->string scientific-
-notation divergence), and partition-count sensitivity
-(SPARK_GRAFT_CPUS=3 vs the default).
+notation divergence), ROW-ORDER REVERSED (every table's rows in reverse
+physical order — catches input-order-dependent picks on either side,
+the class DuckDB's native ASOF exhibits under ties), and
+partition-count sensitivity (SPARK_GRAFT_CPUS=3 vs the default).
 
 Floats in appended rows are exactly-representable values away from the
 6-decimal rounding boundary, so an engine-order difference in summation
