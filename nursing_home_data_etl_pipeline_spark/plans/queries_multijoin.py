@@ -27,12 +27,14 @@ from .catalog import register
       AND o.o_orderdate < TIMESTAMP '1995-03-15'
       AND l.l_shipdate  > TIMESTAMP '1995-03-15'
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, l.l_orderkey
+    ORDER BY revenue DESC, l.l_orderkey,
+             o.o_orderdate NULLS FIRST, o.o_orderpriority NULLS FIRST
     LIMIT 10
     """,
     doc="TPC-H Q3 shape: 3-table join with selective filters on both dims, "
     "aggregate over the join, top-10 by revenue. Filters push to every "
-    "scan; the filtered customer side broadcasts.",
+    "scan; the filtered customer side's join strategy is AQE-sized (it "
+    "scales with sf). The top-10 ordering is total over the group key.",
 )
 def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").filter(
@@ -44,9 +46,11 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_table(spark, sf_dir, "lineitem").filter(  # noqa: E741
         F.col("l_shipdate") > "1995-03-15"
     )
+    # no pinned broadcast: the BUILDING-filtered customer side is ~1/5 of
+    # a table that scales linearly with sf — AQE sizes the join strategy
     joined = l.join(
         o, l["l_orderkey"] == o["o_orderkey"]
-    ).join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    ).join(c, o["o_custkey"] == c["c_custkey"])
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -55,7 +59,13 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        # ordering is TOTAL over the group key: duplicate o_orderkey rows
+        # (fan-out) create exactly-tied (revenue, orderkey) groups whose
+        # LIMIT-boundary pick would otherwise be engine-dependent
+        .orderBy(
+            F.col("revenue").desc(), F.col("l_orderkey"),
+            F.col("o_orderdate"), F.col("o_orderpriority"),
+        )
         .limit(10)
     )
 
@@ -83,10 +93,11 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-style multijoin revenue, tagged union of two shapes. "
     "variant='q5' (TPC-H Q5): 5-table star join (region->nation->customer->"
-    "orders->lineitem) with a region filter; every dimension side "
-    "broadcasts, and the broadcast reduction (region-filtered customers) "
-    "is applied to orders BEFORE the one unavoidable large-large shuffle, "
-    "so lineitem><orders exchanges a ~1/5-filtered, 2-column orders side "
+    "orders->lineitem) with a region filter; the bounded nation/region "
+    "sides carry broadcast hints, the customer-derived reduction is "
+    "AQE-sized (it scales with sf), and that reduction is applied to "
+    "orders BEFORE the one unavoidable large-large shuffle, so "
+    "lineitem><orders exchanges a ~1/5-filtered, 2-column orders side "
     "and a 3-column lineitem projection — not the full tables. "
     "variant='q14_*' (TPC-H Q14 shape): promo-vs-other revenue split over "
     "a date-filtered part><lineitem broadcast join — the numerator and "
@@ -107,8 +118,11 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast-reduce orders first: the lineitem shuffle is unavoidable
     # (large-large equi-join), but its partner should be the ASIA-filtered
     # 2-column orders projection, not all of orders pre-filter
+    # dims derives from customer (linear in sf) so its broadcast is NOT
+    # pinned — AQE broadcasts it while it fits and shuffle-joins beyond;
+    # only the genuinely bounded nation/region sides carry hints above
     o_asia = o.join(
-        F.broadcast(dims), o["o_custkey"] == dims["c_custkey"]
+        dims, o["o_custkey"] == dims["c_custkey"]
     ).select("o_orderkey", "n_name")
     joined = l.select("l_orderkey", "l_extendedprice", "l_discount").join(
         o_asia, l["l_orderkey"] == o_asia["o_orderkey"]
@@ -129,7 +143,7 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(p, l["l_partkey"] == p["p_partkey"])  # part scales with sf: AQE decides
         .groupBy("variant")
         .agg(
             F.round(
@@ -154,7 +168,8 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_returnflag = 'R'
     GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY revenue DESC, c.c_custkey
+    ORDER BY revenue DESC, c.c_custkey,
+             c.c_name NULLS FIRST, n.n_name NULLS FIRST
     LIMIT 20
     """,
     doc="TPC-H Q10 shape: returned-item revenue per customer, 4-table join "
@@ -170,8 +185,10 @@ def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
         "c_custkey", "c_name", F.col("n_name").alias("nation")
     )
+    # no pinned broadcast on the customer projection (linear in sf; a
+    # forced broadcast OOMs at the 100 TB design point) — AQE decides
     joined = l.join(o, l["l_orderkey"] == o["o_orderkey"]).join(
-        F.broadcast(cust), o["o_custkey"] == cust["c_custkey"]
+        cust, o["o_custkey"] == cust["c_custkey"]
     )
     return (
         joined.groupBy("c_custkey", "c_name", "nation")
@@ -181,6 +198,11 @@ def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "nation")
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        # total ordering: a duplicate c_custkey (re-registered CCN with a
+        # new name) makes two revenue-tied groups at the LIMIT boundary
+        .orderBy(
+            F.col("revenue").desc(), F.col("c_custkey"),
+            F.col("c_name"), F.col("nation"),
+        )
         .limit(20)
     )

@@ -37,14 +37,30 @@ _DIRTY_CUSTOMER_HEADERS = [
 @register(
     "cms_clean_project",
     oracle="""
-    SELECT CAST(c_custkey AS VARCHAR)    AS facility_number,
-           c_name                        AS facility_name,
-           CAST(c_nationkey AS VARCHAR)  AS nation_key,
-           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS account_balance,
-           c_mktsegment                  AS market_segment_code,
-           ROW_NUMBER() OVER (ORDER BY CAST(c_custkey AS VARCHAR) NULLS FIRST) AS row_id,
+    WITH cleaned AS (
+      -- mirrors the pipeline exactly: whole-row TRIM (clean_table trims
+      -- every string column, so source-padded names/segments are trimmed,
+      -- not just the engine's self-inflicted padding) and TRY_CAST for the
+      -- DECIMAL money render (Spark ANSI casts a NaN double to DECIMAL as
+      -- NULL; DuckDB's plain CAST hard-errors)
+      SELECT CAST(c_custkey AS VARCHAR)    AS facility_number,
+             TRIM(c_name)                  AS facility_name,
+             CAST(c_nationkey AS VARCHAR)  AS nation_key,
+             CAST(CASE WHEN isnan(c_acctbal) THEN NULL ELSE TRY_CAST(c_acctbal AS DECIMAL(18,2)) END AS VARCHAR) AS account_balance,
+             TRIM(c_mktsegment)            AS market_segment_code
+      FROM customer
+    )
+    SELECT *,
+           -- the dense-id tie contract (ids._tiebreak): duplicate keys
+           -- (a re-registered CCN) break ties on the remaining columns in
+           -- frame order, NULLS FIRST each
+           ROW_NUMBER() OVER (ORDER BY facility_number NULLS FIRST,
+                                       facility_name NULLS FIRST,
+                                       nation_key NULLS FIRST,
+                                       account_balance NULLS FIRST,
+                                       market_segment_code NULLS FIRST) AS row_id,
            CURRENT_DATE                  AS etl_date
-    FROM customer
+    FROM cleaned
     """,
     doc="The universal-cleaning -> stamp pipeline exactly as the reference "
     "chains it: dirty CMS headers -> normalized names, semantic rename map, "
@@ -67,7 +83,10 @@ def cms_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Provider Name", F.concat(F.lit("  "), F.col("`Provider Name`"), F.lit("   "))
     )
     cleaned = clean_table(raw)
-    return with_etl_date(with_dense_id(cleaned, order_by=["facility_number"]))
+    # with_etl_metadata, not flat with_dense_id: the size-aware flat/sharded
+    # switch keeps a fact-sized table off a single-partition window sort —
+    # identical ids either way (same order_by, same tiebreak)
+    return with_etl_metadata(cleaned, order_by=["facility_number"])
 
 
 # ---------------------------------------------------------------------------
@@ -346,17 +365,36 @@ _DIRTY_PENALTY_HEADERS = [
              ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 4 THEN l_quantity END), 2) AS q4
       FROM lineitem GROUP BY 1, 2
     )
-    SELECT ccn                                       AS facility_number,
-           mcode                                     AS measure_code,
-           CAST(CAST(q1 AS DECIMAL(18,2)) AS VARCHAR) AS q1_measure_score,
-           CAST(CAST(q2 AS DECIMAL(18,2)) AS VARCHAR) AS q2_measure_score,
-           CAST(CAST(q3 AS DECIMAL(18,2)) AS VARCHAR) AS q3_measure_score,
-           CAST(CAST(q4 AS DECIMAL(18,2)) AS VARCHAR) AS q4_measure_score,
-           CAST(CAST(ROUND((q1 + q2 + q3 + q4) / 4, 6) AS DECIMAL(28,6)) AS VARCHAR)
-                                                     AS four_quarter_average_score,
-           ROW_NUMBER() OVER (ORDER BY ccn NULLS FIRST, mcode NULLS FIRST)   AS row_id,
+    , d AS (
+      -- display mirrors clean_table: TRIM on the grouped (raw) measure
+      -- code — a padded ' R' groups separately from 'R' but DISPLAYS
+      -- (NaN guard: DuckDB TRY_CAST raises on NaN->DECIMAL though inf->NULL
+      -- works, so isnan() handles what TRY_CAST cannot)
+      -- trimmed — and TRY_CAST for the DECIMAL renders (Spark ANSI casts
+      -- NaN->DECIMAL as NULL; DuckDB's plain CAST hard-errors)
+      SELECT ccn                                       AS facility_number,
+             TRIM(mcode)                               AS measure_code,
+             CAST(CASE WHEN isnan(q1) THEN NULL ELSE TRY_CAST(q1 AS DECIMAL(18,2)) END AS VARCHAR) AS q1_measure_score,
+             CAST(CASE WHEN isnan(q2) THEN NULL ELSE TRY_CAST(q2 AS DECIMAL(18,2)) END AS VARCHAR) AS q2_measure_score,
+             CAST(CASE WHEN isnan(q3) THEN NULL ELSE TRY_CAST(q3 AS DECIMAL(18,2)) END AS VARCHAR) AS q3_measure_score,
+             CAST(CASE WHEN isnan(q4) THEN NULL ELSE TRY_CAST(q4 AS DECIMAL(18,2)) END AS VARCHAR) AS q4_measure_score,
+             CAST(CASE WHEN isnan(ROUND((q1 + q2 + q3 + q4) / 4, 6)) THEN NULL ELSE TRY_CAST(ROUND((q1 + q2 + q3 + q4) / 4, 6) AS DECIMAL(28,6)) END AS VARCHAR)
+                                                       AS four_quarter_average_score
+      FROM q
+    )
+    SELECT *,
+           -- dense-id ordering runs on the CLEANED (trimmed) key, with the
+           -- ids._tiebreak mirror over the remaining display columns so
+           -- trim-collided groups get deterministic ids
+           ROW_NUMBER() OVER (ORDER BY facility_number NULLS FIRST,
+                                       measure_code NULLS FIRST,
+                                       q1_measure_score NULLS FIRST,
+                                       q2_measure_score NULLS FIRST,
+                                       q3_measure_score NULLS FIRST,
+                                       q4_measure_score NULLS FIRST,
+                                       four_quarter_average_score NULLS FIRST) AS row_id,
            CURRENT_DATE                              AS etl_date
-    FROM q
+    FROM d
     """,
     doc="P5 quality transform over a CMS-shaped staging fixture: quarterly "
     "measure scores synthesized from a lineitem pivot, given the REAL "
@@ -402,8 +440,7 @@ def cms_quality_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
       SELECT CAST(o_custkey AS VARCHAR) AS ccn,
              COUNT(*) FILTER (WHERE o_orderstatus = 'F')                    AS n_fines,
-             CAST(ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
-                  AS DECIMAL(18,2))                                          AS fine_total,
+             CAST(CASE WHEN isnan(ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)) THEN NULL ELSE TRY_CAST(ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS DECIMAL(18,2)) END AS VARCHAR)                              AS fine_total,
              COUNT(*) FILTER (WHERE o_orderstatus = 'P')                    AS n_denials
       FROM orders GROUP BY 1
     )

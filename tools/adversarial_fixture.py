@@ -216,6 +216,10 @@ def build(src: str, dest: str) -> dict[str, int]:
         # phase 5: a quarterly quantity sum >= 1e7 (exactly-representable)
         # — the quality transform's score strings must render via DECIMAL
         {"l_orderkey": obase + 3, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 3, "l_quantity": 25000000.0, "l_extendedprice": 2.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "A", "l_linestatus": "F", "l_shipdate": sdate},
+        # phase 7: padded return flag — groups separately from 'R' on the
+        # RAW value but the quality transform's cleaned display is trimmed,
+        # so its dense id must order by the TRIMMED key on both sides
+        {"l_orderkey": obase + 3, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 4, "l_quantity": 3.0, "l_extendedprice": 3.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": " R", "l_linestatus": "F", "l_shipdate": sdate},
     ]
     # phase 6 (round-7 review): a NULL o_orderkey row TIED with an existing
     # adversarial row on (o_custkey, o_orderdate) and on o_totalprice —
@@ -236,6 +240,18 @@ def build(src: str, dest: str) -> dict[str, int]:
         # phase 5: balance >= 1e7 — double->string scientific-notation
         # divergence unless the clean-project renders via DECIMAL
         {"c_custkey": cbase + 3, "c_name": "Big Balance", "c_nationkey": 0, "c_acctbal": 98765432.25, "c_mktsegment": "MACHINERY"},
+        # phase 7 (round-7 parity hunt): source-padded strings — the oracle
+        # must mirror clean_table's whole-row TRIM, not rely on the
+        # engine's self-inflicted padding cancelling out
+        {"c_custkey": cbase + 4, "c_name": "  Padded Name  ", "c_nationkey": 0, "c_acctbal": 5.25, "c_mktsegment": " BUILDING "},
+        # phase 7: NaN money under the DECIMAL render — Spark ANSI casts
+        # NaN->DECIMAL as NULL where DuckDB's plain CAST hard-errors
+        {"c_custkey": cbase + 5, "c_name": "NaN Balance", "c_nationkey": 0, "c_acctbal": float("nan"), "c_mktsegment": "MACHINERY"},
+        # phase 7: DUPLICATE key (a re-registered CCN with a new name) —
+        # dense row_ids must follow the ids._tiebreak contract on both
+        # sides, and top-N orderings must be total over their group keys
+        {"c_custkey": cbase + 6, "c_name": "ZZZ First Registration", "c_nationkey": 1, "c_acctbal": 6.25, "c_mktsegment": "AUTOMOBILE"},
+        {"c_custkey": cbase + 6, "c_name": "AAA Re-Registration", "c_nationkey": 1, "c_acctbal": 7.25, "c_mktsegment": "AUTOMOBILE"},
     ]
     pq.write_table(_append(cust, cust_rows), f"{dest}/customer.parquet")
     added["customer"] = len(cust_rows)
