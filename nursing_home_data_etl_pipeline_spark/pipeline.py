@@ -28,7 +28,8 @@ from concurrent.futures import ThreadPoolExecutor
 from concurrent.futures import TimeoutError as FutureTimeout
 from dataclasses import dataclass, field
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
 
 from .operators.joins import merge_scd1
 from .runlog import RunLog, RunLogEntry
@@ -225,11 +226,23 @@ def merge_warehouse(
         # the stale month's row (ADVICE round 6); pre-upgrade outputs
         # without the stamp fall back to the struct survivor.
         # FAN-OUT dims (penalties, surveys: several rows per facility by
-        # design) are NOT deduped — merge_scd1's anti-join+union already
-        # replaces the whole key GROUP with the batch's group.
+        # design) keep whole key GROUPS — but only the NEWEST drop's group:
+        # a multi-drop cycle stages several drops' rows per facility and
+        # merge_scd1 would install them ALL (round-7 ADVICE — the same
+        # stale-drop hazard as the one-row dims, duplicating each
+        # facility's fan-out rows).
         if output in UNIQUE_KEY_OUTPUTS:
             order_col = RECENCY_COL if RECENCY_COL in source.columns else None
             source = latest_per_key(source, keys, order_col)
+        elif RECENCY_COL in source.columns:
+            # eqNullSafe: a group with no stamp (max NULL — pre-upgrade
+            # output) passes through whole rather than vanishing.
+            w = Window.partitionBy(*keys)
+            source = (
+                source.withColumn("_max_sync", F.max(RECENCY_COL).over(w))
+                .filter(F.col(RECENCY_COL).eqNullSafe(F.col("_max_sync")))
+                .drop("_max_sync")
+            )
         target_path = zones.warehouse(dim)
         # A crashed prior swap can leave the dim parked at __old with the
         # target missing; restore BEFORE the bootstrap probe, or this run

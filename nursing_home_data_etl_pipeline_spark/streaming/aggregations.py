@@ -129,17 +129,14 @@ def _accumulate(
     skipna would silently drop NaN and emit the sum of the rest), and a
     key that never saw a non-NULL value totals NULL, not 0.0.
 
-    State-shape compatibility: has_val was ADDED to _STATE_SCHEMA (round 6);
-    a stream restarted from a checkpoint written before that stores 2-field
-    state rows. Restore len-checks before unpacking and maps the legacy
-    shape to ``has_val = n > 0`` — the pre-flag semantics (which COULD emit
-    0.0 for an all-NULL key; that was the bug the flag fixed, accepted once
-    per migrated key rather than failing the restored stream). Discarding
-    the checkpoint on upgrade avoids even that."""
+    State-shape compatibility: widening ``_STATE_SCHEMA`` (has_val joined in
+    round 6) requires DISCARDING the checkpoint — Spark's state-store schema
+    compatibility check rejects a restart whose stateStructType changed
+    (StateSchemaNotCompatible) before user code ever unpacks state, so an
+    in-code migration branch here can never execute (round-7 ADVICE; a
+    defensive len-check was removed as dead code)."""
     if state.exists:
-        stored = tuple(state.get)
-        n, total = stored[0], stored[1]
-        has_val = stored[2] if len(stored) > 2 else n > 0
+        n, total, has_val = state.get
     else:
         n, total, has_val = 0, 0.0, False
     for pdf in pdfs:

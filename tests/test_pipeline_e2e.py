@@ -770,6 +770,39 @@ def test_merge_warehouse_multi_drop_newest_wins_by_recency(spark, tmp_path):
     assert got == {"f1": "A New Name"}
 
 
+def test_merge_warehouse_fanout_dim_keeps_newest_drop_group(spark, tmp_path):
+    """FAN-OUT dims (penalties, surveys) merge whole key GROUPS — but a
+    multi-drop cycle stages several drops' groups per facility, and
+    installing them all duplicates every fan-out row (ADVICE r7). Only the
+    NEWEST drop's group may land; a facility present only in the older drop
+    still keeps its (older) group, and stamp-less outputs pass through."""
+    import datetime
+
+    from nursing_home_data_etl_pipeline_spark.pipeline import merge_warehouse
+    from nursing_home_data_etl_pipeline_spark.transforms import PK, RECENCY_COL
+    from nursing_home_data_etl_pipeline_spark.zones import ZoneLayout
+
+    zones = ZoneLayout(str(tmp_path))
+    zones.ensure()
+    out = str(tmp_path / "penalties_out")
+    t_feb = datetime.datetime(2025, 2, 1, 12, 0, 0)
+    t_mar = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [
+            ("f1", 100.0, t_feb),  # stale drop's group: must NOT coexist
+            ("f1", 200.0, t_feb),
+            ("f1", 300.0, t_mar),  # newest drop's group: installed whole
+            ("f1", 400.0, t_mar),
+            ("f2", 50.0, t_feb),  # only in the old drop: still merged
+        ],
+        f"{PK} string, fine_amount double, {RECENCY_COL} timestamp",
+    ).write.parquet(out)
+    merge_warehouse(spark, zones, {"penalties": out})
+    dim = spark.read.parquet(zones.warehouse("dim_penalties"))
+    got = sorted((r[PK], r.fine_amount) for r in dim.collect())
+    assert got == [("f1", 300.0), ("f1", 400.0), ("f2", 50.0)]
+
+
 def test_pipeline_staging_and_dims_carry_recency(spark, landing, tmp_path):
     """End-to-end: the recency stamp flows landing-file mtime -> staging ->
     every transform output -> warehouse dims, and enrich joins stay

@@ -261,44 +261,3 @@ def test_accumulate_sql_sum_semantics_on_dirty_values():
     assert out["total_value"].iloc[0] == float("inf")
 
 
-def test_accumulate_restores_legacy_two_field_state():
-    """A checkpoint written before has_val joined _STATE_SCHEMA stores
-    2-field state rows; restore must len-check before unpacking (a blind
-    3-way unpack fails at the first stateful trigger after upgrade) and map
-    the legacy shape to has_val = n > 0."""
-    import pandas as pd
-
-    from nursing_home_data_etl_pipeline_spark.streaming.aggregations import _accumulate
-
-    class LegacyState:
-        exists = True
-
-        def __init__(self, v):
-            self._v = v
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-
-    def batch(vals):
-        return pd.DataFrame(
-            {
-                "value": pd.Series(vals, dtype="float64"),
-                "_vnull": [v is None for v in vals],
-            }
-        )
-
-    st = LegacyState((3, 10.0))  # pre-upgrade 2-tuple
-    out = _accumulate((7,), [batch([2.0])], st, "user_id", "value")
-    assert out["n_events"].iloc[0] == 4
-    assert out["total_value"].iloc[0] == 12.0
-    assert st.get == (4, 12.0, True)  # upgraded to the 3-field shape
-
-    # legacy all-NULL-so-far key (n>0, total 0.0): pre-flag semantics carry
-    # over — documented one-time approximation, not a crash
-    st2 = LegacyState((2, 0.0))
-    out = _accumulate((7,), [batch([None])], st2, "user_id", "value")
-    assert out["n_events"].iloc[0] == 3 and out["total_value"].iloc[0] == 0.0

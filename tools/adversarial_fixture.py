@@ -202,6 +202,13 @@ def build(src: str, dest: str) -> dict[str, int]:
         # keeps decimal digits; the penalty transform must stringify via
         # DECIMAL so both engines agree
         {"o_orderkey": obase + 7, "o_custkey": 4, "o_orderstatus": "F", "o_totalprice": 987654321.25, "o_orderdate": odate, "o_orderpriority": "3-MEDIUM"},
+        # phase 6 (round-7 review): a NULL o_orderkey row TIED with the
+        # obase+5 row above on (o_custkey, o_orderdate) and on o_totalprice
+        # — window orderings' SECONDARY o_orderkey tiebreaker must pin NULLS
+        # FIRST (Spark's ASC default) or first/last/nth_value flip sides.
+        # MUST be appended before the write below (round-7 ADVICE: it was
+        # appended after, so the coverage it claims was silently absent).
+        {"o_orderkey": None, "o_custkey": 2, "o_orderstatus": "O", "o_totalprice": 77.25, "o_orderdate": odate, "o_orderpriority": "1-URGENT"},
     ]
     pq.write_table(_append(orders, order_rows), f"{dest}/orders.parquet")
     added["orders"] = len(order_rows)
@@ -221,13 +228,6 @@ def build(src: str, dest: str) -> dict[str, int]:
         # so its dense id must order by the TRIMMED key on both sides
         {"l_orderkey": obase + 3, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 4, "l_quantity": 3.0, "l_extendedprice": 3.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": " R", "l_linestatus": "F", "l_shipdate": sdate},
     ]
-    # phase 6 (round-7 review): a NULL o_orderkey row TIED with an existing
-    # adversarial row on (o_custkey, o_orderdate) and on o_totalprice —
-    # window orderings' SECONDARY o_orderkey tiebreaker must pin NULLS
-    # FIRST (Spark's ASC default) or first/last/nth_value flip sides
-    order_rows.append(
-        {"o_orderkey": None, "o_custkey": 2, "o_orderstatus": "O", "o_totalprice": 77.25, "o_orderdate": odate, "o_orderpriority": "1-URGENT"}
-    )
     pq.write_table(_append(li, li_rows), f"{dest}/lineitem.parquet")
     added["lineitem"] = len(li_rows)
 
