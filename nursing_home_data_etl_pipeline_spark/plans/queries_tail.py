@@ -1,6 +1,10 @@
-"""Second north-star batch: TF-IDF term weighting and an IVF-style ANN
-variant (coarse-quantizer cells instead of hyperplane buckets).
-"""
+"""Catalog TAIL: the last registration block of the 50-entry driver window
+(import order IS catalog order — see plans/__init__.py). Cohesion here is
+POSITION, not topic: TF-IDF + IVF ANN, dup clusters, sequence packing, the
+Q4/Q13/Q18 multijoin shapes, and the four Structured Streaming drains —
+late-registered families that must keep their catalog slots. Renamed from
+queries_streaming.py (round-7 VERDICT: 5 non-streaming families made the
+old name a misnomer)."""
 
 from __future__ import annotations
 
@@ -299,7 +303,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# (merged from queries_streaming) Streaming queries under the driver contract: each runs a bounded
+# Streaming queries under the driver contract: each runs a bounded
 # ===========================================================================
 
 _EVENTS_RAW_SCHEMA = T.StructType(

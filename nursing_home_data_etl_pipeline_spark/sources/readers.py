@@ -61,7 +61,7 @@ def pin_events_time_confs(spark: SparkSession) -> None:
     so epoch math is deterministic regardless of the host default.
 
     SHARED by read_table and the streaming reader
-    (plans.queries_streaming.stream_events) — one place for the encoding
+    (plans.queries_tail.stream_events) — one place for the encoding
     contract, so a new testdata generation cannot split batch vs stream
     ts semantics."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

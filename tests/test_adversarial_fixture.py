@@ -76,23 +76,15 @@ def test_adversarial_oracle_gate(spark, adv_dir, name):
 
 @pytest.fixture(scope="module")
 def empty_dir(tmp_path_factory):
-    """Zero-row twin of every table, schemas byte-identical — the
-    empty-input axis: a first run, a fully-filtered source, or an empty
-    partition must yield empty results, not crashes (log2(0) in the LSH
-    plane derivation and Spark's no-grand-total-row grouping-set behavior
-    on empty input were both caught here)."""
-    import pyarrow.parquet as pq
-
+    """Zero-row twin of every table (adversarial_fixture.derive_empty) —
+    a first run, a fully-filtered source, or an empty partition must yield
+    empty results, not crashes (log2(0) in the LSH plane derivation and
+    Spark's no-grand-total-row grouping-set behavior were caught here)."""
     from conftest import SF_SMOKE
 
-    dest = tmp_path_factory.mktemp("emptydata")
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        tbl = pq.read_table(f"{SF_SMOKE}/{t}.parquet").slice(0, 0)
-        pq.write_table(tbl, str(dest / f"{t}.parquet"))
-    return str(dest)
+    dest = str(tmp_path_factory.mktemp("emptydata"))
+    _load_builder().derive_empty(SF_SMOKE, dest)
+    return dest
 
 
 EMPTY_QUERIES = [
@@ -119,36 +111,15 @@ def test_empty_input_oracle_gate(spark, empty_dir, name):
 
 @pytest.fixture(scope="module")
 def skew_dir(tmp_path_factory):
-    """Hot-key axis: half of events on one user and half of orders on one
-    customer — the shape that breaks at 100 TB (one giant window partition,
-    one giant group, a skewed join side) and, in round 7, surfaced Spark's
-    double->string scientific notation at a >=1e7 fine total."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    """Hot-key axis (adversarial_fixture.derive_skew): half of events on
+    one user and half of orders on one customer — the shape that breaks at
+    100 TB (one giant window partition, one giant group, a skewed join
+    side); surfaced Spark's double->string scientific notation (round 7)."""
     from conftest import SF_SMOKE
 
-    dest = tmp_path_factory.mktemp("skewdata")
-    tables = (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split()
-    hot_cols = {"events": "user_id", "orders": "o_custkey"}
-    for t in tables:
-        tbl = pq.read_table(f"{SF_SMOKE}/{t}.parquet")
-        col_name = hot_cols.get(t)
-        if col_name and tbl.num_rows:
-            col = tbl.column(col_name)
-            n = tbl.num_rows
-            hot = col[0].as_py()
-            vals = [hot] * (n // 2) + col.to_pylist()[n // 2:]
-            tbl = tbl.set_column(
-                tbl.schema.get_field_index(col_name),
-                col_name,
-                pa.array(vals, col.type),
-            )
-        pq.write_table(tbl, str(dest / f"{t}.parquet"))
-    return str(dest)
+    dest = str(tmp_path_factory.mktemp("skewdata"))
+    _load_builder().derive_skew(SF_SMOKE, dest)
+    return dest
 
 
 #: Queries whose group/window/join keys the hot keys reach, cheap enough
@@ -169,3 +140,35 @@ def test_skew_axis_oracle_gate(spark, skew_dir, name):
     entry = catalog.entries()[name]
     problems = compare_query(spark, con, entry.spark, entry.oracle, skew_dir)
     assert not problems, f"{name} on skew fixture: {problems}"
+
+
+def test_derived_axis_builders(tmp_path):
+    """The single-row / all-duplicates / row-order-reversed axes are now
+    derived by code, not hand-run steps (round-7 VERDICT #1) — pin each
+    builder's defining property so the matrix runner can't silently run a
+    no-op axis."""
+    import pyarrow.parquet as pq
+
+    from conftest import SF_SMOKE
+
+    b = _load_builder()
+    one = str(tmp_path / "one")
+    b.derive_single_row(SF_SMOKE, one)
+    assert all(
+        pq.read_table(f"{one}/{t}.parquet").num_rows == 1 for t in b.TABLES
+    )
+
+    dup = str(tmp_path / "dup")
+    b.derive_all_duplicates(SF_SMOKE, dup)
+    docs = pq.read_table(f"{dup}/documents.parquet")
+    embs = pq.read_table(f"{dup}/embeddings.parquet")
+    assert len(set(docs.column("text").to_pylist())) == 1
+    assert len({tuple(v) for v in embs.column("embedding").to_pylist()}) == 1
+    # ids untouched: still the quadratic-pair shape, not one collapsed row
+    assert docs.num_rows == pq.read_table(f"{SF_SMOKE}/documents.parquet").num_rows
+
+    rev = str(tmp_path / "rev")
+    b.derive_reversed(SF_SMOKE, rev)
+    orig = pq.read_table(f"{SF_SMOKE}/orders.parquet").column("o_orderkey").to_pylist()
+    got = pq.read_table(f"{rev}/orders.parquet").column("o_orderkey").to_pylist()
+    assert got == orig[::-1]

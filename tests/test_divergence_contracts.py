@@ -139,6 +139,87 @@ def test_session_window_straddles_epoch(spark, epoch_events_dir):
     _check(spark, epoch_events_dir, "streaming_session_counts")
 
 
+def test_time_rollup_floors_pre_epoch_windows(spark, epoch_events_dir):
+    """Pre-epoch timestamps: Spark's window() FLOORS while DuckDB's `//`
+    truncates toward zero — they disagree for negative epochs unless the
+    oracle uses floored-modulo arithmetic (pinned round 6, prose-only since;
+    the epoch fixture's 1969-12-31 rows make the batch time-rollup branch
+    exercise it in-suite)."""
+    _check(spark, epoch_events_dir, "rollup_cube_summary")
+
+
+def test_stateful_totals_nan_emits_null_sentinel(spark, tmp_path):
+    """The Arrow pandas-worker boundary cannot represent NaN (it IS the
+    null sentinel in any dtype): a NaN event value must poison the key's
+    SQL SUM — and the poisoned total must EMIT as NULL, mirrored in the
+    oracle with an isnan() CASE. An all-NULL-value key totals NULL, not
+    0.0 (contract prose in streaming/aggregations.py, previously pinned
+    only by unit tests on _accumulate, not engine-vs-oracle)."""
+
+    def add_nan_rows(tbl):
+        base = max(x for x in tbl.column("event_id").to_pylist() if x is not None)
+        ts = datetime.datetime(2024, 3, 1, 12, 0, 0)
+        rows = [
+            {"event_id": base + 1, "user_id": 888881, "ts": ts,
+             "event_type": "click", "value": 2.5, "props": "{}"},
+            {"event_id": base + 2, "user_id": 888881, "ts": ts,
+             "event_type": "click", "value": float("nan"), "props": "{}"},
+            {"event_id": base + 3, "user_id": 888882, "ts": ts,
+             "event_type": "view", "value": None, "props": "{}"},
+        ]
+        typed = [{name: r.get(name) for name in tbl.schema.names} for r in rows]
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist(typed, schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "events", add_nan_rows)
+    _check(spark, d, "streaming_stateful_totals")
+
+
+def test_window_tiebreak_null_secondary_key_nulls_first(spark, tmp_path):
+    """A NULL o_orderkey row TIED with an existing row on every prior sort
+    key: the secondary ASC tiebreaker defaults NULLS FIRST in Spark but
+    NULLS LAST in DuckDB, flipping first/last/nth_value picks unless the
+    oracle pins NULLS FIRST on EVERY ORDER BY column (the phase-6
+    adversarial row, previously out-of-suite only — and silently absent
+    until round 8 fixed its append-after-write)."""
+
+    def add_tied_null_key(tbl):
+        custkey = next(x for x in tbl.column("o_custkey").to_pylist() if x is not None)
+        i = tbl.column("o_custkey").to_pylist().index(custkey)
+        peer = {name: tbl.column(name)[i].as_py() for name in tbl.schema.names}
+        peer["o_orderkey"] = None  # ties with row i on date AND price
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist([peer], schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "orders", add_tied_null_key)
+    _check(spark, d, "window_rank_values")
+    _check(spark, d, "topk_global_grouped")
+
+
+def test_levenshtein_codepoint_fold_non_ascii(spark, tmp_path):
+    """Spark's levenshtein counts CODE POINTS, DuckDB's counts BYTES
+    ('顧客' vs 'xy' = 2 in Spark, 6 in DuckDB). Contract: fold every
+    non-ASCII code point to '?' on both sides before the distance. The
+    adversarial fixture's unicode customer sits ABOVE string_similarity's
+    id_a < 200 window, so this class was exercised nowhere until now."""
+
+    def unicode_low_key(tbl):
+        ids = tbl.column("c_custkey").to_pylist()
+        i = next(k for k, v in enumerate(ids) if v is not None and v < 199)
+        names = tbl.column("c_name").to_pylist()
+        names[i] = "Ünïcode Çustomer 顧客"
+        return tbl.set_column(
+            tbl.schema.get_field_index("c_name"),
+            "c_name",
+            pa.array(names, tbl.schema.field("c_name").type),
+        )
+
+    d = _derive(tmp_path, "customer", unicode_low_key)
+    _check(spark, d, "string_similarity")
+
+
 def test_tfidf_whitespace_only_doc_no_phantom_terms(spark, tmp_path):
     """A whitespace-only document previously contributed tf rows for
     term='' on both engines (agreeing but semantically wrong); the shared

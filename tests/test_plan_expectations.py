@@ -78,7 +78,7 @@ def test_q18_big_key_semi_join_broadcasts(spark, sf_dir):
 #: Queries whose physical plan legitimately contains a
 #: BroadcastNestedLoopJoin: each broadcasts a BOUNDED tiny side (the 20-row
 #: query batch in brute-force top-k / IVF cell scoring at similarity.py:92,
-#: 444 and the IVF cell scoring in plans/queries_streaming.py, the 1-row
+#: 444 and the IVF cell scoring in plans/queries_tail.py, the 1-row
 #: corpus count in TF-IDF there too, the quantile boundary row set in
 #: quantile_bands), so the "nested loop" is a map-side constant join — the
 #: intended physical op, not a scale risk.

@@ -103,7 +103,7 @@ def test_stateful_ttl_variant_matches_on_bounded_input(spark):
 
     from pyspark.sql import types as T
 
-    from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
+    from nursing_home_data_etl_pipeline_spark.plans.queries_tail import (
         _drain_to_memory,
     )
     from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
@@ -166,7 +166,7 @@ def test_stateful_totals_with_string_key(spark):
 
     from pyspark.sql import types as T
 
-    from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
+    from nursing_home_data_etl_pipeline_spark.plans.queries_tail import (
         _drain_to_memory,
     )
     from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (

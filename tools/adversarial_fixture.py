@@ -292,6 +292,90 @@ def build(src: str, dest: str) -> dict[str, int]:
     return added
 
 
+#: Every driver table, in TESTDATA.md order — shared by the derived axes.
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _derive(src: str, dest: str, mutate) -> None:
+    """Copy every table through ``mutate(name, table) -> table`` — the
+    common frame for the sibling robustness axes (schemas byte-identical,
+    so oracle and engine read production shapes)."""
+    os.makedirs(dest, exist_ok=True)
+    for t in TABLES:
+        pq.write_table(mutate(t, _read(src, t)), f"{dest}/{t}.parquet")
+
+
+def derive_empty(src: str, dest: str) -> None:
+    """EMPTY axis: every table sliced to 0 rows — a first run, a fully
+    filtered source, or an empty partition must yield empty results, not
+    crashes (caught DuckDB LOG2(0) in the LSH plane derivation and Spark's
+    no-grand-total-row grouping-sets behavior)."""
+    _derive(src, dest, lambda _, tbl: tbl.slice(0, 0))
+
+
+def derive_single_row(src: str, dest: str) -> None:
+    """SINGLE-ROW axis: one row per table — degenerate groups, windows,
+    and joins (empty pair sets, self-join of one)."""
+    _derive(src, dest, lambda _, tbl: tbl.slice(0, 1))
+
+
+def derive_reversed(src: str, dest: str) -> None:
+    """ROW-ORDER-REVERSED axis: identical multiset, reversed physical
+    order — catches input-order-dependent picks on either side (the class
+    DuckDB's native ASOF exhibits under ties)."""
+    _derive(
+        src,
+        dest,
+        lambda _, tbl: tbl.take(pa.array(range(tbl.num_rows - 1, -1, -1))),
+    )
+
+
+def derive_skew(src: str, dest: str) -> None:
+    """SKEW axis: half of events on one user and half of orders on one
+    customer — the shape that breaks at 100 TB (one giant window
+    partition, one giant group, a skewed join side); surfaced Spark's
+    double->string scientific notation at a >=1e7 fine total (round 7)."""
+    hot_cols = {"events": "user_id", "orders": "o_custkey"}
+
+    def mutate(name, tbl):
+        col_name = hot_cols.get(name)
+        if col_name and tbl.num_rows:
+            col = tbl.column(col_name)
+            n = tbl.num_rows
+            vals = [col[0].as_py()] * (n // 2) + col.to_pylist()[n // 2:]
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index(col_name),
+                col_name,
+                pa.array(vals, col.type),
+            )
+        return tbl
+
+    _derive(src, dest, mutate)
+
+
+def derive_all_duplicates(src: str, dest: str) -> None:
+    """ALL-DUPLICATES axis: identical text in every document and an
+    identical embedding in every row — the quadratic-pair stressor
+    (C(500,2) = 124,750 LSH pair edges at sf0.001 push connected
+    components past the 100k-edge threshold into the distributed
+    min-label branch)."""
+
+    def mutate(name, tbl):
+        dup_col = {"documents": "text", "embeddings": "embedding"}.get(name)
+        if dup_col and tbl.num_rows:
+            val = next(x for x in tbl.column(dup_col).to_pylist() if x)
+            i = tbl.schema.get_field_index(dup_col)
+            tbl = tbl.set_column(
+                i, dup_col, pa.array([val] * tbl.num_rows, tbl.schema.field(dup_col).type)
+            )
+        return tbl
+
+    _derive(src, dest, mutate)
+
+
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     dest = sys.argv[2] if len(sys.argv) > 2 else "/tmp/advdata"

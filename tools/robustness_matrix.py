@@ -1,0 +1,129 @@
+"""One-command robustness matrix: the full 50-query oracle gate on every
+axis, one JSON record out (round-7 VERDICT directive #1 — the matrix was
+the repo's strongest guarantee but existed only as hand-run steps plus
+BASELINE.md prose; a silently dropped axis was invisible).
+
+The TEN-axis set of the round-7 closing record:
+
+  clean-sf0.001 / clean-sf0.01 / clean-sf0.1   driver parquet as-is
+  adversarial-sf0.001 / adversarial-sf0.1      adversarial_fixture phases 1-7
+  skew, empty, single-row, all-duplicates,     derived from sf0.001
+  row-order-reversed                           (builders in adversarial_fixture)
+  cpus3                                        clean sf0.001, SPARK_GRAFT_CPUS=3
+
+Each axis runs as a SUBPROCESS of tools/check_correctness.py: a JVM crash on
+one axis fails that axis only, and the cpus3 axis needs its own session (the
+partition count is fixed at session creation) — the ~15 s startup per axis
+is the price of isolation.
+
+Usage:
+    python tools/robustness_matrix.py [--out MATRIX.json] [--axes a,b,...]
+        [--workdir DIR] [--testdata /root/testdata]
+Exit 0 iff every selected axis passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import adversarial_fixture as af  # noqa: E402
+
+AXIS_TIMEOUT_S = 1800
+
+
+def axis_specs(testdata: str, workdir: str) -> dict[str, dict]:
+    """name -> {build: fn|None, dir: path, env: extra-env}. Build lazily so
+    --axes only pays for what it runs."""
+    sf = {n: f"{testdata}/sf{n}" for n in ("0.001", "0.01", "0.1")}
+    d = lambda name: os.path.join(workdir, name)  # noqa: E731
+    return {
+        "clean-sf0.001": {"dir": sf["0.001"]},
+        "clean-sf0.01": {"dir": sf["0.01"]},
+        "clean-sf0.1": {"dir": sf["0.1"]},
+        "adversarial-sf0.001": {"dir": d("adv001"), "build": lambda p: af.build(sf["0.001"], p)},
+        "adversarial-sf0.1": {"dir": d("adv1"), "build": lambda p: af.build(sf["0.1"], p)},
+        "skew": {"dir": d("skew"), "build": lambda p: af.derive_skew(sf["0.001"], p)},
+        "empty": {"dir": d("empty"), "build": lambda p: af.derive_empty(sf["0.001"], p)},
+        "single-row": {"dir": d("single"), "build": lambda p: af.derive_single_row(sf["0.001"], p)},
+        "all-duplicates": {"dir": d("alldup"), "build": lambda p: af.derive_all_duplicates(sf["0.001"], p)},
+        "row-order-reversed": {"dir": d("reversed"), "build": lambda p: af.derive_reversed(sf["0.001"], p)},
+        "cpus3": {"dir": sf["0.001"], "env": {"SPARK_GRAFT_CPUS": "3"}},
+    }
+
+
+def run_axis(name: str, spec: dict, repo_root: str) -> dict:
+    t0 = time.time()
+    if "build" in spec:
+        spec["build"](spec["dir"])
+    env = {**os.environ, **spec.get("env", {})}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "tools/check_correctness.py", spec["dir"]],
+            capture_output=True, text=True, cwd=repo_root,
+            env=env, timeout=AXIS_TIMEOUT_S,
+        )
+        out = proc.stdout
+        rc = proc.returncode
+    except subprocess.TimeoutExpired as ex:
+        out = (ex.stdout or b"").decode(errors="replace") if isinstance(ex.stdout, bytes) else (ex.stdout or "")
+        rc = -1
+    failures = [
+        line.split()[1].rstrip(":")
+        for line in out.splitlines()
+        if line.startswith("FAIL ")
+    ]
+    passed = sum(1 for line in out.splitlines() if line.startswith(("PASS", "ok?")))
+    # rc != 0 with no FAIL lines = the gate itself died (JVM crash, timeout,
+    # unknown query name) — never report that as green.
+    status = "pass" if rc == 0 else ("fail" if failures else "error")
+    return {
+        "status": status,
+        "dir": spec["dir"],
+        "passed": passed,
+        "failures": failures,
+        "seconds": round(time.time() - t0, 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="MATRIX.json")
+    ap.add_argument("--axes", default=None, help="comma-separated subset")
+    ap.add_argument("--workdir", default=None, help="fixture scratch dir")
+    ap.add_argument("--testdata", default="/root/testdata")
+    args = ap.parse_args()
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    workdir = args.workdir or tempfile.mkdtemp(prefix="matrix_")
+    specs = axis_specs(args.testdata, workdir)
+    names = args.axes.split(",") if args.axes else list(specs)
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        print(f"ERROR: unknown axes {unknown}; known: {list(specs)}")
+        return 2
+
+    record: dict = {"axes": {}}
+    for name in names:
+        res = run_axis(name, specs[name], repo_root)
+        record["axes"][name] = res
+        tail = "" if not res["failures"] else f" {res['failures']}"
+        print(f"{res['status']:5s} {name:22s} {res['passed']:3d} green "
+              f"({res['seconds']}s){tail}", flush=True)
+
+    record["all_green"] = all(a["status"] == "pass" for a in record["axes"].values())
+    with open(os.path.join(repo_root, args.out), "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"\n{'ALL GREEN' if record['all_green'] else 'FAILURES'} -> {args.out}")
+    return 0 if record["all_green"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
