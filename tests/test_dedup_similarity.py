@@ -217,34 +217,71 @@ def test_multimodal_null_payload_propagates(spark):
     assert fr[1].n_frames == 0
 
 
+def _stdlib_png(w: int, h: int, rgb=(200, 10, 30)) -> bytes:
+    """A valid 8-bit RGB PNG built with stdlib only (zlib + struct + CRC32)
+    — the decode fixture must not itself depend on Pillow, or the real
+    branch could never be exercised by installing Pillow alone."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))  # filter 0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_stdlib_png_fixture_is_wellformed():
+    """Self-check of the vendored PNG bytes: signature, IHDR-encoded
+    dimensions, and IDAT payload decompressing to the filtered-scanline
+    size — so a broken fixture can't masquerade as a Pillow decode bug."""
+    import struct
+    import zlib
+
+    b = _stdlib_png(4, 3)
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b[12:16] == b"IHDR" and struct.unpack(">II", b[16:24]) == (4, 3)
+    idat_at = b.index(b"IDAT")
+    (idat_len,) = struct.unpack(">I", b[idat_at - 4 : idat_at])
+    raw = zlib.decompress(b[idat_at + 4 : idat_at + 4 + idat_len])
+    assert len(raw) == 3 * (1 + 4 * 3)  # h rows of (filter byte + w*3)
+
+
 def test_decode_image_env_gate_or_real_decode(spark):
     """decode_image's ONLY gate is the environment: without Pillow it
     raises NotImplementedError at plan-build time (not deep in a task);
     with Pillow it must actually decode — real dimensions, mode, and the
-    same NULL-payload contract as decode_fake."""
+    same NULL-payload contract as decode_fake. RECIPE (this container
+    cannot pip install): ``pip install pillow`` then re-run this test —
+    the fixture PNG is stdlib-generated, so Pillow is needed only for the
+    decode itself and the real branch runs with no other setup."""
     import pytest
 
     from nursing_home_data_etl_pipeline_spark.operators.multimodal import decode_image
 
+    df = spark.createDataFrame(
+        [(1, _stdlib_png(4, 3)), (2, None)], "doc_id long, payload binary"
+    )
     try:
-        from PIL import Image
+        import PIL  # noqa: F401
     except ImportError:
-        df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
         with pytest.raises(NotImplementedError, match="Pillow"):
             decode_image(df)
         return
-    import io
-
-    def png(w, h):
-        buf = io.BytesIO()
-        Image.new("RGB", (w, h)).save(buf, format="PNG")
-        return buf.getvalue()
-
-    df = spark.createDataFrame(
-        [(1, png(4, 3)), (2, None)], "doc_id long, payload binary"
-    )
     got = {r.doc_id: r for r in decode_image(df).collect()}
     assert (got[1].width, got[1].height, got[1].mode) == (4, 3, "RGB")
+    assert got[1].n_bytes == len(_stdlib_png(4, 3))
     assert got[2].width is None and got[2].n_bytes is None
 
 
