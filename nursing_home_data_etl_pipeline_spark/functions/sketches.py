@@ -81,21 +81,78 @@ def cms_build(
     return (
         df.select(rows)
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        # (depth, width) ride along as column metadata so estimate/merge can
+        # detect a parameter mismatch (round-8 hunt: probing with the wrong
+        # width addresses counters the item never incremented — the min can
+        # then UNDER-estimate, silently breaking the overestimate-only
+        # guarantee). Schema metadata survives select/parquet round-trips.
+        .agg(
+            F.count(F.lit(1)).alias(
+                "cnt", metadata={"cms_depth": depth, "cms_width": width}
+            )
+        )
+    )
+
+
+def _cms_params(
+    sketch: DataFrame, depth: int | None, width: int | None, caller: str
+) -> tuple[int, int]:
+    """Reconcile a sketch's embedded (depth, width) metadata with the
+    caller's parameters. Metadata is authoritative when present: omitted
+    parameters (None) resolve from it, and an explicit parameter that
+    CONFLICTS with it raises. A metadata-less sketch (e.g. rebuilt from
+    collected rows) uses the parameters, falling back to the build
+    defaults (4, 1024) — unchecked, as before round 8."""
+    meta = sketch.schema["cnt"].metadata if "cnt" in sketch.columns else {}
+    md, mw = meta.get("cms_depth"), meta.get("cms_width")
+    if md is not None and (
+        (depth is not None and depth != md) or (width is not None and width != mw)
+    ):
+        raise ValueError(
+            f"{caller}: sketch was built with depth={md}, width={mw} but "
+            f"got depth={depth}, width={width} — a mismatched probe "
+            f"addresses wrong counters and can UNDER-estimate"
+        )
+    return (
+        md if md is not None else (depth if depth is not None else 4),
+        mw if mw is not None else (width if width is not None else 1024),
     )
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Merge two sketches built with the same (depth, width): counters add."""
+    """Merge two sketches built with the same (depth, width): counters add.
+    Embedded (depth, width) metadata must agree when both sides carry it
+    (summing counters across different geometries is meaningless); the
+    merged sketch keeps the metadata."""
+    meta_a = a.schema["cnt"].metadata if "cnt" in a.columns else {}
+    meta_b = b.schema["cnt"].metadata if "cnt" in b.columns else {}
+    keys = ("cms_depth", "cms_width")
+    if (
+        all(k in meta_a for k in keys)
+        and all(k in meta_b for k in keys)
+        and any(meta_a[k] != meta_b[k] for k in keys)
+    ):
+        raise ValueError(
+            f"cms_merge: geometry mismatch — a is "
+            f"({meta_a['cms_depth']}, {meta_a['cms_width']}), b is "
+            f"({meta_b['cms_depth']}, {meta_b['cms_width']})"
+        )
+    meta = {k: meta_a[k] for k in keys if k in meta_a} or {
+        k: meta_b[k] for k in keys if k in meta_b
+    }
     return (
         a.unionByName(b)
         .groupBy("row", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt", metadata=meta))
     )
 
 
 def cms_estimate(
-    cms: DataFrame, items: DataFrame, item_col: str, depth: int = 4, width: int = 1024
+    cms: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """Point-query the sketch for each DISTINCT row of ``items`` (rows are
     grouped by all items columns — duplicate probe rows collapse to one
@@ -105,8 +162,13 @@ def cms_estimate(
     10^9-row candidate list is a map-side join + small aggregate, never a
     shuffle of the corpus.
 
+    ``depth``/``width`` normally come from the sketch itself (embedded by
+    :func:`cms_build` as column metadata); passing values that conflict
+    with the embedded ones raises — see :func:`_cms_params`.
+
     Output: items columns + ``est`` (long, >= true count).
     """
+    depth, width = _cms_params(cms, depth, width, "cms_estimate")
     clash = {"row", "bucket", "cnt", "rb", "est"} & set(items.columns)
     if clash:
         raise ValueError(f"items columns collide with CMS internals: {clash}")
@@ -155,11 +217,18 @@ def _fold_binary(sketch_col: str, merge_fn: str) -> Column:
     function via the higher-order ``reduce`` — used for families (KLL) that
     ship pairwise merges but no union aggregate. Sketch lists are tiny
     (#partials per group), so the collect_list never approaches row scale.
+
+    The seed is ``try_element_at(..., 1)``, NOT ``[0]``: collect_list skips
+    NULLs, so a group whose sketches are all NULL (partials re-read through
+    an outer join/union) folds an EMPTY list, and under ANSI mode (the
+    Spark 4 default) GetArrayItem on an empty array RAISES
+    INVALID_ARRAY_INDEX — aborting the whole rollup — where the fold
+    should yield NULL for the downstream ``_merged IS NULL`` guard.
     """
     return F.expr(
         f"""reduce(
               slice(collect_list({sketch_col}), 2, 2147483646),
-              collect_list({sketch_col})[0],
+              try_element_at(collect_list({sketch_col}), 1),
               (acc, x) -> {merge_fn}(acc, x))"""
     )
 

@@ -38,11 +38,34 @@ def _driver_union_find(
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    labels = [(v, find(v)) for v in set(parent) | {b for _, b in edge_rows} | {a for a, _ in edge_rows}]
+    nodes = {a for a, _ in edge_rows} | {b for _, b in edge_rows}
     spark = vertices.sparkSession
-    if not labels:
+    if not nodes:
         return vertices.select(F.col(id_col), F.col(id_col).alias("component"))
     vtype = vertices.schema[id_col].dataType.simpleString()
+    # The component label must be a VERTEX id (dup_clusters' keep-one rule
+    # is ``filter(doc_id == cluster_id)`` — a conduct-only endpoint's id as
+    # the label would make that filter match NOTHING in the cluster and
+    # delete every copy). Probe which endpoints actually are vertices (one
+    # bounded broadcast semi-join: <= #endpoints rows back) and label each
+    # root-group by its min VERTEX member; a group with no vertex member
+    # keeps its min endpoint — those labels never join a vertex row anyway.
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], schema=f"v {vtype}")
+    members = {
+        r[0]
+        for r in vertices.join(
+            F.broadcast(nodes_df), vertices[id_col] == nodes_df["v"], "left_semi"
+        )
+        .select(id_col)
+        .collect()
+    }
+    groups: dict = {}
+    for n in nodes:
+        groups.setdefault(find(n), []).append(n)
+    labels = []
+    for mem in groups.values():
+        rep = min((m for m in mem if m in members), default=min(mem))
+        labels.extend((m, rep) for m in mem)
     lab_df = spark.createDataFrame(
         labels, schema=f"v {vtype}, component {vtype}"
     )
@@ -87,22 +110,29 @@ def connected_components(
     edges = edges.filter(
         F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
     )
+    # Every cached frame is registered in `cached` the moment it is cached
+    # and ALL of them release on ANY failure (the except at the bottom):
+    # pre-loop probe/collect errors — and a mid-iteration failure between
+    # caching new_labels and rebinding `labels` — previously escaped with
+    # frames still cached, leaking session cache per failed run.
+    cached: list = []
+
+    def _cache(frame: DataFrame) -> DataFrame:
+        cached.append(frame.cache())
+        return frame
+
     # The edge set is consumed twice (size probe, then collect or symmetric
     # expansion) and upstream it is typically a full LSH candidate pipeline
     # (shingle -> signature -> band join) — cache it so that pipeline runs
     # once, not twice. Bounded by candidate pairs, not corpus size.
-    edges = edges.select(src_col, dst_col).cache()
-    # Every cached frame is released on ANY failure (the except at the
-    # bottom): pre-loop probe/collect errors previously escaped with
-    # edges/sym/extras still cached, leaking session cache per failed run.
-    sym = extras = labels = None
+    edges = _cache(edges.select(src_col, dst_col))
     try:
         n_edges = edges.limit(driver_edge_threshold + 1).count()
         if n_edges <= driver_edge_threshold:
             edge_rows = [(r[0], r[1]) for r in edges.collect()]
             edges.unpersist()
             return _driver_union_find(vertices, edge_rows, id_col)
-        sym = (
+        sym = _cache(
             edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
             .unionByName(
                 edges.select(
@@ -110,7 +140,6 @@ def connected_components(
                 )
             )
             .distinct()
-            .cache()
         )
         # Edge endpoints absent from `vertices` still CONDUCT connectivity
         # (the driver union-find connects through them transitively); the
@@ -119,22 +148,21 @@ def connected_components(
         # edge count landed. The endpoint set is edge-bounded (small), so
         # the probe and the final filter-back are broadcast-sized.
         v_ids = vertices.select(F.col(id_col).alias("v"))
-        extras = (
+        extras = _cache(
             sym.select(F.col("src").alias("v"))
             .distinct()
             .join(v_ids, "v", "left_anti")
-            .cache()
         )
         has_extras = extras.limit(1).count() > 0
         seed = v_ids.unionByName(extras) if has_extras else v_ids
-        labels = seed.select("v", F.col("v").alias("label")).cache()
+        labels = _cache(seed.select("v", F.col("v").alias("label")))
         for _ in range(max_iterations):
             neighbor_min = (
                 sym.join(labels, sym["dst"] == labels["v"])
                 .groupBy("src")
                 .agg(F.min("label").alias("nlabel"))
             )
-            new_labels = (
+            new_labels = _cache(
                 labels.join(
                     neighbor_min, labels["v"] == neighbor_min["src"], "left"
                 )
@@ -144,7 +172,6 @@ def connected_components(
                         F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                     ).alias("label"),
                 )
-                .cache()
             )
             changed = (
                 new_labels.alias("n")
@@ -166,6 +193,24 @@ def connected_components(
                     # edge pipeline the caches existed to avoid.
                     extras.count()
                     out = labels.join(F.broadcast(extras), "v", "left_anti")
+                    # Propagation may have labeled a component with a
+                    # conduct-only endpoint's id (it can be the min). The
+                    # contract — and dup_clusters' keep-one rule
+                    # ``filter(doc_id == cluster_id)`` — needs the min
+                    # VERTEX id, so remap exactly the extra-labeled
+                    # components: both probe frames are bounded by #extras
+                    # (edge-sized), so every added join broadcasts and the
+                    # vertex set never reshuffles.
+                    extra_labels = extras.select(F.col("v").alias("label"))
+                    rep = (
+                        out.join(F.broadcast(extra_labels), "label", "left_semi")
+                        .groupBy("label")
+                        .agg(F.min("v").alias("_rep"))
+                    )
+                    out = out.join(F.broadcast(rep), "label", "left").select(
+                        "v",
+                        F.coalesce(F.col("_rep"), F.col("label")).alias("label"),
+                    )
                 else:
                     extras.unpersist()
                 sym.unpersist()
@@ -177,14 +222,13 @@ def connected_components(
             f"connected_components did not converge in {max_iterations} rounds"
         )
     except BaseException:
-        # failure path: nothing escapes, release everything cached so far
-        # (labels points at the CURRENT iteration's cache)
-        for frame in (labels, extras, sym, edges):
-            if frame is not None:
-                try:
-                    frame.unpersist()
-                except Exception:
-                    pass  # cache release must never mask the real error
+        # failure path: nothing escapes — release every frame ever cached
+        # (unpersist on an already-released frame is a no-op)
+        for frame in cached:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # cache release must never mask the real error
         raise
 
 

@@ -92,43 +92,40 @@ def exact_dedup(
     min_by (per-column min_by expressions could not tear here because the
     order key is the unique id, but the struct form also survives column
     names that aren't bare SQL identifiers).
+
+    ANY NULL ``id_col`` raises: the keep-one rule is min-id-per-
+    fingerprint, and ``min``/``min_by`` SKIP null ordering keys — a
+    fingerprint group whose every id is NULL would emit one row of all
+    NULLs (the text silently destroyed), and a NULL-text row needs its id
+    as the pass-through key. Filter or key NULL-id rows upstream (the
+    catalog plan does: queries_northstar ``doc_id IS NOT NULL``).
     """
     keyed = df.withColumn("_fp", fingerprint(F.col(text_col)))
+    checked_id = F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                "exact_dedup: NULL id; the keep-one rule (min id per "
+                "fingerprint) and the NULL-text pass-through both need a "
+                "non-null id — filter or key NULL-id rows upstream"
+            )
+        ).cast(df.schema[id_col].dataType)
+    )
     # ONE scan, ONE shuffle: NULL-text rows take a PER-ROW sentinel group
     # key (chr(0)-prefixed id — cannot collide with an md5 hex
     # fingerprint), so they ride the same aggregate as singleton groups
     # instead of a second full-corpus scan through a union branch (the
     # previous two-branch plan re-read and re-fingerprinted the corpus
-    # once per branch). The sentinel NEEDS a non-null id: a NULL id would
-    # null the whole key and silently collapse every (NULL text, NULL id)
-    # row into one group with a degenerate all-NULL-min survivor — so that
-    # case raises instead. Coalesce lazily skips the check for every row
-    # that has a fingerprint, and for NULL-text rows with an id the branch
-    # is a single null test.
+    # once per branch).
     group_key = F.coalesce(
-        F.col("_fp"),
-        F.concat(
-            F.lit("\x00row\x00"),
-            F.when(
-                F.col(id_col).isNotNull(), F.col(id_col).cast("string")
-            ).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "exact_dedup: a NULL-text row carries a NULL id; "
-                        "NULL-text rows pass through keyed by their id, so "
-                        "the id must be non-null"
-                    )
-                )
-            ),
-        ),
+        F.col("_fp"), F.concat(F.lit("\x00row\x00"), checked_id.cast("string"))
     )
     others = [c for c in df.columns if c != id_col]
     row = F.struct(*[F.col(c).alias(c) for c in others])
     return (
         keyed.groupBy(group_key.alias("_k"))
         .agg(
-            F.min(id_col).alias(id_col),
-            F.min_by(row, F.col(id_col)).alias("_r"),
+            F.min(checked_id).alias(id_col),
+            F.min_by(row, checked_id).alias("_r"),
         )
         .select(
             F.col(id_col),
@@ -170,10 +167,19 @@ def minhash_signatures(
 
     Plan shape: explode shingles -> one hash aggregate with n min()s. Linear
     in total shingle count, one shuffle on doc id.
+
+    NULL-id documents are EXCLUDED (round-8 hunt): SQL GROUP BY would merge
+    every NULL-id doc into ONE chimera signature mixing all their shingles
+    — bogus band keys, wasted hashing — and a NULL id can never appear in
+    an (id_a, id_b) candidate pair anyway (the band join's ``id_a < id_b``
+    is NULL-false). Identity-less docs need ids assigned upstream
+    (:func:`decontaminate` does exactly that for its benchmark side).
     """
     if num_hashes > 16:
         raise ValueError("num_hashes > 16 would overflow the 2^53 bound")
-    sh = shingle_table(df, text_col, id_col, shingle_k)
+    sh = shingle_table(
+        df.filter(F.col(id_col).isNotNull()), text_col, id_col, shingle_k
+    )
     m = F.md5("_shingle")
     hashed = sh.select(
         id_col,
@@ -261,9 +267,21 @@ def decontaminate(
     train-buckets LEFT ANTI benchmark-buckets: the benchmark side is tiny
     (eval sets), so its bucket table broadcasts and the training corpus
     never shuffles. Returns the clean training rows.
+
+    NULL-id handling (round-8 hunt): benchmark ids are IRRELEVANT to the
+    result (only band keys cross the join), so the benchmark side gets
+    surrogate row ids — a NULL-id benchmark doc still scrubs what it
+    should, instead of being excluded (or worse, chimera-merged with every
+    other NULL-id benchmark doc into one wrong signature). TRAIN rows with
+    a NULL id, however, pass through UNSCANNED: the final anti-join is
+    id-keyed and NULL never equals NULL — give training rows stable ids
+    upstream if they must participate.
     """
     t_sig = minhash_signatures(train, text_col, id_col, num_hashes, shingle_k)
-    b_sig = minhash_signatures(benchmark, text_col, id_col, num_hashes, shingle_k)
+    b_keyed = benchmark.select(
+        F.monotonically_increasing_id().alias(id_col), F.col(text_col)
+    )
+    b_sig = minhash_signatures(b_keyed, text_col, id_col, num_hashes, shingle_k)
     t_buckets = _band_buckets(t_sig, id_col, num_hashes, bands)
     b_buckets = _band_buckets(b_sig, id_col, num_hashes, bands).select("band", "key")
     contaminated = (
@@ -338,9 +356,13 @@ def simhash_signatures(
     """
     # NULL/blank texts emit no signature (same contract as shingle_table:
     # identical blank docs are exact_dedup's job; without the filter n
-    # blank docs simhash-pair into O(n^2) hamming-0 pairs).
+    # blank docs simhash-pair into O(n^2) hamming-0 pairs). NULL-id docs
+    # are excluded for the same reason as minhash_signatures: GROUP BY
+    # would chimera-merge them, and their pairs are NULL-false anyway.
     norm = normalize_text(F.col(text_col))
-    df = df.filter(norm.isNotNull() & (norm != ""))
+    df = df.filter(
+        norm.isNotNull() & (norm != "") & F.col(id_col).isNotNull()
+    )
     # Tokenize with words() — the blank-safe whitespace-hardened
     # tokenizer: the previous F.trim+split form injected a phantom
     # ''-token for text with leading/trailing tab/newline whitespace,

@@ -103,7 +103,11 @@ def cosine_topk_bruteforce(
         cosine_rounded_prenorm(
             F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
         ).alias("cos_sim"),
-    )
+    # a query/corpus DIM mismatch NULLs the cosine (zip_with pads the
+    # shorter array) — an undefined similarity is not a result, so such
+    # pairs are excluded rather than ranked (desc puts NULL last, but they
+    # would still fill top-k slots when real candidates run out)
+    ).filter(F.col("cos_sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -148,12 +152,18 @@ def cosine_topk_lsh(
     hyperplane are missed); raise recall with multi-probe or fewer planes.
     """
     planes = hyperplanes(n_planes, dim)
+    # Off-dim guard (round-8 hunt): a vector whose length differs from the
+    # hyperplane dim NULLs every plane dot (zip_with pads with NULL and the
+    # fold poisons), so when(NULL > 0) silently sent ALL such vectors to
+    # bucket 0 — one degenerate bucket doing O(n^2) pair work. Exclude them
+    # like NULL/zero-norm vectors (same contract as the catalog's
+    # _DIM_CONTRACT prefilter).
     q = rhp_bucket(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
             norm(F.col(vec_col)).alias("_qn"),
-        ).filter(F.col("_qn") > 0),
+        ).filter((F.col("_qn") > 0) & (F.size("_qv") == dim)),
         planes,
         "_qv",
     )
@@ -162,7 +172,7 @@ def cosine_topk_lsh(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cv"),
             norm(F.col(vec_col)).alias("_cn"),
-        ).filter(F.col("_cn") > 0),
+        ).filter((F.col("_cn") > 0) & (F.size("_cv") == dim)),
         planes,
         "_cv",
     )
@@ -205,9 +215,12 @@ def embedding_near_dup_pairs(
     if n_planes is None:
         n_planes = derive_n_planes(df.count())
     planes = hyperplanes(n_planes, dim)
+    # Same off-dim guard as cosine_topk_lsh: wrong-length vectors would all
+    # collapse into bucket 0 (NULL-poisoned plane dots) and pair
+    # quadratically there.
     b = rhp_bucket(
         df.select(id_col, vec_col, norm(F.col(vec_col)).alias("_n")).filter(
-            F.col("_n") > 0
+            (F.col("_n") > 0) & (F.size(vec_col) == dim)
         ),
         planes,
         vec_col,
@@ -269,17 +282,21 @@ def kmeans_fit(
     # stays rejected because it can seed several centroids inside one
     # cluster and the empty-cell rule never splits them apart.
     n_cand = max(8 * k, 256)
+    # Dirty-input contract shared with every similarity op: NULL embeddings
+    # (or arrays containing a NULL element) are excluded from training —
+    # one such row in the sample crashed the driver-side float() conversion,
+    # and in the Lloyd SWEEP a NULL element NULLs the distance to every
+    # centroid, which struct-min ties to cell 0 (round-8 hunt: the filter
+    # applied only to the init sample, so dirty rows were force-assigned to
+    # cell 0 and dragged its centroid while the docstring claimed they were
+    # excluded). Zero vectors STAY: they are valid L2 points (only cosine
+    # is undefined on them).
+    clean = df.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
     cand_rows = (
-        # Dirty-input contract shared with every similarity op: NULL
-        # embeddings (or arrays containing a NULL element) are excluded
-        # from training — one such row in the sample crashed the driver-
-        # side float() conversion. Zero vectors STAY: they are valid L2
-        # points (only cosine is undefined on them).
-        df.filter(
-            F.col(vec_col).isNotNull()
-            & ~F.exists(F.col(vec_col), lambda x: x.isNull())
-        )
-        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        clean.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_cand)
         .collect()
@@ -291,6 +308,13 @@ def kmeans_fit(
     # lowest id with no numeric-id assumption (string/any orderable id
     # works; the previous int() coercion crashed on string ids).
     cand_rows.sort(key=lambda r: r["_id"])
+    # Dimensionality contract: the min-id candidate defines dim; ragged
+    # vectors of any OTHER length are excluded like NULL-element ones (in
+    # the sweep their zip_with distance NULLs to cell 0, and their extra
+    # posexplode positions would LENGTHEN cell centroids).
+    dim = len(cand_rows[0]["_v"])
+    cand_rows = [r for r in cand_rows if len(r["_v"]) == dim]
+    clean = clean.filter(F.size(F.col(vec_col)) == dim)
     cand_vecs = np.array(
         [[float(x) for x in r["_v"]] for r in cand_rows], dtype=np.float64
     )
@@ -320,7 +344,7 @@ def kmeans_fit(
                 lambda acc, x: acc + x,
             )
             choices.append(F.struct(d2.alias("d2"), F.lit(c).alias("cell")))
-        assigned = df.select(
+        assigned = clean.select(
             F.col(vec_col).alias("_v"),
             F.array_min(F.array(*choices))["cell"].alias("cell"),
         )

@@ -105,3 +105,36 @@ def test_absent_endpoint_conducts_in_both_paths(spark):
             ).collect()
         }
         assert got == {1: 1, 2: 1, 7: 7}, f"threshold={threshold}"
+
+
+def test_conduct_only_min_endpoint_never_becomes_label(spark):
+    """Round-8 hunt: a conduct-only endpoint whose id is the component MIN
+    must not become the cluster label — dup_clusters' keep-one rule is
+    ``filter(doc_id == cluster_id)``, and a phantom label would make it
+    delete EVERY copy in the cluster. Both paths must label with the min
+    VERTEX id instead."""
+    from nursing_home_data_etl_pipeline_spark.operators.components import (
+        connected_components,
+        dup_clusters,
+    )
+
+    vertices = spark.createDataFrame([(2,), (3,), (9,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    for threshold in (100_000, 0):  # driver path, then distributed path
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                vertices, edges, driver_edge_threshold=threshold
+            ).collect()
+        }
+        assert got == {2: 2, 3: 2, 9: 9}, f"threshold={threshold}"
+    # end-to-end: the keep-one filter retains exactly one doc per cluster
+    docs = spark.createDataFrame([(2,), (3,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r.doc_id
+        for r in dup_clusters(docs, pairs)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .collect()
+    )
+    assert kept == [2, 9]

@@ -51,18 +51,26 @@ def test_exact_dedup_null_text_rows_pass_through_keyed_by_id(spark):
     assert out == [1, 3, 4]
 
 
-def test_exact_dedup_null_text_null_id_raises_not_collapses(spark):
-    """A NULL-text row with a NULL id cannot be sentinel-keyed; silently
-    collapsing all such rows into one NULL group (with an all-NULL-min
-    degenerate survivor) is the ADVICE-r6 hazard — the precondition is
-    enforced with a clear error instead."""
+def test_exact_dedup_null_id_raises_not_collapses(spark):
+    """ANY NULL id raises: a NULL-text row cannot be sentinel-keyed
+    (ADVICE r6 — silently collapsing all such rows into one NULL group
+    with an all-NULL-min degenerate survivor), and a NULL-id row with
+    REAL text is just as hazardous (round-8 hunt): min/min_by skip NULL
+    ordering keys, so a fingerprint group whose ids are all NULL emitted
+    one all-NULL row — the text silently destroyed."""
     import pytest
 
     df = spark.createDataFrame(
         [(1, "a"), (None, None), (None, None)], "doc_id int, text string"
     )
-    with pytest.raises(Exception, match="must be non-null"):
+    with pytest.raises(Exception, match="non-null id"):
         exact_dedup(df, "text", "doc_id").collect()
+    df2 = spark.createDataFrame(
+        [(1, "a"), (None, "hello world"), (None, "hello world")],
+        "doc_id int, text string",
+    )
+    with pytest.raises(Exception, match="non-null id"):
+        exact_dedup(df2, "text", "doc_id").collect()
 
 
 def test_minhash_signature_identical_for_dups(spark):
@@ -620,3 +628,81 @@ def test_jaccard_hot_shingle_cap_matches_oracle(spark):
         (a, b, j) for a, b, _, j in con.execute(_jaccard_pairs_sql(2, 0.0)).fetchall()
     )
     assert oracle == got
+
+
+def test_kmeans_sweep_excludes_dirty_vectors(spark):
+    """Round-8 hunt: the NULL-element/ragged exclusion must hold in the
+    Lloyd SWEEP, not just the init sample — a dirty vector NULLs the
+    distance to every centroid, struct-min ties it to cell 0, and its
+    posexplode rows drag (or for ragged vectors, LENGTHEN) that centroid."""
+    from nursing_home_data_etl_pipeline_spark.operators.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [0.1, 0.1]),
+            (3, [10.0, 10.0]),
+            (4, [10.1, 10.1]),
+            (5, [None, 5.0]),       # NULL element
+            (6, [1.0, 2.0, 3.0]),   # ragged (3-dim)
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    cents = sorted(kmeans_fit(df, k=2, iters=2))
+    assert cents == [[0.05, 0.05], [10.05, 10.05]]
+
+
+def test_lsh_excludes_off_dim_vectors(spark):
+    """Round-8 hunt: a vector whose length differs from the hyperplane dim
+    NULL-poisons every plane dot and previously collapsed into bucket 0
+    with every other off-dim vector — a degenerate O(n^2) bucket. Such
+    vectors are now excluded like NULL/zero-norm ones."""
+    from nursing_home_data_etl_pipeline_spark.operators.similarity import (
+        cosine_topk_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [1.0, 0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    assert embedding_near_dup_pairs(df, threshold=0.9, n_planes=4, dim=2).count() == 0
+    got = cosine_topk_lsh(df, df, n_planes=4, dim=2, k=5).collect()
+    assert got == []  # the only dim-2 vector has no dim-2 peers
+
+
+def test_decontaminate_null_id_benchmark_still_scrubs(spark):
+    """Round-8 hunt: benchmark ids are irrelevant to decontamination (only
+    band keys cross the join), so NULL-id benchmark docs get surrogate ids
+    instead of being dropped — or chimera-merged into one wrong signature."""
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import decontaminate
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content with no overlap whatsoever here now"
+    train = spark.createDataFrame(
+        [(1, text), (2, other)], "doc_id long, text string"
+    )
+    benchmark = spark.createDataFrame(
+        [(None, text), (None, "unrelated benchmark material entirely")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in decontaminate(train, benchmark).collect())
+    assert kept == [2]
+
+
+def test_minhash_simhash_signatures_exclude_null_ids(spark):
+    """Round-8 hunt: SQL GROUP BY would merge every NULL-id doc into ONE
+    chimera signature mixing their shingles; NULL-id docs are excluded
+    (their pairs were NULL-false anyway)."""
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (None, "some words here"),
+         (None, "other words there")],
+        "doc_id long, text string",
+    )
+    assert minhash_signatures(df, num_hashes=4, shingle_k=2).count() == 1
+    assert simhash_signatures(df).count() == 1

@@ -212,3 +212,33 @@ def test_cms_null_keys_never_undercount(spark):
     est = {r.k: r.est for r in cms_estimate(cms, probes, "k", depth=4, width=64).collect()}
     assert est[None] >= 100
     assert est["a"] >= 3
+
+
+def test_kll_fold_all_null_sketch_group_yields_null(spark):
+    """Round-8 hunt: collect_list skips NULLs, so a group whose sketches
+    are all NULL folds an EMPTY list — and under ANSI (Spark 4 default)
+    ``list[0]`` RAISES INVALID_ARRAY_INDEX instead of seeding NULL. The
+    try_element_at seed keeps quantile-of-nothing = NULL."""
+    nullgrp = spark.sql("SELECT 'g1' AS g, CAST(NULL AS BINARY) AS kll_sketch")
+    out = kll_rollup_quantiles(nullgrp, ["g"], [0.5]).collect()
+    assert [(r.g, r.q_5) for r in out] == [("g1", None)]
+
+
+def test_cms_estimate_geometry_mismatch_raises(spark):
+    """Round-8 hunt: probing with a different width than the build
+    addresses counters the item never incremented, so the min can
+    UNDER-estimate — silently breaking the overestimate-only guarantee.
+    The build embeds (depth, width) as column metadata; estimate resolves
+    omitted params from it and rejects conflicting explicit ones."""
+    import pytest
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "tok string")
+    cms = cms_build(df, "tok", depth=3, width=2048)
+    items = df.select("tok").distinct()
+    # omitted params resolve from metadata (no stale 4/1024 defaults)
+    est = {r.tok: r.est for r in cms_estimate(cms, items, "tok").collect()}
+    assert est["a"] >= 2 and est["b"] >= 1
+    with pytest.raises(ValueError, match="UNDER-estimate"):
+        cms_estimate(cms, items, "tok", depth=3, width=1024)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        cms_merge(cms, cms_build(df, "tok", depth=3, width=64))
