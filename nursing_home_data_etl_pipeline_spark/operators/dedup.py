@@ -209,20 +209,24 @@ def lsh_candidate_pairs(
     Output: distinct (id_a, id_b) with id_a < id_b.
     """
     buckets = _band_buckets(signatures, id_col, num_hashes, bands)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
+    return _band_self_join(buckets, id_col).distinct()
+
+
+def _band_self_join(buckets: DataFrame, id_col: str, *extra) -> DataFrame:
+    """Self-join an (id, band, key, ...) bucket table on the band bucket
+    with ``id_a < id_b`` — only colliding pairs materialize, never the n^2
+    grid. ``extra`` columns (expressions over the ``a``/``b`` aliases) ride
+    along; shared by the MinHash and SimHash banders."""
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *extra,
     )
 
 
@@ -430,17 +434,10 @@ def simhash_near_pairs(
         F.col("simhash"),
         F.explode(F.array(*band_cols)).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = buckets.alias("a"), buckets.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        _band_self_join(
+            buckets,
+            id_col,
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),

@@ -64,6 +64,37 @@ def hyperplanes(n_planes: int, dim: int, seed: int = RHP_SEED) -> list[list[floa
     return [[round(float(x), 6) for x in row] for row in rng.randn(n_planes, dim)]
 
 
+def _side(
+    df: DataFrame, id_col: str, vec_col: str, tag: str, dim: int | None
+) -> DataFrame:
+    """One similarity side: id/vector/hoisted-norm under ``tag`` aliases
+    (``q``->query_id/_qv/_qn, ``c``->neighbor_id/_cv/_cn), with the shared
+    dirty-input contract applied — NULL and zero-norm vectors are EXCLUDED
+    (a zero vector has no direction, so its cosine is undefined, and under
+    ANSI mode the division would abort the whole job on one dirty row), and
+    when ``dim`` is given, off-dim vectors too (round-8 hunt: a wrong-length
+    vector NULLs every plane dot — when(NULL > 0) silently sent ALL such
+    vectors to bucket 0, one degenerate bucket doing O(n^2) pair work)."""
+    out_id = "query_id" if tag == "q" else "neighbor_id"
+    side = df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(f"_{tag}v"),
+        norm(F.col(vec_col)).alias(f"_{tag}n"),
+    ).filter(F.col(f"_{tag}n") > 0)
+    return side if dim is None else side.filter(F.size(f"_{tag}v") == dim)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k: ROUNDED cosine desc, neighbor id
+    tiebreak."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -76,24 +107,11 @@ def cosine_topk_bruteforce(
 
     The query side is broadcast — the corpus NEVER shuffles, so this scales
     to an arbitrarily large corpus as long as the query set fits in memory
-    (the standard "probe a small batch" shape). Ranking uses the ROUNDED
-    cosine + neighbor id as tiebreak — fully deterministic.
-
-    Contract shared by every similarity op here: NULL and zero-norm
-    embeddings are EXCLUDED on both the query and corpus side — a zero
-    vector has no direction, so its cosine is undefined, and under ANSI
-    mode the division would abort the whole job on one dirty row.
+    (the standard "probe a small batch" shape). Dirty-input contract: see
+    :func:`_side`.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_qn"),
-    ).filter(F.col("_qn") > 0)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        norm(F.col(vec_col)).alias("_cn"),
-    ).filter(F.col("_cn") > 0)
+    q = _side(queries, id_col, vec_col, "q", dim=None)
+    c = _side(corpus, id_col, vec_col, "c", dim=None)
     pairs = c.join(F.broadcast(q), F.lit(True), "inner")
     if not include_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -108,13 +126,7 @@ def cosine_topk_bruteforce(
     # pairs are excluded rather than ranked (desc puts NULL last, but they
     # would still fill top-k slots when real candidates run out)
     ).filter(F.col("cos_sim").isNotNull())
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def rhp_bucket(
@@ -152,30 +164,8 @@ def cosine_topk_lsh(
     hyperplane are missed); raise recall with multi-probe or fewer planes.
     """
     planes = hyperplanes(n_planes, dim)
-    # Off-dim guard (round-8 hunt): a vector whose length differs from the
-    # hyperplane dim NULLs every plane dot (zip_with pads with NULL and the
-    # fold poisons), so when(NULL > 0) silently sent ALL such vectors to
-    # bucket 0 — one degenerate bucket doing O(n^2) pair work. Exclude them
-    # like NULL/zero-norm vectors (same contract as the catalog's
-    # _DIM_CONTRACT prefilter).
-    q = rhp_bucket(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
-            norm(F.col(vec_col)).alias("_qn"),
-        ).filter((F.col("_qn") > 0) & (F.size("_qv") == dim)),
-        planes,
-        "_qv",
-    )
-    c = rhp_bucket(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_cv"),
-            norm(F.col(vec_col)).alias("_cn"),
-        ).filter((F.col("_cn") > 0) & (F.size("_cv") == dim)),
-        planes,
-        "_cv",
-    )
+    q = rhp_bucket(_side(queries, id_col, vec_col, "q", dim), planes, "_qv")
+    c = rhp_bucket(_side(corpus, id_col, vec_col, "c", dim), planes, "_cv")
     pairs = c.join(F.broadcast(q), on="bucket", how="inner").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -186,13 +176,7 @@ def cosine_topk_lsh(
             F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dup_pairs(
@@ -215,9 +199,8 @@ def embedding_near_dup_pairs(
     if n_planes is None:
         n_planes = derive_n_planes(df.count())
     planes = hyperplanes(n_planes, dim)
-    # Same off-dim guard as cosine_topk_lsh: wrong-length vectors would all
-    # collapse into bucket 0 (NULL-poisoned plane dots) and pair
-    # quadratically there.
+    # Same dirty-input contract as _side (NULL/zero-norm/off-dim excluded),
+    # kept under the caller's column names for the self-join aliases below.
     b = rhp_bucket(
         df.select(id_col, vec_col, norm(F.col(vec_col)).alias("_n")).filter(
             (F.col("_n") > 0) & (F.size(vec_col) == dim)

@@ -301,6 +301,26 @@ def _minhash_pairs_cte(src: str = "documents") -> str:
     )"""
 
 
+def _cc_comp_cte(vertices_from: str) -> str:
+    """Connected components over ``mh_pairs`` as a recursive min-label
+    reachability CTE, ending in ``comp(doc_id, cluster_id)``. Callers embed
+    it inside a ``WITH RECURSIVE`` after a :func:`_minhash_pairs_cte`
+    block; ``vertices_from`` is the FROM-clause body supplying the vertex
+    set (shared by the cluster query and training_corpus)."""
+    return f"""
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(v, l) AS (
+      SELECT doc_id, doc_id FROM {vertices_from}
+      UNION
+      SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v)"""
+
+
 def _simhash_oracle() -> str:
     # Tokenizer twin of the engine's words(F.lower(text)) — blank-safe, no
     # phantom ''-token from edge whitespace (moved in lockstep with
@@ -465,21 +485,32 @@ _DUCK_COSINE_BASE = f"""
 """
 
 
-_BRUTE_TOPK_SQL = f"""
-    WITH {_DUCK_COSINE_BASE},
+def _cand_scored_sql(cand_sql: str) -> str:
+    """Exact cosine over a candidate-pair CTE — the tail shared by every
+    ANN oracle (brute/LSH here, IVF in queries_tail): long-form dots joined
+    on component index, cosine from the hoisted norms. Joining ``norms``
+    drops pairs with an invalid side (zero-norm / NULL-element vectors),
+    mirroring the engine's dirty-input contract."""
+    return f"""
+    cand AS ({cand_sql}),
     dots AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.x * c.x) AS dot
-      FROM ex q JOIN ex c USING (i)
-      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+      SELECT cand.query_id, cand.neighbor_id, SUM(a.x * b.x) AS dot
+      FROM cand
+      JOIN ex a ON a.vec_id = cand.query_id
+      JOIN ex b ON b.vec_id = cand.neighbor_id AND b.i = a.i
       GROUP BY 1, 2
     ),
     scored AS (
-      SELECT query_id, neighbor_id,
-             ROUND(dot / (nq.n * nc.n), 6) AS cos_sim
+      SELECT query_id, neighbor_id, ROUND(dot / (nq.n * nc.n), 6) AS cos_sim
       FROM dots
       JOIN norms nq ON nq.vec_id = query_id
       JOIN norms nc ON nc.vec_id = neighbor_id
-    )
+    )"""
+
+
+#: Deterministic per-query top-k over ``scored``: rounded cosine desc,
+#: neighbor id tiebreak (NULLS FIRST per the pinned oracle contract).
+_TOPK_TAIL = f"""
     SELECT * FROM (
       SELECT query_id, neighbor_id, cos_sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -488,7 +519,17 @@ _BRUTE_TOPK_SQL = f"""
     ) WHERE rank <= {_TOP_K}
     """
 
+#: Brute force = every valid (norms-member) query x corpus pair.
+_BRUTE_CAND = f"""
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}"""
 
+_BRUTE_TOPK_SQL = f"""
+    WITH {_DUCK_COSINE_BASE},
+    {_cand_scored_sql(_BRUTE_CAND)}
+    {_TOPK_TAIL}
+    """
 
 
 _N_PLANES = 6
@@ -503,43 +544,33 @@ def _planes_values_sql(n_planes: int = _N_PLANES) -> str:
     return "planes(p, i, v) AS (SELECT * FROM (VALUES " + ", ".join(rows) + "))"
 
 
-def _ann_lsh_oracle() -> str:
+def _rhp_buckets_sql(planes_sql: str, mask: str = "") -> str:
+    """RHP signature CTEs (per-plane dots -> sign-bit bucket), shared by
+    the LSH top-k and near-dup oracles; ``mask`` optionally bounds the
+    plane set (the near-dup derived count)."""
     return f"""
-    WITH {_DUCK_COSINE_BASE},
-    {_planes_values_sql()},
+    {planes_sql},
     pdots AS (
       SELECT ex.vec_id, planes.p, SUM(ex.x * planes.v) AS d
-      FROM ex JOIN planes ON ex.i = planes.i
+      FROM ex JOIN planes ON ex.i = planes.i{mask}
       GROUP BY 1, 2
     ),
     buckets AS (
       SELECT vec_id, SUM(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
       FROM pdots GROUP BY vec_id
-    ),
-    cand AS (
+    )"""
+
+
+def _ann_lsh_oracle() -> str:
+    cand = f"""
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM buckets q JOIN buckets c ON q.bucket = c.bucket
-      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
-    ),
-    dots AS (
-      SELECT cand.query_id, cand.neighbor_id, SUM(q.x * c.x) AS dot
-      FROM cand
-      JOIN ex q ON q.vec_id = cand.query_id
-      JOIN ex c ON c.vec_id = cand.neighbor_id AND c.i = q.i
-      GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT query_id, neighbor_id, ROUND(dot / (nq.n * nc.n), 6) AS cos_sim
-      FROM dots
-      JOIN norms nq ON nq.vec_id = query_id
-      JOIN norms nc ON nc.vec_id = neighbor_id
-    )
-    SELECT * FROM (
-      SELECT query_id, neighbor_id, cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cos_sim DESC, neighbor_id NULLS FIRST) AS rank
-      FROM scored
-    ) WHERE rank <= {_TOP_K}
+      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id"""
+    return f"""
+    WITH {_DUCK_COSINE_BASE},
+    {_rhp_buckets_sql(_planes_values_sql())},
+    {_cand_scored_sql(cand)}
+    {_TOPK_TAIL}
     """
 
 
@@ -588,9 +619,11 @@ _NEAR_DUP_THRESHOLD = 0.3
 def _near_dup_oracle() -> str:
     from ..operators.similarity import RHP_MAX_PLANES, RHP_TARGET_OCCUPANCY
 
+    cand = """
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"""
     return f"""
     WITH {_DUCK_COSINE_BASE},
-    {_planes_values_sql(RHP_MAX_PLANES)},
     np AS (
       SELECT GREATEST(4, LEAST({RHP_MAX_PLANES},
              CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / {RHP_TARGET_OCCUPANCY}.0)) AS INT))) AS np
@@ -599,32 +632,13 @@ def _near_dup_oracle() -> str:
       -- and ceil(log2(1/32)) clamps to the same value
       FROM embeddings WHERE len(embedding) = {_DIM_CONTRACT}
     ),
-    pdots AS (
-      SELECT ex.vec_id, planes.p, SUM(ex.x * planes.v) AS d
-      FROM ex JOIN planes ON ex.i = planes.i CROSS JOIN np
-      WHERE planes.p < np.np
-      GROUP BY 1, 2
-    ),
-    buckets AS (
-      SELECT vec_id, SUM(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
-      FROM pdots GROUP BY vec_id
-    ),
-    cand AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ),
-    dots AS (
-      SELECT cand.id_a, cand.id_b, SUM(a.x * b.x) AS dot
-      FROM cand
-      JOIN ex a ON a.vec_id = cand.id_a
-      JOIN ex b ON b.vec_id = cand.id_b AND b.i = a.i
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, ROUND(dot / (na.n * nb.n), 6) AS cos_sim
-    FROM dots
-    JOIN norms na ON na.vec_id = id_a
-    JOIN norms nb ON nb.vec_id = id_b
-    WHERE ROUND(dot / (na.n * nb.n), 6) >= {_NEAR_DUP_THRESHOLD}
+    {_rhp_buckets_sql(
+        _planes_values_sql(RHP_MAX_PLANES),
+        " CROSS JOIN np WHERE planes.p < np.np",
+    )},
+    {_cand_scored_sql(cand)}
+    SELECT query_id AS id_a, neighbor_id AS id_b, cos_sim
+    FROM scored WHERE cos_sim >= {_NEAR_DUP_THRESHOLD}
     """
 
 

@@ -170,6 +170,7 @@ def string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # between the collections block above and the sampling block below.
 from .queries_northstar import (
     _SHINGLE_K,
+    _cc_comp_cte,
     _duck_minhash_sig_cte,
     _minhash_pairs_cte,
 )
@@ -425,17 +426,7 @@ _DUCK_QUALITY = f"""
       WHERE {_DUCK_QUALITY} >= {_QUALITY_MIN} AND lang IN ('en', 'de', 'es', 'fr')
     ),
     {_minhash_pairs_cte(src="kept")},
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM mh_pairs
-      UNION
-      SELECT id_b, id_a FROM mh_pairs
-    ),
-    reach(v, l) AS (
-      SELECT doc_id, doc_id FROM kept
-      UNION
-      SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
-    ),
-    comp AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v)
+    {_cc_comp_cte("kept")}
     SELECT k.doc_id,
            k.lang,
            md5(trim(regexp_replace(lower(k.text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp,

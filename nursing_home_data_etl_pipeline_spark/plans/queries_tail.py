@@ -14,27 +14,18 @@ from pyspark.sql import functions as F
 from ..functions.text import duck_words_sql, words
 from ..functions.vectors import cosine_rounded_prenorm
 from ..functions.vectors import norm as vec_norm
+from ..operators.similarity import _rank_topk
 from ..operators.components import dup_clusters
 from ..operators.dedup import minhash_dedup_pairs
 from ..sources.readers import read_table
 from .catalog import register
-from .queries_northstar import _minhash_pairs_cte
+from .queries_northstar import _cc_comp_cte, _minhash_pairs_cte
 
 
 def _clusters_oracle() -> str:
     return f"""
     WITH RECURSIVE {_minhash_pairs_cte()},
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM mh_pairs
-      UNION
-      SELECT id_b, id_a FROM mh_pairs
-    ),
-    reach(v, l) AS (
-      SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
-      UNION
-      SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
-    ),
-    comp AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v),
+    {_cc_comp_cte("documents WHERE doc_id IS NOT NULL")},
     sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
     SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size
     FROM comp JOIN sizes USING (cluster_id)
@@ -126,16 +117,15 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _N_CELLS = 8
-_N_QUERIES = 20
-_TOP_K = 10
 _N_PROBE = 2  # query probes its 2 nearest cells — the IVF recall/cost knob
 
-#: Long-form embeddings + norms and the fixed-dim contract: ONE
-#: definition, imported from queries_northstar — a contract change there
-#: (dim filter, zero-norm, NULL-element clauses) reaches the IVF oracle
-#: automatically instead of via a hand-kept copy.
-from .queries_northstar import _DIM_CONTRACT  # noqa: E402
+#: Long-form embeddings + norms, the fixed-dim contract, the query-batch /
+#: top-k sizes, and the cand->dots->scored/top-k SQL tails: ONE definition
+#: each, imported from queries_northstar — a contract change there reaches
+#: the IVF oracle automatically instead of via a hand-kept copy.
+from .queries_northstar import _DIM_CONTRACT, _N_QUERIES, _TOP_K  # noqa: E402
 from .queries_northstar import _DUCK_COSINE_BASE as _DUCK_EX  # noqa: E402
+from .queries_northstar import _TOPK_TAIL, _cand_scored_sql  # noqa: E402
 import uuid  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 from ..streaming.aggregations import (  # noqa: E402
@@ -176,30 +166,11 @@ def _ivf_oracle() -> str:
       SELECT vec_id, cent_id AS cell FROM ranked
       WHERE rn <= {_N_PROBE} AND vec_id < {_N_QUERIES}
     ),
-    cand AS (
+    {_cand_scored_sql('''
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM qprobe q JOIN cells c ON q.cell = c.cell
-      WHERE c.vec_id <> q.vec_id
-    ),
-    dots AS (
-      SELECT cand.query_id, cand.neighbor_id, SUM(a.x * b.x) AS dot
-      FROM cand
-      JOIN ex a ON a.vec_id = cand.query_id
-      JOIN ex b ON b.vec_id = cand.neighbor_id AND b.i = a.i
-      GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT query_id, neighbor_id, ROUND(dot / (na.n * nb.n), 6) AS cos_sim
-      FROM dots
-      JOIN norms na ON na.vec_id = query_id
-      JOIN norms nb ON nb.vec_id = neighbor_id
-    )
-    SELECT * FROM (
-      SELECT query_id, neighbor_id, cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cos_sim DESC, neighbor_id NULLS FIRST) AS rank
-      FROM scored
-    ) WHERE rank <= {_TOP_K}
+      WHERE c.vec_id <> q.vec_id''')}
+    {_TOPK_TAIL}
     """
 
 
@@ -294,12 +265,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= _TOP_K
-    )
+    return _rank_topk(scored, _TOP_K)
 
 
 # ===========================================================================
@@ -786,10 +752,21 @@ _NULL_COLS_SQL = (
     "limit at larger scale factors.",
 )
 def tpch_shapes_q4_q13_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    null_str = F.lit(None).cast("string")
-    null_long = F.lit(None).cast("long")
-    null_dbl = F.lit(None).cast("double")
-    out_cols = ["variant", "k_str", "k_id", "k_id2", "k_date", "price", "qty", "cnt"]
+    types = {
+        "k_str": "string", "k_id": "long", "k_id2": "long",
+        "k_date": "string", "price": "double", "qty": "double", "cnt": "long",
+    }
+
+    def tag(df: DataFrame, variant: str, **cols) -> DataFrame:
+        # pad a variant to the tagged-union schema: named columns pass
+        # through, the rest NULL-fill at the declared type
+        return df.select(
+            F.lit(variant).alias("variant"),
+            *[
+                (cols[k] if k in cols else F.lit(None).cast(t)).alias(k)
+                for k, t in types.items()
+            ],
+        )
 
     # --- q4: EXISTS semi-join with correlated date bound ------------------
     o4 = read_table(spark, sf_dir, "orders").filter(
@@ -802,17 +779,11 @@ def tpch_shapes_q4_q13_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (l4["l_shipdate"] > F.expr("o_orderdate + INTERVAL 60 DAYS")),
         "left_semi",
     )
-    q4 = late.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("cnt")
-    ).select(
-        F.lit("q4").alias("variant"),
-        F.col("o_orderpriority").alias("k_str"),
-        null_long.alias("k_id"),
-        null_long.alias("k_id2"),
-        null_str.alias("k_date"),
-        null_dbl.alias("price"),
-        null_dbl.alias("qty"),
-        "cnt",
+    q4 = tag(
+        late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cnt")),
+        "q4",
+        k_str=F.col("o_orderpriority"),
+        cnt=F.col("cnt"),
     )
 
     # --- q13: outer-join count distribution -------------------------------
@@ -823,17 +794,11 @@ def tpch_shapes_q4_q13_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("c_count"))
     )
-    q13 = per_cust.groupBy("c_count").agg(
-        F.count(F.lit(1)).alias("cnt")
-    ).select(
-        F.lit("q13").alias("variant"),
-        null_str.alias("k_str"),
-        F.col("c_count").alias("k_id"),
-        null_long.alias("k_id2"),
-        null_str.alias("k_date"),
-        null_dbl.alias("price"),
-        null_dbl.alias("qty"),
-        "cnt",
+    q13 = tag(
+        per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("cnt")),
+        "q13",
+        k_id=F.col("c_count"),
+        cnt=F.col("cnt"),
     )
 
     # --- q18: having-subquery detail join ---------------------------------
@@ -853,21 +818,17 @@ def tpch_shapes_q4_q13_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = l18.join(o18, l18["l_orderkey"] == o18["o_orderkey"]).join(
         c18, o18["o_custkey"] == c18["c_custkey"]
     )
-    q18 = joined.groupBy(
-        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
-    ).agg(F.round(F.sum("l_quantity"), 2).alias("qty")).select(
-        F.lit("q18").alias("variant"),
-        F.col("c_name").alias("k_str"),
-        F.col("o_orderkey").alias("k_id"),
-        F.col("c_custkey").alias("k_id2"),
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("k_date"),
-        F.round(F.col("o_totalprice"), 2).alias("price"),
-        "qty",
-        null_long.alias("cnt"),
+    q18 = tag(
+        joined.groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        ).agg(F.round(F.sum("l_quantity"), 2).alias("qty")),
+        "q18",
+        k_str=F.col("c_name"),
+        k_id=F.col("o_orderkey"),
+        k_id2=F.col("c_custkey"),
+        k_date=F.date_format("o_orderdate", "yyyy-MM-dd"),
+        price=F.round(F.col("o_totalprice"), 2),
+        qty=F.col("qty"),
     )
 
-    return (
-        q4.select(*out_cols)
-        .unionByName(q13.select(*out_cols))
-        .unionByName(q18.select(*out_cols))
-    )
+    return q4.unionByName(q13).unionByName(q18)

@@ -167,6 +167,29 @@ def _accumulate(
     )
 
 
+def _stateful_totals(
+    events: DataFrame, key_col: str, value_col: str, update, timeout
+) -> DataFrame:
+    """Shared applyInPandasWithState plumbing for the running-totals
+    variants. The _vnull column is the NULL-vs-NaN flag for SQL SUM
+    semantics (see _accumulate), and the frame is pruned to exactly the
+    columns the accumulator reads BEFORE it crosses the Arrow boundary:
+    pandas timestamps are int64 NANOSECONDS, so an unused ts column with a
+    year outside 1677-2262 would abort the worker (pyarrow out-of-bounds
+    cast) even though the operator never touches it — and less Arrow
+    transfer is free speed."""
+    events = events.withColumn("_vnull", F.col(value_col).isNull()).select(
+        key_col, value_col, "_vnull"
+    )
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_running_totals_schema(events, key_col),
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
 def running_totals_stateful(
     events: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:
@@ -178,21 +201,8 @@ def running_totals_stateful(
     def update(key, pdfs, state):
         yield _accumulate(key, pdfs, state, key_col, value_col)
 
-    # NULL-vs-NaN flag for SQL SUM semantics (see _accumulate). The frame
-    # is pruned to exactly the columns the accumulator reads BEFORE it
-    # crosses the Arrow boundary: pandas timestamps are int64 NANOSECONDS,
-    # so an unused ts column with a year outside 1677-2262 would abort the
-    # worker (pyarrow out-of-bounds cast) even though the operator never
-    # touches it — and less Arrow transfer is free speed.
-    events = events.withColumn("_vnull", F.col(value_col).isNull()).select(
-        key_col, value_col, "_vnull"
-    )
-    return events.groupBy(key_col).applyInPandasWithState(
-        update,
-        outputStructType=_running_totals_schema(events, key_col),
-        stateStructType=_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return _stateful_totals(
+        events, key_col, value_col, update, GroupStateTimeout.NoTimeout
     )
 
 
@@ -219,15 +229,6 @@ def running_totals_stateful_ttl(
         state.setTimeoutDuration(_TTL_MS)
         yield out
 
-    # NULL-vs-NaN flag + the same Arrow-boundary pruning as the NoTimeout
-    # variant (see the comment there)
-    events = events.withColumn("_vnull", F.col(value_col).isNull()).select(
-        key_col, value_col, "_vnull"
-    )
-    return events.groupBy(key_col).applyInPandasWithState(
-        update,
-        outputStructType=_running_totals_schema(events, key_col),
-        stateStructType=_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    return _stateful_totals(
+        events, key_col, value_col, update, GroupStateTimeout.ProcessingTimeTimeout
     )
