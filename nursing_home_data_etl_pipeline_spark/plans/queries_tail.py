@@ -592,7 +592,13 @@ _WINDOW = "INTERVAL 1 HOUR"
     -- round 7 — a pre-epoch click never pairs with a post-epoch purchase)
     WHERE epoch_us(c.ts) > 0 AND epoch_us(p.ts) > 0
     UNION ALL
-    SELECT 'dedup', event_id, user_id, CAST(NULL AS DOUBLE), event_type
+    -- DISTINCT mirrors dedup-by-event_id for VERBATIM duplicate source
+    -- rows (a re-delivered event collapses on both sides — round-8 fuzz).
+    -- Duplicate ids with DIFFERING payloads are excluded by fixture
+    -- policy: the engine keeps whichever copy arrives first, an
+    -- order-dependent pick no SQL oracle can reproduce (same class as
+    -- DuckDB's native ASOF under ties).
+    SELECT DISTINCT 'dedup', event_id, user_id, CAST(NULL AS DOUBLE), event_type
     FROM events
     -- event-time contract: a NULL watermark column drops the row before
     -- the stateful dedup (same as every watermark-bearing op). Rows AT or

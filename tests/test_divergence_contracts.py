@@ -176,6 +176,29 @@ def test_stateful_totals_nan_emits_null_sentinel(spark, tmp_path):
     _check(spark, d, "streaming_stateful_totals")
 
 
+def test_streaming_dedup_collapses_verbatim_duplicate_rows(spark, tmp_path):
+    """A VERBATIM duplicate source row (re-delivered event, same id and
+    payload) collapses on both sides: the engine's
+    dropDuplicatesWithinWatermark keeps the first arrival, the oracle's
+    dedup branch is DISTINCT (round-8 fuzz seed 0: the oracle previously
+    counted source ROWS, +1 per duplicate). Duplicate ids with DIFFERING
+    payloads stay excluded by fixture policy — the engine's survivor is
+    arrival-order-dependent, unmirrorable in SQL."""
+
+    def dup_one_event(tbl):
+        i = next(
+            k
+            for k, (eid, ts) in enumerate(
+                zip(tbl.column("event_id").to_pylist(), tbl.column("ts").to_pylist())
+            )
+            if eid is not None and ts is not None and ts.year >= 2000
+        )
+        return pa.concat_tables([tbl, tbl.slice(i, 1)])
+
+    d = _derive(tmp_path, "events", dup_one_event)
+    _check(spark, d, "streaming_join_dedup")
+
+
 def test_window_tiebreak_null_secondary_key_nulls_first(spark, tmp_path):
     """A NULL o_orderkey row TIED with an existing row on every prior sort
     key: the secondary ASC tiebreaker defaults NULLS FIRST in Spark but
