@@ -110,6 +110,13 @@ def connected_components(
     edges = edges.filter(
         F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
     )
+    # Components are defined over a SET of vertex identities: a duplicated
+    # vertex row (re-ingested doc, doubled upstream join) must not emit two
+    # labeled rows — dup_clusters' cluster_size would count rows, not
+    # members, and its keep-one filter would keep BOTH copies (round-8
+    # fuzz). The distinct's exchange lands on the same key as the label
+    # seed's downstream joins.
+    vertices = vertices.select(id_col).distinct()
     # Every cached frame is registered in `cached` the moment it is cached
     # and ALL of them release on ANY failure (the except at the bottom):
     # pre-loop probe/collect errors — and a mid-iteration failure between

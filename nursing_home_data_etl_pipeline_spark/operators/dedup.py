@@ -475,9 +475,19 @@ def ngram_jaccard_pairs(
     # scale use persist(StorageLevel.DISK_ONLY) or a checkpoint instead of
     # memory cache. The cache backs the RETURNED plan, so cleanup is
     # deliberately left to LRU storage eviction.
+    #
+    # distinct(): a document's shingle SET, union'd across its physical
+    # rows. shingle_table dedups within a row (array_distinct) but a
+    # duplicated doc row re-emits every shingle — doubling sizes, doc_freq,
+    # and every intersection count, so Jaccard reached 2i/(2a+b-2i) ~ 1.95
+    # (round-8 fuzz) where the oracle's DISTINCT shingles said 0.99.
+    # Min-hashing is naturally idempotent to duplicate shingle rows (min()
+    # per id) and SimHash's weight doubling never flips a sign bit — exact
+    # Jaccard is the one counting path, so it pays the one dedup exchange.
     sh = (
         shingle_table(df, text_col, id_col, shingle_k)
         .withColumnRenamed("_shingle", "s")
+        .distinct()
         .cache()
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))

@@ -636,9 +636,17 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("_exact_d"),
     )
+    # Band bounds are DISCRETE (actual data values at the band ranks), not
+    # interpolated percentiles: approx_percentile/KLL promise RANK accuracy,
+    # never value accuracy — on a gapped distribution (one huge outlier in a
+    # small group, round-8 fuzz) the approx answer is a data point far
+    # outside the CONT-interpolated band, so the old value-band check
+    # asserted something the sketches never guaranteed. The sorted-values
+    # twin is the expensive exact part, same cost class as the sort-based
+    # percentile it replaces, and is verification-only (dropped at 100 TB).
     sk = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.05).alias("_approx_d"),
-        F.expr("percentile(value, array(0.47, 0.53, 0.92, 0.98))").alias("_bands"),
+        F.sort_array(F.collect_list(F.col("value").cast("double"))).alias("_vals"),
         F.percentile_approx("value", 0.5).alias("_p50"),
         F.percentile_approx("value", 0.95).alias("_p95"),
     )
@@ -699,24 +707,30 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-multiset compare). The distinct bands need no guard (count
     # distinct of an all-NULL column is 0 on both sides, |0-0| <= tol).
     vac = lambda c: F.coalesce(c, F.lit(True))  # noqa: E731
+    nv = F.size("_vals")
+
+    def band(q_lo: float, q_hi: float) -> tuple:
+        # data values at the band's rank endpoints; an empty value set
+        # (all-NULL group) yields NULL bounds -> vacuously-true check
+        lo = (F.floor(F.lit(q_lo) * (nv - 1)) + 1).cast("int")
+        hi = (F.ceil(F.lit(q_hi) * (nv - 1)) + 1).cast("int")
+        pick = lambda i: F.when(nv > 0, F.try_element_at("_vals", i))  # noqa: E731
+        return pick(lo), pick(hi)
+
+    p50_lo, p50_hi = band(0.47, 0.53)
+    p95_lo, p95_hi = band(0.92, 0.98)
     bands = g.select(
         F.lit("sketch_bands").alias("variant"),
         F.col("event_type").alias("key"),
         "n",
         (F.abs(F.col("_approx_d") - F.col("_exact_d")) <= tol).alias("distinct_ok"),
-        vac(
-            F.col("_p50").between(F.col("_bands")[0], F.col("_bands")[1])
-        ).alias("p50_ok"),
-        vac(
-            F.col("_p95").between(F.col("_bands")[2], F.col("_bands")[3])
-        ).alias("p95_ok"),
+        vac(F.col("_p50").between(p50_lo, p50_hi)).alias("p50_ok"),
+        vac(F.col("_p95").between(p95_lo, p95_hi)).alias("p95_ok"),
         (F.abs(F.col("_hll_d") - F.col("_exact_d")) <= tol).alias("hll_merge_ok"),
         (F.abs(F.col("_theta_d") - F.col("_exact_d")) <= tol).alias(
             "theta_merge_ok"
         ),
-        vac(
-            F.col("_kll_p50").between(F.col("_bands")[0], F.col("_bands")[1])
-        ).alias("kll_merge_ok"),
+        vac(F.col("_kll_p50").between(p50_lo, p50_hi)).alias("kll_merge_ok"),
     )
     # CMS heavy-hitter branch: NULL keys are excluded on BOTH sides — the
     # semi-join refine would drop the NULL group SQL GROUP BY keeps.

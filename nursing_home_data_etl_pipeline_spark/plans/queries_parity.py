@@ -232,6 +232,15 @@ scd2 AS (
   SELECT t.c_custkey, t.c_acctbal, DATE '1990-01-01', NULL, TRUE
   FROM customer t
   WHERE NOT EXISTS (SELECT 1 FROM changed c WHERE c.c_custkey = t.c_custkey)
+  UNION ALL
+  -- not-matched insert, mirroring merge_scd2 / SQL MERGE: source keys with
+  -- no target row open a new version at the batch date. Clean data never
+  -- reaches it (src2 is a subset of customer), but a NULL-key source row
+  -- does (round-8 fuzz): equality never matches NULL, so the engine's
+  -- full-outer join classifies it as brand-new and inserts it.
+  SELECT s.c_custkey, s.c_acctbal, DATE '1995-06-17', NULL, TRUE
+  FROM src2 s
+  WHERE NOT EXISTS (SELECT 1 FROM customer t WHERE t.c_custkey = s.c_custkey)
 )
 SELECT 'scd1' AS variant, c_custkey, c_acctbal,
        CAST(NULL AS DATE) AS valid_from, CAST(NULL AS DATE) AS valid_to,

@@ -605,8 +605,11 @@ _WINDOW = "INTERVAL 1 HOUR"
     -- before the epoch are also dropped: Spark initializes the watermark
     -- to 0, and the late-row filter discards event times <= watermark even
     -- in the first microbatch — a documented boundary of the exact-oracle
-    -- contract, not a data-dependent behavior.
-    WHERE epoch_us(ts) > 0
+    -- contract, not a data-dependent behavior. NULL event_id rows are
+    -- excluded like every identity-less row in an identity-keyed op
+    -- (minhash contract): dropDuplicates would fold ALL of them into one
+    -- NULL-key group and keep an arbitrary first arrival.
+    WHERE epoch_us(ts) > 0 AND event_id IS NOT NULL
     """,
     doc="Watermark-bearing streaming operators, one tagged row set per "
     "drain. variant='interval_join' (num = purchase value, tag = purchase "
@@ -662,9 +665,12 @@ def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dropDuplicatesWithinWatermark (unlike window/session assignment)
         # would otherwise pass NULL-ts rows through its late-row filter
         # (NULL < watermark is NULL, not true): watermark-bearing ops take
-        # non-NULL event time.
+        # non-NULL event time. NULL event_id rows are excluded too (round-8
+        # fuzz): the dedup key is the row's identity, and the state store
+        # folds every NULL key into ONE group — n identity-less rows would
+        # collapse to an arbitrary first arrival instead of passing through.
         a.unionByName(a)
-        .filter(F.col("ts").isNotNull())
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select(

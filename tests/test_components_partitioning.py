@@ -138,3 +138,29 @@ def test_conduct_only_min_endpoint_never_becomes_label(spark):
         .collect()
     )
     assert kept == [2, 9]
+
+
+def test_duplicate_vertex_rows_label_once(spark):
+    """Round-8 fuzz: components are over a SET of identities — a duplicated
+    vertex row must not emit two labeled rows (cluster_size would count
+    rows and the keep-one filter would keep both copies)."""
+    from nursing_home_data_etl_pipeline_spark.operators.components import (
+        connected_components,
+        dup_clusters,
+    )
+
+    vertices = spark.createDataFrame([(1,), (2,), (2,), (9,)], "id long")
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    for threshold in (100_000, 0):
+        got = sorted(
+            (r.id, r.component)
+            for r in connected_components(
+                vertices, edges, driver_edge_threshold=threshold
+            ).collect()
+        )
+        assert got == [(1, 1), (2, 1), (9, 9)], f"threshold={threshold}"
+    docs = spark.createDataFrame([(1,), (2,), (2,), (9,)], "doc_id long")
+    out = dup_clusters(docs, edges).collect()
+    assert sorted((r.doc_id, r.cluster_id, r.cluster_size) for r in out) == [
+        (1, 1, 2), (2, 1, 2), (9, 9, 1),
+    ]

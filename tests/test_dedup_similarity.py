@@ -706,3 +706,32 @@ def test_minhash_simhash_signatures_exclude_null_ids(spark):
     )
     assert minhash_signatures(df, num_hashes=4, shingle_k=2).count() == 1
     assert simhash_signatures(df).count() == 1
+
+
+def test_jaccard_duplicate_doc_rows_keep_set_semantics(spark):
+    """Round-8 fuzz: a verbatim duplicated doc row doubled sizes, doc-freq,
+    and intersection counts — Jaccard reached 2i/(2a+b-2i) > 1. The shingle
+    table is a per-document SET, so duplicates are no-ops and Jaccard stays
+    in [0, 1]."""
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog today"
+    t2 = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [(1, t1), (1, t1), (2, t2)], "doc_id long, text string"
+    )
+    rows = ngram_jaccard_pairs(df, shingle_k=2, threshold=0.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2) and 0.0 <= r.jaccard <= 1.0
+    # same pair set as the duplicate-free frame
+    clean = ngram_jaccard_pairs(
+        spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string"),
+        shingle_k=2,
+        threshold=0.0,
+    ).collect()
+    assert [(r.id_a, r.id_b, r.n_common, r.jaccard) for r in rows] == [
+        (c.id_a, c.id_b, c.n_common, c.jaccard) for c in clean
+    ]

@@ -176,6 +176,96 @@ def test_stateful_totals_nan_emits_null_sentinel(spark, tmp_path):
     _check(spark, d, "streaming_stateful_totals")
 
 
+def test_duplicated_document_row_keeps_set_semantics(spark, tmp_path):
+    """A VERBATIM duplicated document row (re-ingested file, doubled
+    upstream join) must not change near-dup math or cluster membership:
+    the shingle table is a per-document SET (round-8 fuzz: per-row shingles
+    doubled sizes/doc-freq/intersections, Jaccard reached ~1.95 where the
+    oracle said 0.99) and connected-components vertices are a SET of
+    identities (cluster_size counted rows; the keep-one filter kept both
+    copies)."""
+
+    def dup_docs(tbl):
+        rows = [
+            i
+            for i, (d, t) in enumerate(
+                zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+            )
+            if d is not None and t and len(t.split()) > 8
+        ][:2]
+        return pa.concat_tables([tbl] + [tbl.slice(i, 1) for i in rows])
+
+    d = _derive(tmp_path, "documents", dup_docs)
+    _check(spark, d, "dedup_near_pairs")
+    _check(spark, d, "dedup_clusters")
+    _check(spark, d, "training_corpus")
+
+
+def test_scd2_not_matched_source_row_inserts(spark, tmp_path):
+    """merge_scd2 follows SQL MERGE: a source row with no target match
+    inserts an open version — including a NULL-key source row, which
+    equality never matches (round-8 fuzz: the oracle lacked the
+    not-matched-insert branch because clean data's source is a subset of
+    the target)."""
+
+    def add_null_key_building(tbl):
+        row = {name: None for name in tbl.schema.names}
+        row.update({"c_name": "Keyless Building", "c_acctbal": 42.25,
+                    "c_mktsegment": "BUILDING"})
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist([row], schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "customer", add_null_key_building)
+    _check(spark, d, "scd_merge")
+
+
+def test_sketch_bands_hold_on_gapped_distribution(spark, tmp_path):
+    """Sketch accuracy claims are RANK-true, not value-true: one huge
+    outlier in a small group makes the approx percentile a data point far
+    outside the CONT-interpolated band (round-8 fuzz) — the band check must
+    bound by the data values at the band ranks instead."""
+
+    def add_outlier(tbl):
+        base = max(x for x in tbl.column("event_id").to_pylist() if x is not None)
+        ts = datetime.datetime(2024, 3, 1, 12, 0, 0)
+        rows = [
+            {"event_id": ((base // 5) + i) * 5, "ts": ts, "user_id": 555550 + i,
+             "event_type": "gapped",
+             "value": 987654321.25 if i == 9 else 1.25, "props": "{}"}
+            for i in range(2, 12)
+        ]
+        typed = [{name: r.get(name) for name in tbl.schema.names} for r in rows]
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist(typed, schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "events", add_outlier)
+    _check(spark, d, "approx_stats_events")
+
+
+def test_streaming_dedup_excludes_null_event_id(spark, tmp_path):
+    """Identity-less rows are excluded from identity-keyed dedup (minhash
+    contract): dropDuplicates folds every NULL key into ONE state-store
+    group, collapsing n distinct keyless rows to an arbitrary first arrival
+    (round-8 fuzz: +n-1 oracle rows)."""
+
+    def add_null_id_events(tbl):
+        ts = datetime.datetime(2024, 3, 1, 12, 0, 0)
+        rows = [
+            {"event_id": None, "ts": ts, "user_id": 444440 + i,
+             "event_type": "keyless", "value": 1.25, "props": "{}"}
+            for i in range(3)
+        ]
+        typed = [{name: r.get(name) for name in tbl.schema.names} for r in rows]
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist(typed, schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "events", add_null_id_events)
+    _check(spark, d, "streaming_join_dedup")
+
+
 def test_streaming_dedup_collapses_verbatim_duplicate_rows(spark, tmp_path):
     """A VERBATIM duplicate source row (re-delivered event, same id and
     payload) collapses on both sides: the engine's
