@@ -3,13 +3,15 @@ axis, one JSON record out (round-7 VERDICT directive #1 — the matrix was
 the repo's strongest guarantee but existed only as hand-run steps plus
 BASELINE.md prose; a silently dropped axis was invisible).
 
-The TEN-axis set of the round-7 closing record:
+The THIRTEEN-axis set (round 8: ten round-7 axes + three pinned-seed
+randomized axes):
 
   clean-sf0.001 / clean-sf0.01 / clean-sf0.1   driver parquet as-is
   adversarial-sf0.001 / adversarial-sf0.1      adversarial_fixture phases 1-7
   skew, empty, single-row, all-duplicates,     derived from sf0.001
   row-order-reversed                           (builders in adversarial_fixture)
   cpus3                                        clean sf0.001, SPARK_GRAFT_CPUS=3
+  fuzz-s101 / fuzz-s202 / fuzz-s303            fuzz_fixture seeded mutations
 
 Each axis runs as a SUBPROCESS of tools/check_correctness.py: a JVM crash on
 one axis fails that axis only, and the cpus3 axis needs its own session (the
@@ -35,8 +37,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import adversarial_fixture as af  # noqa: E402
+import fuzz_fixture as ff  # noqa: E402
 
 AXIS_TIMEOUT_S = 1800
+
+#: Fixed seeds for the randomized axes — arbitrary but PINNED, so the
+#: matrix record is reproducible. Fresh seeds belong in ad-hoc sweeps
+#: (python tools/fuzz_fixture.py N; python tools/check_correctness.py ...).
+FUZZ_SEEDS = (101, 202, 303)
 
 
 def axis_specs(testdata: str, workdir: str) -> dict[str, dict]:
@@ -56,6 +64,13 @@ def axis_specs(testdata: str, workdir: str) -> dict[str, dict]:
         "all-duplicates": {"dir": d("alldup"), "build": lambda p: af.derive_all_duplicates(sf["0.001"], p)},
         "row-order-reversed": {"dir": d("reversed"), "build": lambda p: af.derive_reversed(sf["0.001"], p)},
         "cpus3": {"dir": sf["0.001"], "env": {"SPARK_GRAFT_CPUS": "3"}},
+        **{
+            f"fuzz-s{s}": {
+                "dir": d(f"fuzz{s}"),
+                "build": lambda p, s=s: ff.build(sf["0.001"], p, s),
+            }
+            for s in FUZZ_SEEDS
+        },
     }
 
 
