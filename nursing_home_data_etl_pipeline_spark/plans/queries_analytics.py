@@ -78,16 +78,46 @@ def filter_name_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Aggregations
 # ---------------------------------------------------------------------------
 
+# Exact-decimal money arithmetic for every SUM over a discount/tax PRODUCT.
+# The money columns are 2-decimal by data contract (TPC-H money is
+# DECIMAL(12,2)) and < 1e6, so DECIMAL(8,2) casts are exact and identical
+# in both engines; products and sums stay exact decimals (the 3-factor
+# charge needs <= 6 decimals and both engines keep >= that before the
+# 38-digit cap), so ROUND(., 2) is the same HALF-AWAY-FROM-ZERO decision
+# everywhere. A plain DOUBLE product has 4-6 true decimals, and random row
+# subsets land its SUM on a 2-dec midpoint ~1/1000 per group (round-8 fuzz:
+# q5/q10/q14 hits), where Spark's repr-based HALF_UP and DuckDB's
+# binary-value rounding disagree — the one divergence class that was
+# excluded by fixture policy instead of fixed; exact decimals close it.
+# The rounded result casts back to DOUBLE for a stable output schema.
+
+
+def rev_sum_sql(prefix: str = "", tax: bool = False) -> str:
+    f = f" * (1 + CAST({prefix}l_tax AS DECIMAL(8,2)))" if tax else ""
+    return (
+        f"CAST(ROUND(SUM(CAST({prefix}l_extendedprice AS DECIMAL(8,2))"
+        f" * (CAST(1 AS DECIMAL(3,2)) - CAST({prefix}l_discount AS DECIMAL(8,2)))"
+        f"{f}), 2) AS DOUBLE)"
+    )
+
+
+def rev_sum_col(tax: bool = False):
+    d = lambda c: F.col(c).cast("decimal(8,2)")  # noqa: E731
+    expr = d("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - d("l_discount"))
+    if tax:
+        expr = expr * (F.lit(1).cast("decimal(3,2)") + d("l_tax"))
+    return F.round(F.sum(expr), 2).cast("double")
+
 
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            l_linestatus,
            ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {rev_sum_sql()}                                                 AS sum_disc_price,
+           {rev_sum_sql(tax=True)}                                         AS sum_charge,
            ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 6)                  AS avg_qty,
            ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 6)             AS avg_price,
            ROUND(ROUND(SUM(l_discount), 2) / COUNT(*), 6)                  AS avg_disc,
@@ -103,15 +133,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02"
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return group_agg(
         li,
         ["l_returnflag", "l_linestatus"],
         [
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rev_sum_col().alias("sum_disc_price"),
+            rev_sum_col(tax=True).alias("sum_charge"),
             F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
             F.round(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6).alias("avg_price"),
             F.round(F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6).alias("avg_disc"),

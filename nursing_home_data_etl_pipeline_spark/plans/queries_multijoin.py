@@ -11,13 +11,14 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import read_table
 from .catalog import register
+from .queries_analytics import rev_sum_col, rev_sum_sql
 
 
 @register(
     "shipping_priority_q3",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {rev_sum_sql("l.")} AS revenue,
            o.o_orderdate,
            o.o_orderpriority
     FROM customer c
@@ -54,9 +55,7 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            rev_sum_col().alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         # ordering is TOTAL over the group key: duplicate o_orderkey rows
@@ -72,10 +71,10 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "regional_revenue_q5",
-    oracle="""
+    oracle=f"""
     SELECT 'q5' AS variant,
            n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {rev_sum_sql("l.")} AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -86,7 +85,7 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'q14_' || lower(CASE WHEN p.p_type = 'PROMO' THEN 'promo' ELSE 'other' END),
            'ALL',
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+           {rev_sum_sql("l.")}
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
     GROUP BY 1
@@ -128,9 +127,7 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         o_asia, l["l_orderkey"] == o_asia["o_orderkey"]
     )
     q5 = joined.groupBy(F.col("n_name").alias("nation")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        rev_sum_col().alias("revenue")
     ).select(F.lit("q5").alias("variant"), "nation", "revenue")
     p = read_table(spark, sf_dir, "part").select(
         "p_partkey",
@@ -146,9 +143,7 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, l["l_partkey"] == p["p_partkey"])  # part scales with sf: AQE decides
         .groupBy("variant")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            rev_sum_col().alias("revenue")
         )
         .select("variant", F.lit("ALL").alias("nation"), "revenue")
     )
@@ -157,10 +152,10 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "returned_items_q10",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey,
            c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {rev_sum_sql("l.")} AS revenue,
            n.n_name AS nation
     FROM customer c
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -193,9 +188,7 @@ def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("c_custkey", "c_name", "nation")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            rev_sum_col().alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "nation")
         # total ordering: a duplicate c_custkey (re-registered CCN with a

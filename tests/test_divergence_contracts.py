@@ -176,6 +176,37 @@ def test_stateful_totals_nan_emits_null_sentinel(spark, tmp_path):
     _check(spark, d, "streaming_stateful_totals")
 
 
+def test_revenue_round_midpoint_exact_decimal(spark, tmp_path):
+    """A discounted-revenue SUM landing exactly on a 2-dec midpoint
+    (0.50 * (1 - 0.05) = 0.475) used to diverge: Spark ROUNDs the shortest
+    repr HALF_UP (0.48) while DuckDB rounds the binary double
+    (0.47499999... -> 0.47). The exact-DECIMAL money arithmetic makes both
+    engines see the true decimal 0.475 and round it identically — closing
+    the one class that was previously excluded by fixture policy for the
+    revenue queries (round-8 fuzz: q5/q10/q14 organic hits ~1/1000 groups)."""
+
+    def add_midpoint_group(tbl):
+        row = {name: None for name in tbl.schema.names}
+        sdate = next(d for d in tbl.column("l_shipdate").to_pylist() if d is not None)
+        row.update({"l_orderkey": 777777701, "l_partkey": 1, "l_suppkey": 1,
+                    "l_linenumber": 1, "l_quantity": 1.0,
+                    "l_extendedprice": 0.50, "l_discount": 0.05, "l_tax": 0.0,
+                    "l_returnflag": "M", "l_linestatus": "M",
+                    "l_shipdate": sdate})
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist([row], schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "lineitem", add_midpoint_group)
+    _check(spark, d, "pricing_summary")
+    entry = catalog.entries()["pricing_summary"]
+    out = {
+        (r.l_returnflag, r.l_linestatus): r.sum_disc_price
+        for r in entry.spark(spark, d).collect()
+    }
+    assert out[("M", "M")] == 0.48  # HALF-AWAY-FROM-ZERO on the true decimal
+
+
 def test_duplicated_document_row_keeps_set_semantics(spark, tmp_path):
     """A VERBATIM duplicated document row (re-ingested file, doubled
     upstream join) must not change near-dup math or cluster membership:

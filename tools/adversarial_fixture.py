@@ -38,7 +38,10 @@ decimal-midpoint doubles round differently by construction — Spark's
 F.round does HALF_UP on the shortest decimal repr while DuckDB ROUND
 multiplies the binary value, so e.g. round(0.00015, 4) = 0.0002 in Spark
 but 0.0001 in DuckDB (confirmed round 7). No SQL oracle can mirror
-Spark's repr-based rounding; midpoint inputs stay excluded.
+Spark's repr-based rounding; midpoint inputs stay excluded — EXCEPT for
+the discounted-revenue sums, which compute exact DECIMAL money since
+round 8 (queries_analytics.rev_sum_col/rev_sum_sql) and agree on true
+midpoints (test-pinned in test_divergence_contracts).
 
 Two more unmirrorable classes stay excluded by the same policy (round-7
 review, both confirmed by execution): duplicate-key JSON documents

@@ -12,8 +12,10 @@ vertices, the scd2 not-matched-insert oracle branch, rank-true sketch
 bands, NULL-id streaming dedup) — the policies below encode the classes
 that are PRECONDITIONS rather than bugs:
 
-- floats stay on the .25 grid and lineitem money columns are never edited
-  (2-dec ROUND midpoints diverge by engine rounding mode — pinned policy);
+- floats stay on the .25 grid; lineitem money columns are never edited
+  (they carry the DECIMAL(8,2) data contract — 2-decimal, < 1e6 — that the
+  revenue queries' exact-decimal arithmetic is built on; an edit past 1e6
+  would be an ANSI decimal overflow, loud by design);
 - event_id / doc_id / c_custkey / vec_id are never re-pointed (id
   collisions break unique window tiebreakers or chimera-merge signatures);
 - duplicate event rows are dropped entirely ((ts, event_id) must stay a
