@@ -5,6 +5,9 @@ row shuffles and drops, NULL injection, duplicated rows, edge-value edits
 (floats on the exactly-representable .25 grid, edge timestamps, weird-but-
 safe texts, dirty embeddings), then enforces the pinned fixture policies so
 every generated fixture stays inside the documented oracle contracts.
+A separate seeded stream additionally fuzzes the PHYSICAL layout (single
+file vs directory-of-part-files, random cut points and row-group sizes) —
+catching order/partition-count dependence without touching row content.
 
 Differential fuzzing with this builder found and fixed four real classes in
 round 8 (Jaccard set semantics under duplicated doc rows, per-identity CC
@@ -189,14 +192,38 @@ _POLICIES = {
 }
 
 
+def _write_layout(tbl: pa.Table, path: str, lrng: random.Random) -> None:
+    """Physical-layout fuzz: identical rows, randomized file split and
+    row-group sizes. Half the tables stay a single file; the rest become a
+    DIRECTORY named ``*.parquet`` holding 2-4 part files (the shape Spark
+    sinks produce — both ``spark.read.parquet`` and the oracle's
+    ``{path}/*.parquet`` glob dispatch on it), with random cut points that
+    can yield 0-row schema-only parts. Queries must be invariant to this:
+    a failure here is an order/partition-count dependence bug."""
+    if lrng.random() < 0.5:
+        pq.write_table(tbl, path)
+        return
+    os.makedirs(path, exist_ok=True)
+    n, k = tbl.num_rows, lrng.randint(2, 4)
+    cuts = sorted(lrng.choice(range(n + 1)) for _ in range(k - 1))
+    bounds = [0, *cuts, n]
+    for i in range(k):
+        pq.write_table(tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                       f"{path}/part-{i:02d}.parquet",
+                       row_group_size=lrng.choice([7, 64, 4096]))
+
+
 def build(src: str, dest: str, seed: int) -> None:
     rng = random.Random(seed)
+    # Independent stream for physical layout so layout fuzzing never
+    # perturbs the value mutations a pinned seed historically produced.
+    lrng = random.Random(seed ^ 0x4C41594F)
     os.makedirs(dest, exist_ok=True)
     for t in TABLES:
         tbl = _mutate(t, pq.read_table(f"{src}/{t}.parquet"), rng)
         if t in _POLICIES:
             tbl = _POLICIES[t](tbl)
-        pq.write_table(tbl, f"{dest}/{t}.parquet")
+        _write_layout(tbl, f"{dest}/{t}.parquet", lrng)
 
 
 def main() -> int:
