@@ -539,17 +539,33 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Statistical aggregates: stddev/variance/correlation/covariance "
     "(one-pass numerically-stable implementations in both engines; rounded "
-    "to absorb summation-order noise) plus exact per-group quantiles "
+    "to absorb summation-order noise; corr is the guarded pairwise "
+    "covar/(sx*sy) form — NULL on zero-variance groups like DuckDB, where "
+    "F.corr's internal division would raise ANSI DIVIDE_BY_ZERO) "
+    "plus exact per-group quantiles "
     "(linear interpolation — Spark percentile == DuckDB quantile_cont; "
     "the exact form sorts each group's values, percentile_approx is the "
     "sublinear 100 TB variant, verified in approx_stats_events).",
 )
 def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # Guarded Pearson: F.corr's internal division raises ANSI
+    # DIVIDE_BY_ZERO (ANSI is on by default in Spark 4) on any
+    # zero-variance group, where DuckDB's corr returns NULL — so build it
+    # from covar_samp/(sx*sy) over PAIRWISE-masked columns (corr counts
+    # only rows where BOTH inputs are non-NULL; unmasked stddevs would use
+    # each column's own NULL filter) and only divide when both stddevs are
+    # known nonzero. `~(s <= 0)` keeps NaN inputs flowing through as NaN
+    # (both engines) instead of collapsing them to NULL.
+    pairwise = F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    qty = F.when(pairwise, F.col("l_quantity"))
+    price = F.when(pairwise, F.col("l_extendedprice"))
+    agg = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.covar_samp(qty, price).alias("_cov"),
+        F.stddev_samp(qty).alias("_sx"),
+        F.stddev_samp(price).alias("_sy"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "cov_qty_price"
         ),
@@ -558,4 +574,14 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
         F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("p25_disc"),
+    )
+    corr = F.when(
+        ~(F.col("_sx") <= 0) & ~(F.col("_sy") <= 0),
+        F.col("_cov") / (F.col("_sx") * F.col("_sy")),
+    )
+    return agg.select(
+        "l_returnflag", "sd_price", "var_disc",
+        F.round(corr, 6).alias("corr_qty_price"),
+        "cov_qty_price", "min_price", "max_price",
+        "median_qty", "p90_price", "p25_disc",
     )

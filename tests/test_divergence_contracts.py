@@ -207,6 +207,42 @@ def test_revenue_round_midpoint_exact_decimal(spark, tmp_path):
     assert out[("M", "M")] == 0.48  # HALF-AWAY-FROM-ZERO on the true decimal
 
 
+def test_corr_zero_variance_group_nulls(spark, tmp_path):
+    """A zero-variance group (constant l_quantity, or constant
+    l_extendedprice) used to CRASH the whole stats_aggregates job:
+    F.corr's internal Pearson division raises ANSI DIVIDE_BY_ZERO (ANSI is
+    on by default in Spark 4), while DuckDB's corr returns NULL for the
+    group. The guarded covar/(sx*sy) form divides only when both stddevs
+    are nonzero. Round-8 core-operator hunt, reviewer-confirmed by
+    execution on both engines."""
+
+    def add_constant_groups(tbl):
+        sdate = next(d for d in tbl.column("l_shipdate").to_pylist() if d is not None)
+        base = {name: None for name in tbl.schema.names}
+        rows = []
+        for i, (flag, qty, price) in enumerate([
+            ("CQ", 5.0, 100.25), ("CQ", 5.0, 200.25),   # constant quantity
+            ("CP", 1.0, 300.25), ("CP", 9.0, 300.25),   # constant price
+            ("C1", 4.0, 400.25),                        # single row (sx NULL)
+        ]):
+            r = dict(base)
+            r.update({"l_orderkey": 888888801 + i, "l_partkey": 1,
+                      "l_suppkey": 1, "l_linenumber": 1, "l_quantity": qty,
+                      "l_extendedprice": price, "l_discount": 0.0,
+                      "l_tax": 0.0, "l_returnflag": flag,
+                      "l_linestatus": "O", "l_shipdate": sdate})
+            rows.append(r)
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist(rows, schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "lineitem", add_constant_groups)
+    _check(spark, d, "stats_aggregates")
+    entry = catalog.entries()["stats_aggregates"]
+    out = {r.l_returnflag: r.corr_qty_price for r in entry.spark(spark, d).collect()}
+    assert out["CQ"] is None and out["CP"] is None and out["C1"] is None
+
+
 def test_duplicated_document_row_keeps_set_semantics(spark, tmp_path):
     """A VERBATIM duplicated document row (re-ingested file, doubled
     upstream join) must not change near-dup math or cluster membership:

@@ -230,6 +230,13 @@ def build(src: str, dest: str) -> dict[str, int]:
         # RAW value but the quality transform's cleaned display is trimmed,
         # so its dense id must order by the TRIMMED key on both sides
         {"l_orderkey": obase + 3, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 4, "l_quantity": 3.0, "l_extendedprice": 3.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": " R", "l_linestatus": "F", "l_shipdate": sdate},
+        # phase 8 (round-8 core-operator hunt): a ZERO-VARIANCE group —
+        # constant l_quantity across the group made F.corr's internal
+        # division raise ANSI DIVIDE_BY_ZERO (whole stats_aggregates job
+        # aborted) where DuckDB corr returns NULL; the guarded
+        # covar/(sx*sy) form must emit NULL for this group on both sides
+        {"l_orderkey": 888888811, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1, "l_quantity": 5.0, "l_extendedprice": 100.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "CQ", "l_linestatus": "O", "l_shipdate": sdate},
+        {"l_orderkey": 888888812, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1, "l_quantity": 5.0, "l_extendedprice": 200.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "CQ", "l_linestatus": "O", "l_shipdate": sdate},
     ]
     pq.write_table(_append(li, li_rows), f"{dest}/lineitem.parquet")
     added["lineitem"] = len(li_rows)
