@@ -19,7 +19,11 @@ digraphs, the ﬁ/ﬀ-family ligatures U+FB00-FB06, ΐ U+0390 / ΰ U+03B0, and
 ŉ U+0149 — every code point whose Java FULL case mapping expands or
 differs from utf8proc's SIMPLE mapping) are excluded from oracle-gated
 fixtures BY POLICY — the engine's behavior on them is Java's, which is
-the behavior Spark users get.
+the behavior Spark users get. The same policy covers Java's
+CONTEXT-SENSITIVE rules: capital sigma Σ U+03A3 lowercases to FINAL
+sigma ς at word end in Java ('ΣΊΣΥΦΟΣ' -> 'σίσυφος') where utf8proc
+always simple-maps to σ ('σίσυφοσ') — confirmed by execution, round 8;
+no RE2 mirror exists (the Final_Sigma condition needs lookahead).
 """
 
 from __future__ import annotations
@@ -51,6 +55,28 @@ def words(text: Column) -> Column:
     trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
+    )
+
+
+def duck_trim_sql(expr: str) -> str:
+    """DuckDB SQL twin of Spark's ``F.trim``: strip ASCII SPACE (0x20) ONLY.
+
+    DuckDB's bare ``trim()`` strips the whole Unicode Zs category (NBSP
+    U+00A0, IDEOGRAPHIC SPACE U+3000, ...) while Spark's ``trim`` strips
+    the single space character — an NBSP-padded document fingerprinted to
+    different md5s on the two sides (round-8 probe, confirmed by
+    execution). Every oracle that mirrors ``F.trim`` must use this helper,
+    never bare ``trim()``."""
+    return f"regexp_replace({expr}, '^ +| +$', '', 'g')"
+
+
+def duck_norm_sql(col: str = "text") -> str:
+    """DuckDB SQL twin of :func:`normalize_text`: lower, collapse every
+    Java-``\\s`` run to one space, then SPACE-ONLY trim (``duck_trim_sql``
+    — bare ``trim()`` would over-strip NBSP/U+3000, which Spark's ``F.trim``
+    keeps). One generator so every fingerprint/shingle oracle shares it."""
+    return duck_trim_sql(
+        f"regexp_replace(lower({col}), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
     )
 
 

@@ -49,13 +49,14 @@ from .catalog import register
 # Text analysis
 # ---------------------------------------------------------------------------
 
-from ..functions.text import duck_words_sql
+from ..functions.text import duck_norm_sql, duck_words_sql
 
 #: DuckDB expression for whitespace words of the raw text column — the
 #: exact twin of functions.text.words() (blank-safe: [] for blank text).
 _DUCK_WORDS = duck_words_sql("text")
-#: DuckDB expression for Spark's normalize_text().
-_DUCK_NORM = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+#: DuckDB expression for Spark's normalize_text() — SPACE-ONLY outer trim
+#: (bare trim() strips NBSP/U+3000, which F.trim keeps; round-8 probe).
+_DUCK_NORM = duck_norm_sql()
 
 
 def _duck_sw_hits(lang_words: tuple[str, ...]) -> str:
@@ -179,7 +180,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id + 1000000, text || '  ' FROM documents WHERE doc_id % 10 = 0
     )
-    SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp_ignored,
+    SELECT md5({_DUCK_NORM}) AS fp_ignored,
            MIN(doc_id) AS doc_id
     FROM corpus
     WHERE text IS NOT NULL

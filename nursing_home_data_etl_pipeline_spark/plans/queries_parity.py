@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import duck_trim_sql
 from ..operators.cleaning import cast_all_to_string, clean_table
 from ..operators.ids import with_dense_id, with_etl_date, with_etl_metadata
 from ..operators.joins import anti_join, left_enrich, merge_scd1, merge_scd2
@@ -36,18 +37,19 @@ _DIRTY_CUSTOMER_HEADERS = [
 
 @register(
     "cms_clean_project",
-    oracle="""
+    oracle=f"""
     WITH cleaned AS (
-      -- mirrors the pipeline exactly: whole-row TRIM (clean_table trims
-      -- every string column, so source-padded names/segments are trimmed,
-      -- not just the engine's self-inflicted padding) and TRY_CAST for the
-      -- DECIMAL money render (Spark ANSI casts a NaN double to DECIMAL as
-      -- NULL; DuckDB's plain CAST hard-errors)
+      -- mirrors the pipeline exactly: whole-row SPACE-ONLY trim
+      -- (duck_trim_sql — clean_table trims every string column with
+      -- F.trim, which strips 0x20 only; DuckDB's TRIM would over-strip
+      -- NBSP/U+3000) and TRY_CAST for the DECIMAL money render (Spark
+      -- ANSI casts a NaN double to DECIMAL as NULL; DuckDB's plain CAST
+      -- hard-errors)
       SELECT CAST(c_custkey AS VARCHAR)    AS facility_number,
-             TRIM(c_name)                  AS facility_name,
+             {duck_trim_sql("c_name")}     AS facility_name,
              CAST(c_nationkey AS VARCHAR)  AS nation_key,
              CAST(CASE WHEN isnan(c_acctbal) THEN NULL ELSE TRY_CAST(c_acctbal AS DECIMAL(18,2)) END AS VARCHAR) AS account_balance,
-             TRIM(c_mktsegment)            AS market_segment_code
+             {duck_trim_sql("c_mktsegment")} AS market_segment_code
       FROM customer
     )
     SELECT *,
@@ -364,7 +366,7 @@ _DIRTY_PENALTY_HEADERS = [
 
 @register(
     "cms_quality_transform",
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT CAST(l_suppkey AS VARCHAR) AS ccn,
              l_returnflag               AS mcode,
@@ -382,7 +384,7 @@ _DIRTY_PENALTY_HEADERS = [
       -- trimmed — and TRY_CAST for the DECIMAL renders (Spark ANSI casts
       -- NaN->DECIMAL as NULL; DuckDB's plain CAST hard-errors)
       SELECT ccn                                       AS facility_number,
-             TRIM(mcode)                               AS measure_code,
+             {duck_trim_sql("mcode")}                  AS measure_code,
              CAST(CASE WHEN isnan(q1) THEN NULL ELSE TRY_CAST(q1 AS DECIMAL(18,2)) END AS VARCHAR) AS q1_measure_score,
              CAST(CASE WHEN isnan(q2) THEN NULL ELSE TRY_CAST(q2 AS DECIMAL(18,2)) END AS VARCHAR) AS q2_measure_score,
              CAST(CASE WHEN isnan(q3) THEN NULL ELSE TRY_CAST(q3 AS DECIMAL(18,2)) END AS VARCHAR) AS q3_measure_score,

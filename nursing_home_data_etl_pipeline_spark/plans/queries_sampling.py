@@ -12,7 +12,13 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import read_table
 from .catalog import register
-from ..functions.text import duck_words_sql, fingerprint, quality_score, words
+from ..functions.text import (
+    duck_norm_sql,
+    duck_words_sql,
+    fingerprint,
+    quality_score,
+    words,
+)
 from ..operators.components import dup_clusters
 from ..operators.dedup import minhash_dedup_pairs
 from ..operators.sampling import (
@@ -23,16 +29,18 @@ from ..operators.sampling import (
 
 @register(
     "collection_functions",
-    oracle="""
+    oracle=f"""
     WITH w AS (
+      -- the canonical words() twin (blank-safe, space-only outer trim):
+      -- a bare trim(text) split diverged two ways — DuckDB trim strips
+      -- NBSP/U+3000 that F.trim keeps, and a blank doc split to ['']
       SELECT doc_id,
-             regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS wa
+             {duck_words_sql("text")} AS wa
       FROM documents WHERE doc_id < 100
     ),
     wc AS (
       SELECT doc_id, word, COUNT(*) AS n FROM (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
-        FROM documents WHERE doc_id < 100
+        SELECT doc_id, unnest(wa) AS word FROM w
       ) GROUP BY doc_id, word
     ),
     m AS (
@@ -61,9 +69,10 @@ from ..operators.sampling import (
 )
 def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    base = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("wa")
-    )
+    # words(), not split(trim(...)): the canonical tokenizer is blank-safe
+    # (no phantom '' token) and trims ALL whitespace, keeping this query on
+    # the same words/duck_words_sql contract as every other text query.
+    base = docs.select("doc_id", words(F.col("text")).alias("wa"))
     arrays = base.select(
         "doc_id",
         F.array_join(F.array_sort(F.array_distinct("wa")), ",").alias("sorted_vocab"),
@@ -75,10 +84,7 @@ def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("wa", "data").alias("has_data"),
     )
     counts = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
-        )
+        base.select("doc_id", F.explode("wa").alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -252,13 +258,14 @@ def vector_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "chunk_documents",
-    oracle="""
+    oracle=f"""
     WITH w AS (
       SELECT doc_id,
-             regexp_split_to_array(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS wa
+             regexp_split_to_array({duck_norm_sql()}, ' ') AS wa
       FROM documents
-      -- NULL/blank documents yield NO chunks (chunk_table's contract)
-      WHERE trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) <> ''
+      -- NULL/blank documents yield NO chunks (chunk_table's contract);
+      -- the norm twin space-trims only, so an NBSP-only doc still chunks
+      WHERE {duck_norm_sql()} <> ''
     ),
     meta AS (
       SELECT doc_id, wa,
@@ -298,7 +305,7 @@ def _bands_chain(prefix: str, src: str) -> str:
     from .queries_northstar import _band_selects_sql
 
     band_selects = _band_selects_sql(f"{prefix}_sig")
-    norm = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+    norm = duck_norm_sql()
     k = _SHINGLE_K
     return f"""
     {prefix}_words AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS wa
@@ -320,7 +327,7 @@ _BLOOM_BITS = 1 << 16
 _BLOOM_K = 5
 
 
-_DUCK_FP = "md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
+_DUCK_FP = f"md5({duck_norm_sql()})"
 
 
 @register(
@@ -429,7 +436,7 @@ _DUCK_QUALITY = f"""
     {_cc_comp_cte("kept")}
     SELECT k.doc_id,
            k.lang,
-           md5(trim(regexp_replace(lower(k.text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp,
+           md5({duck_norm_sql("k.text")}) AS fp,
            CAST(len({duck_words_sql("k.text")}) AS BIGINT) AS n_words
     FROM kept k JOIN comp ON comp.doc_id = k.doc_id
     WHERE comp.cluster_id = k.doc_id

@@ -418,3 +418,81 @@ def test_tfidf_whitespace_only_doc_no_phantom_terms(spark, tmp_path):
     entry = catalog.entries()["tfidf_terms"]
     out = entry.spark(spark, d)
     assert out.filter("term = '' OR doc_id = 777770").count() == 0
+
+
+def test_trim_twins_are_space_only(spark, tmp_path):
+    """DuckDB's bare ``trim()`` strips the whole Unicode Zs category
+    (NBSP U+00A0, IDEOGRAPHIC SPACE U+3000, ...) while Spark's ``F.trim``
+    strips ASCII SPACE only — an NBSP-only document fingerprinted to
+    md5('') on the oracle side but md5 of the NBSPs on the engine side,
+    and chunk_documents dropped it entirely (round-8 probe, confirmed by
+    execution). Every oracle mirroring F.trim now space-trims via
+    ``duck_trim_sql``; these docs must round-trip every text twin."""
+
+    def add_unicode_space_docs(tbl):
+        rows = []
+        for i, text in enumerate(
+            ["\u00a0\u00a0", "\u3000ideographic\u3000space\u3000",
+             "zero\u200bwidth words", "nbsp\u00a0joined words"]
+        ):
+            row = {name: None for name in tbl.schema.names}
+            row.update({"doc_id": 777780 + i, "text": text, "lang": "en",
+                        "n_chars": len(text)})
+            rows.append(row)
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist(rows, schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "documents", add_unicode_space_docs)
+    for q in ("text_profile", "dedup_exact", "chunk_documents",
+              "collection_functions"):
+        _check(spark, d, q)
+
+
+def test_cms_trim_twin_keeps_nbsp_padding(spark, tmp_path):
+    """cms_clean_project's whole-row trim mirrors F.trim (space-only):
+    an NBSP-padded customer name must keep its padding on BOTH sides —
+    the oracle's former bare TRIM stripped it (same round-8 class)."""
+
+    def nbsp_pad_name(tbl):
+        i = tbl.column("c_custkey").to_pylist().index(
+            max(x for x in tbl.column("c_custkey").to_pylist()
+                if x is not None)
+        )
+        names = tbl.column("c_name").to_pylist()
+        names[i] = "\u00a0padded name\u00a0"
+        return tbl.set_column(
+            tbl.schema.get_field_index("c_name"),
+            "c_name",
+            pa.array(names, tbl.schema.field("c_name").type),
+        )
+
+    d = _derive(tmp_path, "customer", nbsp_pad_name)
+    _check(spark, d, "cms_clean_project")
+    _check(spark, d, "cms_quality_transform")
+
+
+def test_final_sigma_case_folding_policy(spark, tmp_path):
+    """FIXTURE-POLICY pin (unmirrorable in SQL): Java's toLowerCase is
+    context-sensitive for Greek capital sigma — word-final Σ lowercases
+    to FINAL sigma ς in Spark, while DuckDB's utf8proc simple-maps every
+    Σ to σ. RE2 cannot express the Final_Sigma condition (needs
+    lookahead), so word-final Σ stays excluded from oracle-gated text,
+    alongside the İ/ß/ligature exclusions in functions/text.py. This test
+    pins the DIRECTION of the divergence on both engines so a drift on
+    either side (e.g. a Spark collation change) surfaces here."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        F.lower(F.lit("ΣΊΣΥΦΟΣ")).alias("lo")
+    ).collect()[0]
+    assert row.lo == "σίσυφος"  # final ς
+
+    con = duckdb.connect()
+    (duck,) = con.execute(
+        "SELECT lower('ΣΊΣΥΦΟΣ')"
+    ).fetchone()
+    con.close()
+    assert duck == "σίσυφοσ"  # plain σ

@@ -108,7 +108,20 @@ def build(src: str, dest: str) -> dict[str, int]:
         # leading MULTIBYTE char: byte-wise vs char-wise header/height
         # reads diverge (ascii('é')=233 vs first UTF-8 byte 195)
         {"doc_id": base + 16, "text": "été warm words here now", "lang": "fr", "source": "adv", "n_chars": 23},
-        {"doc_id": base + 13, "text": "nb space word", "lang": "en", "source": "adv", "n_chars": 13},
+        {"doc_id": base + 13, "text": "nb\xa0space word", "lang": "en", "source": "adv", "n_chars": 13},
+        # phase 9 (round-8 probe): Unicode-Zs whitespace — DuckDB's bare
+        # trim() strips NBSP/U+3000 where Spark's F.trim strips 0x20 only;
+        # every F.trim oracle twin must space-trim (duck_trim_sql). The
+        # NBSP-only doc fingerprinted to md5('') on the oracle side and
+        # lost its chunk row before the fix.
+        {"doc_id": base + 21, "text": "\u00a0\u00a0", "lang": "en", "source": "adv", "n_chars": 2},
+        {"doc_id": base + 22, "text": "\u3000ideographic\u3000space\u3000", "lang": "ja", "source": "adv", "n_chars": 19},
+        # phase 9: NUL byte inside text (valid in both engines' strings;
+        # a C-string truncation on either side would change every count)
+        {"doc_id": base + 23, "text": "a\x00b c words", "lang": "en", "source": "adv", "n_chars": 12},
+        # phase 9: astral emoji + ZWJ flag sequence — code-point lengths
+        # and regex classes must agree beyond the BMP
+        {"doc_id": base + 24, "text": "grin \U0001F600 faces \U0001F3F3\uFE0F\u200D\U0001F308 flag", "lang": "en", "source": "adv", "n_chars": None},
     ]
     pq.write_table(_append(docs, doc_rows), f"{dest}/documents.parquet")
     added["documents"] = len(doc_rows)
@@ -262,6 +275,10 @@ def build(src: str, dest: str) -> dict[str, int]:
         # sides, and top-N orderings must be total over their group keys
         {"c_custkey": cbase + 6, "c_name": "ZZZ First Registration", "c_nationkey": 1, "c_acctbal": 6.25, "c_mktsegment": "AUTOMOBILE"},
         {"c_custkey": cbase + 6, "c_name": "AAA Re-Registration", "c_nationkey": 1, "c_acctbal": 7.25, "c_mktsegment": "AUTOMOBILE"},
+        # phase 9 (round-8 probe): NBSP-padded name — F.trim keeps the
+        # padding, DuckDB's bare TRIM stripped it (Unicode-Zs class); the
+        # clean-project oracle must space-trim only
+        {"c_custkey": cbase + 7, "c_name": " NBSP Padded ", "c_nationkey": 0, "c_acctbal": 8.25, "c_mktsegment": " BUILDING "},
     ]
     pq.write_table(_append(cust, cust_rows), f"{dest}/customer.parquet")
     added["customer"] = len(cust_rows)

@@ -56,7 +56,12 @@ SAFE_TEXTS = ["", " \t\n ", "x", "a.*b (c) [d] {5} \\ $ ^ | + ? regex",
               "word " * 50, "the the the and of to a in is it",
               "naïve café 顧客", "!!! ??? ...", "line one\r\nline two",
               "\x0b\x0c", "  padded text here  ", "vert\x0btab words",
-              "été warm words here now"]
+              "été warm words here now",
+              # round-8 probe classes (oracle twins space-trim only;
+              # word-final capital sigma stays policy-EXCLUDED)
+              "\u00a0\u00a0", "\u3000wide\u3000space\u3000",
+              "a\x00nul c", "grin \U0001F600 astral",
+              "zero\u200bwidth join", "e\u0301clair nfd"]
 SAFE_TS = [dt.datetime(1970, 1, 1), dt.datetime(1969, 12, 31, 23, 0),
            dt.datetime(2099, 12, 31, 23, 59, 59),
            dt.datetime(2500, 1, 1, 12), dt.datetime(2024, 3, 1, 12)]
