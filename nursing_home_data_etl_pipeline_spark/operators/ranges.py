@@ -91,26 +91,53 @@ def range_join_points(
     # hi=9999-12-31 in epoch micros means tens of millions of rows per
     # interval, and past 2^31 buckets sequence() dies with an opaque 'Too
     # long sequence' after burning the cluster).
-    n_buckets = _bucket(F.col(hi_col)) - _bucket(F.col(lo_col)) + 1
-    guarded = F.when(
-        n_buckets > max_buckets_per_interval,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "range_join_points: interval explodes to more than "
-                    f"{max_buckets_per_interval} buckets of width "
-                    f"{bucket_width} ([lo, hi) = ["
-                ),
-                F.col(lo_col).cast("string"),
-                F.lit(", "),
-                F.col(hi_col).cast("string"),
-                F.lit(
-                    ")) — widen bucket_width, cap open-ended intervals, or "
-                    "raise max_buckets_per_interval"
-                ),
-            )
-        ).cast("array<long>"),
-    ).otherwise(F.sequence(_bucket(F.col(lo_col)), _bucket(F.col(hi_col))))
+    #
+    # The span is measured in DOUBLE, never long: long bucket arithmetic
+    # overflowed (opaque ANSI ARITHMETIC_OVERFLOW) before the guard could
+    # fire when a bound was ±inf — floor(±inf / width) saturates to
+    # ±Long.{Max,Min}Value — or when both bucket ids sat near opposite
+    # long extremes. A saturated infinite bound now lands in the guard's
+    # actionable raise like any other open-ended sentinel. Degenerate
+    # intervals match the theta-join semantics (x >= lo AND x < hi)
+    # instead of crashing: a NaN bound satisfies neither comparison and an
+    # inverted interval (hi < lo) is unsatisfiable, so both explode to the
+    # EMPTY bucket array (no candidate rows) — previously an inverted span
+    # made n_buckets negative, bypassed the guard entirely, and
+    # sequence(hi_bucket, lo_bucket) fanned out a DESCENDING |span|+1 rows
+    # (COLLECTION_SIZE_LIMIT_EXCEEDED at scale). NULL bounds keep their
+    # NULL-propagation drop (sequence -> NULL -> explode emits nothing).
+    # Both failure modes were execution-confirmed by the round-8 review.
+    lo_b, hi_b = _bucket(F.col(lo_col)), _bucket(F.col(hi_col))
+    span = hi_b.cast("double") - lo_b.cast("double")
+    empty = F.array().cast("array<long>")
+    guarded = (
+        F.when(
+            F.isnan(F.col(lo_col).cast("double"))
+            | F.isnan(F.col(hi_col).cast("double")),
+            empty,
+        )
+        .when(span < 0, empty)
+        .when(
+            span + 1 > max_buckets_per_interval,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "range_join_points: interval explodes to more than "
+                        f"{max_buckets_per_interval} buckets of width "
+                        f"{bucket_width} ([lo, hi) = ["
+                    ),
+                    F.col(lo_col).cast("string"),
+                    F.lit(", "),
+                    F.col(hi_col).cast("string"),
+                    F.lit(
+                        ")) — widen bucket_width, cap open-ended intervals, "
+                        "or raise max_buckets_per_interval"
+                    ),
+                )
+            ).cast("array<long>"),
+        )
+        .otherwise(F.sequence(lo_b, hi_b))
+    )
     i = intervals.withColumn("_rj_bucket", F.explode(guarded)).alias("_rj_i")
     cond = F.col("_rj_p._rj_bucket") == F.col("_rj_i._rj_bucket")
     for k in keys:

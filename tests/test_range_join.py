@@ -138,3 +138,62 @@ def test_unbounded_interval_fails_fast(spark):
     out = range_join_points(pts, ivs, "x", "lo", "hi", on="k", bucket_width=3_600_000_000)
     with pytest.raises(Exception, match="explodes to more than"):
         out.collect()
+
+
+def test_inverted_interval_matches_nothing_without_fanout(spark):
+    """hi < lo is theta-unsatisfiable (x >= lo AND x < hi) — the bucketized
+    rewrite must emit ZERO rows, not a descending sequence() fan-out of
+    |span|+1 rows. Before the round-8 fix a negative span BYPASSED the
+    fan-out guard (n_buckets <= 0 is never > the cap) and a swapped pair
+    like (lo=3e9, hi=0) at width 1 crashed the whole job with
+    COLLECTION_SIZE_LIMIT_EXCEEDED."""
+    pts = spark.createDataFrame([(5,), (0,)], "x long").withColumn(
+        "pid", F.col("x")
+    )
+    ivs = spark.createDataFrame(
+        [(1, 10_000, 0), (2, 3_000_000_000, 0), (3, 0, 10)],
+        "iid long, lo long, hi long",
+    )
+    out = range_join_points(
+        pts, ivs, "x", "lo", "hi", bucket_width=10,
+        max_buckets_per_interval=5,
+    )
+    rows = {(r.pid, r.iid) for r in out.collect()}
+    assert rows == {(5, 3), (0, 3)}  # only the well-formed interval matches
+
+    # left outer: every point survives, the inverted intervals match none
+    left = range_join_points(
+        pts, ivs, "x", "lo", "hi", how="left", bucket_width=10,
+        max_buckets_per_interval=5,
+    )
+    assert left.count() == 2
+
+
+def test_nonfinite_bounds_hit_the_actionable_guard(spark):
+    """floor(±inf / width) saturates to ±Long.{Max,Min}Value; the old LONG
+    span arithmetic overflowed with an opaque ANSI ARITHMETIC_OVERFLOW
+    before the guard could fire. The double-measured span routes an
+    infinite bound into the same actionable raise as any open-ended
+    sentinel; a NaN bound satisfies neither theta comparison and matches
+    nothing."""
+    pts = spark.createDataFrame([(5.0,)], "x double").withColumn(
+        "pid", F.lit(1)
+    )
+    inf, nan = float("inf"), float("nan")
+
+    ivs = spark.createDataFrame([(1, -inf, 10.0)], "iid long, lo double, hi double")
+    out = range_join_points(pts, ivs, "x", "lo", "hi", bucket_width=10)
+    with pytest.raises(Exception, match="explodes to more than"):
+        out.collect()
+
+    ivs = spark.createDataFrame([(1, 0.0, inf)], "iid long, lo double, hi double")
+    out = range_join_points(pts, ivs, "x", "lo", "hi", bucket_width=10)
+    with pytest.raises(Exception, match="explodes to more than"):
+        out.collect()
+
+    ivs = spark.createDataFrame(
+        [(1, nan, 10.0), (2, 0.0, nan), (3, 0.0, 10.0)],
+        "iid long, lo double, hi double",
+    )
+    out = range_join_points(pts, ivs, "x", "lo", "hi", bucket_width=10)
+    assert [r.iid for r in out.collect()] == [3]
