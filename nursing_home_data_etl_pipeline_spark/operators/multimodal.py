@@ -2,10 +2,19 @@
 
 Design: image/audio/video payloads are opaque ``BinaryType`` columns with a
 typed metadata struct alongside. All per-item processing (decode, feature
-extraction, resize, frame sampling) runs as Arrow-batched pandas functions
-over ``mapInPandas`` — bytes never round-trip through Python row objects,
-and each task processes a whole Arrow batch at a time. That is the Spark
-plumbing that matters at 100 TB; the codec itself is pluggable.
+extraction, resize, frame sampling) runs as Arrow-batched functions over
+``mapInArrow`` — bytes never leave Arrow buffers, and each task processes a
+whole Arrow batch at a time. That is the Spark plumbing that matters at
+100 TB; the codec itself is pluggable.
+
+``mapInArrow``, NOT ``mapInPandas`` (round-8 review, execution-confirmed):
+the Arrow->pandas conversion turns a nullable int64 batch into float64 —
+one NULL ``doc_id`` anywhere in the batch and every id in it rides a
+double, silently corrupting ids above 2^53 (9007199254740993 came back
+...992) and conflating NULL with NaN. The id columns here pass through as
+Arrow int64 arrays UNTOUCHED, so they are exact at any magnitude; the same
+boundary is why pandas workers abort on timestamps outside the int64-ns
+range, a hazard mapInArrow simply does not have.
 
 This container ships no image/audio libraries, so the real codecs are
 STUBBED (clearly marked, import-gated) and a deterministic fake decoder
@@ -17,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,34 +52,48 @@ def with_binary_payload(
     return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
 
 
+def _cols(batch: pa.RecordBatch, *names: str) -> list[pa.Array]:
+    return [batch.column(batch.schema.get_field_index(n)) for n in names]
+
+
 def decode_fake(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic fake decode over mapInPandas: per-batch pandas ops on
-    the raw bytes (length, 8-byte header hex, fake dimensions derived from
-    byte content). Exercises the exact plumbing a real decoder uses.
+    """Deterministic fake decode over mapInArrow: per-batch ops on the raw
+    bytes (length, 8-byte header hex, fake dimensions derived from byte
+    content). Exercises the exact plumbing a real decoder uses; the id
+    column passes through as an Arrow int64 array, never a pandas double.
     """
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payload = pdf["payload"]
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids, payload_arr = _cols(batch, id_col, "payload")
+            payload = payload_arr.to_pylist()
             # NULL payload (row never had media attached) decodes to NULL
             # metadata — distinct from an EMPTY payload (0 bytes, header "").
-            # pandas nullable Int64/Int32 carries the NA through Arrow.
-            n_bytes = payload.map(lambda b: len(b) if b is not None else None)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "n_bytes": n_bytes.astype("Int64"),
-                    "header_hex": payload.map(
-                        lambda b: bytes(b[:8]).hex() if b is not None else None
+            n_bytes = [len(b) if b is not None else None for b in payload]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(
+                        [b[:8].hex() if b is not None else None for b in payload],
+                        pa.string(),
                     ),
-                    "fake_width": (n_bytes % 640).astype("Int32"),
-                    "fake_height": payload.map(
-                        lambda b: (b[0] if len(b) else 0) if b is not None else None
-                    ).astype("Int32"),
-                }
+                    pa.array(
+                        [n % 640 if n is not None else None for n in n_bytes],
+                        pa.int32(),
+                    ),
+                    pa.array(
+                        [
+                            (b[0] if len(b) else 0) if b is not None else None
+                            for b in payload
+                        ],
+                        pa.int32(),
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "header_hex", "fake_width", "fake_height"],
             )
 
-    return df.mapInPandas(decode, schema=DECODE_SCHEMA)
+    return df.mapInArrow(decode, schema=DECODE_SCHEMA)
 
 
 #: Output schema of the real image decode — true dimensions + color mode.
@@ -80,7 +103,7 @@ IMAGE_DECODE_SCHEMA = "doc_id long, n_bytes long, width int, height int, mode st
 def decode_image(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Real image decode over the same mapInPandas plumbing as
+    """Real image decode over the same mapInArrow plumbing as
     :func:`decode_fake` — the ENVIRONMENT is the only gate: Pillow is not
     in this container (verified by import), so the import check raises
     NotImplementedError here, but the body is complete and runs wherever
@@ -102,9 +125,10 @@ def decode_image(
         ) from exc
     import io
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payload = pdf[payload_col]
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids, payload_arr = _cols(batch, id_col, payload_col)
+            payload = payload_arr.to_pylist()
             widths: list[int | None] = []
             heights: list[int | None] = []
             modes: list[str | None] = []
@@ -114,50 +138,62 @@ def decode_image(
                     heights.append(None)
                     modes.append(None)
                 else:
-                    with Image.open(io.BytesIO(bytes(b))) as im:
+                    with Image.open(io.BytesIO(b)) as im:
                         widths.append(im.width)
                         heights.append(im.height)
                         modes.append(im.mode)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "n_bytes": payload.map(
-                        lambda b: len(b) if b is not None else None
-                    ).astype("Int64"),
-                    "width": pd.Series(widths, dtype="Int32"),
-                    "height": pd.Series(heights, dtype="Int32"),
-                    "mode": pd.Series(modes, dtype="object"),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(
+                        [len(b) if b is not None else None for b in payload],
+                        pa.int64(),
+                    ),
+                    pa.array(widths, pa.int32()),
+                    pa.array(heights, pa.int32()),
+                    pa.array(modes, pa.string()),
+                ],
+                names=["doc_id", "n_bytes", "width", "height", "mode"],
             )
 
-    return df.mapInPandas(decode, schema=IMAGE_DECODE_SCHEMA)
+    return df.mapInArrow(decode, schema=IMAGE_DECODE_SCHEMA)
 
 
 def resize_fake(df: DataFrame, factor: int = 4) -> DataFrame:
     """Resize analog — binary IN, binary OUT, metadata updated in the same
     pass: keeps every ``factor``-th byte of the payload (a real image resize
-    is the same mapInPandas shape with ``PIL.Image.resize`` in the batch
+    is the same mapInArrow shape with ``PIL.Image.resize`` in the batch
     loop). The binary->binary contract is the one that matters for chained
     media pipelines (decode -> resize -> re-encode) — payload bytes stay in
     Arrow buffers between stages, never materialized as Python row objects.
     """
+    # Driver-side validation (same contract as packing's budget guard):
+    # factor=0 used to abort the job deep inside executor tasks with an
+    # opaque 'slice step cannot be zero', and a negative factor silently
+    # emitted reversed-byte payloads.
+    if factor <= 0:
+        raise ValueError(f"resize factor must be positive, got {factor}")
 
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payload = pdf["payload"].map(
-                lambda b: bytes(b[::factor]) if b is not None else None
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": payload,
-                    "n_bytes": payload.map(
-                        lambda b: len(b) if b is not None else None
-                    ).astype("Int64"),
-                }
+    def resize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids, payload_arr = _cols(batch, "doc_id", "payload")
+            resized = [
+                b[::factor] if b is not None else None
+                for b in payload_arr.to_pylist()
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(resized, pa.binary()),
+                    pa.array(
+                        [len(b) if b is not None else None for b in resized],
+                        pa.int64(),
+                    ),
+                ],
+                names=["doc_id", "payload", "n_bytes"],
             )
 
-    return df.mapInPandas(
+    return df.mapInArrow(
         resize, schema="doc_id long, payload binary, n_bytes long"
     )
 
@@ -165,19 +201,29 @@ def resize_fake(df: DataFrame, factor: int = 4) -> DataFrame:
 def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling STUB analog: real video frame sampling needs a codec;
     the deterministic stand-in samples every Nth byte as a 'frame marker' —
-    same mapInPandas shape a real sampler uses."""
+    same mapInArrow shape a real sampler uses."""
+    # Same driver-side guard as resize_fake: every_n_bytes=0 died in the
+    # executors with ZeroDivisionError after retries.
+    if every_n_bytes <= 0:
+        raise ValueError(
+            f"every_n_bytes must be positive, got {every_n_bytes}"
+        )
 
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_frames": pdf["payload"].map(
-                        lambda b: max(len(b) // every_n_bytes, 0)
-                        if b is not None
-                        else None
-                    ).astype("Int64"),
-                }
+    def sample(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids, payload_arr = _cols(batch, "doc_id", "payload")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(
+                        [
+                            len(b) // every_n_bytes if b is not None else None
+                            for b in payload_arr.to_pylist()
+                        ],
+                        pa.int64(),
+                    ),
+                ],
+                names=["doc_id", "n_frames"],
             )
 
-    return df.mapInPandas(sample, schema="doc_id long, n_frames long")
+    return df.mapInArrow(sample, schema="doc_id long, n_frames long")

@@ -60,10 +60,14 @@ def pack_sequences(
 
     Sum of ``n_tokens`` per ``seq_id`` is exactly ``budget`` for every
     sequence but the last; sum per document is the document's token count.
-    ``id_col`` must be unique: the global order is (shard, id), so
-    duplicate ids tie within their shard and which physical row receives
-    which span becomes partition-order-dependent (the same caveat as
-    row_number over a non-unique key anywhere else in the engine).
+    The global order is (shard, id, token_count): the token count is a
+    deterministic tiebreaker for duplicate ids — two NULL-id documents
+    with different lengths used to receive partition-order-dependent
+    placements (found by fuzz seed 435: both NULLs hash to one shard and
+    tie on the id alone), and rows tied on (id, tok) produce identical
+    span rows in either order, so the output MULTISET is deterministic
+    for any input. ``id_col`` should still be unique when spans must be
+    attributable to one physical row.
     ``n_shards`` bounds the single-partition offset table — size it so each
     shard holds ~a task's worth of documents (at 100 TB: tens of thousands
     of shards is still a trivially small offset table).
@@ -77,10 +81,11 @@ def pack_sequences(
         _shard(F.col(id_col), n_shards).alias("_shard"),
     ).filter(F.col("_tok") > 0)
 
-    # 2) per-shard EXCLUSIVE cumsum: parallel across shards.
+    # 2) per-shard EXCLUSIVE cumsum: parallel across shards. _tok breaks
+    # duplicate-id ties deterministically (see docstring).
     w = (
         Window.partitionBy("_shard")
-        .orderBy(id_col)
+        .orderBy(id_col, "_tok")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     intra = base.withColumn("_intra", F.coalesce(F.sum("_tok").over(w), F.lit(0)))

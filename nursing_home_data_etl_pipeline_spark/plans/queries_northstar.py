@@ -686,9 +686,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc="Multimodal plumbing: BinaryType payload + metadata struct, decoded "
-    "by an Arrow-batched mapInPandas fake codec (deterministic byte ops; "
+    "by an Arrow-batched mapInArrow fake codec (deterministic byte ops; "
     "real image/audio codecs are import-gated stubs with this exact "
-    "signature). ASCII text payloads make the oracle exact.",
+    "signature; ids pass through as Arrow int64 — the pandas boundary "
+    "would double them past 2^53 whenever a batch holds a NULL id). "
+    "ASCII text payloads make the oracle exact.",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")

@@ -527,7 +527,10 @@ def _packing_oracle() -> str:
     placed AS (
       SELECT doc_id, tok,
              CAST(COALESCE(SUM(tok) OVER (
-               ORDER BY shard, doc_id NULLS FIRST
+               -- tok mirrors pack_sequences' duplicate-id tiebreaker:
+               -- two NULL-id docs tie on (shard, id) alone and their
+               -- placement order was engine-partition-dependent
+               ORDER BY shard, doc_id NULLS FIRST, tok NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ), 0) AS BIGINT) AS s0
       FROM toks

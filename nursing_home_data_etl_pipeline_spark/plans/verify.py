@@ -14,6 +14,7 @@ import os
 from collections import Counter
 
 import duckdb
+from pyspark.sql import Row
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -21,12 +22,37 @@ TABLES = (
 
 FLOAT_DECIMALS = 6
 
-#: Non-colliding NaN sentinel: canonicalizing NaN to the STRING 'NaN'
-#: would compare equal to a genuine string value 'NaN' on the other side
-#: (the schema check compares column names, not types), false-PASSing a
-#: query that stringifies a numeric column. A tuple cannot collide with
-#: any scalar either engine returns.
-_NAN = ("__float_nan__",)
+
+class _Tag:
+    """Private, non-constructible-from-data canonicalization markers.
+
+    Canonicalizing NaN to the STRING 'NaN' would compare equal to a genuine
+    string 'NaN' on the other side (the schema check compares column names,
+    not types), false-PASSing a query that stringifies a numeric column —
+    and a sentinel TUPLE of a reachable string was not safe either: canon
+    maps arrays into tuple space, so the single-element string array
+    ['__float_nan__'] collided with the old NaN sentinel (round-8
+    comparator review, execution-confirmed). Module-level objects compare
+    by identity; no engine result can ever equal one."""
+
+    __slots__ = ("label",)
+
+    def __init__(self, label: str) -> None:
+        self.label = label
+
+    def __repr__(self) -> str:  # readable in failure diffs
+        return self.label
+
+
+_NAN = _Tag("<NaN>")
+#: bytes tag: bare v.hex() made a BINARY result compare equal to its hex
+#: VARCHAR on the other side (false-PASS on a real type divergence).
+_BYTES = _Tag("<bytes>")
+#: bool tag: Python True == 1 == 1.0, so an engine BOOLEAN column compared
+#: equal to an oracle writing 0/1 integers — a masked type divergence.
+#: (int vs float cross-type equality is KEPT: value equality at 6 rounded
+#: decimals is the comparator's documented float policy.)
+_BOOL = _Tag("<bool>")
 
 
 def _require_utc_process() -> None:
@@ -58,16 +84,32 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canon(v):
+    # bool before anything (it is an int subclass)
+    if isinstance(v, bool):
+        return (_BOOL, v)
     if isinstance(v, float):
         if math.isnan(v):
             return _NAN
         return round(v, FLOAT_DECIMALS)
     if isinstance(v, bytes):
-        return v.hex()
+        return (_BYTES, v.hex())
+    if isinstance(v, Row):
+        # Spark structs: Row is a TUPLE subclass — without this branch it
+        # fell through to `return v`, so identical structs spuriously
+        # FAILED against DuckDB's dict form, struct-vs-array results
+        # false-PASSED positionally, and nested floats/NaN/bytes bypassed
+        # canonicalization entirely (round-8 comparator review). Keyed
+        # like the dict branch so Spark struct == DuckDB STRUCT.
+        return tuple(sorted((k, canon(x)) for k, x in v.asDict().items()))
     if isinstance(v, list):
         return tuple(canon(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    # NOTE decimal.Decimal passes through EXACT (no 6-decimal rounding):
+    # the exact-DECIMAL money gates depend on it. An oracle comparing a
+    # DECIMAL against an engine DOUBLE fails loudly (spurious-FAIL is the
+    # safe direction) — follow the CAST(... AS DOUBLE) convention, or emit
+    # DECIMAL on both sides.
     return v
 
 

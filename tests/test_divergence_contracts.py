@@ -496,3 +496,54 @@ def test_final_sigma_case_folding_policy(spark, tmp_path):
     ).fetchone()
     con.close()
     assert duck == "σίσυφοσ"  # plain σ
+
+
+def test_packing_duplicate_null_ids_pack_deterministically(spark, tmp_path):
+    """Two NULL-doc_id documents hash to the SAME shard (one NULL
+    sentinel) and tied on the packing order (shard, doc_id) alone — which
+    physical row received which span was partition-order-dependent on both
+    engines (fuzz seed 435). The token count is now the deterministic
+    tiebreaker, mirrored in the oracle's flat window."""
+
+    def add_null_id_docs(tbl):
+        rows = []
+        for text in ("eleven words here to fill out the first null doc x",
+                     "a second null identity document with a different "
+                     "word count for the tie"):
+            row = {name: None for name in tbl.schema.names}
+            row.update({"text": text, "lang": "en", "n_chars": len(text)})
+            rows.append(row)
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist(rows, schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "documents", add_null_id_docs)
+    _check(spark, d, "pack_training_sequences")
+
+
+def test_multimodal_ids_exact_past_2_53_with_null_ids(spark, tmp_path):
+    """mapInPandas converted a nullable int64 id batch to float64 — one
+    NULL doc_id anywhere in the Arrow batch and every id in it rode a
+    double, so 9007199254740993 (2^53 + 1) came back ...992 while the
+    DuckDB oracle kept it exact (round-8 review, execution-confirmed).
+    decode_fake now runs over mapInArrow with the id column passed through
+    as an Arrow int64 array — exact at any magnitude."""
+    BIG = 9007199254740993  # 2^53 + 1: not representable in float64
+
+    def add_big_and_null_ids(tbl):
+        rows = []
+        for doc_id, text in ((BIG, "precision probe text"),
+                             (None, "null identity neighbor")):
+            row = {name: None for name in tbl.schema.names}
+            row.update({"doc_id": doc_id, "text": text, "lang": "en",
+                        "n_chars": len(text)})
+            rows.append(row)
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist(rows, schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "documents", add_big_and_null_ids)
+    _check(spark, d, "multimodal_decode")
+    entry = catalog.entries()["multimodal_decode"]
+    big = entry.spark(spark, d).filter(f"doc_id = {BIG}").collect()
+    assert len(big) == 1 and big[0].doc_id == BIG
