@@ -97,7 +97,12 @@ def main() -> int:
             separators=(",", ":"),
         )
     )
-    return 0
+    # Exit nonzero when any query errored: a broken run (worst case, a
+    # missing sf_dir erroring ALL queries) otherwise reports value=0 with
+    # exit 0 — the fastest-possible fake perf win for any consumer that
+    # gates on the exit code (round-8 tooling review). The JSON line above
+    # still carries per-query detail either way.
+    return 1 if n_errors else 0
 
 
 if __name__ == "__main__":

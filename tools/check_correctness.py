@@ -5,15 +5,27 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# Repo root by FILE location, not cwd: robustness_matrix imports this
+# module for EXPECTED_CATALOG, and a '.' insertion would break the package
+# import whenever the caller's cwd is not the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nursing_home_data_etl_pipeline_spark.plans.verify import (  # noqa: E402
     compare_query,
     duckdb_connection,
 )
+
+
+#: The driver contract pins the catalog at EXACTLY this many queries; a
+#: full gate run that checked any other number is itself a failure — an
+#: empty or shrunken registry (lost decorator in a merge, partial import
+#: refactor) used to print '0 failures' having checked NOTHING
+#: (round-8 tooling review, execution-confirmed).
+EXPECTED_CATALOG = 50
 
 
 def main() -> int:
@@ -32,6 +44,13 @@ def main() -> int:
         # A typo'd or RENAMED query (round-6 consolidations renamed several)
         # must not let the gate print '0 failures' without checking anything.
         print(f"ERROR: unknown query names: {sorted(unknown)}")
+        return 2
+    if not only and len(qs) != EXPECTED_CATALOG:
+        print(
+            f"ERROR: catalog has {len(qs)} queries, expected "
+            f"{EXPECTED_CATALOG} — a full-gate green on a shrunken "
+            "registry is meaningless"
+        )
         return 2
     failures = []
     for name, fn in qs.items():

@@ -44,10 +44,12 @@ import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# ONE source for the table list among the fixture builders (a missed edit
+# in a duplicated copy would silently omit a table from one axis's
+# fixture). plans/verify.py keeps its own copy deliberately: the package
+# must not depend on tools/, and the builders stay pyspark-import-free.
+from adversarial_fixture import TABLES  # noqa: E402
 
 SAFE_FLOATS = [0.0, -1.25, 0.25, 1.5, 100.25, 987654321.25, -50.5,
                1000000.25, 2.0, 0.75, 25000000.0, -0.5]

@@ -3,8 +3,9 @@ axis, one JSON record out (round-7 VERDICT directive #1 — the matrix was
 the repo's strongest guarantee but existed only as hand-run steps plus
 BASELINE.md prose; a silently dropped axis was invisible).
 
-The THIRTEEN-axis set (round 8: ten round-7 axes + three pinned-seed
-randomized axes):
+The FOURTEEN-axis set (round 8: the eleven fixed axes below + three
+pinned-seed randomized axes; an earlier docstring said "thirteen" —
+miscounted against the fourteen in axis_specs/MATRIX_r08.json):
 
   clean-sf0.001 / clean-sf0.01 / clean-sf0.1   driver parquet as-is
   adversarial-sf0.001 / adversarial-sf0.1      adversarial_fixture phases 1-7
@@ -38,6 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import adversarial_fixture as af  # noqa: E402
 import fuzz_fixture as ff  # noqa: E402
+from check_correctness import EXPECTED_CATALOG  # noqa: E402
 
 AXIS_TIMEOUT_S = 1800
 
@@ -76,8 +78,21 @@ def axis_specs(testdata: str, workdir: str) -> dict[str, dict]:
 
 def run_axis(name: str, spec: dict, repo_root: str) -> dict:
     t0 = time.time()
+    # Build INSIDE the axis's failure domain: a fixture-build crash used to
+    # abort the whole matrix process — later axes never ran and --out was
+    # never written, leaving a previous round's all-green record in place
+    # (round-8 tooling review, execution-confirmed).
     if "build" in spec:
-        spec["build"](spec["dir"])
+        try:
+            spec["build"](spec["dir"])
+        except Exception as ex:
+            return {
+                "status": "error",
+                "dir": spec["dir"],
+                "passed": 0,
+                "failures": [f"fixture build failed: {ex!r:.300}"],
+                "seconds": round(time.time() - t0, 1),
+            }
     env = {**os.environ, **spec.get("env", {})}
     try:
         proc = subprocess.run(
@@ -97,8 +112,12 @@ def run_axis(name: str, spec: dict, repo_root: str) -> dict:
     ]
     passed = sum(1 for line in out.splitlines() if line.startswith(("PASS", "ok?")))
     # rc != 0 with no FAIL lines = the gate itself died (JVM crash, timeout,
-    # unknown query name) — never report that as green.
-    status = "pass" if rc == 0 else ("fail" if failures else "error")
+    # unknown query name) — never report that as green. A green exit that
+    # checked fewer than the contractual 50 queries is ALSO not a pass
+    # (defense in depth on top of the gate's own registry-count floor).
+    status = "pass" if rc == 0 and passed == EXPECTED_CATALOG else (
+        "fail" if failures else "error"
+    )
     return {
         "status": status,
         "dir": spec["dir"],
