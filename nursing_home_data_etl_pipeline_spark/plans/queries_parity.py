@@ -220,9 +220,18 @@ src2 AS (
   FROM customer WHERE c_mktsegment = 'BUILDING'
 ),
 changed AS (
+  -- per-ROW classification with NULL-SAFE comparison, mirroring
+  -- merge_scd2's full-outer join + eqNullSafe exactly: a duplicate-key
+  -- target (a re-registered CCN — one copy changed, one identical to the
+  -- source) joins EACH target copy to the source row independently; SQL
+  -- MERGE's one-source-row-to-many-target-rows is legal and the engine's
+  -- join naturally implements it. The previous key-level NOT EXISTS
+  -- dropped the unchanged copy whenever ANY copy of the key changed
+  -- (round-8 second-pass hunt, execution-confirmed).
   SELECT t.c_custkey, t.c_acctbal AS old_bal, s.c_acctbal AS new_bal
   FROM customer t JOIN src2 s
-    ON s.c_custkey = t.c_custkey AND s.c_acctbal <> t.c_acctbal
+    ON s.c_custkey = t.c_custkey
+   AND s.c_acctbal IS DISTINCT FROM t.c_acctbal
 ),
 scd2 AS (
   SELECT c_custkey, old_bal AS c_acctbal, DATE '1990-01-01' AS valid_from,
@@ -231,9 +240,14 @@ scd2 AS (
   UNION ALL
   SELECT c_custkey, new_bal, DATE '1995-06-17', NULL, TRUE FROM changed
   UNION ALL
+  -- carry branch is also per-ROW: this copy carries forward iff no source
+  -- row with its key differs from THIS copy's balance (source keys are
+  -- unique per the merge precondition, so this is exactly the engine's
+  -- joined-row test)
   SELECT t.c_custkey, t.c_acctbal, DATE '1990-01-01', NULL, TRUE
   FROM customer t
-  WHERE NOT EXISTS (SELECT 1 FROM changed c WHERE c.c_custkey = t.c_custkey)
+  WHERE NOT EXISTS (SELECT 1 FROM src2 s WHERE s.c_custkey = t.c_custkey
+                    AND s.c_acctbal IS DISTINCT FROM t.c_acctbal)
   UNION ALL
   -- not-matched insert, mirroring merge_scd2 / SQL MERGE: source keys with
   -- no target row open a new version at the batch date. Clean data never

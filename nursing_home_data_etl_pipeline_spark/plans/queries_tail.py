@@ -424,8 +424,14 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              ts,
              event_id,
              epoch_us(ts) AS us,
+             -- STRICTLY greater: Spark's session_window MERGES an event
+             -- arriving at exactly last+gap into the running session
+             -- (probed on a 12:00/12:30 pair with the 30-min gap — ONE
+             -- session comes back; an earlier docstring claimed the
+             -- half-open opposite, never exercised because no fixture
+             -- had an exact-gap pair; round-8 second-pass hunt)
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
-                        >= 1800 * 1000000
+                        > 1800 * 1000000
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_start
       FROM events
@@ -456,9 +462,10 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, session_id
     """,
     doc="Streaming session windows (30-min gap): the stream twin of batch "
-    "sessionization. Note streaming session semantics: an event at exactly "
-    "last+gap starts a NEW session (half-open window), hence >= in the "
-    "oracle vs > in the batch query.",
+    "sessionization. Gap-boundary semantics (execution-probed, round 8): "
+    "an event at exactly last+gap MERGES into the running session — "
+    "session_window extends inclusively — so the oracle splits only on "
+    "strictly-greater gaps.",
 )
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)

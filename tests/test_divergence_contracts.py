@@ -547,3 +547,64 @@ def test_multimodal_ids_exact_past_2_53_with_null_ids(spark, tmp_path):
     entry = catalog.entries()["multimodal_decode"]
     big = entry.spark(spark, d).filter(f"doc_id = {BIG}").collect()
     assert len(big) == 1 and big[0].doc_id == BIG
+
+
+def test_session_gap_boundary_merges_inclusively(spark, tmp_path):
+    """An event arriving at EXACTLY last + gap (30:00) merges into the
+    running session — Spark's session_window extends inclusively — so the
+    oracle must split on strictly-greater gaps only. An earlier oracle
+    split on >= (asserted half-open semantics that were never exercised:
+    no fixture had an exact-gap pair). Round-8 second-pass hunt,
+    execution-confirmed: a 12:00/12:30 pair came back as ONE session."""
+
+    def add_exact_gap_chain(tbl):
+        rows = []
+        for i, ts in enumerate([
+            datetime.datetime(2024, 6, 1, 9, 0, 0),
+            datetime.datetime(2024, 6, 1, 9, 30, 0),        # exactly +gap
+            datetime.datetime(2024, 6, 1, 10, 0, 0),        # exactly +gap
+            datetime.datetime(2024, 6, 1, 10, 30, 0, 1),    # gap + 1 us
+        ]):
+            row = {name: None for name in tbl.schema.names}
+            row.update({"event_id": 888888900 + i, "ts": ts,
+                        "user_id": 777002, "event_type": "click",
+                        "value": 1.25, "props": "{}"})
+            rows.append(row)
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist(rows, schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "events", add_exact_gap_chain)
+    _check(spark, d, "streaming_session_counts")
+    entry = catalog.entries()["streaming_session_counts"]
+    sessions = entry.spark(spark, d).filter("user_id = 777002").collect()
+    # 3-chain at exact gaps = ONE session; the +1us event starts a second
+    assert sorted(r.n_events for r in sessions) == [1, 3]
+
+
+def test_scd2_duplicate_key_target_classifies_per_row(spark, tmp_path):
+    """merge_scd2 joins each target row to the source independently (one
+    source row matching many target rows is legal SQL MERGE), so a
+    duplicate-key target with one changed and one source-identical copy
+    emits closed+new for the first AND carries the second forward. The
+    oracle's former key-level NOT EXISTS dropped the carry (round-8
+    second-pass hunt, execution-confirmed: spark=314 vs oracle=313)."""
+
+    def add_scd_twins(tbl):
+        top = max(x for x in tbl.column("c_custkey").to_pylist()
+                  if x is not None)
+        key = top + 2 + (top % 2)  # even: src2 shifts BUILDING bal +1000
+        rows = []
+        for name, bal, seg in (("SCD Twin A", 100.25, "BUILDING"),
+                               ("SCD Twin B", 1100.25, "MACHINERY")):
+            row = {name_: None for name_ in tbl.schema.names}
+            row.update({"c_custkey": key, "c_name": name,
+                        "c_nationkey": 1, "c_acctbal": bal,
+                        "c_mktsegment": seg})
+            rows.append(row)
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist(rows, schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "customer", add_scd_twins)
+    _check(spark, d, "scd_merge")

@@ -169,6 +169,15 @@ def build(src: str, dest: str) -> dict[str, int]:
         # phase 6: timestamp beyond the int64-NANOSECOND range (2262-04-11)
         # — oracles must do epoch_us arithmetic; epoch_ns hard-errors here
         {"event_id": ebase + 17, "ts": dt.datetime(2500, 1, 1, 12, 0, 0), "user_id": 999993, "event_type": "farfuture_ns", "value": 5.25, "props": "{}"},
+        # phase 9 (round-8 second-pass hunt): gaps of EXACTLY the 30-min
+        # session gap — session_window MERGES an event at last+gap (the
+        # boundary is inclusive), so this 3-chain is ONE session; the
+        # fourth event lands 1 us past the gap and starts a new one. The
+        # oracle splits on strictly-greater only.
+        {"event_id": ebase + 18, "ts": dt.datetime(2024, 6, 1, 9, 0, 0), "user_id": 999992, "event_type": "click", "value": 1.25, "props": "{}"},
+        {"event_id": ebase + 19, "ts": dt.datetime(2024, 6, 1, 9, 30, 0), "user_id": 999992, "event_type": "click", "value": 2.25, "props": "{}"},
+        {"event_id": ebase + 20, "ts": dt.datetime(2024, 6, 1, 10, 0, 0), "user_id": 999992, "event_type": "click", "value": 3.25, "props": "{}"},
+        {"event_id": ebase + 21, "ts": dt.datetime(2024, 6, 1, 10, 30, 0, 1), "user_id": 999992, "event_type": "click", "value": 4.25, "props": "{}"},
     ]
     pq.write_table(_append(ev, ev_rows), f"{dest}/events.parquet")
     added["events"] = len(ev_rows)
@@ -279,6 +288,15 @@ def build(src: str, dest: str) -> dict[str, int]:
         # padding, DuckDB's bare TRIM stripped it (Unicode-Zs class); the
         # clean-project oracle must space-trim only
         {"c_custkey": cbase + 7, "c_name": " NBSP Padded ", "c_nationkey": 0, "c_acctbal": 8.25, "c_mktsegment": " BUILDING "},
+        # phase 9 (round-8 second-pass hunt): duplicate-key target where
+        # ONE copy changes and the other matches the SCD2 source exactly --
+        # merge_scd2 classifies per joined ROW (one source row may match
+        # many target rows, legal in SQL MERGE), so the BUILDING copy
+        # closes+reopens while the MACHINERY copy carries forward; the
+        # oracle's former key-level NOT EXISTS dropped the carry. Even key
+        # so src2 shifts the BUILDING balance by +1000 onto the twin's.
+        {"c_custkey": cbase + 8 + (cbase % 2), "c_name": "SCD Twin A", "c_nationkey": 1, "c_acctbal": 100.25, "c_mktsegment": "BUILDING"},
+        {"c_custkey": cbase + 8 + (cbase % 2), "c_name": "SCD Twin B", "c_nationkey": 1, "c_acctbal": 1100.25, "c_mktsegment": "MACHINERY"},
     ]
     pq.write_table(_append(cust, cust_rows), f"{dest}/customer.parquet")
     added["customer"] = len(cust_rows)
