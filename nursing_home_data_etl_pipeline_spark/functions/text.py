@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .vectors import round_half_away
+
 #: BPE-ish token pattern: word pieces or single non-space punctuation.
 TOKEN_PATTERN = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
 
@@ -118,14 +120,16 @@ def avg_word_len(text: Column, w: Column | None = None) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return F.round(total / F.greatest(F.size(w), F.lit(1)), 6)
+    # round_half_away, not F.round: count-derived ratios hit 7-decimal
+    # repr midpoints where F.round and DuckDB ROUND disagree (round 8)
+    return round_half_away(total / F.greatest(F.size(w), F.lit(1)), 6)
 
 
 def distinct_word_ratio(text: Column, w: Column | None = None) -> Column:
     """Lexical diversity: |set(words)| / |words| — low values flag boilerplate
     and repetition-heavy documents."""
     w = words(text) if w is None else w
-    return F.round(
+    return round_half_away(
         F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1)).cast("double"),
         6,
     )
@@ -136,7 +140,7 @@ def punct_ratio(text: Column) -> Column:
     n_punct = F.length(text) - F.length(
         F.regexp_replace(text, r"[^a-zA-Z0-9_\s]", "")
     )
-    return F.round(
+    return round_half_away(
         n_punct / F.greatest(F.length(text), F.lit(1)).cast("double"), 6
     )
 
@@ -147,7 +151,7 @@ def stopword_ratio(text: Column, lang: str = "en", w: Column | None = None) -> C
     sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
     w = words(F.lower(text)) if w is None else w
     n_hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
-    return F.round(
+    return round_half_away(
         n_hits / F.greatest(F.size(w), F.lit(1)).cast("double"), 6
     )
 
@@ -167,7 +171,7 @@ def quality_score(text: Column, w: Column | None = None) -> Column:
     noise_score = F.lit(1.0) - F.least(
         noise / F.greatest(F.length(text), F.lit(1)).cast("double") * 5, F.lit(1.0)
     )
-    return F.round((length_score + diversity + noise_score) / 3, 6)
+    return round_half_away((length_score + diversity + noise_score) / 3, 6)
 
 
 def lang_id(text: Column, w: Column | None = None) -> Column:

@@ -11,6 +11,41 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def round_half_away(col: Column, decimals: int = 6) -> Column:
+    """Half-away-from-zero rounding of the BINARY double, in primitive IEEE
+    ops both engines evaluate identically: sign * floor(|x| * 10^d + 0.5).
+
+    ``F.round(double)`` is NOT portable: Spark re-parses the double's
+    SHORTEST DECIMAL REPR and HALF_UPs that string, while DuckDB rounds
+    the binary value — so a count-derived ratio like 41/640 (= exactly
+    0.0640625 in decimal, just BELOW the midpoint in binary) rounds to
+    0.064063 in Spark and 0.064062 in DuckDB (round-8 second-pass hunt,
+    execution-confirmed on dedup_near_pairs and embedding_near_dup). No
+    fixture policy can exclude ratios of COUNTS, so every rounded
+    count/count or dot/norm ratio goes through this helper and its SQL
+    twin :func:`duck_round_sql` instead. Scope: |x| * 10^d must fit a
+    long (fine for the unit-interval ratios this serves); NaN and ±inf
+    pass through unrounded (floor would ANSI-overflow on them)."""
+    s = F.lit(float(10**decimals))
+    mag = F.floor(F.abs(col) * s + F.lit(0.5)) / s
+    signed = F.when(col < 0, -mag).otherwise(mag)
+    return F.when(
+        F.isnan(col) | (F.abs(col) == F.lit(float("inf"))), col
+    ).otherwise(signed)
+
+
+def duck_round_sql(expr: str, decimals: int = 6) -> str:
+    """DuckDB SQL twin of :func:`round_half_away` — the identical IEEE ops
+    on the identical double, so the two engines can never disagree at a
+    representation midpoint the way ROUND vs F.round do."""
+    s = f"{10**decimals}.0"
+    mag = f"floor(abs({expr}) * {s} + 0.5) / {s}"
+    return (
+        f"(CASE WHEN isnan({expr}) OR isinf({expr}) THEN {expr} "
+        f"WHEN {expr} < 0 THEN -({mag}) ELSE {mag} END)"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product in double precision (left-to-right fold — deterministic
     summation order, unlike a shuffle-order-dependent SUM)."""
@@ -35,8 +70,9 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_rounded(a: Column, b: Column, decimals: int = 6) -> Column:
     """Cosine rounded for deterministic cross-engine comparison AND
-    deterministic top-k tie-breaking (rank on the rounded value)."""
-    return F.round(cosine(a, b), decimals)
+    deterministic top-k tie-breaking (rank on the rounded value).
+    Portable rounding — see :func:`round_half_away`."""
+    return round_half_away(cosine(a, b), decimals)
 
 
 def cosine_rounded_prenorm(
@@ -49,4 +85,4 @@ def cosine_rounded_prenorm(
     join and passing it here cuts the per-pair folds from three to one
     (~2x measured on the near-dup query). Bit-identical to cosine_rounded:
     the norm is the same left-to-right fold + sqrt, just hoisted."""
-    return F.round(dot(a, b) / (norm_a * norm_b), decimals)
+    return round_half_away(dot(a, b) / (norm_a * norm_b), decimals)

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, normalize_text, words
+from ..functions.vectors import round_half_away
 
 
 def shingle_table(
@@ -516,8 +517,12 @@ def ngram_jaccard_pairs(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
+            # portable rounding: jaccard is a ratio of COUNTS, exactly the
+            # class where F.round's repr-based HALF_UP diverges from
+            # DuckDB's binary ROUND at 7-decimal midpoints (41/640 —
+            # round-8 hunt); see functions.vectors.round_half_away
             "jaccard",
-            F.round(
+            round_half_away(
                 F.col("n_common")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
                 6,

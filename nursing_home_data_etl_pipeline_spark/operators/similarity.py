@@ -278,8 +278,14 @@ def kmeans_fit(
         F.col(vec_col).isNotNull()
         & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     )
+    # Candidate SEEDS additionally need a non-NULL id: the hash order puts
+    # NULL ids first (ASC NULLS FIRST), and the position-encoding sort
+    # below cannot compare None to real ids (TypeError — round-8 hunt,
+    # execution-confirmed). NULL-id vectors still train: the Lloyd sweep
+    # assigns cells row-locally without ever reading the id.
     cand_rows = (
-        clean.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        clean.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_cand)
         .collect()

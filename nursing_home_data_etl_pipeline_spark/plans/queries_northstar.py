@@ -50,6 +50,7 @@ from .catalog import register
 # ---------------------------------------------------------------------------
 
 from ..functions.text import duck_norm_sql, duck_words_sql
+from ..functions.vectors import duck_round_sql
 
 #: DuckDB expression for whitespace words of the raw text column — the
 #: exact twin of functions.text.words() (blank-safe: [] for blank text).
@@ -94,18 +95,14 @@ def _text_profile_oracle() -> str:
            CAST(len(regexp_extract_all(text,
                 '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \\t\\n\\x0B\\f\\r]')) AS BIGINT)            AS n_tokens,
            -- list_sum([]) is NULL in DuckDB; the engine's fold seeds 0.0,
-           -- so a 0-word doc has mean word length 0, not NULL
-           ROUND(COALESCE(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))),
-                          CASE WHEN w IS NOT NULL THEN 0.0 END)
-                / greatest(len(w), 1), 6)                                AS avg_word_len,
-           ROUND(CAST(len(list_distinct(w)) AS DOUBLE)
-                / greatest(len(w), 1), 6)                                AS distinct_ratio,
-           ROUND((least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
-                 + CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1)
-                 + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5, 1.0))
-                 ) / 3, 6)                                               AS quality,
-           ROUND(CAST(len(list_filter(w, x -> list_contains(
-                [{en}], lower(x)))) AS DOUBLE) / greatest(len(w), 1), 6) AS en_stopword_ratio,
+           -- so a 0-word doc has mean word length 0, not NULL.
+           -- duck_round_sql throughout, not ROUND: these are COUNT-derived
+           -- ratios, the class where ROUND vs F.round diverge at
+           -- 7-decimal repr midpoints (41/640 — round-8 hunt)
+           {duck_round_sql("COALESCE(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))), CASE WHEN w IS NOT NULL THEN 0.0 END) / greatest(len(w), 1)")} AS avg_word_len,
+           {duck_round_sql("CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1)")} AS distinct_ratio,
+           {duck_round_sql("(least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) + CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1) + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5, 1.0))) / 3")} AS quality,
+           {duck_round_sql(f"CAST(len(list_filter(w, x -> list_contains([{en}], lower(x)))) AS DOUBLE) / greatest(len(w), 1)")} AS en_stopword_ratio,
            declared_lang,
            {case} AS detected_lang,
            md5({_DUCK_NORM}) AS fp,
@@ -393,13 +390,15 @@ def _jaccard_pairs_sql(cap: int, threshold: float) -> str:
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, n_common,
-           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+           {duck_round_sql("CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)")} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     -- threshold the ROUNDED value, like the engine (round(j,6) >= t):
-    -- raw-ratio filtering drops pairs in [t-5e-7, t) that Spark keeps
-    WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= {threshold}
+    -- raw-ratio filtering drops pairs in [t-5e-7, t) that Spark keeps.
+    -- duck_round_sql, not ROUND: a count ratio like 41/640 sits at a
+    -- 7-decimal repr midpoint where ROUND and F.round disagree (round 8)
+    WHERE {duck_round_sql("CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)")} >= {threshold}
     """
 
 
@@ -414,7 +413,7 @@ _JACCARD_PAIRS_SQL = _jaccard_pairs_sql(HOT_SHINGLE_CAP, _JACCARD_THRESHOLD)
     FROM ({_simhash_pairs_oracle()})
     UNION ALL
     SELECT 'jaccard', id_a, id_b, CAST(n_common AS BIGINT),
-           ROUND(jaccard, 6)
+           jaccard
     FROM ({_JACCARD_PAIRS_SQL})
     """,
     doc="Near-duplicate candidate pairs, one tagged row set per algorithm "
@@ -449,7 +448,7 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         F.col("n_common").cast("long").alias("n"),
-        F.round(F.col("jaccard"), 6).alias("score"),
+        F.col("jaccard").alias("score"),  # already portable-rounded
     )
     return simhash.unionByName(jaccard)
 
@@ -502,7 +501,10 @@ def _cand_scored_sql(cand_sql: str) -> str:
       GROUP BY 1, 2
     ),
     scored AS (
-      SELECT query_id, neighbor_id, ROUND(dot / (nq.n * nc.n), 6) AS cos_sim
+      -- duck_round_sql mirrors the engine's round_half_away: exact-norm
+      -- integer vectors produce cos ratios at repr midpoints where ROUND
+      -- and F.round disagree (323/640 — round-8 hunt)
+      SELECT query_id, neighbor_id, {duck_round_sql("dot / (nq.n * nc.n)")} AS cos_sim
       FROM dots
       JOIN norms nq ON nq.vec_id = query_id
       JOIN norms nc ON nc.vec_id = neighbor_id

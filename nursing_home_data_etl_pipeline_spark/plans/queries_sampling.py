@@ -19,6 +19,7 @@ from ..functions.text import (
     quality_score,
     words,
 )
+from ..functions.vectors import duck_round_sql
 from ..operators.components import dup_clusters
 from ..operators.dedup import minhash_dedup_pairs
 from ..operators.sampling import (
@@ -415,14 +416,17 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_MIN = 0.5
 
 
-_DUCK_QUALITY = f"""
-      ROUND((least(CAST(len({duck_words_sql("text")}) AS DOUBLE) / 50.0, 1.0)
-            + CAST(len(list_distinct({duck_words_sql("text")})) AS DOUBLE)
-              / greatest(len({duck_words_sql("text")}), 1)
-            + (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n\\x0B\\f\\r]', '', 'g')))
-                           / CAST(greatest(length(text), 1) AS DOUBLE) * 5, 1.0))
-            ) / 3, 6)
-"""
+_QUALITY_RAW = (
+    f"(least(CAST(len({duck_words_sql('text')}) AS DOUBLE) / 50.0, 1.0)"
+    f" + CAST(len(list_distinct({duck_words_sql('text')})) AS DOUBLE)"
+    f" / greatest(len({duck_words_sql('text')}), 1)"
+    " + (1.0 - least((length(text) - length(regexp_replace(text,"
+    " '[^a-zA-Z0-9_ \\t\\n\\x0B\\f\\r]', '', 'g')))"
+    " / CAST(greatest(length(text), 1) AS DOUBLE) * 5, 1.0))) / 3"
+)
+#: duck_round_sql, not ROUND: count-derived ratios sit at 7-decimal repr
+#: midpoints where ROUND and F.round disagree (round-8 hunt).
+_DUCK_QUALITY = duck_round_sql(_QUALITY_RAW)
 
 
 @register(

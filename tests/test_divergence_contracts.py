@@ -608,3 +608,40 @@ def test_scd2_duplicate_key_target_classifies_per_row(spark, tmp_path):
 
     d = _derive(tmp_path, "customer", add_scd_twins)
     _check(spark, d, "scd_merge")
+
+
+def test_portable_round_matches_duckdb_on_repr_midpoints(spark):
+    """F.round re-parses a double's SHORTEST DECIMAL REPR and HALF_UPs the
+    string; DuckDB ROUND rounds the binary value — count-derived ratios
+    like 41/640 (= 0.0640625 in decimal, below the midpoint in binary)
+    rounded to 0.064063 vs 0.064062 (round-8 hunt, failed
+    dedup_near_pairs and embedding_near_dup on policy-legal input). Every
+    rounded count/count or dot/norm ratio now goes through
+    round_half_away / duck_round_sql — identical IEEE primitive ops on
+    the identical double. This pins their parity on the nasty cases."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from nursing_home_data_etl_pipeline_spark.functions.vectors import (
+        duck_round_sql,
+        round_half_away,
+    )
+
+    cases = [41 / 640, 323 / 640, 333 / 640, 1 / 3, 2 / 3, 0.0640625,
+             -41 / 640, 0.1234565, -0.0000005, 0.9999995, 1.0, 0.0,
+             5e-7, -5e-7]
+    row = spark.range(1).select(
+        *[round_half_away(F.lit(c)).alias(f"c{i}") for i, c in enumerate(cases)]
+    ).collect()[0]
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT " + ", ".join(
+            # CAST: a bare literal parses as DECIMAL in DuckDB (its *1e6
+            # overflows DECIMAL(18)); real oracle exprs are always DOUBLE
+            duck_round_sql(f"CAST({c!r} AS DOUBLE)") for c in cases
+        )
+    ).fetchone()
+    con.close()
+    for i, c in enumerate(cases):
+        assert row[i] == duck[i], f"case {c!r}: spark={row[i]} duck={duck[i]}"
