@@ -19,7 +19,7 @@ from ..functions.text import (
     quality_score,
     words,
 )
-from ..functions.vectors import duck_round_sql
+from ..functions.vectors import duck_round_sql, round_half_away
 from ..operators.components import dup_clusters
 from ..operators.dedup import minhash_dedup_pairs
 from ..operators.sampling import (
@@ -532,67 +532,141 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Decimal type for the exact moment sums: (18,4) x (18,4) products are
+#: (36/37, 8) — inside the 38-digit cap in BOTH engines, so no product or
+#: sum ever rounds. Domain contract: |value| < 1e14 on ≤4-decimal grids
+#: (the lineitem data contract), so the casts themselves are exact.
+_MOMENT_DEC = "decimal(18,4)"
+#: DuckDB widening partner: (18,4)x(18,4) products stay in the int64
+#: physical family and OVERFLOW; (18,4)x(20,4) -> (38,8) runs in
+#: hugeint, still exact. Spark needs no widening ((18,4)x(18,4) ->
+#: (37,8) automatically).
+_MOMENT_DEC_WIDE = "decimal(20,4)"
+
+
 @register(
     "stats_aggregates",
-    oracle="""
+    oracle=f"""
+    -- EXACT-DECIMAL MOMENT SUMS (fuzz seed 621): Spark's and DuckDB's
+    -- one-pass covar/stddev accumulate in different orders, and the
+    -- resulting doubles straddled a 2-decimal rounding boundary
+    -- (-204621.8949 vs .8951 -> .89 vs .9). No rounding discipline can
+    -- absorb noise AT the boundary, so both sides now compute the plain
+    -- textbook moments from EXACT decimal sums (same pattern as the
+    -- revenue DECIMAL fix) and run the identical double ops on the
+    -- identical exact inputs — bit-identical by construction.
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(l_extendedprice) AS np,
+             CAST(SUM(CAST(l_extendedprice AS {_MOMENT_DEC})) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(l_extendedprice AS {_MOMENT_DEC})
+                      * CAST(l_extendedprice AS {_MOMENT_DEC_WIDE})) AS DOUBLE) AS spp,
+             COUNT(l_discount) AS nd,
+             CAST(SUM(CAST(l_discount AS {_MOMENT_DEC})) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(l_discount AS {_MOMENT_DEC})
+                      * CAST(l_discount AS {_MOMENT_DEC_WIDE})) AS DOUBLE) AS sdd,
+             COUNT(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
+             CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL THEN CAST(l_quantity AS {_MOMENT_DEC}) END) AS DOUBLE) AS sx,
+             CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN CAST(l_extendedprice AS {_MOMENT_DEC}) END) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS {_MOMENT_DEC})
+                      * CAST(l_extendedprice AS {_MOMENT_DEC_WIDE})) AS DOUBLE) AS sxy,
+             CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL THEN CAST(l_quantity AS {_MOMENT_DEC}) * CAST(l_quantity AS {_MOMENT_DEC_WIDE}) END) AS DOUBLE) AS sxx,
+             CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN CAST(l_extendedprice AS {_MOMENT_DEC}) * CAST(l_extendedprice AS {_MOMENT_DEC_WIDE}) END) AS DOUBLE) AS syy,
+             min(l_extendedprice) AS min_p,
+             max(l_extendedprice) AS max_p,
+             quantile_cont(l_quantity, 0.5) AS med_q,
+             quantile_cont(l_extendedprice, 0.9) AS p90_p,
+             quantile_cont(l_discount, 0.25) AS p25_d
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    v AS (
+      SELECT *,
+             (spp - sp * sp / nullif(CAST(np AS DOUBLE), 0)) / nullif(CAST(np AS DOUBLE) - 1, 0) AS var_p,
+             (sdd - sd * sd / nullif(CAST(nd AS DOUBLE), 0)) / nullif(CAST(nd AS DOUBLE) - 1, 0) AS var_d,
+             (sxy - sx * sy / nullif(CAST(n AS DOUBLE), 0)) / nullif(CAST(n AS DOUBLE) - 1, 0) AS cov,
+             sxx - sx * sx / nullif(CAST(n AS DOUBLE), 0) AS mx,
+             syy - sy * sy / nullif(CAST(n AS DOUBLE), 0) AS my
+      FROM m
+    )
     SELECT l_returnflag,
-           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
-           ROUND(var_samp(l_discount), 6)         AS var_disc,
-           ROUND(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 2)  AS cov_qty_price,
-           ROUND(min(l_extendedprice), 2)         AS min_price,
-           ROUND(max(l_extendedprice), 2)         AS max_price,
-           ROUND(quantile_cont(l_quantity, 0.5), 6)       AS median_qty,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
-           ROUND(quantile_cont(l_discount, 0.25), 6)      AS p25_disc
-    FROM lineitem
-    GROUP BY l_returnflag
+           {duck_round_sql("sqrt(CASE WHEN var_p < 0 THEN 0 ELSE var_p END)", 4)} AS sd_price,
+           {duck_round_sql("var_d", 6)} AS var_disc,
+           {duck_round_sql("CASE WHEN mx > 0 AND my > 0 THEN (sxy - sx * sy / CAST(n AS DOUBLE)) / sqrt(mx * my) END", 6)} AS corr_qty_price,
+           {duck_round_sql("cov", 2)} AS cov_qty_price,
+           {duck_round_sql("min_p", 2)} AS min_price,
+           {duck_round_sql("max_p", 2)} AS max_price,
+           {duck_round_sql("med_q", 6)} AS median_qty,
+           {duck_round_sql("p90_p", 4)} AS p90_price,
+           {duck_round_sql("p25_d", 6)} AS p25_disc
+    FROM v
     """,
     doc="Statistical aggregates: stddev/variance/correlation/covariance "
-    "(one-pass numerically-stable implementations in both engines; rounded "
-    "to absorb summation-order noise; corr is the guarded pairwise "
-    "covar/(sx*sy) form — NULL on zero-variance groups like DuckDB, where "
-    "F.corr's internal division would raise ANSI DIVIDE_BY_ZERO) "
-    "plus exact per-group quantiles "
-    "(linear interpolation — Spark percentile == DuckDB quantile_cont; "
-    "the exact form sorts each group's values, percentile_approx is the "
-    "sublinear 100 TB variant, verified in approx_stats_events).",
+    "from EXACT decimal moment sums — the grid-valued inputs sum without "
+    "rounding, then both engines run the identical double formula on the "
+    "identical exact sums, so results are bit-identical across engines "
+    "(the one-pass covar_samp/stddev_samp builtins accumulate in "
+    "engine-specific orders; fuzz seed 621 caught their noise straddling "
+    "a rounding boundary). Zero-variance and single-row groups yield NULL "
+    "corr/variance via nullif guards — no ANSI DIVIDE_BY_ZERO. On "
+    "arbitrary-precision doubles (no decimal grid), prefer the builtin "
+    "Welford aggregates and accept engine-specific low bits. Exact "
+    "per-group quantiles keep linear interpolation (Spark percentile == "
+    "DuckDB quantile_cont; percentile_approx is the sublinear 100 TB "
+    "variant, verified in approx_stats_events).",
 )
 def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    # Guarded Pearson: F.corr's internal division raises ANSI
-    # DIVIDE_BY_ZERO (ANSI is on by default in Spark 4) on any
-    # zero-variance group, where DuckDB's corr returns NULL — so build it
-    # from covar_samp/(sx*sy) over PAIRWISE-masked columns (corr counts
-    # only rows where BOTH inputs are non-NULL; unmasked stddevs would use
-    # each column's own NULL filter) and only divide when both stddevs are
-    # known nonzero. `~(s <= 0)` keeps NaN inputs flowing through as NaN
-    # (both engines) instead of collapsing them to NULL.
-    pairwise = F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
-    qty = F.when(pairwise, F.col("l_quantity"))
-    price = F.when(pairwise, F.col("l_extendedprice"))
+    qd = F.col("l_quantity").cast(_MOMENT_DEC)
+    pd_ = F.col("l_extendedprice").cast(_MOMENT_DEC)
+    dd = F.col("l_discount").cast(_MOMENT_DEC)
+    # Pairwise masks mirror corr/covar semantics: only rows where BOTH
+    # inputs are non-NULL contribute to the cross moments.
+    qp = F.when(F.col("l_extendedprice").isNotNull(), qd)
+    pp = F.when(F.col("l_quantity").isNotNull(), pd_)
     agg = li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.covar_samp(qty, price).alias("_cov"),
-        F.stddev_samp(qty).alias("_sx"),
-        F.stddev_samp(price).alias("_sy"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "cov_qty_price"
-        ),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-        F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("p25_disc"),
+        F.count("l_extendedprice").alias("_np"),
+        F.sum(pd_).cast("double").alias("_sp"),
+        F.sum(pd_ * pd_).cast("double").alias("_spp"),
+        F.count("l_discount").alias("_nd"),
+        F.sum(dd).cast("double").alias("_sd"),
+        F.sum(dd * dd).cast("double").alias("_sdd"),
+        F.count(F.when(pp.isNotNull() & qp.isNotNull(), 1)).alias("_n"),
+        F.sum(qp).cast("double").alias("_sx"),
+        F.sum(pp).cast("double").alias("_sy"),
+        F.sum(qd * pd_).cast("double").alias("_sxy"),
+        F.sum(qp * qp).cast("double").alias("_sxx"),
+        F.sum(pp * pp).cast("double").alias("_syy"),
+        round_half_away(F.min("l_extendedprice"), 2).alias("min_price"),
+        round_half_away(F.max("l_extendedprice"), 2).alias("max_price"),
+        round_half_away(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        round_half_away(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        round_half_away(F.expr("percentile(l_discount, 0.25)"), 6).alias("p25_disc"),
     )
+
+    def _nz(c):  # NULL instead of ANSI divide-by-zero
+        return F.nullif(c, F.lit(0.0))
+
+    def _var(s1, s2, n):
+        n_d = n.cast("double")
+        return (s2 - s1 * s1 / _nz(n_d)) / _nz(n_d - 1)
+
+    var_p = _var(F.col("_sp"), F.col("_spp"), F.col("_np"))
+    var_d = _var(F.col("_sd"), F.col("_sdd"), F.col("_nd"))
+    n_d = F.col("_n").cast("double")
+    cov = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / _nz(n_d)) / _nz(n_d - 1)
+    mx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / _nz(n_d)
+    my = F.col("_syy") - F.col("_sy") * F.col("_sy") / _nz(n_d)
     corr = F.when(
-        ~(F.col("_sx") <= 0) & ~(F.col("_sy") <= 0),
-        F.col("_cov") / (F.col("_sx") * F.col("_sy")),
+        (mx > 0) & (my > 0),
+        (F.col("_sxy") - F.col("_sx") * F.col("_sy") / n_d) / F.sqrt(mx * my),
     )
+    sd_price = F.sqrt(F.when(var_p < 0, F.lit(0.0)).otherwise(var_p))
     return agg.select(
-        "l_returnflag", "sd_price", "var_disc",
-        F.round(corr, 6).alias("corr_qty_price"),
-        "cov_qty_price", "min_price", "max_price",
+        "l_returnflag",
+        round_half_away(sd_price, 4).alias("sd_price"),
+        round_half_away(var_d, 6).alias("var_disc"),
+        round_half_away(corr, 6).alias("corr_qty_price"),
+        round_half_away(cov, 2).alias("cov_qty_price"),
+        "min_price", "max_price",
         "median_qty", "p90_price", "p25_disc",
     )
