@@ -33,6 +33,7 @@ from ..operators.setops import except_, except_all, intersect, intersect_all, un
 from ..operators.windows import running_agg, top_k_global, top_k_per_group
 from ..sources.readers import read_table
 from .catalog import register
+from ..functions.vectors import duck_round_sql, round_half_away
 from ..operators.asof import asof_join
 from ..operators.ranges import range_join_points
 
@@ -118,9 +119,9 @@ def rev_sum_col(tax: bool = False):
            ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
            {rev_sum_sql()}                                                 AS sum_disc_price,
            {rev_sum_sql(tax=True)}                                         AS sum_charge,
-           ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 6)                  AS avg_qty,
-           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 6)             AS avg_price,
-           ROUND(ROUND(SUM(l_discount), 2) / COUNT(*), 6)                  AS avg_disc,
+           {duck_round_sql("ROUND(SUM(l_quantity), 2) / COUNT(*)")}        AS avg_qty,
+           {duck_round_sql("ROUND(SUM(l_extendedprice), 2) / COUNT(*)")}   AS avg_price,
+           {duck_round_sql("ROUND(SUM(l_discount), 2) / COUNT(*)")}        AS avg_disc,
            COUNT(*)                                                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -141,9 +142,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             rev_sum_col().alias("sum_disc_price"),
             rev_sum_col(tax=True).alias("sum_charge"),
-            F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
-            F.round(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6).alias("avg_price"),
-            F.round(F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6).alias("avg_disc"),
+            round_half_away(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            round_half_away(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6).alias("avg_price"),
+            round_half_away(F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         ],
     )
@@ -151,10 +152,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "group_having_conditional",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey,
            COUNT(*)                                         AS n_orders,
-           ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(*), 6) AS avg_price,
+           {duck_round_sql("ROUND(SUM(o_totalprice), 2) / COUNT(*)")} AS avg_price,
            COUNT(*) FILTER (WHERE o_orderstatus = 'F')      AS n_finished,
            COUNT(*) FILTER (WHERE o_orderstatus = 'O')      AS n_open,
            ROUND(SUM(CASE WHEN o_orderpriority LIKE '1%'
@@ -177,7 +178,7 @@ def group_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             # from rounding boundaries, so this is deterministic across
             # engines; a raw ROUND(AVG(x),2) can land on a .xx5 boundary and
             # flip the last cent between summation orders.
-            F.round(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 6).alias(
+            round_half_away(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 6).alias(
                 "avg_price"
             ),
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
@@ -415,9 +416,8 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            user_id,
            event_type,
-           ROUND(value - LAG(value, 1) OVER (
-             PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
-           ), 6) AS delta,
+           -- duck_round_sql expansion (portable repr-midpoint-safe round)
+           (CASE WHEN isnan((value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))) OR isinf((value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))) THEN (value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)) WHEN (value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)) < 0 THEN -(floor(abs((value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))) * 1000000.0 + 0.5) / 1000000.0) ELSE floor(abs((value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))) * 1000000.0 + 0.5) / 1000000.0 END) AS delta,
            COALESCE(
              epoch_us(ts)
                - LAG(epoch_us(ts)) OVER (
@@ -461,7 +461,7 @@ def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.round(F.col("value") - F.lag("value", 1).over(w_user), 6).alias("delta"),
+        round_half_away(F.col("value") - F.lag("value", 1).over(w_user), 6).alias("delta"),
         F.coalesce(gap > 300 * 1_000_000, F.lit(True)).alias("kept"),
         k.alias("k"),
     )
@@ -980,14 +980,14 @@ def quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_rank_values",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
            o_orderstatus,
            o_custkey,
            RANK()         OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST)                AS rnk,
            DENSE_RANK()   OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST)                AS drnk,
            NTILE(4)       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)       AS quartile,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST), 6)      AS prank,
+           {duck_round_sql("PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST)")}      AS prank,
            FIRST_VALUE(o_totalprice)  OVER wc AS first_price,
            LAST_VALUE(o_totalprice)   OVER wc AS last_price,
            NTH_VALUE(o_totalprice, 2) OVER wc AS second_price
@@ -1018,7 +1018,7 @@ def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(by_priority).alias("rnk"),
         F.dense_rank().over(by_priority).alias("drnk"),
         F.ntile(4).over(by_price).alias("quartile"),
-        F.round(F.percent_rank().over(by_priority), 6).alias("prank"),
+        round_half_away(F.percent_rank().over(by_priority), 6).alias("prank"),
         F.first("o_totalprice").over(by_cust).alias("first_price"),
         F.last("o_totalprice").over(by_cust).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(by_cust).alias("second_price"),

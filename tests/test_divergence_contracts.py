@@ -645,3 +645,41 @@ def test_portable_round_matches_duckdb_on_repr_midpoints(spark):
     con.close()
     for i, c in enumerate(cases):
         assert row[i] == duck[i], f"case {c!r}: spark={row[i]} duck={duck[i]}"
+
+
+def test_count_ratio_midpoints_round_portably(spark, tmp_path):
+    """Averages and percent_rank are COUNT-DERIVED ratios: 640 rows whose
+    quantities sum to 41 make avg = 41/640 = 0.0640625 — the exact shape
+    where F.round (shortest-repr HALF_UP) and DuckDB ROUND (binary) split
+    at the 7th decimal (round-8 second-pass hunt; no fixture policy can
+    exclude ratios of counts). pricing_summary, group_having_conditional,
+    window_rank_values, and events_lag_debounce now round these through
+    the portable pair; this drives the crafted 41/640 group through the
+    worst one."""
+
+    def add_midpoint_group(tbl):
+        sdate = next(d for d in tbl.column("l_shipdate").to_pylist()
+                     if d is not None)
+        rows = []
+        for i in range(640):
+            row = {name: None for name in tbl.schema.names}
+            row.update({
+                "l_orderkey": 888889000 + i, "l_partkey": 1, "l_suppkey": 1,
+                "l_linenumber": 1,
+                # 41 = 40 zeros + one 41.0 -> integer-exact decimal sum
+                "l_quantity": 41.0 if i == 0 else 0.0,
+                "l_extendedprice": 100.25, "l_discount": 0.0, "l_tax": 0.0,
+                "l_returnflag": "ZQ", "l_linestatus": "ZQ",
+                "l_shipdate": sdate,
+            })
+            rows.append(row)
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist(rows, schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "lineitem", add_midpoint_group)
+    _check(spark, d, "pricing_summary")
+    entry = catalog.entries()["pricing_summary"]
+    row = [r for r in entry.spark(spark, d).collect()
+           if r.l_returnflag == "ZQ"][0]
+    assert row.avg_qty == 0.064062  # binary value is BELOW the midpoint
