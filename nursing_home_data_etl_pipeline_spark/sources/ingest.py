@@ -61,6 +61,22 @@ def _file_md5(path: str) -> str:
     return h.hexdigest()
 
 
+def _require_local_root(path: str, what: str) -> None:
+    """The landing-sync/archive file installs are os/shutil-based and see a
+    URI-scheme root (``file://``, ``s3a://`` — shapes zones.py advertises
+    for the SPARK-side readers) as a literal relative directory name: files
+    copied into a phantom local dir while the Spark-written ledger records
+    them as synced — permanent silent loss (round-8 IO hunt,
+    execution-confirmed). Fail loudly instead: object-store zones take the
+    Spark-side ingest path or a fuse mount."""
+    if "://" in str(path):
+        raise ValueError(
+            f"{what} requires a LOCAL-filesystem zone root (os/shutil file "
+            f"ops), got {path!r} — for object-store roots use the "
+            "Spark-side readers/writers or mount the store locally"
+        )
+
+
 def _sweep_stale_tmps(dest_dir: str) -> None:
     """Remove dot-prefixed ``.*.__tmp<pid>`` install leftovers from crashed
     sync runs. Tmps whose pid is still ALIVE are spared — a concurrent
@@ -71,7 +87,10 @@ def _sweep_stale_tmps(dest_dir: str) -> None:
     file, so distinguishing them is a manual migration step."""
     for stale in Path(dest_dir).glob(".*.__tmp*"):
         suffix = stale.name.rsplit("__tmp", 1)[-1]
-        if suffix.isdigit():
+        # isdecimal, not isdigit: isdigit() accepts unicode digit classes
+        # (superscript '¹') that int() rejects — one such planted filename
+        # crashed every subsequent sync (round-8 IO hunt).
+        if suffix.isdecimal():
             try:
                 os.kill(int(suffix), 0)
                 continue  # owner process alive: in-flight, leave it
@@ -79,6 +98,8 @@ def _sweep_stale_tmps(dest_dir: str) -> None:
                 pass  # owner dead: crash leftover
             except PermissionError:
                 continue  # alive under another uid
+            except (ValueError, OverflowError):
+                pass  # not a real pid (absurd length): crash leftover
         stale.unlink(missing_ok=True)
 
 
@@ -221,6 +242,7 @@ def sync_landing_to_source(
     ``source/{domain}/``, record in the ledger. Returns files synced.
     ``dry_run`` mirrors the reference's side-effect-free rehearsal mode
     (sync-drive-to-s3.py:68-71)."""
+    _require_local_root(zones.root, "sync_landing_to_source")
     listing = list_landing_files(spark, landing_dir)
     new = ledger.new_files(route_files_df(listing, mapping))
     rows = new.collect()  # listing-sized, driver-side by design (file ops)
@@ -313,6 +335,7 @@ def archive_source_files(
     """S9: move raw domain folders out of the source zone — known domains
     to processed, unknown to error (move_sources_files.py:19-42). Returns
     counts per destination zone."""
+    _require_local_root(zones.root, "archive_source_files")
     moved = {"processed": 0, "error": 0}
     for domain in zones.list_domains("source"):
         dest_zone = "processed" if domain in known_domains else "error"
@@ -320,9 +343,25 @@ def archive_source_files(
         dest = Path(zones.path(dest_zone, domain))
         dest.mkdir(parents=True, exist_ok=True)
         for f in sorted(src.iterdir()):
-            if f.is_file():
-                shutil.move(str(f), str(dest / f.name))
-                moved[dest_zone] += 1
+            # Hadoop hidden-file convention, like every other component:
+            # a bare is_file() moved a CONCURRENT sync's live .__tmp<pid>
+            # out from under its os.replace (crashing that sync) and
+            # deposited the half-written dot-file into the archive
+            # (round-8 IO hunt, execution-confirmed).
+            if not f.is_file() or f.name.startswith((".", "_")):
+                continue
+            # The processed zone exists for raw RETENTION: a re-dropped
+            # monthly file with a stable name must not silently destroy
+            # last month's archived copy — uniquify with a counter suffix
+            # instead (sync raises on its collisions; archive must make
+            # progress, so it versions).
+            target = dest / f.name
+            n = 1
+            while target.exists():
+                target = dest / f"{f.name}.{n}"
+                n += 1
+            shutil.move(str(f), str(target))
+            moved[dest_zone] += 1
         if not any(src.iterdir()):
             src.rmdir()
     return moved

@@ -33,6 +33,13 @@ def write_parquet(
     """S3: Parquet sink. ``partition_by`` is the 100 TB lever the reference
     lacks (SURVEY.md §4.3) — partitioned layout gives downstream readers
     partition pruning; AQE coalescing keeps file counts sane.
+
+    Partition-value contract: Spark folds an EMPTY-STRING partition value
+    into ``__HIVE_DEFAULT_PARTITION__``, which reads back as NULL — '' and
+    NULL rows merge indistinguishably after a round-trip (upstream Spark
+    behavior, execution-confirmed round 8). Do not partition by a
+    stringly-typed column that can be blank; NULLIF it (or fill a
+    sentinel) first. Other special characters round-trip correctly.
     """
     writer = df.write.mode(mode)
     if partition_by:

@@ -119,6 +119,14 @@ def universal_cleaning(
     for domain in domains or zones.list_domains("source", spark):
         df = None
         try:
+            # Probe BEFORE the read: schema inference on an existing-but-
+            # empty domain dir raises UNABLE_TO_INFER_SCHEMA long before
+            # is_empty() could run, wedging every later run on a dir a
+            # crashed/collided sync legitimately leaves behind (round-8
+            # IO hunt, execution-confirmed). Missing-vs-broken probing via
+            # the same helper the ledger and staging_status use.
+            if not data_files_exist(spark, zones.source(domain)):
+                continue
             df = read_csv_untyped(spark, zones.source(domain))
             if is_empty(df):
                 continue

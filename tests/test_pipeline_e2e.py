@@ -861,3 +861,132 @@ def test_source_synced_at_header_refused_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="synced_at"):
         transforms.universal_cleaning(spark, zones)
+
+
+def test_archive_versions_instead_of_overwriting(spark, tmp_path):
+    """A re-dropped monthly file with a stable name must not destroy last
+    month's archived raw copy: archive uniquifies with a counter suffix
+    (round-8 IO hunt — shutil.move silently replaced the prior archive)."""
+    import os
+
+    from nursing_home_data_etl_pipeline_spark.sources.ingest import (
+        archive_source_files,
+    )
+
+    zones = ZoneLayout(str(tmp_path / "z"))
+    zones.ensure()
+    pdir = tmp_path / "z" / "processed" / "penalties"
+    pdir.mkdir(parents=True)
+    (pdir / "x.csv").write_text("OLD ARCHIVED RAW (feb)")
+    sdir = tmp_path / "z" / "source" / "penalties"
+    sdir.mkdir(parents=True)
+    (sdir / "x.csv").write_text("NEW RAW (mar)")
+
+    moved = archive_source_files(zones, known_domains={"penalties"})
+    assert moved == {"processed": 1, "error": 0}
+    assert (pdir / "x.csv").read_text() == "OLD ARCHIVED RAW (feb)"
+    assert (pdir / "x.csv.1").read_text() == "NEW RAW (mar)"
+
+
+def test_archive_skips_hidden_files(spark, tmp_path):
+    """archive must honor the Hadoop hidden-file convention: a concurrent
+    sync's live .__tmp<pid> (and any _-prefixed marker) stays in place —
+    moving it crashed the concurrent sync's os.replace and polluted the
+    archive with a half-written file (round-8 IO hunt)."""
+    import os
+
+    from nursing_home_data_etl_pipeline_spark.sources.ingest import (
+        archive_source_files,
+    )
+
+    zones = ZoneLayout(str(tmp_path / "z"))
+    zones.ensure()
+    sdir = tmp_path / "z" / "source" / "penalties"
+    sdir.mkdir(parents=True)
+    (sdir / "y.csv").write_text("real data")
+    (sdir / f".y.csv.__tmp{os.getpid()}").write_text("half-written")
+    (sdir / "_SUCCESS").write_text("")
+
+    moved = archive_source_files(zones, known_domains={"penalties"})
+    assert moved == {"processed": 1, "error": 0}
+    # hidden files stayed; the source dir is therefore NOT removed
+    assert sorted(p.name for p in sdir.iterdir()) == [
+        f".y.csv.__tmp{os.getpid()}", "_SUCCESS"
+    ]
+
+
+def test_sweep_tolerates_unicode_digit_tmp_suffix(tmp_path):
+    """'¹'.isdigit() is True but int('¹') raises — a planted unicode-digit
+    tmp name crashed every subsequent sync's sweep (round-8 IO hunt)."""
+    from nursing_home_data_etl_pipeline_spark.sources.ingest import (
+        _sweep_stale_tmps,
+    )
+
+    d = tmp_path / "dom"
+    d.mkdir()
+    (d / ".x.csv.__tmp¹").write_text("")
+    _sweep_stale_tmps(str(d))  # must not raise; non-decimal suffix swept
+    assert not list(d.iterdir())
+
+
+def test_uri_scheme_roots_fail_loudly(spark, tmp_path):
+    """os/shutil-based ops see 'file:///...' as a literal relative dir:
+    files landed in a phantom directory while the Spark-written ledger
+    recorded them as synced — permanent silent loss (round-8 IO hunt).
+    The local-path guard turns that into an immediate error."""
+    import pytest as _pytest
+
+    from nursing_home_data_etl_pipeline_spark.runlog import RunLog
+    from nursing_home_data_etl_pipeline_spark.sources.ingest import (
+        archive_source_files,
+        sync_landing_to_source,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "NH_Penalties.csv").write_text("a,b\n1,2\n")
+    uri_zones = ZoneLayout(f"file://{tmp_path}/z")
+    ledger = IngestLedger(spark, str(tmp_path / "ledger"))
+    with _pytest.raises(ValueError, match="LOCAL-filesystem"):
+        sync_landing_to_source(spark, str(landing), uri_zones, ledger)
+    with _pytest.raises(ValueError, match="LOCAL-filesystem"):
+        archive_source_files(uri_zones, known_domains=set())
+    with _pytest.raises(ValueError, match="local-filesystem"):
+        RunLog(f"file://{tmp_path}/z/run_log.jsonl")
+
+
+def test_runlog_serializes_arbitrary_detail(tmp_path):
+    """A detail value json can't serialize must degrade to repr, not fail
+    the append: an append failure after a stage's side effects committed
+    was reported as stage FAILURE and re-ran committed work (round-8 IO
+    hunt)."""
+    import json as _json
+
+    from nursing_home_data_etl_pipeline_spark.runlog import RunLog, RunLogEntry
+
+    log = RunLog(str(tmp_path / "rl.jsonl"))
+    log.append(RunLogEntry("r1", "s1", "SUCCESS", 0.0, 1.0,
+                           {"handle": object()}))
+    row = _json.loads((tmp_path / "rl.jsonl").read_text())
+    assert row["status"] == "SUCCESS" and "object" in row["detail"]["handle"]
+
+
+def test_cleaning_skips_existing_but_empty_domain_dir(spark, tmp_path):
+    """An existing-but-empty source domain dir (what a collided sync
+    legitimately leaves behind) must be SKIPPED like a missing one —
+    schema inference used to raise UNABLE_TO_INFER_SCHEMA before the
+    is_empty() guard could run, wedging every later run (round-8 IO
+    hunt)."""
+    from nursing_home_data_etl_pipeline_spark.transforms import (
+        universal_cleaning,
+    )
+
+    zones = ZoneLayout(str(tmp_path / "z"))
+    zones.ensure()
+    (tmp_path / "z" / "source" / "penalties").mkdir(parents=True)
+    (tmp_path / "z" / "source" / "surveys").mkdir(parents=True)
+    (tmp_path / "z" / "source" / "surveys" / "s.csv").write_text(
+        "a,b\n1,2\n"
+    )
+    staged = universal_cleaning(spark, zones)
+    assert staged == ["surveys"]
