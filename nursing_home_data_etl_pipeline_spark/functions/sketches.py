@@ -105,6 +105,16 @@ def _cms_params(
     defaults (4, 1024) — unchecked, as before round 8."""
     meta = sketch.schema["cnt"].metadata if "cnt" in sketch.columns else {}
     md, mw = meta.get("cms_depth"), meta.get("cms_width")
+    # The pair is atomic: a sketch carrying only one of the two keys (a
+    # hand-built or hand-sliced metadata dict) would otherwise skip the
+    # conflict check for the missing half — or compare an explicit width
+    # against None and raise spuriously (round-9 ADVICE).
+    if (md is None) != (mw is None):
+        raise ValueError(
+            f"{caller}: sketch metadata is partial "
+            f"(cms_depth={md}, cms_width={mw}) — both keys must be present "
+            "together or absent together"
+        )
     if md is not None and (
         (depth is not None and depth != md) or (width is not None and width != mw)
     ):

@@ -24,13 +24,19 @@ def round_half_away(col: Column, decimals: int = 6) -> Column:
     fixture policy can exclude ratios of COUNTS, so every rounded
     count/count or dot/norm ratio goes through this helper and its SQL
     twin :func:`duck_round_sql` instead. Scope: |x| * 10^d must fit a
-    long (fine for the unit-interval ratios this serves); NaN and ±inf
-    pass through unrounded (floor would ANSI-overflow on them)."""
+    long (fine for the unit-interval ratios this serves); NaN, ±inf, and
+    any |x| * 10^d >= 2^63 pass through UNROUNDED — Spark's F.floor lands
+    on LONG and would ANSI-overflow-abort the whole job on magnitudes the
+    DuckDB twin's double floor quietly handles (round-9 ADVICE: the
+    unbounded stats outputs, e.g. covariance at 2 decimals, can reach
+    ~9.2e16 on adversarial data). The twin mirrors the gate so the two
+    engines still agree bit-for-bit on out-of-scope magnitudes. At that
+    scale doubles are spaced >1 apart, so "unrounded" loses nothing."""
     s = F.lit(float(10**decimals))
     mag = F.floor(F.abs(col) * s + F.lit(0.5)) / s
     signed = F.when(col < 0, -mag).otherwise(mag)
     return F.when(
-        F.isnan(col) | (F.abs(col) == F.lit(float("inf"))), col
+        F.isnan(col) | (F.abs(col) * s >= F.lit(float(2**63))), col
     ).otherwise(signed)
 
 
@@ -41,7 +47,8 @@ def duck_round_sql(expr: str, decimals: int = 6) -> str:
     s = f"{10**decimals}.0"
     mag = f"floor(abs({expr}) * {s} + 0.5) / {s}"
     return (
-        f"(CASE WHEN isnan({expr}) OR isinf({expr}) THEN {expr} "
+        f"(CASE WHEN isnan({expr}) OR abs({expr}) * {s} >= {float(2**63)!r} "
+        f"THEN {expr} "
         f"WHEN {expr} < 0 THEN -({mag}) ELSE {mag} END)"
     )
 

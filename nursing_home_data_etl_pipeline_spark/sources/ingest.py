@@ -355,10 +355,14 @@ def archive_source_files(
             # last month's archived copy — uniquify with a counter suffix
             # instead (sync raises on its collisions; archive must make
             # progress, so it versions).
+            # Counter goes BEFORE the extension (data.1.parquet, not
+            # data.parquet.1): an appended counter drops the archived
+            # version out of every '*.parquet'/'*.csv' glob a downstream
+            # reader would run on the zone (round-9 ADVICE).
             target = dest / f.name
             n = 1
             while target.exists():
-                target = dest / f"{f.name}.{n}"
+                target = dest / f"{f.stem}.{n}{f.suffix}"
                 n += 1
             shutil.move(str(f), str(target))
             moved[dest_zone] += 1

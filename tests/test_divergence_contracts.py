@@ -630,7 +630,11 @@ def test_portable_round_matches_duckdb_on_repr_midpoints(spark):
 
     cases = [41 / 640, 323 / 640, 333 / 640, 1 / 3, 2 / 3, 0.0640625,
              -41 / 640, 0.1234565, -0.0000005, 0.9999995, 1.0, 0.0,
-             5e-7, -5e-7]
+             5e-7, -5e-7,
+             # round-9 ADVICE: |x|*10^6 >= 2^63 used to ANSI-overflow-abort
+             # Spark's long floor while DuckDB's double floor succeeded —
+             # both twins now pass these through unrounded, identically
+             9.3e16, -9.3e16, 1e13, -1e13, 9e12]
     row = spark.range(1).select(
         *[round_half_away(F.lit(c)).alias(f"c{i}") for i, c in enumerate(cases)]
     ).collect()[0]

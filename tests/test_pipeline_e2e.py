@@ -865,8 +865,10 @@ def test_source_synced_at_header_refused_loudly(spark, tmp_path):
 
 def test_archive_versions_instead_of_overwriting(spark, tmp_path):
     """A re-dropped monthly file with a stable name must not destroy last
-    month's archived raw copy: archive uniquifies with a counter suffix
-    (round-8 IO hunt — shutil.move silently replaced the prior archive)."""
+    month's archived raw copy: archive uniquifies with a counter inserted
+    BEFORE the extension (round-8 IO hunt found the overwrite; round-9
+    ADVICE found that the appended 'x.csv.1' form silently dropped
+    archived versions out of every downstream '*.csv' glob)."""
     import os
 
     from nursing_home_data_etl_pipeline_spark.sources.ingest import (
@@ -878,6 +880,7 @@ def test_archive_versions_instead_of_overwriting(spark, tmp_path):
     pdir = tmp_path / "z" / "processed" / "penalties"
     pdir.mkdir(parents=True)
     (pdir / "x.csv").write_text("OLD ARCHIVED RAW (feb)")
+    (pdir / "x.1.csv").write_text("OLDER ARCHIVED RAW (jan)")
     sdir = tmp_path / "z" / "source" / "penalties"
     sdir.mkdir(parents=True)
     (sdir / "x.csv").write_text("NEW RAW (mar)")
@@ -885,7 +888,12 @@ def test_archive_versions_instead_of_overwriting(spark, tmp_path):
     moved = archive_source_files(zones, known_domains={"penalties"})
     assert moved == {"processed": 1, "error": 0}
     assert (pdir / "x.csv").read_text() == "OLD ARCHIVED RAW (feb)"
-    assert (pdir / "x.csv.1").read_text() == "NEW RAW (mar)"
+    assert (pdir / "x.1.csv").read_text() == "OLDER ARCHIVED RAW (jan)"
+    # counter skips the occupied .1 slot and stays glob-visible
+    assert (pdir / "x.2.csv").read_text() == "NEW RAW (mar)"
+    assert sorted(p.name for p in pdir.glob("*.csv")) == [
+        "x.1.csv", "x.2.csv", "x.csv"
+    ]
 
 
 def test_archive_skips_hidden_files(spark, tmp_path):

@@ -242,3 +242,25 @@ def test_cms_estimate_geometry_mismatch_raises(spark):
         cms_estimate(cms, items, "tok", depth=3, width=1024)
     with pytest.raises(ValueError, match="geometry mismatch"):
         cms_merge(cms, cms_build(df, "tok", depth=3, width=64))
+
+
+def test_cms_partial_metadata_raises_not_skips(spark):
+    """Round-9 ADVICE: a sketch carrying only ONE of (cms_depth, cms_width)
+    — reachable via a hand-built sketch propagated through cms_merge's
+    per-key metadata copy — used to skip the conflict check entirely when
+    only cms_width was present (a disagreeing caller depth sailed through),
+    and to raise SPURIOUSLY (width != None) when only cms_depth was. The
+    pair is now validated atomically: partial metadata is an error."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a",), ("b",)], "tok string")
+    cms = cms_build(df, "tok", depth=3, width=64)
+    items = df.select("tok").distinct()
+    for partial in ({"cms_depth": 3}, {"cms_width": 64}):
+        crippled = cms.select(
+            "row", "bucket", F.col("cnt").alias("cnt", metadata=partial)
+        )
+        with pytest.raises(ValueError, match="partial"):
+            cms_estimate(crippled, items, "tok", depth=3, width=64)

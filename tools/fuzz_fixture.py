@@ -80,6 +80,13 @@ NO_EDIT_COLS = {
     ("lineitem", "l_extendedprice"), ("lineitem", "l_discount"),
     ("lineitem", "l_tax"),
 }
+#: nullify must also skip these: several NULL event_id/o_orderkey cells can
+#: tie on the remaining sort keys (ts_edge can pin the same SAFE_TS), and
+#: two NULL-id rows tied on every prior key break the pinned "(ts, event_id)
+#: stays a total order" invariant — first/last/nth_value picks then become
+#: engine-order-dependent in a way NULLS-FIRST pinning cannot resolve
+#: (round-9 ADVICE; mirrors the duplicate-event drop policy).
+NO_NULL_COLS = NO_EDIT_COLS | {("orders", "o_orderkey")}
 
 
 def _set_cell(tbl: pa.Table, col: str, row: int, value) -> pa.Table:
@@ -114,6 +121,8 @@ def _mutate(name: str, tbl: pa.Table, rng: random.Random) -> pa.Table:
             tbl = tbl.take(pa.array(idx))
         elif op == "nullify":
             col = rng.choice(tbl.schema.names)
+            if (name, col) in NO_NULL_COLS:
+                continue
             limit = 1 if col == UNIQUE_ID.get(name) else rng.randint(1, 5)
             if col == UNIQUE_ID.get(name):
                 if nulled_unique:
