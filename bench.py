@@ -5,6 +5,14 @@ Each query is fully executed via the ``noop`` sink (whole plan runs on
 executors, nothing collected to the driver), timed end-to-end including
 planning. A warm-up pass on a trivial scan amortizes one-time JVM/codegen
 startup out of the first query's number.
+
+``--warm N`` (round-9 directive #2) runs N INTERLEAVED passes over the
+whole catalog in one session and reports each query's MIN (headline
+``queries`` field — the noise-floor number) and MEDIAN (``queries_median``).
+Same-tree single-pass totals have historically swung 63-235 s on this
+machine; min-of-N-warm kills the dominant noise source for ~N x the bench
+wall-time, so recorded BASELINE.md bands come from a --warm run while the
+round driver's single-pass regime is judged against them per-query.
 """
 
 from __future__ import annotations
@@ -25,6 +33,10 @@ def execute(df) -> None:
 
 
 def main() -> int:
+    warm_n = 1
+    argv = sys.argv[1:]
+    if argv[:1] == ["--warm"]:
+        warm_n = max(1, int(argv[1]))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Best-effort sf label from the dir name; any non-sfN.N spelling
     # (sf-data, sf_custom) degrades to -1.0 instead of crashing the
@@ -65,38 +77,48 @@ def main() -> int:
     except Exception as ex:
         print(f"bench streaming warm-up skipped: {ex!r}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    for name, entry in sorted(catalog.entries().items()):
-        t0 = time.time()
-        try:
-            execute(entry.spark(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 2)
-        except Exception as ex:
-            timings[name] = -1.0
-            print(f"bench error in {name}: {ex!r}", file=sys.stderr)
+    samples: dict[str, list[float]] = {n: [] for n in catalog.entries()}
+    for _ in range(warm_n):
+        for name, entry in sorted(catalog.entries().items()):
+            t0 = time.time()
+            try:
+                execute(entry.spark(spark, sf_dir))
+                samples[name].append(round(time.time() - t0, 2))
+            except Exception as ex:
+                samples[name].append(-1.0)
+                print(f"bench error in {name}: {ex!r}", file=sys.stderr)
 
+    def _min(v: list[float]) -> float:
+        ok = [t for t in v if t >= 0]
+        return min(ok) if ok else -1.0
+
+    def _median(v: list[float]) -> float:
+        ok = sorted(t for t in v if t >= 0)
+        return ok[len(ok) // 2] if ok else -1.0
+
+    timings = {n: _min(v) for n, v in samples.items()}
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # A failed query is timed -1.0 and EXCLUDED from the total, which
     # would otherwise read as a perf WIN; surface the failure count as a
-    # first-class field so metric consumers can't miss it.
-    n_errors = sum(1 for t in timings.values() if t < 0)
+    # first-class field so metric consumers can't miss it. Any errored
+    # iteration marks the query failed even if a retry passed.
+    n_errors = sum(1 for v in samples.values() if any(t < 0 for t in v))
     # ONE compact JSON line, nothing after it: harnesses that capture only a
     # bounded output tail must still see the complete line (round-1 bench
     # output exceeded such a window and failed to parse).
     sys.stdout.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": n_errors,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
-    )
+    record = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": n_errors,
+        "sf": sf,
+    }
+    if warm_n > 1:
+        record["warm"] = warm_n
+        record["queries_median"] = {n: _median(v) for n, v in samples.items()}
+    print(json.dumps(record, separators=(",", ":")))
     # Exit nonzero when any query errored: a broken run (worst case, a
     # missing sf_dir erroring ALL queries) otherwise reports value=0 with
     # exit 0 — the fastest-possible fake perf win for any consumer that
