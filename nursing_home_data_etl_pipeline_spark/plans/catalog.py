@@ -42,6 +42,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
+def tag_union(df: DataFrame, variant: str, types: dict, **cols) -> DataFrame:
+    """Pad one branch of a tagged-union query to the shared schema: named
+    columns pass through, the rest NULL-fill at the declared type. The
+    repeating select scaffolding of every multi-variant catalog entry."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.lit(variant).alias("variant"),
+        *[
+            (cols[k] if k in cols else F.lit(None).cast(t)).alias(k)
+            for k, t in types.items()
+        ],
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(_REGISTRY)
 

@@ -215,44 +215,34 @@ def _time_rollup_oracle_branch() -> str:
     )
 
 
+# HAVING COUNT(*) > 0 on each grouping branch: Spark's rollup/cube/
+# grouping-sets emit NO rows on EMPTY input, while the SQL standard (and
+# DuckDB) still emits the grand-total grouping-set row (COUNT 0); on any
+# non-empty input every group has COUNT >= 1, so the HAVING only mirrors
+# the empty-input behavior.
+_GROUPING_BRANCHES = (
+    ("rollup", "ROLLUP (l_returnflag, l_linestatus)"),
+    ("cube", "CUBE (l_returnflag, l_linestatus)"),
+    ("gsets", "GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"),
+)
+
+
 @register(
     "rollup_cube_summary",
-    oracle=f"""
-    SELECT 'rollup' AS variant,
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{v}' AS variant,
            l_returnflag                         AS k1,
            l_linestatus                         AS k2,
            GROUPING(l_returnflag, l_linestatus) AS grp,
            ROUND(SUM(l_quantity), 2)            AS sum_val,
            COUNT(*)                             AS n
     FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    -- Spark's rollup/cube/grouping-sets emit NO rows on EMPTY input,
-    -- while the SQL standard (and DuckDB) still emits the grand-total
-    -- grouping-set row (COUNT 0); on any non-empty input every group has
-    -- COUNT >= 1, so this HAVING only mirrors the empty-input behavior
-    HAVING COUNT(*) > 0
-    UNION ALL
-    SELECT 'cube',
-           l_returnflag,
-           l_linestatus,
-           GROUPING(l_returnflag, l_linestatus),
-           ROUND(SUM(l_quantity), 2),
-           COUNT(*)
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    HAVING COUNT(*) > 0
-    UNION ALL
-    SELECT 'gsets',
-           l_returnflag,
-           l_linestatus,
-           GROUPING(l_returnflag, l_linestatus),
-           ROUND(SUM(l_quantity), 2),
-           COUNT(*)
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-    HAVING COUNT(*) > 0
-    UNION ALL{_time_rollup_oracle_branch()}
-    """,
+    GROUP BY {g}
+    HAVING COUNT(*) > 0"""
+        for v, g in _GROUPING_BRANCHES
+    )
+    + f"\n    UNION ALL{_time_rollup_oracle_branch()}",
     doc="The grouping-sets family as one tagged union (round-6 catalog "
     "consolidation of rollup_cube_summary + grouping_sets_sql + "
     "time_rollup_events). variant='rollup'/'cube': hierarchical subtotals "
@@ -558,23 +548,13 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pivot_unpivot",
-    oracle="""
-    SELECT l_returnflag, 'q1_qty' AS metric,
-           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 1 THEN l_quantity END), 2) AS value
-    FROM lineitem GROUP BY l_returnflag
-    UNION ALL
-    SELECT l_returnflag, 'q2_qty',
-           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 2 THEN l_quantity END), 2)
-    FROM lineitem GROUP BY l_returnflag
-    UNION ALL
-    SELECT l_returnflag, 'q3_qty',
-           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 3 THEN l_quantity END), 2)
-    FROM lineitem GROUP BY l_returnflag
-    UNION ALL
-    SELECT l_returnflag, 'q4_qty',
-           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = 4 THEN l_quantity END), 2)
-    FROM lineitem GROUP BY l_returnflag
-    """,
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT l_returnflag, 'q{q}_qty' AS metric,
+           ROUND(SUM(CASE WHEN QUARTER(l_shipdate) = {q} THEN l_quantity END), 2) AS value
+    FROM lineitem GROUP BY l_returnflag"""
+        for q in (1, 2, 3, 4)
+    ),
     doc="Long->wide pivot (quarterly measure columns q1..q4, mirroring the "
     "reference's pre-pivoted quality-measure shape, quality-transform.py:"
     "40-43; explicit pivot values skip the distinct-discovery job) "
@@ -606,24 +586,25 @@ _HH_MIN = 80
 _CMS_DEPTH, _CMS_WIDTH = 4, 1024
 
 
+#: the within-band boolean columns every variant must assert TRUE — one
+#: tuple drives the oracle, the sketch-band select, and the cms_hh pad.
+_OK_COLS = ("distinct_ok", "p50_ok", "p95_ok",
+            "hll_merge_ok", "theta_merge_ok", "kll_merge_ok")
+
+
 @register(
     "approx_stats_events",
     oracle=f"""
     SELECT 'sketch_bands' AS variant,
            event_type AS key,
            COUNT(*) AS n,
-           TRUE AS distinct_ok,
-           TRUE AS p50_ok,
-           TRUE AS p95_ok,
-           TRUE AS hll_merge_ok,
-           TRUE AS theta_merge_ok,
-           TRUE AS kll_merge_ok
+           {", ".join(f"TRUE AS {c}" for c in _OK_COLS)}
     FROM events WHERE event_id % 5 = 0 GROUP BY event_type
     UNION ALL
     SELECT 'cms_hh',
            CAST(user_id AS VARCHAR),
            COUNT(*),
-           TRUE, TRUE, TRUE, TRUE, TRUE, TRUE
+           {", ".join("TRUE" for _ in _OK_COLS)}
     FROM events
     WHERE user_id IS NOT NULL
     GROUP BY user_id
@@ -786,13 +767,7 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("cms_hh").alias("variant"),
             F.col("user_id").cast("string").alias("key"),
             "n",
-            *[
-                F.lit(True).alias(c)
-                for c in (
-                    "distinct_ok", "p50_ok", "p95_ok",
-                    "hll_merge_ok", "theta_merge_ok", "kll_merge_ok",
-                )
-            ],
+            *[F.lit(True).alias(c) for c in _OK_COLS],
         )
     )
     return bands.unionByName(hh)

@@ -54,9 +54,7 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(c, o["o_custkey"] == c["c_custkey"])
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            rev_sum_col().alias("revenue")
-        )
+        .agg(rev_sum_col().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         # ordering is TOTAL over the group key: duplicate o_orderkey rows
         # (fan-out) create exactly-tied (revenue, orderkey) groups whose
@@ -126,9 +124,11 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = l.select("l_orderkey", "l_extendedprice", "l_discount").join(
         o_asia, l["l_orderkey"] == o_asia["o_orderkey"]
     )
-    q5 = joined.groupBy(F.col("n_name").alias("nation")).agg(
-        rev_sum_col().alias("revenue")
-    ).select(F.lit("q5").alias("variant"), "nation", "revenue")
+    q5 = (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(rev_sum_col().alias("revenue"))
+        .select(F.lit("q5").alias("variant"), "nation", "revenue")
+    )
     p = read_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.when(F.col("p_type") == "PROMO", F.lit("q14_promo"))
@@ -142,9 +142,7 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(p, l["l_partkey"] == p["p_partkey"])  # part scales with sf: AQE decides
         .groupBy("variant")
-        .agg(
-            rev_sum_col().alias("revenue")
-        )
+        .agg(rev_sum_col().alias("revenue"))
         .select("variant", F.lit("ALL").alias("nation"), "revenue")
     )
     return q5.unionByName(q14)
@@ -187,9 +185,7 @@ def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "nation")
-        .agg(
-            rev_sum_col().alias("revenue")
-        )
+        .agg(rev_sum_col().alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "nation")
         # total ordering: a duplicate c_custkey (re-registered CCN with a
         # new name) makes two revenue-tied groups at the LIMIT boundary

@@ -215,19 +215,20 @@ _SHINGLE_K = 5
 _NUM_HASHES = 12
 _BANDS = 4
 
-def _duck_shingles(src: str = "documents") -> str:
+def _duck_shingles(src: str = "documents", prefix: str = "") -> str:
     """DuckDB shingle CTE (distinct word 5-grams of normalized text; whole
     text when shorter than k) — mirrors functions.text.word_shingles
     exactly. ``src`` parameterizes the corpus relation so composed queries
-    (e.g. training_corpus) can shingle a filtered CTE."""
+    (e.g. training_corpus) can shingle a filtered CTE; ``prefix`` names the
+    CTEs so one query can shingle two corpora (decontamination)."""
     return f"""
-    words AS (SELECT doc_id, regexp_split_to_array({_DUCK_NORM}, ' ') AS wa
+    {prefix}words AS (SELECT doc_id, regexp_split_to_array({_DUCK_NORM}, ' ') AS wa
               FROM {src}
               WHERE {_DUCK_NORM} IS NOT NULL AND {_DUCK_NORM} != ''),
-    shingles AS (
+    {prefix}shingles AS (
       SELECT DISTINCT doc_id,
              array_to_string(wa[i:i+{_SHINGLE_K - 1}], ' ') AS s
-      FROM words, unnest(generate_series(1, greatest(len(wa) - {_SHINGLE_K - 1}, 1))) t(i)
+      FROM {prefix}words, unnest(generate_series(1, greatest(len(wa) - {_SHINGLE_K - 1}, 1))) t(i)
     )
 """
 
@@ -435,18 +436,14 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash = simhash_near_pairs(
         simhash_signatures(docs, "text", "doc_id")
     ).select(
-        F.lit("simhash").alias("variant"),
-        "id_a",
-        "id_b",
+        F.lit("simhash").alias("variant"), "id_a", "id_b",
         F.col("hamming").cast("long").alias("n"),
         F.lit(None).cast("double").alias("score"),
     )
     jaccard = ngram_jaccard_pairs(
         docs, "text", "doc_id", _SHINGLE_K, _JACCARD_THRESHOLD
     ).select(
-        F.lit("jaccard").alias("variant"),
-        "id_a",
-        "id_b",
+        F.lit("jaccard").alias("variant"), "id_a", "id_b",
         F.col("n_common").cast("long").alias("n"),
         F.col("jaccard").alias("score"),  # already portable-rounded
     )
@@ -603,16 +600,13 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding") == _DIM_CONTRACT
     )
     queries_batch = emb.filter(F.col("vec_id") < _N_QUERIES)
+    cols = ["query_id", "neighbor_id", "cos_sim", "rank"]
     brute = cosine_topk_bruteforce(queries_batch, emb, k=_TOP_K).select(
-        F.lit("brute").alias("variant"), "query_id", "neighbor_id",
-        "cos_sim", "rank",
+        F.lit("brute").alias("variant"), *cols
     )
     lsh = cosine_topk_lsh(
         queries_batch, emb, n_planes=_N_PLANES, dim=_DIM, k=_TOP_K
-    ).select(
-        F.lit("lsh").alias("variant"), "query_id", "neighbor_id",
-        "cos_sim", "rank",
-    )
+    ).select(F.lit("lsh").alias("variant"), *cols)
     return brute.unionByName(lsh)
 
 

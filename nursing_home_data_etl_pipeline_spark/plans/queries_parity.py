@@ -17,7 +17,7 @@ from ..operators.ids import with_dense_id, with_etl_date, with_etl_metadata
 from ..operators.joins import anti_join, left_enrich, merge_scd1, merge_scd2
 from ..operators.projections import select_columns
 from ..sources.readers import read_table
-from .catalog import register
+from .catalog import register, tag_union
 
 # ---------------------------------------------------------------------------
 # P1+P2+P3+F1: universal cleaning (nh-etl-universal-cleaning.py:35-52,81-83)
@@ -286,13 +286,13 @@ def scd_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     source1 = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
         "c_custkey", (F.col("c_acctbal") + F.lit(1000.0)).alias("c_acctbal")
     )
-    scd1 = merge_scd1(target1, source1, keys=["c_custkey"]).select(
-        F.lit("scd1").alias("variant"),
-        "c_custkey",
-        "c_acctbal",
-        F.lit(None).cast("date").alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
-        F.lit(None).cast("boolean").alias("is_current"),
+    scd1 = tag_union(
+        merge_scd1(target1, source1, keys=["c_custkey"]),
+        "scd1",
+        {"c_custkey": "long", "c_acctbal": "double", "valid_from": "date",
+         "valid_to": "date", "is_current": "boolean"},
+        c_custkey=F.col("c_custkey"),
+        c_acctbal=F.col("c_acctbal"),
     )
     target2 = customer.select(
         "c_custkey",
@@ -320,23 +320,25 @@ def scd_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: the required-input domains — ONE tuple drives both the Spark query and
+#: its generated oracle (a missed edit in a hand-kept copy would silently
+#: drop a domain from one side of the gate).
+_GATE_DOMAINS = ("customer", "nation", "orders", "lineitem")
+
+
 @register(
     "validation_counts",
-    oracle="""
-    SELECT 'customer' AS domain, COUNT(*) AS row_count, COUNT(*) > 0 AS non_empty FROM customer
-    UNION ALL
-    SELECT 'nation', COUNT(*), COUNT(*) > 0 FROM nation
-    UNION ALL
-    SELECT 'orders', COUNT(*), COUNT(*) > 0 FROM orders
-    UNION ALL
-    SELECT 'lineitem', COUNT(*), COUNT(*) > 0 FROM lineitem
-    """,
+    oracle="\n    UNION ALL\n".join(
+        f"SELECT '{t}' AS domain, COUNT(*) AS row_count, "
+        f"COUNT(*) > 0 AS non_empty FROM {t}"
+        for t in _GATE_DOMAINS
+    ),
     doc="Required-input gate: per-domain non-emptiness (validate_staging.py:"
     "15-47) expressed as a unioned count query.",
 )
 def validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
-    for name in ("customer", "nation", "orders", "lineitem"):
+    for name in _GATE_DOMAINS:
         parts.append(
             read_table(spark, sf_dir, name)
             .agg(F.count(F.lit(1)).alias("row_count"))

@@ -176,7 +176,6 @@ def string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-visible registration order: its entries historically registered
 # between the collections block above and the sampling block below.
 from .queries_northstar import (
-    _SHINGLE_K,
     _cc_comp_cte,
     _duck_minhash_sig_cte,
     _minhash_pairs_cte,
@@ -299,26 +298,17 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bands_chain(prefix: str, src: str) -> str:
     """sig+bands CTE chain (names prefixed) for one corpus relation —
-    mirrors operators.dedup minhash/banding exactly; the hash count, sig
-    CTE spec, and the band-select layout itself all come from
-    queries_northstar (``_band_selects_sql`` is the one generator) so a
-    banding retune there cannot silently diverge this oracle."""
-    from .queries_northstar import _band_selects_sql
+    mirrors operators.dedup minhash/banding exactly; the shingle CTEs, the
+    sig CTE spec, and the band-select layout all come from queries_northstar
+    (one generator each) so a banding retune there cannot silently diverge
+    this oracle."""
+    from .queries_northstar import _band_selects_sql, _duck_shingles
 
-    band_selects = _band_selects_sql(f"{prefix}_sig")
-    norm = duck_norm_sql()
-    k = _SHINGLE_K
     return f"""
-    {prefix}_words AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS wa
-                       FROM {src}
-                       WHERE {norm} IS NOT NULL AND {norm} != ''),
-    {prefix}_shingles AS (
-      SELECT DISTINCT doc_id, array_to_string(wa[i:i+{k - 1}], ' ') AS s
-      FROM {prefix}_words, unnest(generate_series(1, greatest(len(wa) - {k - 1}, 1))) t(i)
-    ),
+    {_duck_shingles(src, f"{prefix}_").strip()},
     {_duck_minhash_sig_cte(f"{prefix}_")},
     {prefix}_bands AS (
-      {band_selects}
+      {_band_selects_sql(f"{prefix}_sig")}
     )"""
 
 

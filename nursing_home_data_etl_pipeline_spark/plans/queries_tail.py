@@ -272,16 +272,15 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming queries under the driver contract: each runs a bounded
 # ===========================================================================
 
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# ts is nanos-as-long in this generation; stream_events substitutes the
+# probed timestamp type when the testdata generation differs.
+_EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField(n, t()) for n, t in (
+        ("event_id", T.LongType), ("ts", T.LongType), ("user_id", T.LongType),
+        ("event_type", T.StringType), ("value", T.DoubleType),
+        ("props", T.StringType),
+    )
+])
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,21 +773,15 @@ _NULL_COLS_SQL = (
     "limit at larger scale factors.",
 )
 def tpch_shapes_q4_q13_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import tag_union
+
     types = {
         "k_str": "string", "k_id": "long", "k_id2": "long",
         "k_date": "string", "price": "double", "qty": "double", "cnt": "long",
     }
 
     def tag(df: DataFrame, variant: str, **cols) -> DataFrame:
-        # pad a variant to the tagged-union schema: named columns pass
-        # through, the rest NULL-fill at the declared type
-        return df.select(
-            F.lit(variant).alias("variant"),
-            *[
-                (cols[k] if k in cols else F.lit(None).cast(t)).alias(k)
-                for k, t in types.items()
-            ],
-        )
+        return tag_union(df, variant, types, **cols)
 
     # --- q4: EXISTS semi-join with correlated date bound ------------------
     o4 = read_table(spark, sf_dir, "orders").filter(

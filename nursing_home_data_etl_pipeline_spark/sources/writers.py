@@ -24,6 +24,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _writer(
+    df: DataFrame,
+    mode: str,
+    partition_by: Sequence[str] = (),
+    compression: str | None = None,
+    **options,
+):
+    """The shared sink-builder scaffolding: mode, optional partitioning,
+    optional compression, extra options — every format-specific sink below
+    is one line of format dispatch on top of this."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    for k, v in options.items():
+        w = w.option(k, v)
+    return w
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -41,10 +61,7 @@ def write_parquet(
     stringly-typed column that can be blank; NULLIF it (or fill a
     sentinel) first. Other special characters round-trip correctly.
     """
-    writer = df.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    _writer(df, mode, partition_by).parquet(path)
 
 
 def write_sorted(
@@ -62,10 +79,7 @@ def write_sorted(
     clustering/Z-order for plain parquet. Pair with repartition_by_range on
     the same columns when cross-file pruning matters too.
     """
-    writer = df.sortWithinPartitions(*sort_cols).write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    _writer(df.sortWithinPartitions(*sort_cols), mode, partition_by).parquet(path)
 
 
 def write_bucketed(
@@ -263,12 +277,7 @@ def write_jsonl(
     the hand-off sane); pass ``compression=None`` for plain text. Column
     types survive the round-trip only as JSON types — keep parquet as the
     system of record and treat this as an export format."""
-    writer = df.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    if compression:
-        writer = writer.option("compression", compression)
-    writer.json(path)
+    _writer(df, mode, partition_by, compression).json(path)
 
 
 def write_orc(
@@ -282,10 +291,7 @@ def write_orc(
     (Hive/Trino ecosystems). Same pruning/pushdown story as parquet in
     Spark's vectorized reader; zstd by default (better ratio than the zlib
     ORC default at similar speed)."""
-    writer = df.write.mode(mode).option("compression", compression)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.orc(path)
+    _writer(df, mode, partition_by, compression).orc(path)
 
 
 def write_csv(
@@ -299,10 +305,7 @@ def write_csv(
     everything stringly — nh-etl-universal-cleaning.py:75) so a
     write_csv -> read_csv_untyped round-trip is the identity on string
     frames. Export format only: no types, no stats, no pruning."""
-    writer = df.write.mode(mode).option("header", header)
-    if compression:
-        writer = writer.option("compression", compression)
-    writer.csv(path)
+    _writer(df, mode, compression=compression, header=header).csv(path)
 
 
 def write_avro(
@@ -315,11 +318,8 @@ def write_avro(
     ecosystems. Requires the ``spark-avro`` package on the classpath (an
     external module, not bundled with Spark); raises a clear error when it
     is absent instead of a py4j stack."""
-    writer = df.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
     try:
-        writer.format("avro").save(path)
+        _writer(df, mode, partition_by).format("avro").save(path)
     except Exception as ex:  # AnalysisException: failed to find data source
         if "avro" in str(ex).lower() and "find" in str(ex).lower():
             raise NotImplementedError(

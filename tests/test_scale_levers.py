@@ -95,19 +95,3 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     assert out.rdd.getNumPartitions() < int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-
-
-def test_skew_report_shapes(spark, sf_dir, tmp_path):
-    from tools.skew_report import report  # conftest puts the repo root on sys.path
-
-    out = report(spark, f"{sf_dir}/events.parquet", ["event_type"])
-    assert out["total_rows"] > 0
-    assert 1 <= len(out["hot_keys"]) <= 10
-    assert abs(sum(h["share"] for h in out["hot_keys"]) - 1.0) < 0.05  # 5 types
-    assert out["partition_rows"]["max"] >= out["partition_rows"]["min"]
-
-    # empty table: no division, no IndexError, null-safe stats
-    empty = str(tmp_path / "empty.parquet")
-    spark.range(0).selectExpr("id", "'x' AS event_type").write.parquet(empty)
-    out0 = report(spark, empty, ["event_type"])
-    assert out0["total_rows"] == 0 and out0["hot_keys"] == []

@@ -1,39 +1,21 @@
 """Key-shifted ~10x replication of a testdata dir — the first empirical
-scale point above sf0.1 (round-9 directive #1).
+scale point above sf0.1 (round-9 directive #1; record: SCALE_r09.json).
 
-Every 100x-scale claim in this repo had rested on plan-shape pins and
-reasoning; this builds an sf1-shaped fixture the oracle gate and bench can
-actually run, to expose hidden superlinear stages (banding blowup, state
-growth, AQE strategy flips) that sf0.1 cannot.
-
-Replication is NOT verbatim: verbatim copies would give every document ten
-exact clones and every embedding ten duplicates, so the pair-enumerating
-queries (LSH near-dup, embedding near-dup, connected components) would
-measure an artificial O(replicas^2) output blowup instead of the ~linear
-growth a real 10x corpus has. Instead each replica r:
-
-- shifts every id/FK family by r * stride (strides are powers of 10 above
-  each family's max, so replicas never collide and FKs stay consistent:
-  o_custkey moves with c_custkey, l_orderkey with o_orderkey, ...);
-- Caesar-ciphers document text by r (letters rotate within a-z/A-Z):
-  length-, whitespace-, punctuation- and word-structure-preserving, so
-  n_chars stays truthful and quality_score/word_count/diversity are
-  IDENTICAL per replica, while shingle sets map bijectively — within-
-  replica dup/near-dup structure is preserved exactly and cross-replica
-  Jaccard is ~0 (lang_id flips to 'und' on ciphered copies, which is fine:
-  the corpus queries filter on the stored `lang` column, kept verbatim);
-- circularly rotates each embedding vector by r positions: norms and all
-  WITHIN-replica pairwise dot products are bit-preserved (the same
-  permutation is applied to both sides), while cross-replica cosines
-  decorrelate — near-dup families stay their original size.
-
-region/nation are dimension tables and stay single copies. Timestamps are
-kept verbatim: replicas model MORE USERS over the SAME time range, so
-windows/sessions/watermark state grow in width, not in history.
-
-Each replica lands as one part file inside a `{table}.parquet` DIRECTORY
-(the layout Spark sinks produce; both spark.read.parquet and the oracle's
-glob dispatch on it) — natural read parallelism, bounded writer memory.
+NOT verbatim replication (that would clone every doc/embedding 10x and
+make the pair-enumerating queries measure an artificial O(replicas^2)
+blowup instead of a real corpus's ~linear growth). Each replica r:
+- shifts every id/FK family by r * stride (powers of 10 above each
+  family's max; FKs move with their dimension, so joins stay consistent);
+- Caesar-ciphers document text by r: length/whitespace/punctuation/word-
+  structure preserving (n_chars stays truthful, quality_score identical),
+  shingle sets map bijectively — within-replica dup structure exact,
+  cross-replica Jaccard ~0 (lang_id flips to 'und'; fine — corpus queries
+  filter on the stored `lang` column, kept verbatim);
+- circularly rotates each embedding by r: within-replica dot products
+  bit-preserved, cross-replica cosines decorrelate.
+region/nation stay single-copy dims; timestamps stay verbatim (more users
+over the same time range — window/session state grows in width, not
+history). Each replica is one part file in a `{table}.parquet` directory.
 
 Usage:
     python tools/scale_fixture.py [replicas] [src_dir] [dest_dir]
