@@ -1,19 +1,14 @@
-"""Benchmark: run every catalog query at $SPARK_GRAFT_SF_DIR (default sf0.1)
-and print ONE JSON line with per-query wall-clock seconds.
+"""Benchmark: run every catalog query at $SPARK_GRAFT_SF_DIR (default
+sf0.1) and print ONE JSON line with per-query wall-clock seconds. Each
+query fully executes via the ``noop`` sink, timed end-to-end including
+planning; a warm-up pass amortizes one-time JVM/codegen/streaming startup.
 
-Each query is fully executed via the ``noop`` sink (whole plan runs on
-executors, nothing collected to the driver), timed end-to-end including
-planning. A warm-up pass on a trivial scan amortizes one-time JVM/codegen
-startup out of the first query's number.
-
-``--warm N`` (round-9 directive #2) runs N INTERLEAVED passes over the
-whole catalog in one session and reports each query's MIN (headline
-``queries`` field — the noise-floor number) and MEDIAN (``queries_median``).
-Same-tree single-pass totals have historically swung 63-235 s on this
-machine; min-of-N-warm kills the dominant noise source for ~N x the bench
-wall-time, so recorded BASELINE.md bands come from a --warm run while the
-round driver's single-pass regime is judged against them per-query.
-"""
+``--warm N`` (round-9 directive #2) runs N INTERLEAVED passes in one
+session, reporting per-query MIN (headline ``queries``) and MEDIAN
+(``queries_median``). Single-pass totals historically swung 63-235 s;
+min-of-N-warm kills the dominant noise source for ~N x the wall-time, so
+BASELINE.md bands come from a --warm run and the driver's single-pass
+regime is judged against them per-query."""
 
 from __future__ import annotations
 

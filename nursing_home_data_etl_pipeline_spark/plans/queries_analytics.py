@@ -1,18 +1,12 @@
 """Capability-gap queries (SURVEY.md §2.8): filters, aggregations, windows,
-sorts/top-k, set ops, pivot/unpivot, and event analytics — the general query
-surface the reference never exercises.
+sorts/top-k, set ops, pivot/unpivot, and event analytics — the general
+query surface the reference never exercises.
 
-Catalog consolidation (round 2): the driver's correctness gate has
-historically checked at most 50 queries in registration order, so adjacent
-operators are exercised by ONE registered query each (e.g. rollup+cube as a
-tagged union, lag-delta+debounce+JSON-extract in one events pass), the
-50-query core keeps its registration order, and later rounds append only at
-the tail. Every underlying operator keeps its own unit tests; the
-registered query is the driver-visible composition.
-
-Determinism conventions (BASELINE.md): float aggregates are ROUNDed
-identically on both sides (summation order differs between engines);
-every window ordering carries a unique tiebreaker.
+The driver gate checks at most 50 queries in registration order, so
+adjacent operators are exercised by ONE registered query each (tagged
+unions); underlying operators keep their own unit tests. Determinism
+conventions (BASELINE.md): float aggregates round identically on both
+sides; every window ordering carries a unique tiebreaker.
 """
 
 from __future__ import annotations
@@ -174,10 +168,8 @@ def group_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            # avg via round(sum,2)/count: sums of 2-decimal money stay ~1e-9
-            # from rounding boundaries, so this is deterministic across
-            # engines; a raw ROUND(AVG(x),2) can land on a .xx5 boundary and
-            # flip the last cent between summation orders.
+            # avg via round(sum,2)/count: a raw ROUND(AVG(x),2) can land on
+            # a .xx5 boundary and flip the last cent between engines
             round_half_away(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 6).alias(
                 "avg_price"
             ),
@@ -243,18 +235,15 @@ _GROUPING_BRANCHES = (
         for v, g in _GROUPING_BRANCHES
     )
     + f"\n    UNION ALL{_time_rollup_oracle_branch()}",
-    doc="The grouping-sets family as one tagged union (round-6 catalog "
-    "consolidation of rollup_cube_summary + grouping_sets_sql + "
-    "time_rollup_events). variant='rollup'/'cube': hierarchical subtotals "
-    "vs all combinations over lineitem with grouping_id — one "
-    "expanded-aggregate shuffle each. variant='gsets': explicit GROUPING "
-    "SETS through the SQL entry point (temp view + spark.sql) — both "
-    "DataFrame and SQL APIs produce the same Expand plan. "
-    "variant='time_hour'/'time_day'/'time_month': hypertable-style "
-    "multi-resolution rollup over events (operators.aggregates.time_rollup) "
-    "— every resolution from ONE fact scan and one shuffle via grouping "
-    "sets on pre-truncated timestamps; k1 = the bucket start formatted, "
-    "k2 = event_type, sum_val = ROUND(SUM(value), 4).",
+    doc="The grouping-sets family as one tagged union. variant='rollup'/"
+    "'cube': hierarchical subtotals vs all combinations over lineitem with "
+    "grouping_id — one expanded-aggregate shuffle each. variant='gsets': "
+    "explicit GROUPING SETS through the SQL entry point (temp view + "
+    "spark.sql) — DataFrame and SQL APIs produce the same Expand plan. "
+    "variant='time_{hour,day,month}': hypertable-style multi-resolution "
+    "rollup over events (operators.aggregates.time_rollup) — every "
+    "resolution from ONE fact scan and one shuffle via grouping sets on "
+    "pre-truncated timestamps; k1 = bucket start, k2 = event_type.",
 )
 def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import time_rollup
@@ -415,14 +404,10 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                  ) > 300 * 1000000,
              TRUE) AS kept,
-           -- real JSON parsing, like the engine's from_json: any spacing or
-           -- sign parses; non-integer shapes (1.5, strings, booleans) are
-           -- NULL (DuckDB's TRY_CAST would ROUND '1.5', Spark nulls it).
-           -- The regex guard runs on json_extract's RAW JSON text, which
-           -- keeps quotes: a string-typed {"k": "7"} stays '"7"' and fails
-           -- the integer regex, matching from_json's NULL for a string
-           -- value in a LongType field (json_extract_string strips the
-           -- quotes and would wrongly admit it — ADVICE r6).
+           -- real JSON parsing like from_json: non-integer shapes are NULL
+           -- (TRY_CAST would ROUND '1.5'); the regex runs on json_extract's
+           -- RAW text so a string-typed {"k": "7"} keeps its quotes and
+           -- fails, matching from_json's NULL for a LongType field (r6)
            TRY_CAST(CASE WHEN json_valid(props)
                           AND regexp_matches(
                                 CAST(json_extract(props, '$.k') AS VARCHAR),
@@ -493,50 +478,40 @@ def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and DISTINCT as aggregate-without-measures.",
 )
 def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import tag_union
+
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
+    types = {"key": "string", "n": "long"}
 
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     rich = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
     with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
     machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
-    chain = except_(
-        intersect(union_distinct(building, rich), with_orders), machinery
-    ).select(
-        F.lit("chain").alias("variant"),
-        F.col("c_custkey").cast("string").alias("key"),
-        F.lit(1).cast("long").alias("n"),
+    chain = tag_union(
+        except_(intersect(union_distinct(building, rich), with_orders), machinery),
+        "chain", types,
+        key=F.col("c_custkey").cast("string"), n=F.lit(1).cast("long"),
     )
 
-    a = orders.filter(F.col("o_orderkey") % 3 == 0).select(
-        F.col("o_orderstatus").alias("status")
-    )
-    b = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        F.col("o_orderstatus").alias("status")
-    )
-    c = orders.filter(F.col("o_orderkey") % 12 == 0).select(
-        F.col("o_orderstatus").alias("status")
-    )
-    multiset = (
-        except_all(intersect_all(a, b), c)
+    def status(mod: int) -> DataFrame:
+        return orders.filter(F.col("o_orderkey") % mod == 0).select(
+            F.col("o_orderstatus").alias("status")
+        )
+
+    multiset = tag_union(
+        except_all(intersect_all(status(3), status(2)), status(12))
         .groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.lit("multiset").alias("variant"),
-            F.col("status").alias("key"),
-            F.col("n"),
-        )
+        .agg(F.count(F.lit(1)).alias("n")),
+        "multiset", types, key=F.col("status"), n=F.col("n"),
     )
 
-    dv = (
-        li.select("l_returnflag", "l_linestatus")
-        .distinct()
-        .select(
-            F.lit("distinct").alias("variant"),
-            F.concat_ws("/", "l_returnflag", "l_linestatus").alias("key"),
-            F.lit(1).cast("long").alias("n"),
-        )
+    dv = tag_union(
+        li.select("l_returnflag", "l_linestatus").distinct(),
+        "distinct", types,
+        key=F.concat_ws("/", "l_returnflag", "l_linestatus"),
+        n=F.lit(1).cast("long"),
     )
     return chain.unionByName(multiset).unionByName(dv)
 
@@ -610,50 +585,38 @@ _OK_COLS = ("distinct_ok", "p50_ok", "p95_ok",
     GROUP BY user_id
     HAVING COUNT(*) >= {_HH_MIN}
     """,
-    doc="Approximate aggregates (HyperLogLog++ distinct, GK-sketch "
-    "percentiles — sublinear state, the 100 TB path) verified against exact "
-    "twins in the same plan: the query emits within-error-bound booleans "
-    "(HLL within 3x rsd of exact COUNT(DISTINCT); approx percentile inside "
-    "the exact p±0.03 quantile band) and the oracle asserts every band holds, "
-    "turning sketch accuracy into a hash-checkable signal instead of a "
-    "rows-only smoke check. variant='cms_hh' (round-6 consolidation of "
-    "cms_heavy_hitters): heavy hitters via Count-Min sketch + exact refine "
-    "— the sketch (depth*width counters, one pass, map-side combine) "
-    "over-counts but never under-counts, so keys whose estimate clears the "
-    "threshold are a SUPERSET of the true heavy hitters; exactly counting "
-    "only those candidates yields the exact answer (at 100 TB the exact "
-    "count runs over a semi-joined sliver of the corpus instead of every "
-    "key). Also proves the MERGEABLE-sketch path "
-    "(functions/sketches.py hll/theta/kll wrappers over the Spark 4 "
-    "Datasketches builtins): per-day partial sketches built in one combined "
-    "aggregate, merged per event_type in a second — the shard-once / "
-    "roll-up-forever shape that answers distinct/quantile queries at 100 TB "
-    "without re-reading raw data — each merged estimate checked against the "
-    "same exact twins. The exact twins (sort-based percentile + "
-    "count-distinct expand) are the expensive part, so verification runs on "
-    "a deterministic 20% slice — in production the sketches run alone over "
-    "the full data. Raw sketch values stay available via "
+    doc="Approximate aggregates (HLL++ distinct, GK percentiles — sublinear "
+    "state, the 100 TB path) verified against exact twins in the same plan: "
+    "within-error-band booleans (HLL within 3x rsd; approx percentile "
+    "inside the exact rank band) that the oracle asserts TRUE — sketch "
+    "accuracy as a hash-checkable signal, not a rows-only smoke check. "
+    "variant='cms_hh': heavy hitters via Count-Min sketch + exact refine — "
+    "the sketch over-counts but never under-counts, so clearing keys are a "
+    "SUPERSET of the true heavy hitters and the exact count runs over a "
+    "semi-joined sliver, never every key. Also proves the MERGEABLE-sketch "
+    "path (functions/sketches.py over the Spark 4 Datasketches builtins): "
+    "per-day HLL/theta/KLL partials in one aggregate, merged per "
+    "event_type in a second — shard-once/roll-up-forever, answering "
+    "distinct/quantile queries at 100 TB without re-reading raw data — "
+    "each merged estimate checked against the same exact twins. The exact "
+    "twins are the expensive part, so verification runs on a deterministic "
+    "20% slice; in production the sketches run alone. Raw sketch values: "
     "operators.aggregates.approx_stats (unit-tested).",
 )
 def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
-    # Exact COUNT(DISTINCT) planned in its own aggregate: mixing the
-    # Expand-based distinct rewrite with TypedImperative sketch buffers in
-    # one agg forces every sketch through the multiplied multi-phase plan
-    # (~5x slower measured at sf0.1). Two aggs + a 5-row equi-join is the
-    # cheap shape, and at 100 TB the exact twin is dropped entirely.
+    # Exact COUNT(DISTINCT) in its OWN aggregate: mixing the Expand-based
+    # distinct rewrite with sketch buffers forces every sketch through the
+    # multiplied multi-phase plan (~5x slower measured at sf0.1).
     exact = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("_exact_d"),
     )
-    # Band bounds are DISCRETE (actual data values at the band ranks), not
-    # interpolated percentiles: approx_percentile/KLL promise RANK accuracy,
-    # never value accuracy — on a gapped distribution (one huge outlier in a
-    # small group, round-8 fuzz) the approx answer is a data point far
-    # outside the CONT-interpolated band, so the old value-band check
-    # asserted something the sketches never guaranteed. The sorted-values
-    # twin is the expensive exact part, same cost class as the sort-based
-    # percentile it replaces, and is verification-only (dropped at 100 TB).
+    # Band bounds are DISCRETE data values at the band RANKS, not
+    # interpolated percentiles: approx_percentile/KLL promise rank
+    # accuracy, never value accuracy — on a gapped distribution the approx
+    # answer sits far outside a CONT-interpolated value band (round-8
+    # fuzz). The sorted-values twin is verification-only (dropped at 100 TB).
     sk = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.05).alias("_approx_d"),
         F.sort_array(F.collect_list(F.col("value").cast("double"))).alias("_vals"),
@@ -711,11 +674,9 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny groups where one-off error dominates the relative bound.
     tol = F.greatest(F.col("_exact_d") * 0.15, F.lit(2.0))
     # Percentile bands are VACUOUSLY TRUE for a group with zero non-NULL
-    # measures: percentile-of-nothing is NULL, between(NULL, ...) is NULL,
-    # and the oracle asserts literal TRUE per group — without the coalesce
-    # an all-NULL-value event_type diverged (NULL != TRUE under the
-    # row-multiset compare). The distinct bands need no guard (count
-    # distinct of an all-NULL column is 0 on both sides, |0-0| <= tol).
+    # measures (percentile-of-nothing is NULL, the oracle asserts literal
+    # TRUE); distinct bands need no guard (count distinct of all-NULL is 0
+    # on both sides).
     vac = lambda c: F.coalesce(c, F.lit(True))  # noqa: E731
     nv = F.size("_vals")
 
@@ -791,12 +752,10 @@ _RANGE_WINDOW_US = 3_600_000_000  # attribute clicks within 1h after a purchase
       SELECT user_id, ts, value, epoch_us(ts) AS us
       FROM events WHERE event_type = 'purchase'
     ),
-    -- Right-side TIES: among purchases sharing (user_id, ts) the engine's
-    -- last()-over-window with the value-struct tiebreaker (asof.py _rord)
-    -- deterministically attaches the MAX value, while DuckDB's native ASOF
-    -- picks an input-order-dependent row — pre-aggregating to max(value)
-    -- per (user_id, ts) pins the same rule here (MAX also skips NULLs,
-    -- matching Spark's NULLS-FIRST struct order under mixed ties)
+    -- Right-side TIES: the engine (asof.py _rord) deterministically
+    -- attaches the MAX value per (user_id, ts) while DuckDB's native ASOF
+    -- picks an input-order-dependent tied row — pre-aggregate to pin the
+    -- same rule (MAX skips NULLs, matching the NULLS-FIRST struct order)
     purchases_asof AS (
       SELECT user_id, ts, us, MAX(value) AS value
       FROM purchases

@@ -117,15 +117,13 @@ def _text_profile_oracle() -> str:
     "text_profile",
     oracle=_text_profile_oracle(),
     doc="The per-document text-analysis profile in one map-only pass: "
-    "statistics (char/word/BPE-ish token counts, mean word length, lexical "
-    "diversity), heuristic quality score (length sweet spot + diversity + "
-    "punctuation noise) and stopword ratio (the training-data filter "
-    "stage), language-ID (argmax of per-language stopword hit counts, "
-    "'und' when nothing scores) next to the declared lang, and the md5 "
-    "content fingerprint over normalized text (the exact-dedup key, "
-    "portable across engines by construction). All JVM-side builtin "
-    "expressions — zero Python, zero shuffles; the word arrays are "
-    "materialized once and every metric reads the bound attribute.",
+    "char/word/BPE-ish token counts, mean word length, lexical diversity, "
+    "heuristic quality score, stopword ratio (the training-data filter "
+    "stage), language-ID (argmax of per-language stopword hits, 'und' "
+    "when nothing scores) beside the declared lang, and the md5 content "
+    "fingerprint over normalized text (the exact-dedup key). All JVM-side "
+    "builtins — zero Python, zero shuffles; word arrays materialize once "
+    "and every metric reads the bound attribute.",
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import normalize_text, words
@@ -168,11 +166,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact",
     oracle=f"""
     WITH corpus AS (
-      -- NULL-id rows are excluded by contract: a row without an identity
-      -- has no min-id survivor (Spark's min_by SKIPS NULL ordering keys,
-      -- emitting a NULL survivor struct where a GROUP BY oracle would
-      -- emit the fingerprint), and exact_dedup's NULL-text sentinel
-      -- requires a non-null id
+      -- NULL-id rows excluded by contract: no identity, no min-id survivor
+      -- (exact_dedup docstring has the full rationale)
       SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
       UNION ALL
       SELECT doc_id + 1000000, text || '  ' FROM documents WHERE doc_id % 10 = 0
@@ -236,13 +231,6 @@ def _duck_shingles(src: str = "documents", prefix: str = "") -> str:
 _DUCK_SHINGLES = _duck_shingles()
 
 
-def _duck_hex48(expr: str, start: int) -> str:
-    """DuckDB BIGINT from 12 hex chars of ``expr`` at 1-based ``start`` —
-    mirrors the Spark side's ``conv(substring(md5, start, 12), 16, 10)``
-    bit-for-bit (shared digit-arithmetic generator in operators.dedup)."""
-    return hex_to_bigint_sql(expr, start, 12)
-
-
 def _duck_minhash_sig_cte(prefix: str = "") -> str:
     """hash + sig CTEs over ``{prefix}shingles`` implementing the
     double-hashing MinHash family (h1 + s*h2) % P — the exact spec of
@@ -255,7 +243,10 @@ def _duck_minhash_sig_cte(prefix: str = "") -> str:
       SELECT doc_id, md5(s) AS m FROM {prefix}shingles
     ),
     {prefix}h AS (
-      SELECT doc_id, {_duck_hex48('m', 1)} AS h1, {_duck_hex48('m', 13)} AS h2
+      -- 12-hex-char BIGINTs via the shared digit-arithmetic generator:
+      -- mirrors Spark's conv(substring(md5, start, 12), 16, 10) bit-for-bit
+      SELECT doc_id, {hex_to_bigint_sql('m', 1, 12)} AS h1,
+             {hex_to_bigint_sql('m', 13, 12)} AS h2
       FROM {prefix}hashed
     ),
     {prefix}sig AS (
@@ -374,11 +365,10 @@ def _simhash_pairs_oracle(max_hamming: int = 3, bands: int = 4) -> str:
 _JACCARD_THRESHOLD = 0.05
 
 def _jaccard_pairs_sql(cap: int, threshold: float) -> str:
-    """Jaccard-pairs oracle, parameterized so tests can exercise a tiny
-    cap. Mirrors ngram_jaccard_pairs exactly: set SIZES count every
-    shingle, but only COLD shingles (document frequency <= cap) pair —
-    Jaccard is under-estimated for pairs sharing only hot shingles, the
-    engine's documented conservative direction."""
+    """Jaccard-pairs oracle (cap parameterized for tests). Mirrors
+    ngram_jaccard_pairs: set SIZES count every shingle but only COLD ones
+    (doc frequency <= cap) pair — under-estimating pairs that share only
+    hot shingles, the engine's documented conservative direction."""
     return f"""
     WITH {_DUCK_SHINGLES},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
@@ -395,10 +385,8 @@ def _jaccard_pairs_sql(cap: int, threshold: float) -> str:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    -- threshold the ROUNDED value, like the engine (round(j,6) >= t):
-    -- raw-ratio filtering drops pairs in [t-5e-7, t) that Spark keeps.
-    -- duck_round_sql, not ROUND: a count ratio like 41/640 sits at a
-    -- 7-decimal repr midpoint where ROUND and F.round disagree (round 8)
+    -- threshold the ROUNDED value like the engine (round(j,6) >= t); via
+    -- duck_round_sql — count ratios sit at repr midpoints (round 8)
     WHERE {duck_round_sql("CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)")} >= {threshold}
     """
 
@@ -417,17 +405,15 @@ _JACCARD_PAIRS_SQL = _jaccard_pairs_sql(HOT_SHINGLE_CAP, _JACCARD_THRESHOLD)
            jaccard
     FROM ({_JACCARD_PAIRS_SQL})
     """,
-    doc="Near-duplicate candidate pairs, one tagged row set per algorithm "
-    "(round-6 catalog consolidation of dedup_simhash_pairs + "
-    "dedup_ngram_jaccard). variant='simhash': 60-bit signatures over "
-    "distinct words (portable md5-derived token hashes; engine-identical "
-    "bit math), banded Hamming search (4 x 15-bit bands, pigeonhole-exact "
-    "for distance <= 3) + bit_count verify; n = Hamming distance. "
-    "variant='jaccard': exact n-gram Jaccard via inverted-index self-join "
-    "(only pairs sharing a shingle materialize; hot-shingle cap bounds "
-    "worst-case pair blowup); n = shingle intersection size, score = "
-    "Jaccard. Both branches scan documents independently — two bounded "
-    "band/index self-joins, never an all-pairs product.",
+    doc="Near-duplicate candidate pairs, one tagged row set per algorithm. "
+    "variant='simhash': 60-bit signatures over distinct words (portable "
+    "md5-derived token hashes, engine-identical bit math), banded Hamming "
+    "search (4 x 15-bit bands, pigeonhole-exact for distance <= 3) + "
+    "bit_count verify; n = Hamming distance. variant='jaccard': exact "
+    "n-gram Jaccard via inverted-index self-join (only pairs sharing a "
+    "shingle materialize; the hot-shingle cap bounds pair blowup); n = "
+    "intersection size, score = Jaccard. Two bounded band/index "
+    "self-joins — never an all-pairs product.",
 )
 def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_pairs
@@ -583,14 +569,12 @@ def _ann_lsh_oracle() -> str:
     SELECT 'lsh', query_id, neighbor_id, cos_sim, rank
     FROM ({_ann_lsh_oracle()})
     """,
-    doc="Cosine top-k both ways, one tagged row set per strategy (round-6 "
-    "catalog consolidation of similarity_topk_bruteforce + "
-    "similarity_ann_lsh). variant='brute': exact — broadcast query batch x "
-    "corpus, zip_with/aggregate dot products in whole-stage codegen, rank "
+    doc="Cosine top-k both ways. variant='brute': exact — broadcast query "
+    "batch x corpus, zip_with/aggregate dots in whole-stage codegen, rank "
     "on the rounded score; the ANN correctness baseline. variant='lsh': "
-    "ANN via random-hyperplane LSH — 6 fixed seeded hyperplanes -> "
-    "64-bucket equi-join replaces the cross join, exact cosine within "
-    "buckets; deterministic planes replicated verbatim in the oracle.",
+    "random-hyperplane LSH — 6 seeded hyperplanes -> 64-bucket equi-join "
+    "replaces the cross join, exact cosine within buckets; deterministic "
+    "planes replicated verbatim in the oracle.",
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-dim contract: off-dimension vectors are excluded (see
@@ -643,12 +627,11 @@ def _near_dup_oracle() -> str:
     "embedding_near_dup",
     oracle=_near_dup_oracle(),
     doc="Embedding-cosine near-duplicate pairs: RHP bucket collision + "
-    "cosine >= threshold (threshold 0.3 fits this corpus's random-vector "
-    "cosine range; real near-dup corpora use ~0.95). The plane count is "
-    "DERIVED from corpus size (ceil(log2(n / 32)), clamped to [4, 24]) so "
-    "bucket count grows with n and within-bucket all-pairs work stays "
-    "linear — the oracle reproduces the same derivation from COUNT(*), "
-    "masking its 24 embedded hyperplanes down to the derived count.",
+    "cosine >= threshold (0.3 fits this corpus's random-vector range; real "
+    "corpora use ~0.95). The plane count is DERIVED from corpus size "
+    "(ceil(log2(n/32)), clamped [4, 24]) so bucket count grows with n and "
+    "within-bucket all-pairs work stays linear — the oracle reproduces the "
+    "derivation from COUNT(*), masking its 24 embedded planes down.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-dim contract (also keeps the derived plane count — a function
@@ -681,12 +664,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST({hex_to_bigint_sql("lower(hex(encode(text)))", 1, 2)} AS INTEGER) AS fake_height
     FROM documents
     """,
-    doc="Multimodal plumbing: BinaryType payload + metadata struct, decoded "
-    "by an Arrow-batched mapInArrow fake codec (deterministic byte ops; "
-    "real image/audio codecs are import-gated stubs with this exact "
-    "signature; ids pass through as Arrow int64 — the pandas boundary "
-    "would double them past 2^53 whenever a batch holds a NULL id). "
-    "ASCII text payloads make the oracle exact.",
+    doc="Multimodal plumbing: BinaryType payload + metadata struct decoded "
+    "by an Arrow-batched mapInArrow fake codec (real image/audio codecs "
+    "are import-gated stubs with this exact signature; ids pass through "
+    "as Arrow int64 — the pandas boundary would double them past 2^53 on "
+    "NULL-bearing batches). ASCII payloads make the oracle exact.",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")

@@ -35,6 +35,19 @@ _DIRTY_CUSTOMER_HEADERS = [
 ]
 
 
+def _dense_id_sql(*cols: str) -> str:
+    """Oracle tail of the etl-metadata stamp — the dense-id tie contract
+    (ids._tiebreak): row_id is a ROW_NUMBER over the CLEANED key then every
+    remaining display column in frame order, NULLS FIRST each, so duplicate
+    keys (a re-registered CCN) and trim-collided groups get deterministic
+    ids on both sides; plus the CURRENT_DATE etl stamp."""
+    order = ",\n                              ".join(
+        f"{c} NULLS FIRST" for c in cols
+    )
+    return (f"ROW_NUMBER() OVER (ORDER BY {order}) AS row_id,\n"
+            "           CURRENT_DATE AS etl_date")
+
+
 @register(
     "cms_clean_project",
     oracle=f"""
@@ -53,15 +66,8 @@ _DIRTY_CUSTOMER_HEADERS = [
       FROM customer
     )
     SELECT *,
-           -- the dense-id tie contract (ids._tiebreak): duplicate keys
-           -- (a re-registered CCN) break ties on the remaining columns in
-           -- frame order, NULLS FIRST each
-           ROW_NUMBER() OVER (ORDER BY facility_number NULLS FIRST,
-                                       facility_name NULLS FIRST,
-                                       nation_key NULLS FIRST,
-                                       account_balance NULLS FIRST,
-                                       market_segment_code NULLS FIRST) AS row_id,
-           CURRENT_DATE                  AS etl_date
+           {_dense_id_sql("facility_number", "facility_name", "nation_key",
+                          "account_balance", "market_segment_code")}
     FROM cleaned
     """,
     doc="The universal-cleaning -> stamp pipeline exactly as the reference "
@@ -122,13 +128,10 @@ def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = left_enrich(customer, nation, on="c_nationkey")
     out = left_enrich(out, region, on="n_regionkey")
-    return out.select(
-        F.col("c_custkey").alias("facility_number"),
-        F.col("c_name").alias("facility_name"),
-        F.col("c_acctbal").alias("account_balance"),
-        F.col("n_name").alias("nation_name"),
-        F.col("r_name").alias("region_name"),
-    )
+    renames = {"c_custkey": "facility_number", "c_name": "facility_name",
+               "c_acctbal": "account_balance", "n_name": "nation_name",
+               "r_name": "region_name"}
+    return out.select(*[F.col(s).alias(d) for s, d in renames.items()])
 
 
 # ---------------------------------------------------------------------------
@@ -158,13 +161,10 @@ def left_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Detail side is larger than the entity side: do NOT broadcast it.
     out = left_enrich(customer, orders, on="c_custkey", broadcast_other=False)
-    return out.select(
-        F.col("c_custkey").alias("facility_number"),
-        F.col("c_name").alias("facility_name"),
-        F.col("o_orderkey").alias("penalty_id"),
-        F.col("o_totalprice").alias("penalty_amount"),
-        F.col("o_orderstatus").alias("penalty_status"),
-    )
+    renames = {"c_custkey": "facility_number", "c_name": "facility_name",
+               "o_orderkey": "penalty_id", "o_totalprice": "penalty_amount",
+               "o_orderstatus": "penalty_status"}
+    return out.select(*[F.col(s).alias(d) for s, d in renames.items()])
 
 
 # ---------------------------------------------------------------------------
@@ -221,13 +221,10 @@ src2 AS (
 ),
 changed AS (
   -- per-ROW classification with NULL-SAFE comparison, mirroring
-  -- merge_scd2's full-outer join + eqNullSafe exactly: a duplicate-key
-  -- target (a re-registered CCN — one copy changed, one identical to the
-  -- source) joins EACH target copy to the source row independently; SQL
-  -- MERGE's one-source-row-to-many-target-rows is legal and the engine's
-  -- join naturally implements it. The previous key-level NOT EXISTS
-  -- dropped the unchanged copy whenever ANY copy of the key changed
-  -- (round-8 second-pass hunt, execution-confirmed).
+  -- merge_scd2's full-outer join + eqNullSafe: each duplicate-key target
+  -- copy joins the source row INDEPENDENTLY (SQL MERGE's one-source-to-
+  -- many-targets is legal); a key-level NOT EXISTS dropped the unchanged
+  -- copy whenever any copy changed (round-8 hunt, execution-confirmed)
   SELECT t.c_custkey, t.c_acctbal AS old_bal, s.c_acctbal AS new_bal
   FROM customer t JOIN src2 s
     ON s.c_custkey = t.c_custkey
@@ -337,21 +334,19 @@ _GATE_DOMAINS = ("customer", "nation", "orders", "lineitem")
     "15-47) expressed as a unioned count query.",
 )
 def validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = []
-    for name in _GATE_DOMAINS:
-        parts.append(
-            read_table(spark, sf_dir, name)
-            .agg(F.count(F.lit(1)).alias("row_count"))
-            .select(
-                F.lit(name).alias("domain"),
-                F.col("row_count"),
-                (F.col("row_count") > 0).alias("non_empty"),
-            )
+    from functools import reduce
+
+    parts = [
+        read_table(spark, sf_dir, name)
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select(
+            F.lit(name).alias("domain"),
+            F.col("row_count"),
+            (F.col("row_count") > 0).alias("non_empty"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for name in _GATE_DOMAINS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 # ---------------------------------------------------------------------------
@@ -410,17 +405,10 @@ _DIRTY_PENALTY_HEADERS = [
       FROM q
     )
     SELECT *,
-           -- dense-id ordering runs on the CLEANED (trimmed) key, with the
-           -- ids._tiebreak mirror over the remaining display columns so
-           -- trim-collided groups get deterministic ids
-           ROW_NUMBER() OVER (ORDER BY facility_number NULLS FIRST,
-                                       measure_code NULLS FIRST,
-                                       q1_measure_score NULLS FIRST,
-                                       q2_measure_score NULLS FIRST,
-                                       q3_measure_score NULLS FIRST,
-                                       q4_measure_score NULLS FIRST,
-                                       four_quarter_average_score NULLS FIRST) AS row_id,
-           CURRENT_DATE                              AS etl_date
+           {_dense_id_sql("facility_number", "measure_code",
+                          "q1_measure_score", "q2_measure_score",
+                          "q3_measure_score", "q4_measure_score",
+                          "four_quarter_average_score")}
     FROM d
     """,
     doc="P5 quality transform over a CMS-shaped staging fixture: quarterly "
@@ -463,7 +451,7 @@ def cms_quality_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cms_penalty_transform",
-    oracle="""
+    oracle=f"""
     WITH p AS (
       SELECT CAST(o_custkey AS VARCHAR) AS ccn,
              COUNT(*) FILTER (WHERE o_orderstatus = 'F')                    AS n_fines,
@@ -476,8 +464,7 @@ def cms_quality_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(fine_total AS VARCHAR)            AS total_amount_of_fines_in_dollars,
            CAST(n_denials AS VARCHAR)             AS number_of_payment_denials,
            CAST(n_fines + n_denials AS VARCHAR)   AS total_number_of_penalties,
-           ROW_NUMBER() OVER (ORDER BY ccn NULLS FIRST)       AS row_id,
-           CURRENT_DATE                           AS etl_date
+           {_dense_id_sql("ccn")}
     FROM p
     """,
     doc="P6 penalty transform over a CMS-shaped staging fixture: per-"

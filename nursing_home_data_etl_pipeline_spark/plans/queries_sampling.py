@@ -32,9 +32,7 @@ from ..operators.sampling import (
     "collection_functions",
     oracle=f"""
     WITH w AS (
-      -- the canonical words() twin (blank-safe, space-only outer trim):
-      -- a bare trim(text) split diverged two ways — DuckDB trim strips
-      -- NBSP/U+3000 that F.trim keeps, and a blank doc split to ['']
+      -- the canonical blank-safe, space-only-trim words() twin
       SELECT doc_id,
              {duck_words_sql("text")} AS wa
       FROM documents WHERE doc_id < 100
@@ -70,9 +68,8 @@ from ..operators.sampling import (
 )
 def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    # words(), not split(trim(...)): the canonical tokenizer is blank-safe
-    # (no phantom '' token) and trims ALL whitespace, keeping this query on
-    # the same words/duck_words_sql contract as every other text query.
+    # words(), not split(trim(...)): the canonical blank-safe tokenizer —
+    # same words/duck_words_sql contract as every other text query.
     base = docs.select("doc_id", words(F.col("text")).alias("wa"))
     arrays = base.select(
         "doc_id",
@@ -182,15 +179,11 @@ from .queries_northstar import (
 )
 
 def _duck_hash_bucket(key_expr: str, salt: str) -> str:
-    """DuckDB twin of sampling._hash_bucket: first 12 md5 hex chars as an
-    integer mod 10000, via the SHARED hex-digit expansion
-    (``dedup.hex_to_bigint_sql`` — DuckDB has no conv(); one generator, so
-    a fix there reaches every oracle). 48 bits keeps the mod-10000 bias at
-    ~4e-11 — the 16-bit original skewed every split fraction by up to +2%
-    absolute. NULL keys hash via the same ``chr(0) || '<null>'`` sentinel
-    as the Spark side (without it the concat yields NULL, every bucket
-    comparison is false, and NULL-keyed rows silently vanish from the
-    oracle while Spark samples them)."""
+    """DuckDB twin of sampling._hash_bucket: first 12 md5 hex chars mod
+    10000 via the shared ``dedup.hex_to_bigint_sql`` generator (48 bits
+    keeps the mod bias at ~4e-11; a 16-bit hash skewed fractions +2%).
+    NULL keys hash via the Spark side's ``chr(0) || '<null>'`` sentinel —
+    without it NULL-keyed rows silently vanish from the oracle."""
     from ..operators.dedup import hex_to_bigint_sql
 
     safe = f"COALESCE(CAST({key_expr} AS VARCHAR), chr(0) || '<null>')"
@@ -297,11 +290,9 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bands_chain(prefix: str, src: str) -> str:
-    """sig+bands CTE chain (names prefixed) for one corpus relation —
-    mirrors operators.dedup minhash/banding exactly; the shingle CTEs, the
-    sig CTE spec, and the band-select layout all come from queries_northstar
-    (one generator each) so a banding retune there cannot silently diverge
-    this oracle."""
+    """sig+bands CTE chain (names prefixed) for one corpus relation — the
+    shingle/sig/band-select generators all come from queries_northstar, so
+    a banding retune there cannot silently diverge this oracle."""
     from .queries_northstar import _band_selects_sql, _duck_shingles
 
     return f"""
@@ -313,11 +304,7 @@ def _bands_chain(prefix: str, src: str) -> str:
 
 
 _BLOOM_BITS = 1 << 16
-
-
 _BLOOM_K = 5
-
-
 _DUCK_FP = f"md5({duck_norm_sql()})"
 
 
@@ -343,22 +330,17 @@ _DUCK_FP = f"md5({duck_norm_sql()})"
       ) b WHERE b.fp = {_DUCK_FP}
     )
     """,
-    doc="Train/benchmark decontamination both ways, one tagged row set per "
-    "strategy (round-6 catalog consolidation of decontaminate_corpus + "
-    "bloom_exact_decontaminate). variant='lsh' (meta = lang): drop "
-    "training docs that LSH-collide with any benchmark doc — cross-corpus "
-    "MinHash banding; the benchmark bucket table broadcasts, the training "
-    "corpus never shuffles; benchmark stand-in: every 17th document. "
+    doc="Train/benchmark decontamination both ways. variant='lsh' (meta = "
+    "lang): drop training docs that LSH-collide with any benchmark doc — "
+    "cross-corpus MinHash banding; the benchmark bucket table broadcasts, "
+    "the training corpus never shuffles (stand-in: every 17th doc). "
     "variant='bloom' (meta = source): exact fingerprint decontamination "
-    "accelerated by a distributed Bloom filter — build a bitmap over the "
-    "benchmark fingerprints (one pass, bit_or partials), broadcast-probe "
-    "the corpus, exact-check only rows whose probes all hit (rows failing "
-    "any probe bit are provably clean). ONE corpus scan, zero corpus "
-    "exchanges: k bitmap probes + the bench-fingerprint check are all "
-    "broadcast joins composed with a row-local filter. At 100 TB, when the "
-    "exact refine must be a shuffle join instead of a broadcast, the same "
-    "gate means only the ~FPP candidate sliver shuffles — never the "
-    "corpus. Byte-identical to the plain anti-join the oracle runs (NOT "
+    "through a distributed Bloom filter — bitmap over benchmark "
+    "fingerprints (one pass, bit_or partials), broadcast-probe the corpus, "
+    "exact-check only all-probes-hit rows (any miss is provably clean). "
+    "ONE corpus scan, zero corpus exchanges; at 100 TB, when the exact "
+    "refine must shuffle, only the ~FPP candidate sliver shuffles — never "
+    "the corpus. Byte-identical to the oracle's plain anti-join (NOT "
     "EXISTS, so NULL fingerprints stay clean on both sides).",
 )
 def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,8 +386,6 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUALITY_MIN = 0.5
-
-
 _QUALITY_RAW = (
     f"(least(CAST(len({duck_words_sql('text')}) AS DOUBLE) / 50.0, 1.0)"
     f" + CAST(len(list_distinct({duck_words_sql('text')})) AS DOUBLE)"
@@ -443,12 +423,10 @@ _DUCK_QUALITY = duck_round_sql(_QUALITY_RAW)
 )
 def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    # `kept` feeds the construction-time CC jobs AND the returned plan's
-    # final join, so it cannot be unpersisted inside this callable without
-    # recomputing the quality gate at collect time. Lifecycle: the cache is
-    # deliberately left to Spark's LRU storage eviction (MEMORY_AND_DISK,
-    # evicted under pressure); a long-lived service would instead persist
-    # to a managed table / checkpoint and own the cleanup.
+    # `kept` feeds the construction-time CC jobs AND the returned plan, so
+    # it cannot be unpersisted here; the cache is deliberately left to
+    # Spark's LRU eviction — a long-lived service would persist to a
+    # managed table / checkpoint and own the cleanup.
     kept = docs.filter(
         (quality_score(F.col("text")) >= _QUALITY_MIN)
         & F.col("lang").isin("en", "de", "es", "fr")
@@ -537,14 +515,11 @@ _MOMENT_DEC_WIDE = "decimal(20,4)"
 @register(
     "stats_aggregates",
     oracle=f"""
-    -- EXACT-DECIMAL MOMENT SUMS (fuzz seed 621): Spark's and DuckDB's
-    -- one-pass covar/stddev accumulate in different orders, and the
-    -- resulting doubles straddled a 2-decimal rounding boundary
-    -- (-204621.8949 vs .8951 -> .89 vs .9). No rounding discipline can
-    -- absorb noise AT the boundary, so both sides now compute the plain
-    -- textbook moments from EXACT decimal sums (same pattern as the
-    -- revenue DECIMAL fix) and run the identical double ops on the
-    -- identical exact inputs — bit-identical by construction.
+    -- EXACT-DECIMAL MOMENT SUMS (fuzz seed 621): the engines' one-pass
+    -- covar/stddev accumulate in different orders and straddled a rounding
+    -- boundary no discipline can absorb; both sides compute textbook
+    -- moments from EXACT decimal sums (the revenue-DECIMAL pattern) and
+    -- run identical double ops on identical inputs — bit-identical.
     WITH m AS (
       SELECT l_returnflag,
              COUNT(l_extendedprice) AS np,

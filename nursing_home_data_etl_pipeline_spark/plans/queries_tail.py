@@ -1,10 +1,20 @@
 """Catalog TAIL: the last registration block of the 50-entry driver window
 (import order IS catalog order — see plans/__init__.py). Cohesion here is
-POSITION, not topic: TF-IDF + IVF ANN, dup clusters, sequence packing, the
-Q4/Q13/Q18 multijoin shapes, and the four Structured Streaming drains —
-late-registered families that must keep their catalog slots. Renamed from
-queries_streaming.py (round-7 VERDICT: 5 non-streaming families made the
-old name a misnomer)."""
+POSITION, not topic — file index:
+  dedup_clusters | tfidf_terms | similarity_ann_ivf | four streaming
+  drains (windowed/session/stateful/join+dedup) | pack_training_sequences
+  | tpch_shapes_q4_q13_q18
+
+THE EVENT-TIME CONTRACT (canonical statement; every watermark-bearing
+oracle in this file points here): (1) a NULL event time belongs to no
+window/session and never enters a stateful op; (2) Spark initializes the
+watermark to 0 and its late filter drops rows at-or-before it even in the
+first microbatch — for plain watermark ops that is epoch_us(ts) > 0, for
+session windows the event's own window END tests the watermark, so the
+filter is ts + gap > 0 (both probed empirically, round 7); (3) identity-
+keyed stateful ops (dedup) also exclude NULL-id rows — the state store
+would fold every NULL key into one group and keep an arbitrary first
+arrival (round-8 fuzz; same contract as minhash/exact dedup)."""
 
 from __future__ import annotations
 
@@ -129,10 +139,7 @@ from .queries_northstar import _TOPK_TAIL, _cand_scored_sql  # noqa: E402
 import uuid  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 from ..streaming.aggregations import (  # noqa: E402
-    running_totals_stateful,
-    session_counts,
-    windowed_counts,
-)
+    running_totals_stateful, session_counts, windowed_counts)
 from ..operators.dedup import hex_to_bigint_sql  # noqa: E402
 from ..operators.packing import pack_sequences  # noqa: E402
 
@@ -141,12 +148,9 @@ def _ivf_oracle() -> str:
     return f"""
     WITH {_DUCK_EX},
     cents AS (
-      -- seed slots restricted to VALID vectors (norms = full-dim, all
-      -- elements non-NULL, nonzero norm): a NULL-element seed would NULL
-      -- the engine's whole-fold d2 against every vector (min_by sorts the
-      -- NULL struct first -> the entire corpus collapses into the broken
-      -- cell) while this SUM would skip the NULL addend and rank by a
-      -- partial distance
+      -- seed slots restricted to VALID vectors (full-dim, non-NULL
+      -- elements, nonzero norm) — full rationale at the engine's cents
+      -- filter in similarity_ann_ivf below
       SELECT vec_id AS cent_id, i, x FROM ex
       WHERE vec_id < {_N_CELLS} AND vec_id IN (SELECT vec_id FROM norms)
     ),
@@ -177,14 +181,12 @@ def _ivf_oracle() -> str:
 @register(
     "similarity_ann_ivf",
     oracle=_ivf_oracle(),
-    doc="IVF-style ANN: coarse quantizer (first 8 vectors as fixed cells — "
-    "deterministic, training-free), assign every corpus vector to its "
-    "nearest cell by L2 (min_by with (distance, cell_id) tiebreak), probe "
-    "each query's nprobe=2 nearest cells with exact cosine — the standard "
-    "IVF recall/cost knob; near-boundary queries recover neighbors their "
-    "own cell misses for 2x candidate work on the (bounded, broadcast) "
-    "query side only. The cell equi-join replaces the cross join, same "
-    "contract as the RHP variant.",
+    doc="IVF-style ANN: coarse quantizer (first 8 vectors as fixed cells, "
+    "training-free), corpus assigned to nearest cell by L2 (min_by with "
+    "(distance, cell_id) tiebreak), queries probe their nprobe=2 nearest "
+    "cells with exact cosine — the IVF recall/cost knob; near-boundary "
+    "queries recover missed neighbors for 2x work on the bounded query "
+    "side only. The cell equi-join replaces the cross join.",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-dim contract: a ragged vector would NULL out its L2 distance
@@ -299,11 +301,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_events_time_confs(spark)  # shared encoding contract (readers.py)
     events_path = f"{sf_dir}/events.parquet"
     ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts")
-    # A directory-shaped table (standard Spark-written output) streams
-    # directly; a single-file table needs the glob filter to isolate it
-    # within the sf dir. pathGlobFilter matches LEAF file names, so
-    # applying it to a directory table would filter out every part-* file
-    # and silently drain an empty stream.
+    # Directory-shaped tables stream directly; a single file needs the glob
+    # filter — but pathGlobFilter matches LEAF names, so applying it to a
+    # directory table would silently drain an empty stream.
     if path_is_dir(spark, events_path):
         reader, stream_path = spark.readStream, events_path
     else:
@@ -336,29 +336,24 @@ def _drain_to_memory(
     """Run the streaming plan to completion into a memory sink; return the
     result table. Bounded input + processAllAvailable => deterministic.
 
-    Stateful streaming cost scales with the number of state-store instances
-    — one per shuffle partition, each with its own maintenance thread,
-    checkpoint files, and (for applyInPandasWithState) its own Python
-    worker. The batch default (cores, 32 here) is far past the sweet spot
-    for these bounded drains, so pin the query's state partitioning low:
-    shuffle-partition count is captured into the streaming checkpoint at
-    query start, so this only affects the stream, and the conf is restored
-    for subsequent batch plans. On a real cluster you'd size this to
-    expected state volume / executor count instead.
+    Stateful streaming cost scales with state-store instances — one per
+    shuffle partition, each with a maintenance thread, checkpoint files,
+    and (applyInPandasWithState) a Python worker. The batch default (32)
+    is far past the sweet spot for bounded drains, so pin the stream's
+    state partitioning low (captured into the checkpoint at query start;
+    the conf is restored for batch plans). On a real cluster size this to
+    state volume / executor count.
 
     ``require_single_batch``: the exact-oracle contract for watermark-
-    bearing drains (stream-stream join, dropDuplicatesWithinWatermark)
-    holds because the file source delivers the whole bounded input in ONE
-    microbatch (no maxFilesPerTrigger), so the watermark never advances
-    past unprocessed rows. Pass True to ASSERT that assumption — a future
-    trigger/option change then fails loudly instead of silently turning
+    bearing drains holds because the file source delivers the whole
+    bounded input in ONE microbatch (no maxFilesPerTrigger), so the
+    watermark never advances past unprocessed rows — True ASSERTS that,
+    so a trigger/option change fails loudly instead of silently turning
     the exact contract probabilistic.
 
-    Lifecycle: each drain registers one ``stream_out_<uuid>`` memory-sink
-    table that the RETURNED DataFrame reads from, so it cannot be dropped
-    here; the retained rows are the query's (result-sized, bounded)
-    output. A long-lived service draining repeatedly would write to a
-    real sink and own the cleanup instead.
+    Lifecycle: the returned DataFrame reads the ``stream_out_<uuid>``
+    memory-sink table, so it cannot be dropped here; retained rows are
+    result-sized. A long-lived service would write a real sink instead.
     """
     spark = df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
@@ -401,8 +396,7 @@ def _drain_to_memory(
            COUNT(*)              AS n_events,
            ROUND(SUM(value), 4)  AS sum_value
     FROM events
-    -- event-time contract: a NULL event time belongs to no window; the
-    -- streaming engine drops such rows at window assignment
+    -- event-time contract (1), module docstring
     WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
@@ -434,12 +428,8 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_start
       FROM events
-      -- event-time contract: NULL-ts rows belong to no session window.
-      -- Spark's initial watermark(0) late filter tests each event's OWN
-      -- session window END (ts + gap) against 0: an event at exactly
-      -- -gap (end == 0) is dropped, an event one second later is kept
-      -- and may merge into a post-epoch session (probed empirically,
-      -- round 7) — so the filter is ts + gap > 0, NOT ts >= 0
+      -- event-time contract (1)+(2), module docstring: session windows
+      -- test the event's own window END, so ts + gap > 0, NOT ts >= 0
       WHERE ts IS NOT NULL AND epoch_us(ts) + 1800000000::BIGINT > 0
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)
     ), sessions AS (
@@ -504,11 +494,7 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _BUDGET = 512
-
-
 _N_SHARDS = 64
-
-
 _DUCK_SHARD = (
     hex_to_bigint_sql(
         "md5('pack' || COALESCE(CAST(doc_id AS VARCHAR), chr(0) || '<null>'))",
@@ -595,10 +581,7 @@ _WINDOW = "INTERVAL 1 HOUR"
       ON c.user_id = p.user_id
      AND c.event_type = 'click' AND p.event_type = 'purchase'
      AND p.ts >= c.ts AND p.ts < c.ts + {_WINDOW}
-    -- event-time contract on BOTH join inputs, same boundary as the dedup
-    -- branch below: each side's watermark(0) late filter drops rows with
-    -- event time <= epoch 0 in the first microbatch (probed empirically,
-    -- round 7 — a pre-epoch click never pairs with a post-epoch purchase)
+    -- event-time contract (2) on BOTH join inputs, module docstring
     WHERE epoch_us(c.ts) > 0 AND epoch_us(p.ts) > 0
     UNION ALL
     -- DISTINCT mirrors dedup-by-event_id for VERBATIM duplicate source
@@ -609,31 +592,20 @@ _WINDOW = "INTERVAL 1 HOUR"
     -- DuckDB's native ASOF under ties).
     SELECT DISTINCT 'dedup', event_id, user_id, CAST(NULL AS DOUBLE), event_type
     FROM events
-    -- event-time contract: a NULL watermark column drops the row before
-    -- the stateful dedup (same as every watermark-bearing op). Rows AT or
-    -- before the epoch are also dropped: Spark initializes the watermark
-    -- to 0, and the late-row filter discards event times <= watermark even
-    -- in the first microbatch — a documented boundary of the exact-oracle
-    -- contract, not a data-dependent behavior. NULL event_id rows are
-    -- excluded like every identity-less row in an identity-keyed op
-    -- (minhash contract): dropDuplicates would fold ALL of them into one
-    -- NULL-key group and keep an arbitrary first arrival.
+    -- event-time contract (1)+(2)+(3), module docstring
     WHERE epoch_us(ts) > 0 AND event_id IS NOT NULL
     """,
     doc="Watermark-bearing streaming operators, one tagged row set per "
     "drain. variant='interval_join' (num = purchase value, tag = purchase "
-    "ts in micros): stream-stream interval join — clicks joined to same-"
-    "user purchases within 1 hour; both sides buffer bounded state keyed "
-    "by the watermark + time-range condition; drained over the bounded "
-    "events table it must equal the batch interval join (the stream-stream "
-    "twin of the batch/stream equivalence contract). variant='dedup' "
-    "(tag = event_type): exact dedup with BOUNDED state — two identical "
-    "event streams unioned (every event arrives twice), deduped on "
-    "event_id via dropDuplicatesWithinWatermark; per-key state is dropped "
-    "once the watermark passes, so state scales with the in-flight window "
-    "instead of all history (the difference between a dedup that survives "
-    "a year of stream and one that OOMs). Bounded drain => exactly the "
-    "distinct event rows.",
+    "ts micros): stream-stream interval join, clicks to same-user "
+    "purchases within 1 hour; both sides buffer bounded state keyed by "
+    "watermark + time-range; over bounded input it must equal the batch "
+    "interval join (stream-stream twin of the equivalence contract). "
+    "variant='dedup' (tag = event_type): every event delivered twice "
+    "(self-union), deduped on event_id via dropDuplicatesWithinWatermark; "
+    "per-key state drops once the watermark passes, so state scales with "
+    "the in-flight window, not all history — the difference between a "
+    "dedup that survives a year of stream and one that OOMs.",
 )
 def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_cols = ["variant", "event_id", "user_id", "num", "tag"]
@@ -662,22 +634,14 @@ def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval = _drain_to_memory(joined, "append", require_single_batch=True)
 
     cols = ["event_id", "user_id", "event_type", "ts"]
-    # SELF-union of one stream DataFrame: each union leg re-reads the file
-    # source, so every event still arrives twice — identical semantics to
-    # two separately constructed streams. The DEFINITION `ev` is reused
-    # from the joined drain above (a streaming DataFrame is a plan, not a
-    # running query), avoiding a second stream_events call and its eager
-    # driver-side footer probe.
+    # SELF-union: each union leg re-reads the file source, so every event
+    # arrives twice — identical to two separately built streams; reusing
+    # `ev` (a plan, not a running query) skips a second footer probe.
     a = ev.select(cols)
     deduped = (
-        # Event-time contract, made EXPLICIT here because
-        # dropDuplicatesWithinWatermark (unlike window/session assignment)
-        # would otherwise pass NULL-ts rows through its late-row filter
-        # (NULL < watermark is NULL, not true): watermark-bearing ops take
-        # non-NULL event time. NULL event_id rows are excluded too (round-8
-        # fuzz): the dedup key is the row's identity, and the state store
-        # folds every NULL key into ONE group — n identity-less rows would
-        # collapse to an arbitrary first arrival instead of passing through.
+        # event-time contract (1)+(3), module docstring — explicit filter
+        # because dropDuplicatesWithinWatermark would otherwise pass
+        # NULL-ts rows (NULL < watermark is NULL, not true)
         a.unionByName(a)
         .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
         .withWatermark("ts", "1 hour")
@@ -756,21 +720,17 @@ _NULL_COLS_SQL = (
     )
     GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
     """,
-    doc="Three TPC-H shapes, one tagged row set per query (adapted to this "
-    "schema's columns). variant='q4': one quarter of orders, EXISTS-"
-    "correlated to late-shipping lineitems, counted per priority — the "
-    "EXISTS plans as a LEFT SEMI join; the lineitem side is filtered by "
-    "the pushed date bound and never duplicates orders; the correlated "
-    "date comparison rides the join condition, not a post-filter. "
-    "variant='q13': per-customer order counts INCLUDING zero-order "
-    "customers (left outer join, COUNT of the nullable key — not "
-    "COUNT(*)), then the histogram of those counts; the histogram shuffle "
-    "input is one row per customer. variant='q18': orders whose total "
-    "quantity clears a threshold (the HAVING subquery becomes an aggregate "
-    "+ semi join), re-joined to customer detail — only the tiny big-order "
-    "key set carries an explicit broadcast hint; the orders/customer joins "
-    "are left to AQE so data-dependent frames can't blow the broadcast "
-    "limit at larger scale factors.",
+    doc="Three TPC-H shapes, one tagged row set per query. variant='q4': "
+    "a quarter of orders EXISTS-correlated to late-shipping lineitems, "
+    "counted per priority — plans as a LEFT SEMI join that never "
+    "duplicates orders, with the correlated date comparison riding the "
+    "join condition. variant='q13': per-customer order counts INCLUDING "
+    "zero-order customers (left outer join, COUNT of the nullable key, "
+    "not COUNT(*)), then the histogram of counts — its shuffle input is "
+    "one row per customer. variant='q18': orders whose total quantity "
+    "clears a threshold (HAVING subquery -> aggregate + semi join), "
+    "re-joined to customer detail — only the tiny big-order key set "
+    "carries a broadcast hint; the sf-scaling joins are left to AQE.",
 )
 def tpch_shapes_q4_q13_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import tag_union

@@ -358,10 +358,13 @@ def test_minhash_double_hash_matches_duckdb_oracle_arithmetic(spark):
     minhash-family oracles silently diverge."""
     import duckdb
 
-    from nursing_home_data_etl_pipeline_spark.operators.dedup import MINHASH_P
-    from nursing_home_data_etl_pipeline_spark.plans.queries_northstar import (
-        _duck_hex48,
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+        MINHASH_P,
+        hex_to_bigint_sql,
     )
+
+    def hex48(expr, start):
+        return hex_to_bigint_sql(expr, start, 12)
 
     shingles = ["the quick brown", "fox jumps over", "xyz", "0 1 2"]
     sdf = spark.createDataFrame([(s,) for s in shingles], ["s"])
@@ -383,7 +386,7 @@ def test_minhash_double_hash_matches_duckdb_oracle_arithmetic(spark):
     want = {
         tuple(r): None
         for r in con.execute(
-            f"""SELECT s, ({_duck_hex48('md5(s)', 1)} + 7 * {_duck_hex48('md5(s)', 13)})
+            f"""SELECT s, ({hex48('md5(s)', 1)} + 7 * {hex48('md5(s)', 13)})
                           % {MINHASH_P} AS mh
                 FROM (SELECT unnest(?) AS s)""",
             [shingles],

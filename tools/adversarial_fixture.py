@@ -18,18 +18,9 @@ Usage:
     python tools/adversarial_fixture.py [src_sf_dir] [dest_dir]
     python tools/check_correctness.py <dest_dir>           # the gate
 
-Sibling robustness axes run through the same gate (all 50/50 green,
-BASELINE.md round 6): EMPTY fixture (every table sliced to 0 rows —
-tests/test_adversarial_fixture.py builds it in-suite), SINGLE-ROW
-fixture (slice(0, 1)), ALL-DUPLICATES corpus (identical text/vector in
-every row — drives the quadratic pair paths and the >100k-edge
-distributed connected-components branch), SKEW fixture (half of events
-on one user, half of orders on one customer — hot window partitions,
-hot groups, a skewed join side; found the double->string scientific-
-notation divergence), ROW-ORDER REVERSED (every table's rows in reverse
-physical order — catches input-order-dependent picks on either side,
-the class DuckDB's native ASOF exhibits under ties), and
-partition-count sensitivity (SPARK_GRAFT_CPUS=3 vs the default).
+The sibling robustness axes (empty / single-row / all-duplicates / skew /
+row-order-reversed / cpus3 — builders below; per-axis rationale in each
+derive_* docstring) run through the same gate via tools/robustness_matrix.
 
 Floats in appended rows are exactly-representable values away from the
 6-decimal rounding boundary, so an engine-order difference in summation

@@ -8,12 +8,13 @@ every generated fixture stays inside the documented oracle contracts.
 A separate seeded stream additionally fuzzes the PHYSICAL layout (single
 file vs directory-of-part-files, random cut points and row-group sizes) —
 catching order/partition-count dependence without touching row content.
+``--shape`` (round 9) enables a third stream of SCHEMA-SHAPE mutations:
+all-NULL / single-distinct-value / per-row-unique columns, 10k-char texts,
+and one 0-row table among populated siblings (see ``_shape``).
 
-Differential fuzzing with this builder found and fixed four real classes in
-round 8 (Jaccard set semantics under duplicated doc rows, per-identity CC
-vertices, the scd2 not-matched-insert oracle branch, rank-true sketch
-bands, NULL-id streaming dedup) — the policies below encode the classes
-that are PRECONDITIONS rather than bugs:
+Round-8 sweeps with this builder found ~10 real divergence classes (see
+docs/HISTORY.md). The policies below encode the classes that are
+PRECONDITIONS rather than bugs:
 
 - floats stay on the .25 grid; lineitem money columns are never edited
   (they carry the DECIMAL(8,2) data contract — 2-decimal, < 1e6 — that the
@@ -30,7 +31,7 @@ that are PRECONDITIONS rather than bugs:
   unique per key — merge_scd1/2 precondition, resolve upstream).
 
 Usage:
-    python tools/fuzz_fixture.py SEED [src_sf_dir] [dest_dir]
+    python tools/fuzz_fixture.py SEED [src_sf_dir] [dest_dir] [--shape]
     python tools/check_correctness.py <dest_dir>
 """
 
@@ -87,6 +88,13 @@ NO_EDIT_COLS = {
 #: engine-order-dependent in a way NULLS-FIRST pinning cannot resolve
 #: (round-9 ADVICE; mirrors the duplicate-event drop policy).
 NO_NULL_COLS = NO_EDIT_COLS | {("orders", "o_orderkey")}
+
+
+def _is_key(name: str, col: str) -> bool:
+    """Id/FK columns excluded from whole-column shape ops: a CONSTANT key
+    column would manufacture an O(n^2) join fan-out no real corpus has, and
+    a per-row-UNIQUE id is already the normal shape."""
+    return col.endswith(("key", "_id")) or col == UNIQUE_ID.get(name)
 
 
 def _set_cell(tbl: pa.Table, col: str, row: int, value) -> pa.Table:
@@ -171,6 +179,55 @@ def _mutate(name: str, tbl: pa.Table, rng: random.Random) -> pa.Table:
     return tbl
 
 
+def _shape(name: str, tbl: pa.Table, srng: random.Random) -> pa.Table:
+    """SCHEMA-SHAPE mutations (round-9 directive #5) — the axis value edits
+    cannot reach: whole-column degeneracy and extreme group cardinality.
+    Drawn from an independent stream behind ``--shape`` so the pinned value
+    seeds 101/202/303 keep their historical fixtures bit-for-bit."""
+    n = tbl.num_rows
+    if n == 0:
+        return tbl
+    for _ in range(srng.randint(0, 2)):
+        op = srng.choice(["col_all_null", "col_const", "col_unique",
+                          "long_text"])
+        col = srng.choice(tbl.schema.names)
+        ftype = tbl.schema.field(col).type
+        i = tbl.schema.get_field_index(col)
+        # (events, user_id) is a pure grouping FK, never a join PK: const
+        # (ALL events one user — 2x the skew axis) and per-row-unique
+        # (every session a singleton) are real shapes with no fan-out risk
+        group_ok = (name, col) == ("events", "user_id")
+        if op == "col_all_null":
+            if (name, col) in NO_NULL_COLS or col == UNIQUE_ID.get(name):
+                continue
+            tbl = tbl.set_column(i, col, pa.nulls(n, ftype))
+        elif op == "col_const":
+            # row-0's value everywhere: stays in-domain (lang codes, date
+            # ranges, valid JSON) while collapsing to ONE distinct value
+            v = tbl.column(col)[0].as_py()
+            if ((name, col) in NO_EDIT_COLS or v is None
+                    or (_is_key(name, col) and not group_ok)):
+                continue
+            tbl = tbl.set_column(i, col, pa.array([v] * n, ftype))
+        elif op == "col_unique":
+            # every row its own group
+            if ((name, col) in NO_EDIT_COLS
+                    or (_is_key(name, col) and not group_ok)
+                    or not (pa.types.is_string(ftype)
+                            or pa.types.is_integer(ftype))):
+                continue
+            vals = ([f"u{j}" for j in range(n)]
+                    if pa.types.is_string(ftype) else list(range(n)))
+            tbl = tbl.set_column(i, col, pa.array(vals, ftype))
+        elif op == "long_text":
+            if not pa.types.is_string(ftype):
+                continue
+            text = srng.choice(["lorem ipsum dolor sit amet " * 371,
+                                "x" * 10000, "hot " * 2500])[:10000]
+            tbl = _set_cell(tbl, col, srng.randrange(n), text)
+    return tbl
+
+
 def _dedup_rows(tbl: pa.Table, key: str, conflict_cols: list[str] | None) -> pa.Table:
     """Keep the first row per non-NULL ``key``; with ``conflict_cols``,
     later VERBATIM copies (equal on those columns) survive."""
@@ -229,24 +286,34 @@ def _write_layout(tbl: pa.Table, path: str, lrng: random.Random) -> None:
                        row_group_size=lrng.choice([7, 64, 4096]))
 
 
-def build(src: str, dest: str, seed: int) -> None:
+def build(src: str, dest: str, seed: int, shape: bool = False) -> None:
     rng = random.Random(seed)
-    # Independent stream for physical layout so layout fuzzing never
+    # Independent streams for physical layout and schema shape so neither
     # perturbs the value mutations a pinned seed historically produced.
     lrng = random.Random(seed ^ 0x4C41594F)
+    srng = random.Random(seed ^ 0x53484150)
+    # ~1 in 4 shape seeds empties ONE table while its siblings stay
+    # populated (beyond the matrix's all-empty axis)
+    empty_t = srng.choice([*TABLES, *([None] * 3 * len(TABLES))]) if shape else None
     os.makedirs(dest, exist_ok=True)
     for t in TABLES:
-        tbl = _mutate(t, pq.read_table(f"{src}/{t}.parquet"), rng)
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        if t == empty_t:
+            tbl = tbl.slice(0, 0)
+        tbl = _mutate(t, tbl, rng)
+        if shape:
+            tbl = _shape(t, tbl, srng)
         if t in _POLICIES:
             tbl = _POLICIES[t](tbl)
         _write_layout(tbl, f"{dest}/{t}.parquet", lrng)
 
 
 def main() -> int:
-    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
-    dest = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/fuzzdata_s{seed}"
-    build(src, dest, seed)
+    args = [a for a in sys.argv[1:] if a != "--shape"]
+    seed = int(args[0]) if args else 0
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.001"
+    dest = args[2] if len(args) > 2 else f"/tmp/fuzzdata_s{seed}"
+    build(src, dest, seed, shape="--shape" in sys.argv)
     print(f"fuzz fixture (seed {seed}) at {dest}")
     return 0
 

@@ -1,11 +1,7 @@
-"""Generated LoC ledger (round-9 directive #3a): the governance split the
-BASELINE.md ledger used to hand-maintain — and let go stale by ~400 lines
-in round 8. Emits ONE JSON line; paste the numbers, don't type them.
-
-product = package + bench.py + __spark_entry__.py (what ships);
-tools    = tools/*.py (verification machinery, judged separately);
-total    = product + tools = all non-test lines.
-"""
+"""Generated LoC ledger (round-9 directive #3a) — one JSON line; paste the
+numbers into BASELINE.md, don't type them. product = package + bench.py +
+__spark_entry__.py (what ships); tools = tools/*.py (verification
+machinery, judged separately); total = all non-test lines."""
 
 from __future__ import annotations
 

@@ -1,12 +1,8 @@
 """One-command robustness matrix: the full 50-query oracle gate on every
-axis, one JSON record out (round-7 VERDICT directive #1 — the matrix was
-the repo's strongest guarantee but existed only as hand-run steps plus
-BASELINE.md prose; a silently dropped axis was invisible).
+axis, one JSON record out (round-7 VERDICT directive #1 — a hand-run axis
+that silently dropped out of the routine was invisible).
 
-The FOURTEEN-axis set (round 8: the eleven fixed axes below + three
-pinned-seed randomized axes; an earlier docstring said "thirteen" —
-miscounted against the fourteen in axis_specs/MATRIX_r08.json):
-
+The FOURTEEN-axis set (round 8):
   clean-sf0.001 / clean-sf0.01 / clean-sf0.1   driver parquet as-is
   adversarial-sf0.001 / adversarial-sf0.1      adversarial_fixture phases 1-7
   skew, empty, single-row, all-duplicates,     derived from sf0.001

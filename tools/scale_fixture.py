@@ -17,11 +17,8 @@ region/nation stay single-copy dims; timestamps stay verbatim (more users
 over the same time range — window/session state grows in width, not
 history). Each replica is one part file in a `{table}.parquet` directory.
 
-Usage:
-    python tools/scale_fixture.py [replicas] [src_dir] [dest_dir]
-    python tools/check_correctness.py /tmp/sf1
-    SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py
-"""
+Usage: python tools/scale_fixture.py [replicas] [src_dir] [dest_dir];
+then gate with check_correctness.py and bench with SPARK_GRAFT_SF_DIR."""
 
 from __future__ import annotations
 
