@@ -180,8 +180,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     -- NULL-text rows pass through UNDEDUPED (exact_dedup's NULL contract:
     -- a missing text is not a duplicate of another missing text); a bare
-    -- GROUP BY would collapse them into one NULL-fingerprint group
-    SELECT CAST(NULL AS VARCHAR), doc_id FROM corpus WHERE text IS NULL
+    -- GROUP BY would collapse them into one NULL-fingerprint group.
+    -- DISTINCT mirrors the engine's per-IDENTITY sentinel group: verbatim
+    -- re-delivered copies of one id collapse to a single row — the same
+    -- rule as streaming dedup-by-id (round-9 shape fuzz: an all-NULL text
+    -- column under duplicated doc rows emitted one oracle row PER COPY)
+    SELECT DISTINCT CAST(NULL AS VARCHAR), doc_id FROM corpus WHERE text IS NULL
     """,
     doc="Exact dedup via content-fingerprint hash aggregation (min-id "
     "survivor). Duplicates are synthesized (10% of docs re-appear with "

@@ -687,3 +687,25 @@ def test_count_ratio_midpoints_round_portably(spark, tmp_path):
     row = [r for r in entry.spark(spark, d).collect()
            if r.l_returnflag == "ZQ"][0]
     assert row.avg_qty == 0.064062  # binary value is BELOW the midpoint
+
+
+def test_exact_dedup_verbatim_null_text_copies_collapse(spark, tmp_path):
+    """Verbatim re-delivered copies of a NULL-text row (same doc_id, text
+    NULL — an all-NULL text column under duplicated doc rows, round-9
+    shape fuzz seeds 2093/2094) collapse to ONE row on the engine side:
+    the NULL-text pass-through rides a per-IDENTITY sentinel group
+    (chr(0)-prefixed id), the same re-delivery rule as streaming
+    dedup-by-id. The oracle's pass-through branch now SELECTs DISTINCT;
+    it previously emitted one row per physical copy."""
+
+    def dup_null_text_rows(tbl):
+        texts = tbl.column("text").to_pylist()
+        texts[0] = texts[1] = None  # two distinct ids, NULL text
+        i = tbl.schema.get_field_index("text")
+        tbl = tbl.set_column(i, "text", pa.array(texts, pa.string()))
+        # duplicate both NULL-text rows verbatim (and one non-NULL row,
+        # which must keep collapsing through the fingerprint group)
+        return pa.concat_tables([tbl, tbl.slice(0, 3)])
+
+    d = _derive(tmp_path, "documents", dup_null_text_rows)
+    _check(spark, d, "dedup_exact")
