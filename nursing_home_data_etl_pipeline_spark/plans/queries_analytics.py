@@ -317,9 +317,15 @@ def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_global_grouped",
     oracle="""
+    -- global ordering is TOTAL over the output projection (custkey as the
+    -- final tiebreaker): duplicate o_orderkey rows tied on totalprice but
+    -- differing in custkey otherwise rank engine-order-dependently
+    -- (round-9 shape fuzz seed 2028 — all-NULL totalprice tied every row)
     SELECT 'global' AS variant, o_custkey, o_orderkey, o_totalprice,
-           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST) AS rank
-    FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST LIMIT 100)
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST,
+                                       o_custkey NULLS FIRST) AS rank
+    FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST,
+                                        o_custkey NULLS FIRST LIMIT 100)
     UNION ALL
     SELECT 'grouped', o_custkey, o_orderkey, o_totalprice, rank FROM (
       SELECT o_custkey,
@@ -341,7 +347,9 @@ def topk_global_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
-    order_by = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    # TOTAL over the output projection — see the oracle's tiebreak note
+    order_by = [F.col("o_totalprice").desc(), F.col("o_orderkey"),
+                F.col("o_custkey")]
     glob = top_k_global(orders, order_by=order_by, k=100).withColumn(
         "rank", F.row_number().over(Window.orderBy(*order_by))
     )

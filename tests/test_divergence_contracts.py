@@ -709,3 +709,25 @@ def test_exact_dedup_verbatim_null_text_copies_collapse(spark, tmp_path):
 
     d = _derive(tmp_path, "documents", dup_null_text_rows)
     _check(spark, d, "dedup_exact")
+
+
+def test_topk_global_ordering_total_under_duplicate_keys(spark, tmp_path):
+    """An all-NULL o_totalprice column plus a duplicated orders row whose
+    copy differs only in o_custkey (round-9 shape fuzz seed 2028) ties the
+    old (totalprice DESC, orderkey) global ordering for every row — which
+    copy got which rank (and which crossed the LIMIT boundary) was
+    engine-order-dependent. Contract: the global top-k ordering is TOTAL
+    over the output projection (custkey is the final tiebreaker)."""
+
+    def degenerate_orders(tbl):
+        n = tbl.num_rows
+        i = tbl.schema.get_field_index("o_totalprice")
+        tbl = tbl.set_column(i, "o_totalprice", pa.nulls(n, pa.float64()))
+        dup = tbl.slice(0, 1).to_pylist()[0]
+        dup["o_custkey"] = 999_999_123  # same orderkey, different custkey
+        return pa.concat_tables(
+            [tbl, pa.Table.from_pylist([dup], schema=tbl.schema)]
+        )
+
+    d = _derive(tmp_path, "orders", degenerate_orders)
+    _check(spark, d, "topk_global_grouped")
