@@ -217,20 +217,15 @@ def merge_warehouse(
             continue
         keys = [PK, "measure_code"] if output == "quality" else [PK]
         source = read_parquet(spark, outputs[output])
-        # ONE-ROW-PER-KEY dims: a multi-file cycle (pipeline down for a
-        # month, two drops staged in one run) yields several rows per
-        # facility in the transform output; merge_scd1 would install them
-        # all. Resolve to the NEWEST DROP via the per-file recency stamp
-        # the transforms thread through (transforms.RECENCY_COL) — the
-        # attribute-struct tiebreak alone could deterministically install
-        # the stale month's row (ADVICE round 6); pre-upgrade outputs
-        # without the stamp fall back to the struct survivor.
-        # FAN-OUT dims (penalties, surveys: several rows per facility by
-        # design) keep whole key GROUPS — but only the NEWEST drop's group:
-        # a multi-drop cycle stages several drops' rows per facility and
-        # merge_scd1 would install them ALL (round-7 ADVICE — the same
-        # stale-drop hazard as the one-row dims, duplicating each
-        # facility's fan-out rows).
+        # A multi-drop cycle (pipeline down a month, two drops staged in
+        # one run) yields several rows per facility; merge_scd1 would
+        # install them ALL. ONE-ROW-PER-KEY dims resolve to the NEWEST
+        # DROP via the per-file recency stamp (transforms.RECENCY_COL;
+        # struct-tiebreak alone could install the stale month — ADVICE r6),
+        # falling back to the struct survivor for pre-upgrade outputs.
+        # FAN-OUT dims (penalties, surveys) keep whole key GROUPS, but
+        # only the newest drop's group (ADVICE r7 — same stale-drop
+        # hazard, duplicated fan-out rows).
         if output in UNIQUE_KEY_OUTPUTS:
             order_col = RECENCY_COL if RECENCY_COL in source.columns else None
             source = latest_per_key(source, keys, order_col)

@@ -73,18 +73,14 @@ def filter_name_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Aggregations
 # ---------------------------------------------------------------------------
 
-# Exact-decimal money arithmetic for every SUM over a discount/tax PRODUCT.
-# The money columns are 2-decimal by data contract (TPC-H money is
-# DECIMAL(12,2)) and < 1e6, so DECIMAL(8,2) casts are exact and identical
-# in both engines; products and sums stay exact decimals (the 3-factor
-# charge needs <= 6 decimals and both engines keep >= that before the
-# 38-digit cap), so ROUND(., 2) is the same HALF-AWAY-FROM-ZERO decision
-# everywhere. A plain DOUBLE product has 4-6 true decimals, and random row
-# subsets land its SUM on a 2-dec midpoint ~1/1000 per group (round-8 fuzz:
-# q5/q10/q14 hits), where Spark's repr-based HALF_UP and DuckDB's
-# binary-value rounding disagree — the one divergence class that was
-# excluded by fixture policy instead of fixed; exact decimals close it.
-# The rounded result casts back to DOUBLE for a stable output schema.
+# Exact-decimal money arithmetic for every SUM over a discount/tax PRODUCT:
+# the money columns are 2-decimal by data contract and < 1e6, so DECIMAL(8,2)
+# casts, products, and sums are exact and identical in both engines, and
+# ROUND(., 2) is the same half-away decision everywhere. A DOUBLE product's
+# SUM lands on a 2-dec midpoint ~1/1000 per group (round-8 fuzz: q5/q10/q14),
+# where Spark's repr-based HALF_UP and DuckDB's binary rounding disagree —
+# exact decimals close the one class fixture policy used to exclude. The
+# rounded result casts back to DOUBLE for a stable output schema.
 
 
 def rev_sum_sql(prefix: str = "", tax: bool = False) -> str:
@@ -793,15 +789,13 @@ _RANGE_WINDOW_US = 3_600_000_000  # attribute clicks within 1h after a purchase
      AND c.us >= p.us
      AND c.us < p.us + {_RANGE_WINDOW_US}
     """,
-    doc="Temporal joins Spark lacks natively, one tagged row set per "
-    "operator. variant='asof': backward as-of join (for each click, the "
-    "latest prior purchase of the same user) — union+window formulation, "
-    "one shuffle on the key, no Python; oracle is DuckDB's native ASOF "
-    "JOIN. variant='range': interval join (every purchase whose 1-hour "
-    "attribution window contains the click) via operators.ranges bucketized "
-    "rewrite — equi-join on (user_id, hour bucket) with the range refine in "
-    "the join condition, a hash join where the naive theta join plans a "
-    "nested loop; oracle is the plain theta join.",
+    doc="Temporal joins Spark lacks natively. variant='asof': backward "
+    "as-of join (each click to the user's latest prior purchase) — "
+    "union+window formulation, one shuffle on the key, no Python; oracle "
+    "is DuckDB's native ASOF JOIN. variant='range': interval join via the "
+    "operators.ranges bucketized rewrite — equi-join on (user_id, hour "
+    "bucket) with the range refine in the join condition, a hash join "
+    "where the naive theta join plans a nested loop.",
 )
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")

@@ -262,10 +262,9 @@ def _duck_minhash_sig_cte(prefix: str = "") -> str:
 
 def _band_selects_sql(sig_rel: str) -> str:
     """UNION ALL of per-band (doc_id, band, key) selects over a signature
-    relation — THE band-key layout ('|'-joined row hashes, md5 key), the
-    single generator every banding oracle must build on (within-corpus
-    pairs here; cross-corpus decontamination in queries_sampling) so a
-    banding retune cannot silently diverge one of them."""
+    relation — THE band-key layout ('|'-joined row hashes, md5 key); every
+    banding oracle builds on this one generator (within-corpus pairs here,
+    cross-corpus decontamination in queries_sampling)."""
     rows = _NUM_HASHES // _BANDS
     return "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band, md5({parts}) AS key FROM {src}".format(
@@ -453,12 +452,10 @@ _TOP_K = 10
 #: it while a long-form SQL join would silently compute a partial dot.
 _DIM_CONTRACT = 64
 
-#: PRECONDITION of every query built on this CTE: ``vec_id`` is unique.
-#: The long-form oracle GROUPs BY vec_id, so two physical rows sharing an
-#: id would conflate into one 2x-dim group (silently excluded by the
-#: COUNT(x) = dim guard) while the engine scores each row independently.
-#: Like a PK, uniqueness is the table's contract, not data-dependent
-#: behavior — resolve duplicates upstream (latest_per_key) before ANN.
+#: PRECONDITION of every query built on this CTE: ``vec_id`` is unique —
+#: the long-form oracle GROUPs BY vec_id, so two rows sharing an id would
+#: conflate into one 2x-dim group while the engine scores each row
+#: independently. Resolve duplicates upstream (latest_per_key) before ANN.
 _DUCK_COSINE_BASE = f"""
     ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
@@ -474,8 +471,7 @@ _DUCK_COSINE_BASE = f"""
 
 def _cand_scored_sql(cand_sql: str) -> str:
     """Exact cosine over a candidate-pair CTE — the tail shared by every
-    ANN oracle (brute/LSH here, IVF in queries_tail): long-form dots joined
-    on component index, cosine from the hoisted norms. Joining ``norms``
+    ANN oracle (brute/LSH here, IVF in queries_tail). Joining ``norms``
     drops pairs with an invalid side (zero-norm / NULL-element vectors),
     mirroring the engine's dirty-input contract."""
     return f"""
@@ -488,9 +484,8 @@ def _cand_scored_sql(cand_sql: str) -> str:
       GROUP BY 1, 2
     ),
     scored AS (
-      -- duck_round_sql mirrors the engine's round_half_away: exact-norm
-      -- integer vectors produce cos ratios at repr midpoints where ROUND
-      -- and F.round disagree (323/640 — round-8 hunt)
+      -- duck_round_sql mirrors round_half_away: cos ratios sit at repr
+      -- midpoints where ROUND and F.round disagree (323/640 — round 8)
       SELECT query_id, neighbor_id, {duck_round_sql("dot / (nq.n * nc.n)")} AS cos_sim
       FROM dots
       JOIN norms nq ON nq.vec_id = query_id
@@ -612,9 +607,8 @@ def _near_dup_oracle() -> str:
     np AS (
       SELECT GREATEST(4, LEAST({RHP_MAX_PLANES},
              CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / {RHP_TARGET_OCCUPANCY}.0)) AS INT))) AS np
-      -- GREATEST(.,1): LOG2(0) is an error in DuckDB; the engine's
-      -- derive_n_planes returns the lower clamp for tiny corpora,
-      -- and ceil(log2(1/32)) clamps to the same value
+      -- GREATEST(.,1): DuckDB LOG2(0) errors; tiny corpora clamp to the
+      -- same lower bound as the engine's derive_n_planes
       FROM embeddings WHERE len(embedding) = {_DIM_CONTRACT}
     ),
     {_rhp_buckets_sql(

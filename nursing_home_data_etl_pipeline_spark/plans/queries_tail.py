@@ -274,8 +274,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming queries under the driver contract: each runs a bounded
 # ===========================================================================
 
-# ts is nanos-as-long in this generation; stream_events substitutes the
-# probed timestamp type when the testdata generation differs.
+# ts nanos-as-long here; stream_events substitutes the probed ts type.
 _EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField(n, t()) for n, t in (
         ("event_id", T.LongType), ("ts", T.LongType), ("user_id", T.LongType),

@@ -1,10 +1,9 @@
 """Seeded randomized-fixture builder — the FUZZ axes of the robustness
-matrix (round 8). Where adversarial_fixture.py appends HAND-PICKED edge
-rows, this derives a random mutation of the whole fixture from one seed:
-row shuffles and drops, NULL injection, duplicated rows, edge-value edits
-(floats on the exactly-representable .25 grid, edge timestamps, weird-but-
-safe texts, dirty embeddings), then enforces the pinned fixture policies so
-every generated fixture stays inside the documented oracle contracts.
+matrix. Where adversarial_fixture.py appends HAND-PICKED edge rows, this
+derives a random whole-fixture mutation from one seed (shuffles, drops,
+NULL injection, duplicated rows, edge values on the exactly-representable
+.25 grid), then enforces the pinned fixture policies so every generated
+fixture stays inside the documented oracle contracts.
 A separate seeded stream additionally fuzzes the PHYSICAL layout (single
 file vs directory-of-part-files, random cut points and row-group sizes) —
 catching order/partition-count dependence without touching row content.

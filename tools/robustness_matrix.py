@@ -2,13 +2,15 @@
 axis, one JSON record out (round-7 VERDICT directive #1 — a hand-run axis
 that silently dropped out of the routine was invisible).
 
-The FOURTEEN-axis set (round 8):
+The FIFTEEN-axis set (rounds 8-9):
   clean-sf0.001 / clean-sf0.01 / clean-sf0.1   driver parquet as-is
   adversarial-sf0.001 / adversarial-sf0.1      adversarial_fixture phases 1-7
   skew, empty, single-row, all-duplicates,     derived from sf0.001
   row-order-reversed                           (builders in adversarial_fixture)
   cpus3                                        clean sf0.001, SPARK_GRAFT_CPUS=3
   fuzz-s101 / fuzz-s202 / fuzz-s303            fuzz_fixture seeded mutations
+  fuzz-shape-s2028                             --shape schema mutations (r9:
+                                               found the topk totality class)
 
 Each axis runs as a SUBPROCESS of tools/check_correctness.py: a JVM crash on
 one axis fails that axis only, and the cpus3 axis needs its own session (the
@@ -68,6 +70,14 @@ def axis_specs(testdata: str, workdir: str) -> dict[str, dict]:
                 "build": lambda p, s=s: ff.build(sf["0.001"], p, s),
             }
             for s in FUZZ_SEEDS
+        },
+        # axis 15 (round 9): pinned SHAPE-mutation seed — all-NULL
+        # o_totalprice + duplicate-key orders; found the top-k ordering-
+        # totality class (the dedup_exact re-delivery class from the same
+        # sweep is pinned by its contract test)
+        "fuzz-shape-s2028": {
+            "dir": d("fuzzshape2028"),
+            "build": lambda p: ff.build(sf["0.001"], p, 2028, shape=True),
         },
     }
 
