@@ -94,38 +94,46 @@ def cms_build(
     )
 
 
+def _pair_params(
+    frame: DataFrame, col: str, names: tuple, given: tuple, defaults: tuple,
+    caller: str, hazard: str,
+) -> tuple:
+    """Reconcile embedded parameter-pair metadata with caller parameters.
+    Metadata is authoritative when present: omitted (None) parameters
+    resolve from it, an explicit conflict raises, and a PARTIAL pair (a
+    hand-sliced metadata dict) raises instead of half-skipping the check
+    (round-9 ADVICE). A metadata-less sketch uses the parameters, falling
+    back to the build defaults."""
+    meta = frame.schema[col].metadata if col in frame.columns else {}
+    vals = tuple(meta.get(n) for n in names)
+    if (vals[0] is None) != (vals[1] is None):
+        raise ValueError(
+            f"{caller}: sketch metadata is partial "
+            f"({names[0]}={vals[0]}, {names[1]}={vals[1]}) — both keys "
+            "must be present together or absent together"
+        )
+    if vals[0] is not None and any(
+        g is not None and g != v for g, v in zip(given, vals)
+    ):
+        raise ValueError(
+            f"{caller}: sketch was built with {names[0]}={vals[0]}, "
+            f"{names[1]}={vals[1]} but got {given[0]}, {given[1]} — {hazard}"
+        )
+    return tuple(
+        v if v is not None else (g if g is not None else d)
+        for v, g, d in zip(vals, given, defaults)
+    )
+
+
+_CMS_KEYS = ("cms_depth", "cms_width")
+
+
 def _cms_params(
     sketch: DataFrame, depth: int | None, width: int | None, caller: str
 ) -> tuple[int, int]:
-    """Reconcile a sketch's embedded (depth, width) metadata with the
-    caller's parameters. Metadata is authoritative when present: omitted
-    parameters (None) resolve from it, and an explicit parameter that
-    CONFLICTS with it raises. A metadata-less sketch (e.g. rebuilt from
-    collected rows) uses the parameters, falling back to the build
-    defaults (4, 1024) — unchecked, as before round 8."""
-    meta = sketch.schema["cnt"].metadata if "cnt" in sketch.columns else {}
-    md, mw = meta.get("cms_depth"), meta.get("cms_width")
-    # The pair is atomic: a sketch carrying only one of the two keys (a
-    # hand-built or hand-sliced metadata dict) would otherwise skip the
-    # conflict check for the missing half — or compare an explicit width
-    # against None and raise spuriously (round-9 ADVICE).
-    if (md is None) != (mw is None):
-        raise ValueError(
-            f"{caller}: sketch metadata is partial "
-            f"(cms_depth={md}, cms_width={mw}) — both keys must be present "
-            "together or absent together"
-        )
-    if md is not None and (
-        (depth is not None and depth != md) or (width is not None and width != mw)
-    ):
-        raise ValueError(
-            f"{caller}: sketch was built with depth={md}, width={mw} but "
-            f"got depth={depth}, width={width} — a mismatched probe "
-            f"addresses wrong counters and can UNDER-estimate"
-        )
-    return (
-        md if md is not None else (depth if depth is not None else 4),
-        mw if mw is not None else (width if width is not None else 1024),
+    return _pair_params(
+        sketch, "cnt", _CMS_KEYS, (depth, width), (4, 1024), caller,
+        "a mismatched probe addresses wrong counters and can UNDER-estimate",
     )
 
 
@@ -134,22 +142,18 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     Embedded (depth, width) metadata must agree when both sides carry it
     (summing counters across different geometries is meaningless); the
     merged sketch keeps the metadata."""
-    meta_a = a.schema["cnt"].metadata if "cnt" in a.columns else {}
-    meta_b = b.schema["cnt"].metadata if "cnt" in b.columns else {}
-    keys = ("cms_depth", "cms_width")
-    if (
-        all(k in meta_a for k in keys)
-        and all(k in meta_b for k in keys)
-        and any(meta_a[k] != meta_b[k] for k in keys)
-    ):
+    # each side validated ATOMICALLY first: a partial pair raised nowhere
+    # before and propagated into the merged sketch, making every later
+    # cms_estimate raise far from the cause (round-9 review)
+    none2 = (None, None)
+    ga = _pair_params(a, "cnt", _CMS_KEYS, none2, none2, "cms_merge", "")
+    gb = _pair_params(b, "cnt", _CMS_KEYS, none2, none2, "cms_merge", "")
+    if None not in ga and None not in gb and ga != gb:
         raise ValueError(
-            f"cms_merge: geometry mismatch — a is "
-            f"({meta_a['cms_depth']}, {meta_a['cms_width']}), b is "
-            f"({meta_b['cms_depth']}, {meta_b['cms_width']})"
+            f"cms_merge: geometry mismatch — a is {ga}, b is {gb}"
         )
-    meta = {k: meta_a[k] for k in keys if k in meta_a} or {
-        k: meta_b[k] for k in keys if k in meta_b
-    }
+    meta = dict(zip(_CMS_KEYS, ga if None not in ga else gb)) \
+        if (None not in ga or None not in gb) else {}
     return (
         a.unionByName(b)
         .groupBy("row", "bucket")
@@ -235,10 +239,13 @@ def _fold_binary(sketch_col: str, merge_fn: str) -> Column:
     INVALID_ARRAY_INDEX — aborting the whole rollup — where the fold
     should yield NULL for the downstream ``_merged IS NULL`` guard.
     """
+    # backtick-quote the identifier (doubling embedded backticks): the raw
+    # interpolation broke on any column name needing quoting (round-9 review)
+    q = f"`{sketch_col.replace('`', '``')}`"
     return F.expr(
         f"""reduce(
-              slice(collect_list({sketch_col}), 2, 2147483646),
-              try_element_at(collect_list({sketch_col}), 1),
+              slice(collect_list({q}), 2, 2147483646),
+              try_element_at(collect_list({q}), 1),
               (acc, x) -> {merge_fn}(acc, x))"""
     )
 
@@ -333,7 +340,10 @@ def theta_partial(
     (:func:`theta_set_estimates`) — cohort overlap at sketch cost."""
     return df.groupBy(*group_cols).agg(
         F.theta_sketch_agg(F.col(item_col).cast("string"), lg_nom_entries).alias(
-            "theta_sketch"
+            # lgk rides along so a rollup with a smaller value — which
+            # silently degrades the precision the partials paid state for —
+            # is loud instead (round-9 review; same pattern as cms/bloom)
+            "theta_sketch", metadata={"theta_lgk": lg_nom_entries}
         )
     )
 
@@ -342,15 +352,28 @@ def theta_rollup(
     df: DataFrame,
     group_cols: Sequence[str],
     sketch_col: str = "theta_sketch",
-    lg_nom_entries: int = 12,
+    lg_nom_entries: int | None = None,
 ) -> DataFrame:
     """Merge partial theta sketches to a coarser grouping; keeps the merged
-    binary plus ``distinct_est``. Pass the SAME ``lg_nom_entries`` the
-    partials were built with — the union caps nominal entries, so a smaller
-    value here silently degrades the precision the partials paid state
-    for."""
+    binary plus ``distinct_est``. ``lg_nom_entries`` normally resolves from
+    the metadata :func:`theta_partial` embeds; an explicit conflicting
+    value raises (the union CAPS nominal entries, so a smaller value
+    silently degrades the precision the partials paid state for)."""
+    meta = df.schema[sketch_col].metadata if sketch_col in df.columns else {}
+    mlgk = meta.get("theta_lgk")
+    if mlgk is not None and lg_nom_entries is not None and lg_nom_entries != mlgk:
+        raise ValueError(
+            f"theta_rollup: partials were built with lg_nom_entries={mlgk} "
+            f"but got {lg_nom_entries} — a smaller union cap silently "
+            "degrades the precision the partials paid state for"
+        )
+    lgk = mlgk if mlgk is not None else (
+        lg_nom_entries if lg_nom_entries is not None else 12
+    )
     return df.groupBy(*group_cols).agg(
-        F.theta_union_agg(sketch_col, lg_nom_entries).alias("theta_sketch"),
+        F.theta_union_agg(sketch_col, lgk).alias(
+            "theta_sketch", metadata={"theta_lgk": lgk}
+        ),
     ).select(
         *group_cols,
         "theta_sketch",
@@ -426,7 +449,12 @@ def bloom_build(
         df.filter(item.isNotNull())
         .select(F.explode(_bloom_probes(item, n_bits, k)).alias("p"))
         .groupBy(F.col("p.word").alias("word"))
-        .agg(F.bit_or("p.mask").alias("bits"))
+        # (n_bits, k) metadata, like cms_build: a build/probe geometry
+        # mismatch moves probe positions — FALSE NEGATIVES, the one error
+        # a Bloom filter promises never to make (round-9 review)
+        .agg(F.bit_or("p.mask").alias(
+            "bits", metadata={"bloom_n_bits": n_bits, "bloom_k": k}
+        ))
     )
 
 
@@ -434,13 +462,17 @@ def bloom_might_contain(
     bloom: DataFrame,
     df: DataFrame,
     item_col: str,
-    n_bits: int = 1 << 23,
-    k: int = 5,
+    n_bits: int | None = None,
+    k: int | None = None,
     out_col: str = "might_contain",
 ) -> DataFrame:
     """Append boolean ``out_col``: true iff every probe bit of
-    ``df[item_col]`` is set in ``bloom`` (same ``n_bits``/``k`` as the
-    build). No false negatives; false positives at the filter's FPP.
+    ``df[item_col]`` is set in ``bloom``. No false negatives; false
+    positives at the filter's FPP. ``n_bits``/``k`` normally resolve from
+    the metadata :func:`bloom_build` embeds on ``bits``; explicit values
+    that conflict with it raise (a mismatched probe produces false
+    negatives); a metadata-less bitmap (rebuilt from collected rows) uses
+    the parameters, defaulting to the build defaults (1<<23, 5).
 
     Plan: k successive BroadcastHashJoins of the (tiny) bitmap, one per
     probe — entirely map-side for the probed side, NO exchange of ``df``
@@ -448,6 +480,11 @@ def bloom_might_contain(
     one corpus-sized shuffle for the regroup; k chained broadcast joins
     preserve the input partitioning, which is the difference between
     probing 10^9 rows in place and re-shuffling them.)"""
+    n_bits, k = _pair_params(
+        bloom, "bits", ("bloom_n_bits", "bloom_k"), (n_bits, k),
+        (1 << 23, 5), "bloom_might_contain",
+        "mismatched probe positions turn true members into FALSE NEGATIVES",
+    )
     internals = {"_probes", out_col}
     for j in range(k):
         internals |= {f"_w{j}", f"_m{j}", f"_b{j}"}

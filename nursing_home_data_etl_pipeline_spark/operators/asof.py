@@ -4,17 +4,13 @@ Semantics: for each left row (key, ts), attach the right row with the same
 key and the greatest right-ts <= left-ts (backward as-of; ties inclusive).
 
 Implementation is the union+window trick — NOT a per-group pandas
-merge_asof: tag both sides, union them, and carry the latest right ROW
-forward with ``last(struct, ignorenulls=True)`` over a per-key window
-ordered by (ts, side). Right rows sort before left rows at equal ts, giving
-the inclusive <= semantics. The value columns travel as ONE struct (never
-null for a right row, even when individual values are null), so the whole
-matched row is attached together — carrying columns independently would
-tear values across different right rows whenever the matched row has a
-legitimate NULL in one column (ADVICE round 1). Cost: ONE shuffle on the
-key (the window partition) — same price as a regular join, no Python, no
-per-group materialization; this is the formulation that survives 100 TB
-where ``applyInPandas`` + merge_asof would OOM on hot keys.
+merge_asof: tag both sides, union, carry the latest right ROW forward
+with ``last(struct, ignorenulls=True)`` over a per-key (ts, side) window;
+right sorts before left at equal ts (inclusive <=). Values travel as ONE
+struct so the matched row attaches together — independent columns would
+tear across right rows on legitimate NULLs (ADVICE round 1). Cost: ONE
+shuffle on the key, no Python — the formulation that survives 100 TB
+where applyInPandas + merge_asof OOMs on hot keys.
 """
 
 from __future__ import annotations

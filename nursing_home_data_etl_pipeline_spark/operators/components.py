@@ -42,6 +42,10 @@ def _driver_union_find(
     spark = vertices.sparkSession
     if not nodes:
         return vertices.select(F.col(id_col), F.col(id_col).alias("component"))
+    # Internal frames use _cc_-prefixed names: an id_col literally named
+    # 'v'/'component' previously made the joins below AMBIGUOUS_REFERENCE —
+    # and only on THIS path, so success depended on which side of
+    # driver_edge_threshold the edge count landed (round-9 review).
     vtype = vertices.schema[id_col].dataType.simpleString()
     # The component label must be a VERTEX id (dup_clusters' keep-one rule
     # is ``filter(doc_id == cluster_id)`` — a conduct-only endpoint's id as
@@ -50,11 +54,11 @@ def _driver_union_find(
     # bounded broadcast semi-join: <= #endpoints rows back) and label each
     # root-group by its min VERTEX member; a group with no vertex member
     # keeps its min endpoint — those labels never join a vertex row anyway.
-    nodes_df = spark.createDataFrame([(n,) for n in nodes], schema=f"v {vtype}")
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], schema=f"_cc_v {vtype}")
     members = {
         r[0]
         for r in vertices.join(
-            F.broadcast(nodes_df), vertices[id_col] == nodes_df["v"], "left_semi"
+            F.broadcast(nodes_df), vertices[id_col] == nodes_df["_cc_v"], "left_semi"
         )
         .select(id_col)
         .collect()
@@ -67,13 +71,13 @@ def _driver_union_find(
         rep = min((m for m in mem if m in members), default=min(mem))
         labels.extend((m, rep) for m in mem)
     lab_df = spark.createDataFrame(
-        labels, schema=f"v {vtype}, component {vtype}"
+        labels, schema=f"_cc_v {vtype}, _cc_label {vtype}"
     )
     return vertices.join(
-        F.broadcast(lab_df), vertices[id_col] == lab_df["v"], "left"
+        F.broadcast(lab_df), vertices[id_col] == lab_df["_cc_v"], "left"
     ).select(
         F.col(id_col),
-        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        F.coalesce(F.col("_cc_label"), F.col(id_col)).alias("component"),
     )
 
 
@@ -103,6 +107,12 @@ def connected_components(
     cluster. Above the threshold, distributed min-label propagation runs
     (each round two hash joins, state bounded per vertex).
     """
+    if id_col == "component":
+        # the output schema is (id_col, 'component') — inherently duplicate
+        raise ValueError(
+            "connected_components: id_col cannot be named 'component' "
+            "(the output's label column); rename the id column upstream"
+        )
     # NULL endpoints carry no identity: an edge touching NULL can't connect
     # anything (the driver path would crash comparing None to ids, the
     # distributed path would silently drop the edge — drop it EXPLICITLY so
@@ -110,13 +120,6 @@ def connected_components(
     edges = edges.filter(
         F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
     )
-    # Components are defined over a SET of vertex identities: a duplicated
-    # vertex row (re-ingested doc, doubled upstream join) must not emit two
-    # labeled rows — dup_clusters' cluster_size would count rows, not
-    # members, and its keep-one filter would keep BOTH copies (round-8
-    # fuzz). The distinct's exchange lands on the same key as the label
-    # seed's downstream joins.
-    vertices = vertices.select(id_col).distinct()
     # Every cached frame is registered in `cached` the moment it is cached
     # and ALL of them release on ANY failure (the except at the bottom):
     # pre-loop probe/collect errors — and a mid-iteration failure between
@@ -128,6 +131,14 @@ def connected_components(
         cached.append(frame.cache())
         return frame
 
+    # Components are defined over a SET of vertex identities: a duplicated
+    # vertex row (re-ingested doc, doubled upstream join) must not emit two
+    # labeled rows — dup_clusters' cluster_size would count rows, not
+    # members, and its keep-one filter would keep BOTH copies (round-8
+    # fuzz). Cached: both paths consume the distinct'd plan twice (members
+    # probe + returned join / extras anti-join + label seed) and the first
+    # probe fills the cache; left to LRU on success, like `extras`.
+    vertices = _cache(vertices.select(id_col).distinct())
     # The edge set is consumed twice (size probe, then collect or symmetric
     # expansion) and upstream it is typically a full LSH candidate pipeline
     # (shingle -> signature -> band join) — cache it so that pipeline runs

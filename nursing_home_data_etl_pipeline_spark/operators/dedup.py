@@ -15,14 +15,11 @@ Five strategies, each with a different cost/recall point:
   a hot-shingle cap to bound worst-case blowup.
 - embedding near-dup: see :mod:`.similarity` (cosine >= threshold pairs).
 
-Portability note: every hash used here is md5-derived, not Spark's murmur3
-``F.hash`` — md5 is bit-identical in any engine, which is what makes the
-DuckDB oracle twins possible. MinHash uses the Kirsch-Mitzenmacher
-double-hashing family: ONE md5 per shingle split into two 48-bit halves
-(h1, h2), with hash s defined as ``(h1 + s*h2) mod P`` — one digest where
-the naive per-seed scheme pays ``num_hashes`` digests (measured 2x faster
-at sf0.1), all intermediate values < 2^53 so the arithmetic is exact in
-any 64-bit engine (and even in doubles).
+Portability: every hash is md5-derived (bit-identical in any engine —
+what makes the oracle twins possible), never Spark's murmur3. MinHash is
+Kirsch-Mitzenmacher double hashing: ONE md5 split into 48-bit (h1, h2),
+hash s = (h1 + s*h2) mod P — one digest vs num_hashes (2x faster at
+sf0.1), all intermediates < 2^53 so the arithmetic is exact anywhere.
 """
 
 from __future__ import annotations

@@ -5,11 +5,10 @@ The reference stamps every output row with ``row_id`` from
 (``nh-etl-universal-cleaning.py:84-85``; ``nh-etl-quality-transform.py:50-51``;
 ``nh-etl-provider-transform.py:121-122``).
 
-Reference bug B5: ``monotonically_increasing_id`` encodes
-``partition_id << 33 | row_in_partition`` — not dense, not stable across
-partitioning or reruns, unusable as a durable key. The engine keeps it as the
-*fast* id (zero-shuffle, fine for lineage tags) and adds a *dense* id variant
-that is deterministic given an ordering.
+Reference bug B5: ``monotonically_increasing_id`` is not dense and not
+stable across partitioning or reruns — unusable as a durable key. Kept as
+the *fast* id (zero-shuffle, lineage tags); the *dense* variant is
+deterministic given an ordering.
 """
 
 from __future__ import annotations

@@ -6,15 +6,10 @@ anti-join (``sync-drive-to-s3.py:47-48,109-111``) and Snowflake ``MERGE``
 procedures (``README.md:238-269``). The engine exposes all of those as
 DataFrame compositions and adds the general join surface.
 
-Scale notes
------------
-- ``left_enrich`` broadcasts the enrich side when told it is dimension-sized:
-  at 100 TB the fact side never shuffles for a dim join. Catalyst would
-  auto-broadcast under ``autoBroadcastJoinThreshold`` (10 MB default) but an
-  explicit hint is deterministic and survives stale/no statistics.
-- ``merge_scd1`` is a single full-shuffle join on the PK + overwrite — the
-  plain-Parquet equivalent of MERGE. On a real deployment both sides should
-  be bucketed by PK so the merge join is co-located (no shuffle).
+Scale notes: ``left_enrich`` broadcasts the enrich side when told it is
+dimension-sized (the fact side never shuffles; an explicit hint survives
+stale statistics). ``merge_scd1`` is one full-shuffle PK join + overwrite
+— plain-Parquet MERGE; bucket both sides by PK to co-locate it.
 """
 
 from __future__ import annotations

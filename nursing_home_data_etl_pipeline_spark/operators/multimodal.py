@@ -16,10 +16,9 @@ Arrow int64 arrays UNTOUCHED, so they are exact at any magnitude; the same
 boundary is why pandas workers abort on timestamps outside the int64-ns
 range, a hazard mapInArrow simply does not have.
 
-This container ships no image/audio libraries, so the real codecs are
-STUBBED (clearly marked, import-gated) and a deterministic fake decoder
-exercises the full plumbing — schema, partitioning, UDF signature, batch
-shape — end to end.
+This container ships no image/audio libraries: the real codecs are
+import-gated stubs and a deterministic fake decoder exercises the full
+plumbing (schema, partitioning, signature, batch shape) end to end.
 """
 
 from __future__ import annotations

@@ -2,21 +2,14 @@
 concatenate documents in a deterministic order and cut the token stream
 into fixed-budget training sequences (GPT-style concat-and-chunk packing).
 
-The hard part at scale is the global exclusive prefix sum of token counts:
-a naive ``Window.orderBy(...)`` with no partition key funnels the whole
-corpus through ONE task. Here the scan is two-level, the classic
-distributed pattern:
-
-1. shard the corpus deterministically (content-hash of the order key),
-2. per-shard exclusive cumsum (a windowed sum inside each shard — parallel),
-3. aggregate one row per shard (tiny), cumsum THOSE on a single partition
-   (shard-count rows, not corpus rows), broadcast the offsets back.
-
-Every corpus-sized stage is hash-partitioned; the only single-partition
-work is over ``n_shards`` rows. The global order is (shard, order_key) —
-arbitrary but total, deterministic across runs/partitionings/engines, and
-reproducible in plain SQL (the oracle's twin uses one flat window, which is
-fine at oracle scale).
+The hard part at scale is the global exclusive prefix sum: a naive
+unpartitioned ``Window.orderBy`` funnels the corpus through ONE task.
+Here it is the classic two-level scan: (1) shard deterministically by
+content hash, (2) per-shard windowed cumsum in parallel, (3) cumsum the
+one-row-per-shard aggregate on a single tiny partition and broadcast the
+offsets back. Every corpus-sized stage is hash-partitioned; the global
+order (shard, order_key) is arbitrary but total and engine-reproducible
+(the oracle replays it with one flat window, fine at oracle scale).
 """
 
 from __future__ import annotations

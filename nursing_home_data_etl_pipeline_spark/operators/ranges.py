@@ -16,10 +16,8 @@ blow-up of the interval side instead of the quadratic pair grid. Each point
 lands in exactly ONE bucket, so no post-join dedup is needed and left-outer
 semantics fall out of the join itself.
 
-The same rewrite is what Databricks' RANGE_JOIN hint and the
-interval-join in Flink do under the hood; open-source Spark has no native
-operator (reference has no analog either — capability-gap surface,
-SURVEY.md §2.8 join varieties / theta).
+The same rewrite underlies Databricks' RANGE_JOIN hint and Flink's
+interval join; open-source Spark has no native operator (SURVEY §2.8).
 """
 
 from __future__ import annotations

@@ -14,13 +14,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: md5-derived uniform value in [0, 10000) — 12 hex chars = 48 bits.
-#: 16 bits (the original 4 chars) mod 10000 was measurably NON-uniform:
-#: buckets below 5536 carried 7/65536 of the mass and the rest 6/65536, so
-#: a "0.8" split actually kept 81.7% — at 48 bits the mod bias is ~4e-11.
-#: NULL keys hash via a sentinel so both operators treat them identically
-#: (previously hash_split dumped every NULL into the LAST split while
-#: deterministic_sample dropped them entirely).
+#: md5-derived uniform value in [0, 10000) — 48 bits (16 bits was
+#: measurably NON-uniform: a "0.8" split kept 81.7%; at 48 bits the mod
+#: bias is ~4e-11). NULL keys hash via a sentinel so both operators treat
+#: them identically (hash_split used to dump every NULL into the LAST
+#: split while deterministic_sample dropped them).
 def _hash_bucket(key: Column, salt: str) -> Column:
     safe = F.coalesce(key.cast("string"), F.lit("\x00<null>"))
     return (

@@ -19,6 +19,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _fresh(df: DataFrame, name: str, helper: str) -> str:
+    """Collision guard: withColumn REPLACES an existing column, so a
+    business column named e.g. 'rank' silently vanished under the window
+    output (round-9 review; sketch helpers raise on the same clash)."""
+    if name in df.columns:
+        raise ValueError(
+            f"{helper}: output column {name!r} already exists in the input "
+            f"— pass a different name or rename the input column"
+        )
+    return name
+
+
 def top_k_per_group(
     df: DataFrame,
     partition_by: Sequence[str],
@@ -32,7 +44,7 @@ def top_k_per_group(
     """
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return (
-        df.withColumn(rank_name, F.row_number().over(w))
+        df.withColumn(_fresh(df, rank_name, "top_k_per_group"), F.row_number().over(w))
         .filter(F.col(rank_name) <= k)
     )
 
@@ -66,7 +78,7 @@ def running_agg(
         .orderBy(*order_by)
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.withColumn(out_name, getattr(F, agg)(agg_col).over(w))
+    return df.withColumn(_fresh(df, out_name, "running_agg"), getattr(F, agg)(agg_col).over(w))
 
 
 def with_lag_delta(
@@ -78,7 +90,8 @@ def with_lag_delta(
 ) -> DataFrame:
     """value - lag(value) per group; first row of each group yields null."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
-    return df.withColumn(out_name, F.col(value_col) - F.lag(value_col, 1).over(w))
+    return df.withColumn(_fresh(df, out_name, "with_lag_delta"),
+                         F.col(value_col) - F.lag(value_col, 1).over(w))
 
 
 def sessionize(
@@ -109,4 +122,5 @@ def sessionize(
     cum = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return df.withColumn(session_name, F.sum(is_start).over(cum).cast("long"))
+    return df.withColumn(_fresh(df, session_name, "sessionize"),
+                         F.sum(is_start).over(cum).cast("long"))

@@ -88,18 +88,15 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
     GROUP BY 1
     """,
-    doc="TPC-style multijoin revenue, tagged union of two shapes. "
-    "variant='q5' (TPC-H Q5): 5-table star join (region->nation->customer->"
-    "orders->lineitem) with a region filter; the bounded nation/region "
-    "sides carry broadcast hints, the customer-derived reduction is "
-    "AQE-sized (it scales with sf), and that reduction is applied to "
-    "orders BEFORE the one unavoidable large-large shuffle, so "
-    "lineitem><orders exchanges a ~1/5-filtered, 2-column orders side "
-    "and a 3-column lineitem projection — not the full tables. "
-    "variant='q14_*' (TPC-H Q14 shape): promo-vs-other revenue split over "
-    "a date-filtered part><lineitem broadcast join — the numerator and "
-    "denominator of Q14's promo ratio as separately-rounded rows (the "
-    "ratio itself would compound float noise across engines).",
+    doc="TPC-style multijoin revenue. variant='q5' (TPC-H Q5): 5-table "
+    "star join with a region filter; bounded nation/region sides carry "
+    "broadcast hints, the sf-scaling customer reduction is AQE-sized and "
+    "applied to orders BEFORE the one unavoidable large-large shuffle — "
+    "lineitem><orders exchanges a filtered 2-column orders side and a "
+    "3-column lineitem projection, never full tables. variant='q14_*': "
+    "promo-vs-other revenue over a date-filtered part><lineitem join — "
+    "Q14's numerator and denominator as separately-rounded rows (the "
+    "ratio would compound float noise across engines).",
 )
 def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -112,12 +109,9 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("c_custkey", "n_name")
     )
-    # broadcast-reduce orders first: the lineitem shuffle is unavoidable
-    # (large-large equi-join), but its partner should be the ASIA-filtered
-    # 2-column orders projection, not all of orders pre-filter
-    # dims derives from customer (linear in sf) so its broadcast is NOT
-    # pinned — AQE broadcasts it while it fits and shuffle-joins beyond;
-    # only the genuinely bounded nation/region sides carry hints above
+    # reduce orders BEFORE the unavoidable lineitem shuffle; dims derives
+    # from customer (linear in sf) so its broadcast is NOT pinned — AQE
+    # decides; only the bounded nation/region sides carry hints above
     o_asia = o.join(
         dims, o["o_custkey"] == dims["c_custkey"]
     ).select("o_orderkey", "n_name")

@@ -1,13 +1,8 @@
-"""North-star queries (BASELINE.json): dedup, similarity search, text
-analysis, multimodal columns over the documents/embeddings tables.
-
-Oracle portability rules used throughout:
-- every hash is md5 hex (bit-identical in any engine);
-- DuckDB regexp_replace needs the 'g' flag (Spark is global by default);
-- DuckDB 1.0 lacks WITH ORDINALITY — element access is
-  ``list[i]`` + ``unnest(generate_series(1, len(list)))``;
-- cosine/jaccard values are rounded to 6 decimals and ranking always uses
-  (rounded value, id) so ties are deterministic.
+"""North-star queries: dedup, similarity search, text analysis,
+multimodal columns over documents/embeddings. Oracle portability rules:
+md5-hex hashes only; DuckDB regexp_replace needs 'g'; element access via
+list[i] + unnest(generate_series(...)) (no WITH ORDINALITY in DuckDB 1.0);
+cosine/jaccard rounded to 6 decimals with (rounded value, id) ranking.
 """
 
 from __future__ import annotations

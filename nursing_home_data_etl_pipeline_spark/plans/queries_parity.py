@@ -237,20 +237,16 @@ scd2 AS (
   UNION ALL
   SELECT c_custkey, new_bal, DATE '1995-06-17', NULL, TRUE FROM changed
   UNION ALL
-  -- carry branch is also per-ROW: this copy carries forward iff no source
-  -- row with its key differs from THIS copy's balance (source keys are
-  -- unique per the merge precondition, so this is exactly the engine's
-  -- joined-row test)
+  -- carry branch, also per-ROW: a copy carries forward iff no source row
+  -- with its key differs from THIS copy's balance
   SELECT t.c_custkey, t.c_acctbal, DATE '1990-01-01', NULL, TRUE
   FROM customer t
   WHERE NOT EXISTS (SELECT 1 FROM src2 s WHERE s.c_custkey = t.c_custkey
                     AND s.c_acctbal IS DISTINCT FROM t.c_acctbal)
   UNION ALL
-  -- not-matched insert, mirroring merge_scd2 / SQL MERGE: source keys with
-  -- no target row open a new version at the batch date. Clean data never
-  -- reaches it (src2 is a subset of customer), but a NULL-key source row
-  -- does (round-8 fuzz): equality never matches NULL, so the engine's
-  -- full-outer join classifies it as brand-new and inserts it.
+  -- not-matched insert (SQL MERGE): unmatched source keys open a new
+  -- version; reached by NULL-key source rows — equality never matches
+  -- NULL, so the full-outer join classifies them brand-new (round-8 fuzz)
   SELECT s.c_custkey, s.c_acctbal, DATE '1995-06-17', NULL, TRUE
   FROM src2 s
   WHERE NOT EXISTS (SELECT 1 FROM customer t WHERE t.c_custkey = s.c_custkey)
@@ -388,12 +384,9 @@ _DIRTY_PENALTY_HEADERS = [
       FROM lineitem GROUP BY 1, 2
     )
     , d AS (
-      -- display mirrors clean_table: TRIM on the grouped (raw) measure
-      -- code — a padded ' R' groups separately from 'R' but DISPLAYS
-      -- (NaN guard: DuckDB TRY_CAST raises on NaN->DECIMAL though inf->NULL
-      -- works, so isnan() handles what TRY_CAST cannot)
-      -- trimmed — and TRY_CAST for the DECIMAL renders (Spark ANSI casts
-      -- NaN->DECIMAL as NULL; DuckDB's plain CAST hard-errors)
+      -- display mirrors clean_table: a padded ' R' groups separately from
+      -- 'R' but DISPLAYS trimmed; isnan() + TRY_CAST for DECIMAL renders
+      -- (Spark ANSI casts NaN->DECIMAL NULL; DuckDB plain CAST hard-errors)
       SELECT ccn                                       AS facility_number,
              {duck_trim_sql("mcode")}                  AS measure_code,
              CAST(CASE WHEN isnan(q1) THEN NULL ELSE TRY_CAST(q1 AS DECIMAL(18,2)) END AS VARCHAR) AS q1_measure_score,

@@ -135,15 +135,12 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                        regexp_replace(name_b, '[^ -~]', '?', 'g')) <= 2 AS near_name
     FROM pairs
     """,
-    doc="String similarity (Levenshtein edit distance) over candidate "
-    "pairs — the entity-resolution primitive for name/address matching; "
-    "JVM builtin, applied post-blocking (never all-pairs). Contract: the "
-    "distance runs over the ASCII projection (every non-ASCII code point "
-    "folds to '?') — Spark's levenshtein counts code points while "
-    "DuckDB's counts BYTES, so unprojected unicode names diverge (adv "
-    "phase 5); the fold makes bytes == code points on both engines, at "
-    "the documented cost that two different non-ASCII chars at the same "
-    "position compare equal.",
+    doc="String similarity (Levenshtein) over candidate pairs — the "
+    "entity-resolution primitive; JVM builtin, applied post-blocking "
+    "(never all-pairs). Contract: the distance runs over the ASCII "
+    "projection (non-ASCII folds to '?') — Spark counts code points, "
+    "DuckDB counts BYTES, so unprojected unicode diverges (adv phase 5); "
+    "cost: two different non-ASCII chars at one position compare equal.",
 )
 def string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
@@ -207,12 +204,11 @@ def _duck_hash_bucket(key_expr: str, salt: str) -> str:
        OR (lang = 'de' AND {_duck_hash_bucket('doc_id', 'strata')} < 5000)
        OR (lang = 'zh' AND {_duck_hash_bucket('doc_id', 'strata')} < 2500)
     """,
-    doc="Deterministic sampling, both shapes, as a tagged union: train/val/"
-    "test assignment by content hash (80/10/10 — reproducible across runs, "
-    "partitionings, and engines; no row ever migrates between splits on "
-    "rerun, which df.sample cannot promise) and stratified deterministic "
-    "sampling (per-language keep rates en 90% / de 50% / zh 25%, others "
-    "dropped — the 'rebalance sources' op of a training mix).",
+    doc="Deterministic sampling as a tagged union: train/val/test by "
+    "content hash (80/10/10 — no row migrates between splits on rerun, "
+    "which df.sample cannot promise) and stratified sampling (per-language "
+    "keep rates en 90/de 50/zh 25%, others dropped — the 'rebalance "
+    "sources' op of a training mix).",
 )
 def sampling_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -512,6 +508,17 @@ _MOMENT_DEC = "decimal(18,4)"
 _MOMENT_DEC_WIDE = "decimal(20,4)"
 
 
+def _dsum(col: str) -> str:
+    """Exact-decimal SUM rendered back to DOUBLE."""
+    return f"CAST(SUM(CAST({col} AS {_MOMENT_DEC})) AS DOUBLE)"
+
+
+def _dsum2(a: str, b: str) -> str:
+    """Exact-decimal SUM of a product (second factor widened for DuckDB)."""
+    return (f"CAST(SUM(CAST({a} AS {_MOMENT_DEC})"
+            f" * CAST({b} AS {_MOMENT_DEC_WIDE})) AS DOUBLE)")
+
+
 @register(
     "stats_aggregates",
     oracle=f"""
@@ -523,18 +530,15 @@ _MOMENT_DEC_WIDE = "decimal(20,4)"
     WITH m AS (
       SELECT l_returnflag,
              COUNT(l_extendedprice) AS np,
-             CAST(SUM(CAST(l_extendedprice AS {_MOMENT_DEC})) AS DOUBLE) AS sp,
-             CAST(SUM(CAST(l_extendedprice AS {_MOMENT_DEC})
-                      * CAST(l_extendedprice AS {_MOMENT_DEC_WIDE})) AS DOUBLE) AS spp,
+             {_dsum("l_extendedprice")} AS sp,
+             {_dsum2("l_extendedprice", "l_extendedprice")} AS spp,
              COUNT(l_discount) AS nd,
-             CAST(SUM(CAST(l_discount AS {_MOMENT_DEC})) AS DOUBLE) AS sd,
-             CAST(SUM(CAST(l_discount AS {_MOMENT_DEC})
-                      * CAST(l_discount AS {_MOMENT_DEC_WIDE})) AS DOUBLE) AS sdd,
+             {_dsum("l_discount")} AS sd,
+             {_dsum2("l_discount", "l_discount")} AS sdd,
              COUNT(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
              CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL THEN CAST(l_quantity AS {_MOMENT_DEC}) END) AS DOUBLE) AS sx,
              CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN CAST(l_extendedprice AS {_MOMENT_DEC}) END) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS {_MOMENT_DEC})
-                      * CAST(l_extendedprice AS {_MOMENT_DEC_WIDE})) AS DOUBLE) AS sxy,
+             {_dsum2("l_quantity", "l_extendedprice")} AS sxy,
              CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL THEN CAST(l_quantity AS {_MOMENT_DEC}) * CAST(l_quantity AS {_MOMENT_DEC_WIDE}) END) AS DOUBLE) AS sxx,
              CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN CAST(l_extendedprice AS {_MOMENT_DEC}) * CAST(l_extendedprice AS {_MOMENT_DEC_WIDE}) END) AS DOUBLE) AS syy,
              min(l_extendedprice) AS min_p,

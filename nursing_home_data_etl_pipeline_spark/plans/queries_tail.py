@@ -45,14 +45,11 @@ def _clusters_oracle() -> str:
 @register(
     "dedup_clusters",
     oracle=_clusters_oracle(),
-    doc="Near-dup CLUSTERS from MinHash-LSH pairs via distributed connected "
-    "components (min-label propagation, converges in diameter rounds; "
-    "each round is two hash joins). The keep-one dedup is then "
-    "doc_id == cluster_id. Oracle: DuckDB recursive-CTE reachability. "
-    "Contract: a NULL doc_id cannot be clustered (no identity to propagate "
-    "or join on — the oracle's equi-joins would drop it while the engine "
-    "emitted a degenerate NULL singleton), so NULL-id rows are excluded on "
-    "both sides.",
+    doc="Near-dup CLUSTERS from MinHash-LSH pairs via distributed "
+    "connected components (min-label propagation, diameter rounds, two "
+    "hash joins each); keep-one dedup is doc_id == cluster_id. Oracle: "
+    "recursive-CTE reachability. Contract: NULL-id rows excluded both "
+    "sides (no identity to propagate or join on).",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
@@ -87,13 +84,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (ln((n_docs.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
     FROM tf JOIN df USING (term) CROSS JOIN n_docs
     """,
-    doc="TF-IDF term weighting: term frequency per doc x smoothed inverse "
-    "document frequency — explode + two hash aggregations + an equi-join "
-    "on the df table (vocabulary-sized, so it grows with the corpus: AQE "
-    "decides broadcast-vs-shuffle from its measured size rather than a "
-    "pinned hint that would OOM at a billion-term vocabulary); no Python. "
-    "Tokenization is the shared blank-safe words()/duck_words_sql pair, so "
-    "whitespace-only documents contribute no phantom '' terms.",
+    doc="TF-IDF: per-doc term frequency x smoothed IDF — explode + two "
+    "hash aggregations + an equi-join on the vocabulary-sized df table "
+    "(AQE sizes the join; a pinned hint would OOM at a billion-term "
+    "vocabulary); no Python. Tokenization is the shared blank-safe "
+    "words()/duck_words_sql pair — no phantom '' terms.",
 )
 def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -416,12 +411,9 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              ts,
              event_id,
              epoch_us(ts) AS us,
-             -- STRICTLY greater: Spark's session_window MERGES an event
-             -- arriving at exactly last+gap into the running session
-             -- (probed on a 12:00/12:30 pair with the 30-min gap — ONE
-             -- session comes back; an earlier docstring claimed the
-             -- half-open opposite, never exercised because no fixture
-             -- had an exact-gap pair; round-8 second-pass hunt)
+             -- STRICTLY greater: session_window MERGES an event at
+             -- exactly last+gap (probed on a 12:00/12:30 pair, round-8
+             -- hunt — the inclusive-boundary contract in BASELINE.md)
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                         > 1800 * 1000000
                     OR LAG(ts) OVER w IS NULL
@@ -510,9 +502,8 @@ def _packing_oracle() -> str:
              len({duck_words_sql("text")}) AS tok,
              {_DUCK_SHARD} AS shard
       FROM documents
-      -- pack_sequences filters _tok > 0: blank and NULL-text docs own no
-      -- token interval (len of the blank-safe words twin is 0 or NULL;
-      -- the alias keeps the two-regex words expression evaluated once)
+      -- blank/NULL-text docs own no token interval (pack_sequences
+      -- filters _tok > 0)
       WHERE tok > 0
     ),
     placed AS (

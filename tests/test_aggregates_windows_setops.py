@@ -152,3 +152,30 @@ def test_running_agg_ties_share_the_range_sum(spark):
     ).collect()
     got = sorted((r.ord, r.v, r.running) for r in out)
     assert got == [(10, 2.0, 5.0), (10, 3.0, 5.0), (20, 5.0, 10.0)]
+
+
+def test_window_helpers_raise_on_output_column_collision(spark):
+    """A pre-existing business column named like the window output used to
+    be silently REPLACED by withColumn (round-9 review) — now a loud
+    ValueError, consistent with the sketch helpers' clash guard."""
+    import pytest
+
+    from nursing_home_data_etl_pipeline_spark.operators.windows import (
+        running_agg,
+        sessionize,
+        top_k_per_group,
+        with_lag_delta,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "2024-01-01 00:00:00", 7, 0.0, 0, 9)],
+        "k int, v double, ts string, rank int, running double, delta int, session_id int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="'rank' already exists"):
+        top_k_per_group(df, ["k"], [F.col("v")], k=1)
+    with pytest.raises(ValueError, match="'running' already exists"):
+        running_agg(df, ["k"], [F.col("v")], "v")
+    with pytest.raises(ValueError, match="'delta' already exists"):
+        with_lag_delta(df, ["k"], [F.col("v")], "v")
+    with pytest.raises(ValueError, match="'session_id' already exists"):
+        sessionize(df, "k", "ts", 60)

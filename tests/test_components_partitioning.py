@@ -164,3 +164,36 @@ def test_duplicate_vertex_rows_label_once(spark):
     assert sorted((r.doc_id, r.cluster_id, r.cluster_size) for r in out) == [
         (1, 1, 2), (2, 1, 2), (9, 9, 1),
     ]
+
+
+def test_connected_components_id_col_named_v_driver_path(spark):
+    """id_col='v' used to raise AMBIGUOUS_REFERENCE — but only on the
+    small-edge driver path, so success depended on which side of
+    driver_edge_threshold the edge count landed (round-9 review). Internal
+    frames now use _cc_-prefixed names."""
+    from nursing_home_data_etl_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(6)], ["v"])
+    edges = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    got = {
+        (r.v, r.component)
+        for r in connected_components(vertices, edges, id_col="v").collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4)}
+
+
+def test_connected_components_id_col_component_raises(spark):
+    """id_col='component' collides with the output label column on every
+    path — loud ValueError instead of a duplicate-named output."""
+    import pytest
+
+    from nursing_home_data_etl_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(1,)], ["component"])
+    edges = spark.createDataFrame([(1, 1)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="component"):
+        connected_components(vertices, edges, id_col="component")

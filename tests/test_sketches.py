@@ -264,3 +264,80 @@ def test_cms_partial_metadata_raises_not_skips(spark):
         )
         with pytest.raises(ValueError, match="partial"):
             cms_estimate(crippled, items, "tok", depth=3, width=64)
+
+
+def test_bloom_geometry_mismatch_raises_and_metadata_resolves(spark):
+    """bloom_build embeds (n_bits, k) as column metadata (round-9 review):
+    a probe with conflicting explicit geometry raises — a silent mismatch
+    moves probe positions and turns true members into FALSE NEGATIVES, the
+    one error a Bloom filter promises never to make — and an omitted
+    geometry resolves from the metadata instead of stale defaults."""
+    from nursing_home_data_etl_pipeline_spark.functions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], ["x"])
+    bloom = bloom_build(df, "x", n_bits=1 << 10, k=3)
+    with pytest.raises(ValueError, match="FALSE NEGATIVES"):
+        bloom_might_contain(bloom, df, "x", n_bits=1 << 23, k=3)
+    # metadata-resolved probe: every built member must hit
+    probed = bloom_might_contain(bloom, df, "x")
+    assert all(r.might_contain for r in probed.collect())
+
+
+def test_cms_merge_partial_metadata_raises_atomically(spark):
+    """A sketch carrying only ONE of (cms_depth, cms_width) must fail AT
+    THE MERGE, not propagate into the merged sketch and fail at a later
+    estimate far from the cause (round-9 review)."""
+    from pyspark.sql import functions as F
+
+    from nursing_home_data_etl_pipeline_spark.functions.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    df = spark.createDataFrame([("a",)], ["x"])
+    good = cms_build(df, "x", depth=2, width=8)
+    partial = good.select(
+        "row", "bucket", F.col("cnt").alias("cnt", metadata={"cms_depth": 2})
+    )
+    with pytest.raises(ValueError, match="partial"):
+        cms_merge(good, partial)
+
+
+def test_theta_rollup_lgk_mismatch_raises_and_metadata_resolves(spark):
+    """theta_partial embeds lg_nom_entries; a rollup with a SMALLER value
+    would silently cap precision the partials paid state for — explicit
+    conflicts raise, omitted values resolve from metadata (round-9
+    review)."""
+    from nursing_home_data_etl_pipeline_spark.functions.sketches import (
+        theta_partial,
+        theta_rollup,
+    )
+
+    df = spark.createDataFrame([("g", i) for i in range(50)], ["g", "u"])
+    partials = theta_partial(df, ["g"], "u", lg_nom_entries=14)
+    with pytest.raises(ValueError, match="lg_nom_entries=14"):
+        theta_rollup(partials, ["g"], lg_nom_entries=12)
+    est = theta_rollup(partials, ["g"]).collect()[0].distinct_est
+    assert abs(est - 50) <= 2
+
+
+def test_kll_rollup_handles_quoted_column_names(spark):
+    """_fold_binary backtick-quotes the sketch identifier: a column name
+    with a space previously failed to parse inside the reduce() expr while
+    the surrounding DataFrame API accepted it (round-9 review)."""
+    from pyspark.sql import functions as F
+
+    from nursing_home_data_etl_pipeline_spark.functions.sketches import (
+        kll_partial,
+        kll_rollup_quantiles,
+    )
+
+    df = spark.createDataFrame([("g", float(i)) for i in range(100)], ["g", "v"])
+    partials = kll_partial(df, ["g"], "v").select(
+        "g", F.col("kll_sketch").alias("kll sketch")
+    )
+    out = kll_rollup_quantiles(partials, ["g"], [0.5], sketch_col="kll sketch")
+    assert 30 <= out.collect()[0].q_5 <= 70

@@ -23,24 +23,16 @@ row-order-reversed / cpus3 — builders below; per-axis rationale in each
 derive_* docstring) run through the same gate via tools/robustness_matrix.
 
 Floats in appended rows are exactly-representable values away from the
-6-decimal rounding boundary, so an engine-order difference in summation
-cannot flip a rounded comparison. This is a POLICY, not an accident:
-decimal-midpoint doubles round differently by construction — Spark's
-F.round does HALF_UP on the shortest decimal repr while DuckDB ROUND
-multiplies the binary value, so e.g. round(0.00015, 4) = 0.0002 in Spark
-but 0.0001 in DuckDB (confirmed round 7). No SQL oracle can mirror
-Spark's repr-based rounding; midpoint inputs stay excluded — EXCEPT for
-the discounted-revenue sums, which compute exact DECIMAL money since
-round 8 (queries_analytics.rev_sum_col/rev_sum_sql) and agree on true
-midpoints (test-pinned in test_divergence_contracts).
-
-Two more unmirrorable classes stay excluded by the same policy (round-7
-review, both confirmed by execution): duplicate-key JSON documents
-('{"k":1,"k":2}' — Spark from_json keeps the LAST occurrence via Jackson
-streaming overwrite, DuckDB json_extract returns the FIRST), and
-percentile-interpolation ulp straddles (Spark percentile interpolates
-lo+(hi-lo)*f, DuckDB quantile_cont lo*(1-f)+hi*f — 1-ulp apart, visible
-only when the two interpolants straddle a ROUND boundary).
+6-decimal rounding boundary — POLICY, not accident: decimal-midpoint
+doubles round differently by construction (Spark F.round HALF_UPs the
+shortest decimal repr, DuckDB rounds the binary value: round(0.00015, 4)
+= 0.0002 vs 0.0001, confirmed round 7). Midpoint inputs stay excluded —
+EXCEPT the discounted-revenue sums, exact DECIMAL money since round 8
+(rev_sum_col/rev_sum_sql, test-pinned). Two more unmirrorable classes
+stay excluded by the same policy (round-7 review, execution-confirmed):
+duplicate-key JSON ('{"k":1,"k":2}' — from_json keeps the LAST key,
+json_extract the FIRST) and percentile-interpolation ulp straddles
+(lo+(hi-lo)*f vs lo*(1-f)+hi*f, 1 ulp apart at ROUND boundaries).
 """
 
 from __future__ import annotations
@@ -100,11 +92,9 @@ def build(src: str, dest: str) -> dict[str, int]:
         # reads diverge (ascii('é')=233 vs first UTF-8 byte 195)
         {"doc_id": base + 16, "text": "été warm words here now", "lang": "fr", "source": "adv", "n_chars": 23},
         {"doc_id": base + 13, "text": "nb\xa0space word", "lang": "en", "source": "adv", "n_chars": 13},
-        # phase 9 (round-8 probe): Unicode-Zs whitespace — DuckDB's bare
-        # trim() strips NBSP/U+3000 where Spark's F.trim strips 0x20 only;
-        # every F.trim oracle twin must space-trim (duck_trim_sql). The
-        # NBSP-only doc fingerprinted to md5('') on the oracle side and
-        # lost its chunk row before the fix.
+        # phase 9 (round-8 probe): Unicode-Zs whitespace — DuckDB bare
+        # trim() strips NBSP/U+3000, F.trim strips 0x20 only; every F.trim
+        # oracle twin must space-trim (duck_trim_sql)
         {"doc_id": base + 21, "text": "\u00a0\u00a0", "lang": "en", "source": "adv", "n_chars": 2},
         {"doc_id": base + 22, "text": "\u3000ideographic\u3000space\u3000", "lang": "ja", "source": "adv", "n_chars": 19},
         # phase 9: NUL byte inside text (valid in both engines' strings;
@@ -218,12 +208,9 @@ def build(src: str, dest: str) -> dict[str, int]:
         # keeps decimal digits; the penalty transform must stringify via
         # DECIMAL so both engines agree
         {"o_orderkey": obase + 7, "o_custkey": 4, "o_orderstatus": "F", "o_totalprice": 987654321.25, "o_orderdate": odate, "o_orderpriority": "3-MEDIUM"},
-        # phase 6 (round-7 review): a NULL o_orderkey row TIED with the
-        # obase+5 row above on (o_custkey, o_orderdate) and on o_totalprice
-        # — window orderings' SECONDARY o_orderkey tiebreaker must pin NULLS
-        # FIRST (Spark's ASC default) or first/last/nth_value flip sides.
-        # MUST be appended before the write below (round-7 ADVICE: it was
-        # appended after, so the coverage it claims was silently absent).
+        # phase 6 (round-7 review): NULL o_orderkey TIED with obase+5 on
+        # (o_custkey, o_orderdate, o_totalprice) — secondary tiebreakers
+        # must pin NULLS FIRST or first/last/nth_value flip sides
         {"o_orderkey": None, "o_custkey": 2, "o_orderstatus": "O", "o_totalprice": 77.25, "o_orderdate": odate, "o_orderpriority": "1-URGENT"},
     ]
     pq.write_table(_append(orders, order_rows), f"{dest}/orders.parquet")

@@ -29,9 +29,8 @@ PRECONDITIONS rather than bugs:
 - duplicate BUILDING customers are dropped (scd_merge's source must be
   unique per key — merge_scd1/2 precondition, resolve upstream).
 
-Usage:
-    python tools/fuzz_fixture.py SEED [src_sf_dir] [dest_dir] [--shape]
-    python tools/check_correctness.py <dest_dir>
+Usage: python tools/fuzz_fixture.py SEED [src] [dest] [--shape];
+gate with tools/check_correctness.py <dest>.
 """
 
 from __future__ import annotations
