@@ -48,6 +48,9 @@ def tag_union(df: DataFrame, variant: str, types: dict, **cols) -> DataFrame:
     repeating select scaffolding of every multi-variant catalog entry."""
     from pyspark.sql import functions as F
 
+    unknown = set(cols) - set(types)
+    if unknown:  # a typoed kwarg would otherwise NULL-fill silently
+        raise ValueError(f"tag_union: kwargs not in types: {sorted(unknown)}")
     return df.select(
         F.lit(variant).alias("variant"),
         *[

@@ -172,3 +172,16 @@ def test_derived_axis_builders(tmp_path):
     orig = pq.read_table(f"{SF_SMOKE}/orders.parquet").column("o_orderkey").to_pylist()
     got = pq.read_table(f"{rev}/orders.parquet").column("o_orderkey").to_pylist()
     assert got == orig[::-1]
+
+
+def test_scale_fixture_replica_cap():
+    """ADVICE r9: Caesar shift repeats with period 25, so replicas > 25
+    would silently produce cross-replica text duplicates; build() raises."""
+    spec = importlib.util.spec_from_file_location(
+        "scale_fixture",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "scale_fixture.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with pytest.raises(ValueError, match="25 replicas"):
+        mod.build("/nonexistent", "/nonexistent-out", 26)

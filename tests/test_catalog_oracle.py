@@ -34,3 +34,12 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_tag_union_rejects_unknown_kwargs(spark):
+    """ADVICE r9: a typoed column kwarg must raise, not NULL-fill silently."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="typo_col"):
+        catalog.tag_union(df, "v", {"a": "int"}, typo_col=F.lit(1))

@@ -79,6 +79,12 @@ def _replica(name: str, tbl: pa.Table, r: int) -> pa.Table:
 
 
 def build(src: str, dest: str, replicas: int) -> None:
+    # Cipher shift r % 25 + 1 repeats with period 25: replicas r and r+25
+    # would get identical text, silently breaking the cross-replica
+    # Jaccard ~0 property the module docstring promises (ADVICE r9).
+    if replicas > 25:
+        raise ValueError("scale_fixture supports at most 25 replicas "
+                         "(Caesar shift period); got %d" % replicas)
     os.makedirs(dest, exist_ok=True)
     for name in DIMS:
         pq.write_table(pq.read_table(f"{src}/{name}.parquet"),
