@@ -279,13 +279,21 @@ _EVENTS_RAW_SCHEMA = T.StructType([
 ])
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Bounded file stream over the events table, with ``ts`` normalized to
     TimestampType (LTZ, UTC session tz) — the streaming twin of
     ``sources.readers.read_table``. The on-disk encoding has varied across
     testdata generations (TIMESTAMP(NANOS) vs plain micros / NTZ), so probe
     the batch-inferred type once (footer-only) and build the matching
-    streaming schema."""
+    streaming schema.
+
+    ``max_files_per_trigger`` (round-10 directive #2) splits a multi-file
+    table across MICROBATCHES — real streams are never single-batch; the
+    complete-mode drains must (and do) converge to the same final table
+    under incremental delivery, which only holds because complete mode
+    retains all aggregate state (watermark never evicts it)."""
     from ..sources.readers import (
         normalize_events_ts,
         path_is_dir,
@@ -303,6 +311,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         reader = spark.readStream.option("pathGlobFilter", "events.parquet")
         stream_path = sf_dir
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # readStream needs an EXPLICIT schema: substitute the probed ts type,
     # then normalize through the same shared helper the batch reader uses.
     if ts_type == "bigint":  # nanos-as-long generation
@@ -326,6 +336,7 @@ def _drain_to_memory(
     output_mode: str,
     state_partitions: int = 8,
     require_single_batch: bool = False,
+    require_multi_batch: bool = False,
 ) -> DataFrame:
     """Run the streaming plan to completion into a memory sink; return the
     result table. Bounded input + processAllAvailable => deterministic.
@@ -345,6 +356,16 @@ def _drain_to_memory(
     so a trigger/option change fails loudly instead of silently turning
     the exact contract probabilistic.
 
+    ``require_multi_batch``: the inverse guard for the INCREMENTAL-delivery
+    contract (complete-mode drains over a maxFilesPerTrigger source): a
+    single-file fixture would silently degrade the multi-batch check back
+    to the single-batch case — True asserts >1 fed microbatches. Only
+    complete-mode drains can carry this flag exactly: update-mode memory
+    sinks append one row per key per TRIGGER (duplicated keys across
+    batches), and append-mode watermark drains drop rows that arrive after
+    the watermark passed them (delivery-order-dependent), so neither has a
+    batching-independent exact oracle.
+
     Lifecycle: the returned DataFrame reads the ``stream_out_<uuid>``
     memory-sink table, so it cannot be dropped here; retained rows are
     result-sized. A long-lived service would write a real sink instead.
@@ -362,12 +383,17 @@ def _drain_to_memory(
         )
         try:
             q.processAllAvailable()
-            if require_single_batch:
+            if require_single_batch or require_multi_batch:
                 fed = [p for p in q.recentProgress if p.numInputRows > 0]
-                if len(fed) > 1:
+                if require_single_batch and len(fed) > 1:
                     raise AssertionError(
                         f"bounded drain spanned {len(fed)} microbatches; "
                         "the exact-oracle watermark contract assumes one"
+                    )
+                if require_multi_batch and len(fed) < 2:
+                    raise AssertionError(
+                        f"drain fed {len(fed)} microbatch(es); the "
+                        "incremental-delivery contract needs >1"
                     )
         finally:
             q.stop()

@@ -23,16 +23,22 @@ from pyspark.sql import types as T
 def windowed_counts(
     events: DataFrame,
     window: str = "6 hours",
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
 ) -> DataFrame:
     """Tumbling-window count+sum with a watermark. In append mode only
     finalized (watermark-passed) windows emit; in complete mode all windows
-    are maintained — used by the batch-equivalence check."""
+    are maintained — used by the batch-equivalence check.
+
+    ``watermark=None`` (legal only for complete-mode sinks): no late-row
+    cutoff at all. Plain streaming aggregation never filters late input in
+    complete mode, so the default watermark is already exact under
+    multi-microbatch delivery here — the None escape hatch exists for
+    symmetry with ``session_counts``, where it is load-bearing."""
     return (
-        events.withWatermark(ts_col, watermark)
+        (events.withWatermark(ts_col, watermark) if watermark else events)
         .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -50,16 +56,24 @@ def windowed_counts(
 def session_counts(
     events: DataFrame,
     gap: str = "30 minutes",
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
     ts_col: str = "ts",
     key_col: str = "user_id",
 ) -> DataFrame:
     """Session-window aggregation: sessions close after ``gap`` inactivity.
     The streaming twin of the batch lag+cumsum sessionization (operators/
     windows.sessionize) — same (user, session) event counts, with session
-    identity carried by the window start instead of a per-user ordinal."""
+    identity carried by the window start instead of a per-user ordinal.
+
+    ``watermark=None`` for complete-mode bounded drains spanning multiple
+    microbatches: Spark's session operator filters watermark-late INPUT in
+    every output mode (SessionWindowStateStoreRestoreExec, unlike plain
+    aggregation which only filters in append/update — execution-probed,
+    round 10: a 4-file maxFilesPerTrigger=1 drain kept 507/1000 events),
+    so a watermark makes incremental delivery lossy even in complete mode;
+    omitting it is legal there and restores batch equivalence."""
     return (
-        events.withWatermark(ts_col, watermark)
+        (events.withWatermark(ts_col, watermark) if watermark else events)
         .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

@@ -261,3 +261,96 @@ def test_accumulate_sql_sum_semantics_on_dirty_values():
     assert out["total_value"].iloc[0] == float("inf")
 
 
+
+
+def _multifile_events(spark, tmp_path, n_files=4):
+    """The sf0.001 events table re-written as an n-file directory, so a
+    maxFilesPerTrigger=1 stream delivers it across n microbatches."""
+    from conftest import SF_SMOKE
+
+    sfm = tmp_path / "sfm"
+    sfm.mkdir()
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").repartition(
+        n_files
+    ).write.parquet(str(sfm / "events.parquet"))
+    return str(sfm)
+
+
+def test_multibatch_complete_drains_equal_single_batch(spark, tmp_path):
+    """Round-10 directive #2: real streams are never single-batch. The
+    complete-mode drains must converge to the same final table under
+    incremental (maxFilesPerTrigger=1) delivery — complete mode retains all
+    aggregate state, so the final emission is the full aggregate no matter
+    how the bounded input was sliced into microbatches. The same oracles
+    that gate the single-batch catalog entries therefore hold exactly."""
+    from nursing_home_data_etl_pipeline_spark.plans.queries_tail import (
+        _drain_to_memory,
+        stream_events,
+    )
+    from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
+        session_counts,
+        windowed_counts,
+    )
+
+    sfm = _multifile_events(spark, tmp_path)
+    # Plain aggregation never filters late input in complete mode, so the
+    # windowed drain keeps its watermark; the session operator filters
+    # late input in EVERY mode (see session_counts docstring), so its
+    # multi-batch leg must run watermark-free.
+    for op, multi_kwargs in ((windowed_counts, {}), (session_counts, {"watermark": None})):
+        single = _drain_to_memory(
+            op(stream_events(spark, sfm)), "complete", require_single_batch=True
+        )
+        multi = _drain_to_memory(
+            op(stream_events(spark, sfm, max_files_per_trigger=1), **multi_kwargs),
+            "complete",
+            require_multi_batch=True,
+        )
+        assert sorted(map(tuple, single.collect())) == sorted(
+            map(tuple, multi.collect())
+        ), op.__name__
+
+    # Pin the divergence that forced the watermark-free leg: a WATERMARKED
+    # session drain under incremental delivery is lossy even in complete
+    # mode — if Spark ever changes this, the special-casing above should go.
+    lossy = _drain_to_memory(
+        session_counts(stream_events(spark, sfm, max_files_per_trigger=1)),
+        "complete",
+        require_multi_batch=True,
+    )
+    from pyspark.sql import functions as F
+
+    total = spark.read.parquet(f"{sfm}/events.parquet").where("ts IS NOT NULL").count()
+    assert lossy.agg(F.sum("n_events")).first()[0] < total
+
+
+def test_update_mode_multibatch_contract(spark, tmp_path):
+    """Why the update-mode entry ASSERTS single-batch delivery and cannot
+    join the multi-batch contract: the memory sink appends one row per key
+    per trigger, so a key spanning batches emits multiple rows — and the
+    append-mode watermark drains (interval join, dedup) drop rows the
+    advancing watermark passed between batches, a delivery-order-dependent
+    outcome no batching-independent SQL oracle can express. Pinned two ways:
+    the guard trips, and the duplication it guards against is real."""
+    import pytest as _pytest
+
+    from nursing_home_data_etl_pipeline_spark.plans.queries_tail import (
+        _drain_to_memory,
+        stream_events,
+    )
+    from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
+        running_totals_stateful,
+    )
+
+    sfm = _multifile_events(spark, tmp_path)
+    with _pytest.raises(AssertionError, match="microbatches"):
+        _drain_to_memory(
+            running_totals_stateful(stream_events(spark, sfm, 1)),
+            "update",
+            require_single_batch=True,
+        )
+    out = _drain_to_memory(
+        running_totals_stateful(stream_events(spark, sfm, 1)), "update"
+    )
+    keys = [r.user_id for r in out.collect()]
+    assert len(keys) > len(set(keys))  # per-trigger emission duplicates keys

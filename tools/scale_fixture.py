@@ -17,7 +17,24 @@ region/nation stay single-copy dims; timestamps stay verbatim (more users
 over the same time range — window/session state grows in width, not
 history). Each replica is one part file in a `{table}.parquet` directory.
 
-Usage: python tools/scale_fixture.py [replicas] [src_dir] [dest_dir];
+``--skew`` (round-10 directive #1) layers distribution heterogeneity the
+key-shifted replication deliberately lacks — cloned replicas keep sf0.1's
+uniform distributions, so the 100 TB salting/AQE-skew story was untested:
+- Zipfian hot key: ONE global customer owns ~30% of all orders and ONE
+  user ~30% of all events (remapped after the shift, so every replica's
+  hot rows point at the same replica-0 key); ONE source owns ~30% of
+  documents and ONE label ~30% of embeddings.
+- Doc-length long tail: deterministic per base doc_id, text repeated
+  x10 / x100 / x1000 for ~2% / 0.9% / 0.1% of docs (1000x spread);
+  n_chars recomputed so the stored column stays truthful.
+- Growing distinct groups: replica r>0 suffixes ~10% of event_type and
+  document source values with ``_g{r}`` — group cardinality grows with
+  data size instead of staying cloned.
+Vector-space skew (30% near-identical embeddings) is deliberately NOT
+modeled: that is the all-duplicates matrix axis's collapse regime, not a
+realistic corpus shape, and it would turn the near-dup pair set quadratic.
+
+Usage: python tools/scale_fixture.py [--skew] [replicas] [src] [dest];
 then gate with check_correctness.py and bench with SPARK_GRAFT_SF_DIR."""
 
 from __future__ import annotations
@@ -51,6 +68,87 @@ SHIFTS = {
 DIMS = ("region", "nation")
 
 
+#: skew-mode knobs: % of child rows remapped to the hot key, % of rows whose
+#: group key gains a per-replica suffix (disjoint bucket ranges), and the
+#: doc-length multiplier tail (permille -> multiplier; 1000x total spread).
+HOT_PCT = 30
+GROW_PCT = (30, 40)
+LEN_TAIL = ((1, 1000), (10, 100), (30, 10))
+
+
+def _bucket(val: int, mod: int) -> int:
+    """Deterministic pseudo-bucket from an id (odd-constant mix, stable
+    under row order and replica shifts when fed the BASE id)."""
+    return (val * 2654435761) % mod
+
+
+def _skew_keys(src: str) -> dict:
+    """The global hot key per table, read once from the UNSHIFTED source
+    (= replica 0), so every replica's hot rows reference a key that exists."""
+    ks = {}
+    ks["cust"] = pc.min(pq.read_table(
+        f"{src}/customer.parquet", columns=["c_custkey"]).column(0)).as_py()
+    ks["user"] = pc.min(pq.read_table(
+        f"{src}/events.parquet", columns=["user_id"]).column(0)).as_py()
+    ks["source"] = pc.min(pq.read_table(
+        f"{src}/documents.parquet", columns=["source"]).column(0)).as_py()
+    ks["label"] = pc.min(pq.read_table(
+        f"{src}/embeddings.parquet", columns=["label"]).column(0)).as_py()
+    return ks
+
+
+def _set(tbl: pa.Table, col: str, vals: list, typ=None) -> pa.Table:
+    i = tbl.schema.get_field_index(col)
+    return tbl.set_column(i, col, pa.array(vals, typ or tbl.schema.field(i).type))
+
+
+def _skew_replica(name: str, tbl: pa.Table, base_ids: list, r: int,
+                  hot: dict) -> pa.Table:
+    """Apply skew AFTER the id shift: hot-key remaps write the absolute
+    replica-0 key; selections bucket on the BASE id so the same logical
+    rows are chosen in every replica."""
+    bk = [_bucket(i, 100) for i in base_ids]
+    if name == "orders":
+        cur = tbl.column("o_custkey").to_pylist()
+        tbl = _set(tbl, "o_custkey",
+                   [hot["cust"] if b < HOT_PCT else v for b, v in zip(bk, cur)])
+    elif name == "events":
+        users = tbl.column("user_id").to_pylist()
+        tbl = _set(tbl, "user_id",
+                   [hot["user"] if b < HOT_PCT and v is not None else v
+                    for b, v in zip(bk, users)])
+        if r:
+            et = tbl.column("event_type").to_pylist()
+            tbl = _set(tbl, "event_type",
+                       [f"{v}_g{r}" if GROW_PCT[0] <= b < GROW_PCT[1]
+                        and v is not None else v for b, v in zip(bk, et)])
+    elif name == "documents":
+        srcs = tbl.column("source").to_pylist()
+        srcs = [hot["source"] if b < HOT_PCT and v is not None else v
+                for b, v in zip(bk, srcs)]
+        if r:
+            srcs = [f"{v}_g{r}" if GROW_PCT[0] <= b < GROW_PCT[1]
+                    and v is not None else v for b, v in zip(bk, srcs)]
+        tbl = _set(tbl, "source", srcs)
+        texts = tbl.column("text").to_pylist()
+        mult = {i: next(m for lim, m in LEN_TAIL if b < lim)
+                for i, b in enumerate(_bucket(x, 1000) for x in base_ids)
+                if b < LEN_TAIL[-1][0]}
+        texts = [((t + " ") * mult[i]).rstrip() if i in mult and t else t
+                 for i, t in enumerate(texts)]
+        tbl = _set(tbl, "text", texts)
+        nch = tbl.column("n_chars").to_pylist()
+        tbl = _set(tbl, "n_chars",  # recompute ONLY mutated docs' lengths
+                   [len(texts[i]) if i in mult and texts[i] is not None
+                    else v for i, v in enumerate(nch)])
+    elif name == "embeddings":
+        lab = tbl.column("label").to_pylist()
+        tbl = _set(tbl, "label",
+                   [hot["label"] if b < HOT_PCT and v is not None else v
+                    for b, v in zip(bk, lab)])
+    return tbl
+
+
 def _cipher(text: str | None, r: int) -> str | None:
     if text is None or r == 0:
         return text
@@ -78,7 +176,12 @@ def _replica(name: str, tbl: pa.Table, r: int) -> pa.Table:
     return tbl
 
 
-def build(src: str, dest: str, replicas: int) -> None:
+#: skew-mode: table -> the BASE id column that drives row selection.
+SKEW_ID = {"orders": "o_orderkey", "events": "event_id",
+           "documents": "doc_id", "embeddings": "vec_id"}
+
+
+def build(src: str, dest: str, replicas: int, skew: bool = False) -> None:
     # Cipher shift r % 25 + 1 repeats with period 25: replicas r and r+25
     # would get identical text, silently breaking the cross-replica
     # Jaccard ~0 property the module docstring promises (ADVICE r9).
@@ -86,25 +189,33 @@ def build(src: str, dest: str, replicas: int) -> None:
         raise ValueError("scale_fixture supports at most 25 replicas "
                          "(Caesar shift period); got %d" % replicas)
     os.makedirs(dest, exist_ok=True)
+    hot = _skew_keys(src) if skew else None
     for name in DIMS:
         pq.write_table(pq.read_table(f"{src}/{name}.parquet"),
                        f"{dest}/{name}.parquet")
     for name in SHIFTS:
         srct = pq.read_table(f"{src}/{name}.parquet")
+        base_ids = (srct.column(SKEW_ID[name]).to_pylist()
+                    if skew and name in SKEW_ID else None)
         out = f"{dest}/{name}.parquet"
         os.makedirs(out, exist_ok=True)
         for r in range(replicas):
-            pq.write_table(_replica(name, srct, r),
-                           f"{out}/part-{r:02d}.parquet")
-        print(f"{name}: {srct.num_rows} x {replicas} rows", flush=True)
+            rep = _replica(name, srct, r)
+            if base_ids is not None:
+                rep = _skew_replica(name, rep, base_ids, r, hot)
+            pq.write_table(rep, f"{out}/part-{r:02d}.parquet")
+        print(f"{name}: {srct.num_rows} x {replicas} rows"
+              + (" [skewed]" if base_ids is not None else ""), flush=True)
 
 
 def main() -> int:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dest = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf1"
-    build(src, dest, replicas)
-    print(f"scale fixture ({replicas}x {src}) at {dest}")
+    argv = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    replicas = int(argv[0]) if len(argv) > 0 else 10
+    src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    dest = argv[2] if len(argv) > 2 else ("/tmp/sf1skew" if skew else "/tmp/sf1")
+    build(src, dest, replicas, skew=skew)
+    print(f"scale fixture ({replicas}x {src}{', skewed' if skew else ''}) at {dest}")
     return 0
 
 
