@@ -214,15 +214,32 @@ def _duck_shingles(src: str = "documents", prefix: str = "") -> str:
     text when shorter than k) — mirrors functions.text.word_shingles
     exactly. ``src`` parameterizes the corpus relation so composed queries
     (e.g. training_corpus) can shingle a filtered CTE; ``prefix`` names the
-    CTEs so one query can shingle two corpora (decontamination)."""
+    CTEs so one query can shingle two corpora (decontamination).
+
+    LINEAR formulation (round 10): the previous ``FROM words,
+    unnest(generate_series(...))`` cross join re-materialized the whole
+    word array per output row — O(words^2) per doc, 60 s on the skew
+    fixture's 26k-word documents — so word positions now come from a
+    parallel unnest (DuckDB zips equal-length unnests) and each k-gram
+    from LEAD windows. concat_ws skips the NULL LEADs past the end of a
+    doc, which also reproduces the whole-text shingle for short docs."""
+    leads = ", ".join(
+        f"LEAD(w, {j}) OVER (PARTITION BY doc_id ORDER BY i)"
+        for j in range(1, _SHINGLE_K)
+    )
     return f"""
     {prefix}words AS (SELECT doc_id, regexp_split_to_array({_DUCK_NORM}, ' ') AS wa
               FROM {src}
               WHERE {_DUCK_NORM} IS NOT NULL AND {_DUCK_NORM} != ''),
+    {prefix}wordpos AS (
+      SELECT doc_id, len(wa) AS n, unnest(wa) AS w,
+             unnest(range(1, len(wa) + 1)) AS i
+      FROM {prefix}words
+    ),
     {prefix}shingles AS (
-      SELECT DISTINCT doc_id,
-             array_to_string(wa[i:i+{_SHINGLE_K - 1}], ' ') AS s
-      FROM {prefix}words, unnest(generate_series(1, greatest(len(wa) - {_SHINGLE_K - 1}, 1))) t(i)
+      SELECT DISTINCT doc_id, concat_ws(' ', w, {leads}) AS s
+      FROM {prefix}wordpos
+      QUALIFY i <= greatest(n - {_SHINGLE_K - 1}, 1)
     )
 """
 
