@@ -935,27 +935,105 @@ def quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Ranking family (rank/dense_rank tie-stable by value, ntile and "
     "percent_rank over a unique total order) plus first/last/nth value over "
     "a full-partition frame (explicit UNBOUNDED FOLLOWING — the default "
-    "frame makes last_value a footgun). Three window specs over two "
-    "partitionings; specs sharing a partitioning share one shuffle.",
+    "frame makes last_value a footgun). SCALE-FIRST SHAPE (round-10 #3): "
+    "o_orderstatus has 3 distinct values, so a window partitioned by it is "
+    "three giant single-threaded sorts — the measured super-median sf2 "
+    "scaler. rank/dense_rank/percent_rank depend only on (status, priority) "
+    "so they aggregate to that ~15-row table, rank THERE, and broadcast "
+    "back; ntile(4) needs a true per-status row number over a unique order, "
+    "computed two-level: range-partition by the sort key, row_number within "
+    "each (partition, status) slice in parallel, then add the "
+    "partition-count prefix offsets (broadcast-joined, like packing's "
+    "prefix sum). No window partitions by the 3-value key anywhere.",
 )
 def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
-    by_priority = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
-    by_price = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    # -- ranks on the aggregated (status, priority) table ------------------
+    prio = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderpriority")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_ord = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    w_all = Window.partitionBy("o_orderstatus")
+    ranks = prio.select(
+        F.col("o_orderstatus").alias("_rs"),
+        F.col("o_orderpriority").alias("_rp"),
+        (F.coalesce(F.sum("_c").over(w_cum), F.lit(0)) + 1)
+        .cast("int")
+        .alias("rnk"),
+        F.row_number().over(w_ord).alias("drnk"),
+        F.sum("_c").over(w_all).alias("_n_st"),
+    ).withColumn(
+        "prank",
+        round_half_away(
+            (F.col("rnk") - 1)
+            / F.greatest(F.col("_n_st") - 1, F.lit(1)).cast("double"),
+            6,
+        ),
+    )
+    # -- two-level ntile: parallel row_number + prefix offsets -------------
+    parts = orders.repartitionByRange(
+        "o_orderstatus", "o_totalprice", "o_orderkey"
+    ).withColumn("_pid", F.spark_partition_id())
+    w_loc = Window.partitionBy("_pid", "o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    loc = parts.withColumn("_lrn", F.row_number().over(w_loc))
+    offs = (
+        loc.groupBy("_pid", F.col("o_orderstatus").alias("_os"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_pid",
+            "_os",
+            F.coalesce(
+                F.sum("_c").over(
+                    Window.partitionBy("_os")
+                    .orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_off"),
+            F.sum("_c").over(Window.partitionBy("_os")).alias("_n"),
+        )
+    )
+    with_rn = loc.join(
+        F.broadcast(offs),
+        (loc["_pid"] == offs["_pid"])
+        & loc["o_orderstatus"].eqNullSafe(offs["_os"]),
+    ).drop(offs["_pid"]).drop("_os")
+    rn, n = F.col("_lrn") + F.col("_off"), F.col("_n")
+    base, rem = (n / 4).cast("long"), n % 4
+    quartile = (
+        F.when(rn <= rem * (base + 1), ((rn - 1) / (base + 1)).cast("long"))
+        .otherwise(rem + ((rn - rem * (base + 1) - 1) / base).cast("long"))
+        + 1
+    ).cast("int")
     by_cust = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return orders.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_custkey",
-        F.rank().over(by_priority).alias("rnk"),
-        F.dense_rank().over(by_priority).alias("drnk"),
-        F.ntile(4).over(by_price).alias("quartile"),
-        round_half_away(F.percent_rank().over(by_priority), 6).alias("prank"),
-        F.first("o_totalprice").over(by_cust).alias("first_price"),
-        F.last("o_totalprice").over(by_cust).alias("last_price"),
-        F.nth_value("o_totalprice", 2).over(by_cust).alias("second_price"),
+    return (
+        with_rn.join(
+            F.broadcast(ranks),
+            F.col("o_orderstatus").eqNullSafe(F.col("_rs"))
+            & F.col("o_orderpriority").eqNullSafe(F.col("_rp")),
+        )
+        .withColumn("quartile", quartile)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_custkey",
+            "rnk",
+            "drnk",
+            "quartile",
+            "prank",
+            F.first("o_totalprice").over(by_cust).alias("first_price"),
+            F.last("o_totalprice").over(by_cust).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(by_cust).alias("second_price"),
+        )
     )

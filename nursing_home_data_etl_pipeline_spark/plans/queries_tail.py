@@ -97,8 +97,17 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(words(F.lower(F.col("text")))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    # doc_len over tf, not toks: the window input is the (doc, term)-sized
+    # aggregate. (A row-local size(words) carried through the explode would
+    # be cheaper still, but NULL-id docs merge into ONE group here and their
+    # doc_len must SUM across the merged docs — the window is the semantic.)
     tf = tf.withColumn("doc_len", F.sum("n").over(Window.partitionBy("doc_id")))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # Two-level doc frequency: tf already holds one row per (doc, term), so
+    # df is a cheap count over tf — reusing tf's exchange — instead of a
+    # countDistinct(doc_id) re-aggregation of the token-sized relation
+    # (which Spark plans as Expand + two extra shuffles of toks).
+    # count("doc_id") skips NULL-id docs, matching COUNT(DISTINCT doc_id).
+    df = tf.groupBy("term").agg(F.count("doc_id").alias("df"))
     # Corpus size as a broadcast 1-row aggregate instead of a driver-side
     # .count(): the whole query stays one lazy plan, no extra job.
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
