@@ -10,6 +10,12 @@ catching order/partition-count dependence without touching row content.
 ``--shape`` (round 9) enables a third stream of SCHEMA-SHAPE mutations:
 all-NULL / single-distinct-value / per-row-unique columns, 10k-char texts,
 and one 0-row table among populated siblings (see ``_shape``).
+``--corr`` (round 10) enables a fourth stream of CROSS-TABLE CORRELATED
+mutations the independent per-table streams can never produce: FK fan-out
+(one parent key owning ~50% of children), verbatim duplicate parents with
+children still attached, and orphan+duplicate combos on the same key (see
+``_correlate``). Its own flag so the pinned --shape seed 2028 fixture
+stays bit-identical.
 
 Round-8 sweeps with this builder found ~10 real divergence classes (see
 docs/HISTORY.md). The policies below encode the classes that are
@@ -226,6 +232,55 @@ def _shape(name: str, tbl: pa.Table, srng: random.Random) -> pa.Table:
     return tbl
 
 
+#: (parent table, parent key, child table, FK) pairs for --corr. Child FKs
+#: only — the parent-side ids in NO_EDIT_COLS are never re-pointed. events/
+#: documents/embeddings have no FK parent and stay out.
+FK_PAIRS = (
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier", "s_suppkey", "lineitem", "l_suppkey"),
+)
+
+
+def _correlate(tabs: dict[str, pa.Table], crng: random.Random) -> None:
+    """CROSS-TABLE correlated mutations (round-10 directive #5): the value/
+    shape streams mutate each table independently, so referential shapes —
+    a parent key owning half its children, a duplicated parent fanning out
+    every child join, an orphaned key that ALSO has duplicate children —
+    were never generated. Parent duplication is VERBATIM (the chimera
+    policy); table policies re-run after this, so e.g. duplicate BUILDING
+    customers still get resolved."""
+    for _ in range(crng.randint(1, 2)):
+        parent, pk, child, fk = crng.choice(FK_PAIRS)
+        ptab, ctab = tabs[parent], tabs[child]
+        if ptab.num_rows == 0 or ctab.num_rows == 0:
+            continue
+        pkeys = [k for k in ptab.column(pk).to_pylist() if k is not None]
+        if not pkeys:
+            continue
+        hot = crng.choice(pkeys)
+        op = crng.choice(["fanout", "dup_parent", "orphan_dup"])
+        if op == "fanout":
+            vals = [hot if v is not None and crng.random() < 0.5 else v
+                    for v in ctab.column(fk).to_pylist()]
+            i = ctab.schema.get_field_index(fk)
+            tabs[child] = ctab.set_column(
+                i, fk, pa.array(vals, ctab.schema.field(fk).type))
+        elif op == "dup_parent":
+            rows = [i for i, v in enumerate(ptab.column(pk).to_pylist())
+                    if v == hot][:1]
+            tabs[parent] = pa.concat_tables([ptab, ptab.take(pa.array(rows))])
+        elif op == "orphan_dup":
+            keep = [i for i, v in enumerate(ptab.column(pk).to_pylist())
+                    if v != hot]
+            tabs[parent] = ptab.take(pa.array(keep))
+            kids = [i for i, v in enumerate(ctab.column(fk).to_pylist())
+                    if v == hot][:3]
+            if kids and child not in NO_DUP_ROWS:
+                tabs[child] = pa.concat_tables([ctab, ctab.take(pa.array(kids))])
+
+
 def _dedup_rows(tbl: pa.Table, key: str, conflict_cols: list[str] | None) -> pa.Table:
     """Keep the first row per non-NULL ``key``; with ``conflict_cols``,
     later VERBATIM copies (equal on those columns) survive."""
@@ -284,16 +339,20 @@ def _write_layout(tbl: pa.Table, path: str, lrng: random.Random) -> None:
                        row_group_size=lrng.choice([7, 64, 4096]))
 
 
-def build(src: str, dest: str, seed: int, shape: bool = False) -> None:
+def build(src: str, dest: str, seed: int, shape: bool = False,
+          corr: bool = False) -> None:
     rng = random.Random(seed)
-    # Independent streams for physical layout and schema shape so neither
-    # perturbs the value mutations a pinned seed historically produced.
+    # Independent streams for physical layout / schema shape / correlation
+    # so none perturbs the value mutations a pinned seed historically
+    # produced.
     lrng = random.Random(seed ^ 0x4C41594F)
     srng = random.Random(seed ^ 0x53484150)
+    crng = random.Random(seed ^ 0x434F5252)
     # ~1 in 4 shape seeds empties ONE table while its siblings stay
     # populated (beyond the matrix's all-empty axis)
     empty_t = srng.choice([*TABLES, *([None] * 3 * len(TABLES))]) if shape else None
     os.makedirs(dest, exist_ok=True)
+    tabs: dict[str, pa.Table] = {}
     for t in TABLES:
         tbl = pq.read_table(f"{src}/{t}.parquet")
         if t == empty_t:
@@ -301,17 +360,22 @@ def build(src: str, dest: str, seed: int, shape: bool = False) -> None:
         tbl = _mutate(t, tbl, rng)
         if shape:
             tbl = _shape(t, tbl, srng)
+        tabs[t] = tbl
+    if corr:
+        _correlate(tabs, crng)
+    for t, tbl in tabs.items():
         if t in _POLICIES:
             tbl = _POLICIES[t](tbl)
         _write_layout(tbl, f"{dest}/{t}.parquet", lrng)
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--shape"]
+    args = [a for a in sys.argv[1:] if a not in ("--shape", "--corr")]
     seed = int(args[0]) if args else 0
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.001"
     dest = args[2] if len(args) > 2 else f"/tmp/fuzzdata_s{seed}"
-    build(src, dest, seed, shape="--shape" in sys.argv)
+    build(src, dest, seed, shape="--shape" in sys.argv,
+          corr="--corr" in sys.argv)
     print(f"fuzz fixture (seed {seed}) at {dest}")
     return 0
 
