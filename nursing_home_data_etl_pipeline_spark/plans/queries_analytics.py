@@ -976,23 +976,52 @@ def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # -- two-level ntile: parallel row_number + prefix offsets -------------
-    parts = orders.repartitionByRange(
-        "o_orderstatus", "o_totalprice", "o_orderkey"
-    ).withColumn("_pid", F.spark_partition_id())
-    w_loc = Window.partitionBy("_pid", "o_orderstatus").orderBy(
+    # The shard column must assign IDENTICALLY in the row branch and the
+    # offset branch (two evaluations of one lineage). spark_partition_id
+    # over repartitionByRange cannot: range-boundary SAMPLING is
+    # nondeterministic across evaluations (probed at sf1-skew — two runs
+    # put all 66 (pid, status) groups at different counts, and the
+    # pid->offset join first dropped 80% of rows, then mis-bucketed 41k).
+    # So the shard is a DATA-DERIVED bucket: exact percentiles of a
+    # deterministic 0.5% hash-sample of the sort key, broadcast, applied
+    # as a pure column function — identical in every evaluation, and tie
+    # values share a bucket, so (bucket, price, key) order == (price, key)
+    # order. NULL prices bucket before all (NULLS FIRST), NaN after all
+    # (Spark sorts NaN greatest).
+    n_bk = int(spark.conf.get("spark.sql.shuffle.partitions")) * 2
+    pcts = ",".join(str(i / n_bk) for i in range(1, n_bk))
+    bounds = orders.filter(F.xxhash64("o_orderkey") % 200 == 0).agg(
+        F.expr(f"percentile(o_totalprice, array({pcts}))").alias("_bs")
+    )
+    price = F.col("o_totalprice")
+    parts = (
+        orders.join(F.broadcast(bounds))
+        .withColumn(
+            "_bk",
+            F.when(price.isNull(), F.lit(-1))
+            .when(F.isnan(price), F.lit(n_bk))
+            .otherwise(
+                F.coalesce(
+                    F.size(F.filter("_bs", lambda b: b <= price)), F.lit(0)
+                )
+            ),
+        )
+        .drop("_bs")
+    )
+    w_loc = Window.partitionBy("_bk", "o_orderstatus").orderBy(
         "o_totalprice", "o_orderkey"
     )
     loc = parts.withColumn("_lrn", F.row_number().over(w_loc))
     offs = (
-        loc.groupBy("_pid", F.col("o_orderstatus").alias("_os"))
+        loc.groupBy("_bk", F.col("o_orderstatus").alias("_os"))
         .agg(F.count(F.lit(1)).alias("_c"))
         .select(
-            "_pid",
+            "_bk",
             "_os",
             F.coalesce(
                 F.sum("_c").over(
                     Window.partitionBy("_os")
-                    .orderBy("_pid")
+                    .orderBy("_bk")
                     .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
@@ -1002,9 +1031,9 @@ def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_rn = loc.join(
         F.broadcast(offs),
-        (loc["_pid"] == offs["_pid"])
+        (loc["_bk"] == offs["_bk"])
         & loc["o_orderstatus"].eqNullSafe(offs["_os"]),
-    ).drop(offs["_pid"]).drop("_os")
+    ).drop(offs["_bk"]).drop("_os")
     rn, n = F.col("_lrn") + F.col("_off"), F.col("_n")
     base, rem = (n / 4).cast("long"), n % 4
     quartile = (
