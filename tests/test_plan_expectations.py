@@ -80,13 +80,15 @@ def test_q18_big_key_semi_join_broadcasts(spark, sf_dir):
 #: query batch in brute-force top-k / IVF cell scoring at similarity.py:92,
 #: 444 and the IVF cell scoring in plans/queries_tail.py, the 1-row
 #: corpus count in TF-IDF there too, the quantile boundary row set in
-#: quantile_bands), so the "nested loop" is a map-side constant join — the
-#: intended physical op, not a scale risk.
+#: quantile_bands, the 1-row ntile bucket-boundary array in
+#: window_rank_values), so the "nested loop" is a map-side constant join —
+#: the intended physical op, not a scale risk.
 _BNLJ_ALLOWED = {
     "quantile_bands",
     "similarity_topk",
     "tfidf_terms",
     "similarity_ann_ivf",
+    "window_rank_values",
 }
 
 
