@@ -6,12 +6,10 @@ close was a sequence of hand-run steps.
 
 Refuses a dirty tree (the stamp must name the exact tree the runs saw).
 Steps, each a subprocess so one crash fails that step only:
-
   matrix -> MATRIX_r{N}.json      full robustness matrix, all axes
   bench  -> BENCH_warm_r{N}.json  bench.py --warm W at $SPARK_GRAFT_SF_DIR
   ledger -> (inline)              tools/loc_ledger.py counts
   audit  -> docs/EXPLAIN_AUDIT.md regenerated, commit line injected
-
 Writes CLOSE_r{N}.json {commit, steps, all_green}; exit 0 iff every step
 passed. The artifacts land one commit AFTER the stamped tree by
 construction — the stamp names the tree the runs executed on.
@@ -31,12 +29,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _git(*args: str) -> str:
-    return subprocess.run(["git", *args], cwd=REPO, capture_output=True,
-                          text=True).stdout.strip()
-
-
-def _run(cmd: list[str], timeout: int) -> tuple[int, str]:
+def _run(cmd: list[str], timeout: int = 7200) -> tuple[int, str]:
     try:
         p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
                            timeout=timeout)
@@ -45,64 +38,37 @@ def _run(cmd: list[str], timeout: int) -> tuple[int, str]:
         return -1, ""
 
 
-def _stamp_json(path: str, commit: str) -> None:
-    with open(path) as f:
-        rec = json.load(f)
-    rec["commit"] = commit
-    with open(path, "w") as f:
-        json.dump(rec, f, indent=1)
-
-
 def close(n: int, warm: int, skip: set[str]) -> int:
-    dirty = _git("status", "--porcelain")
+    dirty = _run(["git", "status", "--porcelain"])[1].strip()
     if dirty:
         print(f"REFUSED: tree is dirty — commit first so the stamp is "
               f"meaningful:\n{dirty}")
         return 2
-    commit = _git("rev-parse", "HEAD")
+    commit = _run(["git", "rev-parse", "HEAD"])[1].strip()
     print(f"closing round {n} on {commit[:12]}", flush=True)
-    steps: dict[str, dict] = {}
-
-    def step(name: str, fn) -> None:
-        if name in skip:
-            steps[name] = {"status": "skipped"}
-            return
-        t0 = time.time()
-        try:
-            ok, detail = fn()
-        except Exception as ex:
-            ok, detail = False, repr(ex)[:300]
-        steps[name] = {"status": "pass" if ok else "fail",
-                       "detail": detail, "seconds": round(time.time() - t0, 1)}
-        print(f"{steps[name]['status']:5s} {name} "
-              f"({steps[name]['seconds']}s) {detail}", flush=True)
 
     def matrix():
         out = f"MATRIX_r{n:02d}.json"
-        rc, _ = _run([sys.executable, "tools/robustness_matrix.py",
-                      "--out", out], timeout=7200)
+        rc, _ = _run([sys.executable, "tools/robustness_matrix.py", "--out", out])
         path = os.path.join(REPO, out)
         if not os.path.exists(path):
             return False, f"{out} not written (rc={rc})"
-        _stamp_json(path, commit)
-        with open(path) as f:
-            rec = json.load(f)
+        rec = json.load(open(path))
+        rec["commit"] = commit
+        json.dump(rec, open(path, "w"), indent=1)
         return rc == 0 and rec.get("all_green", False), out
 
     def bench():
         out = f"BENCH_warm_r{n:02d}.json"
-        rc, stdout = _run([sys.executable, "bench.py", "--warm", str(warm)],
-                          timeout=7200)
+        rc, stdout = _run([sys.executable, "bench.py", "--warm", str(warm)])
         line = next((ln for ln in reversed(stdout.splitlines())
                      if ln.startswith('{"metric"')), None)
         if line is None:
             return False, f"no JSON line (rc={rc})"
         rec = json.loads(line)
         rec["commit"] = commit
-        with open(os.path.join(REPO, out), "w") as f:
-            json.dump(rec, f, indent=1)
-        return rc == 0 and rec.get("errors") == 0, (
-            f"{out} total={rec.get('value')}s")
+        json.dump(rec, open(os.path.join(REPO, out), "w"), indent=1)
+        return rc == 0 and rec.get("errors") == 0, f"{out} total={rec['value']}s"
 
     def ledger():
         rc, stdout = _run([sys.executable, "tools/loc_ledger.py"], timeout=120)
@@ -112,30 +78,37 @@ def close(n: int, warm: int, skip: set[str]) -> int:
         return True, f"total={steps['ledger_counts']['total']}"
 
     def audit():
-        rc, stdout = _run([sys.executable, "tools/explain_audit.py"],
-                          timeout=1800)
+        rc, stdout = _run([sys.executable, "tools/explain_audit.py"])
         path = os.path.join(REPO, "docs", "EXPLAIN_AUDIT.md")
         if rc != 0 or not os.path.exists(path):
             return False, f"rc={rc}"
-        with open(path) as f:
-            lines = f.read().splitlines()
+        lines = open(path).read().splitlines()
         lines.insert(1, f"\nGenerated on commit `{commit}`.")
-        with open(path, "w") as f:
-            f.write("\n".join(lines))
+        open(path, "w").write("\n".join(lines))
         return True, stdout.strip().splitlines()[-1] if stdout else ""
 
-    step("matrix", matrix)
-    step("bench", bench)
-    step("ledger", ledger)
-    step("audit", audit)
+    steps: dict[str, dict] = {}
+    for name, fn in (("matrix", matrix), ("bench", bench),
+                     ("ledger", ledger), ("audit", audit)):
+        if name in skip:
+            steps[name] = {"status": "skipped"}
+            continue
+        t0 = time.time()
+        try:
+            ok, detail = fn()
+        except Exception as ex:
+            ok, detail = False, repr(ex)[:300]
+        steps[name] = {"status": "pass" if ok else "fail", "detail": detail,
+                       "seconds": round(time.time() - t0, 1)}
+        print(f"{steps[name]['status']:5s} {name} "
+              f"({steps[name]['seconds']}s) {detail}", flush=True)
 
-    all_green = all(s.get("status") in ("pass", "skipped")
+    all_green = all(s["status"] in ("pass", "skipped")
                     for s in steps.values() if "status" in s)
     record = {"round": n, "commit": commit, "warm": warm, "steps": steps,
               "all_green": all_green}
     out = os.path.join(REPO, f"CLOSE_r{n:02d}.json")
-    with open(out, "w") as f:
-        json.dump(record, f, indent=1)
+    json.dump(record, open(out, "w"), indent=1)
     print(f"{'ALL GREEN' if all_green else 'FAILURES'} -> {out}")
     return 0 if all_green else 1
 
@@ -146,8 +119,7 @@ def main() -> int:
     ap.add_argument("--warm", type=int, default=3)
     ap.add_argument("--skip", default="", help="comma-separated step names")
     args = ap.parse_args()
-    return close(args.round, args.warm,
-                 {s for s in args.skip.split(",") if s})
+    return close(args.round, args.warm, {s for s in args.skip.split(",") if s})
 
 
 if __name__ == "__main__":
