@@ -948,86 +948,62 @@ def quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
-    # -- ranks on the aggregated (status, priority) table ------------------
-    prio = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    w_cum = (
-        Window.partitionBy("o_orderstatus")
-        .orderBy("o_orderpriority")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # ranks on the aggregated (status, priority) table
+    w_cum = (Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+             .rowsBetween(Window.unboundedPreceding, -1))
     w_ord = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
     w_all = Window.partitionBy("o_orderstatus")
-    ranks = prio.select(
-        F.col("o_orderstatus").alias("_rs"),
-        F.col("o_orderpriority").alias("_rp"),
-        (F.coalesce(F.sum("_c").over(w_cum), F.lit(0)) + 1)
-        .cast("int")
-        .alias("rnk"),
-        F.row_number().over(w_ord).alias("drnk"),
-        F.sum("_c").over(w_all).alias("_n_st"),
-    ).withColumn(
-        "prank",
-        round_half_away(
+    ranks = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            F.col("o_orderstatus").alias("_rs"),
+            F.col("o_orderpriority").alias("_rp"),
+            (F.coalesce(F.sum("_c").over(w_cum), F.lit(0)) + 1)
+            .cast("int").alias("rnk"),
+            F.row_number().over(w_ord).alias("drnk"),
+            F.sum("_c").over(w_all).alias("_n_st"),
+        )
+        .withColumn("prank", round_half_away(
             (F.col("rnk") - 1)
-            / F.greatest(F.col("_n_st") - 1, F.lit(1)).cast("double"),
-            6,
-        ),
+            / F.greatest(F.col("_n_st") - 1, F.lit(1)).cast("double"), 6))
     )
-    # -- two-level ntile: parallel row_number + prefix offsets -------------
-    # The shard column must assign IDENTICALLY in the row branch and the
-    # offset branch (two evaluations of one lineage). spark_partition_id
-    # over repartitionByRange cannot: range-boundary SAMPLING is
-    # nondeterministic across evaluations (probed at sf1-skew — two runs
-    # put all 66 (pid, status) groups at different counts, and the
-    # pid->offset join first dropped 80% of rows, then mis-bucketed 41k).
-    # So the shard is a DATA-DERIVED bucket: exact percentiles of a
-    # deterministic 0.5% hash-sample of the sort key, broadcast, applied
-    # as a pure column function — identical in every evaluation, and tie
-    # values share a bucket, so (bucket, price, key) order == (price, key)
-    # order. NULL prices bucket before all (NULLS FIRST), NaN after all
-    # (Spark sorts NaN greatest).
+    # Two-level ntile. The shard column must assign IDENTICALLY in the row
+    # branch and the offset branch (two evaluations of one lineage) —
+    # spark_partition_id over repartitionByRange cannot: range-boundary
+    # SAMPLING is nondeterministic across evaluations (probed at sf1-skew:
+    # all 66 (pid, status) group counts differed between back-to-back runs;
+    # implicit N lost 80% of rows to AQE coalescing, explicit N still
+    # mis-bucketed 41k). So the shard is a DATA-DERIVED bucket: exact
+    # percentiles of a deterministic 0.5% hash-sample of the sort key,
+    # broadcast, applied as a pure column function. Tie values share a
+    # bucket, so (bucket, price, key) order == (price, key) order; NULL
+    # prices bucket before all (NULLS FIRST), NaN after all.
     n_bk = int(spark.conf.get("spark.sql.shuffle.partitions")) * 2
     pcts = ",".join(str(i / n_bk) for i in range(1, n_bk))
     bounds = orders.filter(F.xxhash64("o_orderkey") % 200 == 0).agg(
-        F.expr(f"percentile(o_totalprice, array({pcts}))").alias("_bs")
-    )
+        F.expr(f"percentile(o_totalprice, array({pcts}))").alias("_bs"))
     price = F.col("o_totalprice")
     parts = (
         orders.join(F.broadcast(bounds))
-        .withColumn(
-            "_bk",
-            F.when(price.isNull(), F.lit(-1))
-            .when(F.isnan(price), F.lit(n_bk))
-            .otherwise(
-                F.coalesce(
-                    F.size(F.filter("_bs", lambda b: b <= price)), F.lit(0)
-                )
-            ),
-        )
+        .withColumn("_bk", F.when(price.isNull(), F.lit(-1))
+                    .when(F.isnan(price), F.lit(n_bk))
+                    .otherwise(F.coalesce(
+                        F.size(F.filter("_bs", lambda b: b <= price)),
+                        F.lit(0))))
         .drop("_bs")
     )
     w_loc = Window.partitionBy("_bk", "o_orderstatus").orderBy(
-        "o_totalprice", "o_orderkey"
-    )
+        "o_totalprice", "o_orderkey")
     loc = parts.withColumn("_lrn", F.row_number().over(w_loc))
+    w_opre = (Window.partitionBy("_os").orderBy("_bk")
+              .rowsBetween(Window.unboundedPreceding, -1))
     offs = (
         loc.groupBy("_bk", F.col("o_orderstatus").alias("_os"))
         .agg(F.count(F.lit(1)).alias("_c"))
-        .select(
-            "_bk",
-            "_os",
-            F.coalesce(
-                F.sum("_c").over(
-                    Window.partitionBy("_os")
-                    .orderBy("_bk")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).alias("_off"),
-            F.sum("_c").over(Window.partitionBy("_os")).alias("_n"),
-        )
+        .select("_bk", "_os",
+                F.coalesce(F.sum("_c").over(w_opre), F.lit(0)).alias("_off"),
+                F.sum("_c").over(Window.partitionBy("_os")).alias("_n"))
     )
     with_rn = loc.join(
         F.broadcast(offs),
@@ -1041,28 +1017,19 @@ def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rem + ((rn - rem * (base + 1) - 1) / base).cast("long"))
         + 1
     ).cast("int")
-    by_cust = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
+    by_cust = (Window.partitionBy("o_custkey")
+               .orderBy("o_orderdate", "o_orderkey")
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))
     return (
-        with_rn.join(
-            F.broadcast(ranks),
-            F.col("o_orderstatus").eqNullSafe(F.col("_rs"))
-            & F.col("o_orderpriority").eqNullSafe(F.col("_rp")),
-        )
+        with_rn.join(F.broadcast(ranks),
+                     F.col("o_orderstatus").eqNullSafe(F.col("_rs"))
+                     & F.col("o_orderpriority").eqNullSafe(F.col("_rp")))
         .withColumn("quartile", quartile)
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            "o_custkey",
-            "rnk",
-            "drnk",
-            "quartile",
-            "prank",
-            F.first("o_totalprice").over(by_cust).alias("first_price"),
-            F.last("o_totalprice").over(by_cust).alias("last_price"),
-            F.nth_value("o_totalprice", 2).over(by_cust).alias("second_price"),
-        )
+        .select("o_orderkey", "o_orderstatus", "o_custkey",
+                "rnk", "drnk", "quartile", "prank",
+                F.first("o_totalprice").over(by_cust).alias("first_price"),
+                F.last("o_totalprice").over(by_cust).alias("last_price"),
+                F.nth_value("o_totalprice", 2).over(by_cust)
+                .alias("second_price"))
     )
