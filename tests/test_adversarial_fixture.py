@@ -185,3 +185,49 @@ def test_scale_fixture_replica_cap():
     spec.loader.exec_module(mod)
     with pytest.raises(ValueError, match="25 replicas"):
         mod.build("/nonexistent", "/nonexistent-out", 26)
+
+
+def test_corr_fuzz_builder_properties(tmp_path):
+    """--corr (round 10) must produce at least one of its referential
+    shapes and keep every pinned policy: verbatim-only duplicate parents,
+    no re-pointed protected ids, events/embeddings never duplicated."""
+    import importlib.util
+
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "fuzz_fixture",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "fuzz_fixture.py"),
+    )
+    ff = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ff)
+
+    from conftest import SF_SMOKE
+
+    def read(d, t):
+        p = f"{d}/{t}.parquet"
+        return (pq.read_table(p) if os.path.isfile(p)
+                else pq.ParquetDataset(p).read())
+
+    saw_shape = 0
+    for seed in (9001, 9002, 9003, 9004):
+        d = str(tmp_path / f"s{seed}")
+        ff.build(SF_SMOKE, d, seed, corr=True)
+        ev = read(d, "events")
+        rows = list(zip(ev.column("ts").to_pylist(),
+                        ev.column("event_id").to_pylist()))
+        assert len(rows) == len(set(rows))  # (ts, event_id) total order kept
+        base_custs = set(
+            pq.read_table(f"{SF_SMOKE}/customer.parquet")
+            .column("c_custkey").to_pylist())
+        got_custs = read(d, "customer").column("c_custkey").to_pylist()
+        assert set(x for x in got_custs if x is not None) <= base_custs
+        ords = read(d, "orders").column("o_custkey").to_pylist()
+        from collections import Counter
+
+        top = Counter(x for x in ords if x is not None).most_common(1)
+        if top and top[0][1] >= len(ords) * 0.4:
+            saw_shape += 1  # fanout fired
+        if len(got_custs) != len(set(got_custs)):
+            saw_shape += 1  # dup parent fired
+    assert saw_shape >= 1
