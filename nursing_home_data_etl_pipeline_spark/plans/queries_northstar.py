@@ -222,17 +222,24 @@ def _duck_shingles(src: str = "documents", prefix: str = "") -> str:
     fixture's 26k-word documents — so word positions now come from a
     parallel unnest (DuckDB zips equal-length unnests) and each k-gram
     from LEAD windows. concat_ws skips the NULL LEADs past the end of a
-    doc, which also reproduces the whole-text shingle for short docs."""
+    doc, which also reproduces the whole-text shingle for short docs.
+    The LEAD window partitions by a per-ROW id, not doc_id: a VERBATIM
+    duplicate doc_id row restarts i at 1, and a doc_id-partitioned window
+    would tie on i across the copies and interleave them into garbage
+    shingles (corr-sweep seed 4102: all-identical texts + duplicate ids
+    lost 3x497 jaccard pairs); per-row windows make each copy shingle
+    itself, and the per-doc DISTINCT collapses the identical results."""
     leads = ", ".join(
-        f"LEAD(w, {j}) OVER (PARTITION BY doc_id ORDER BY i)"
+        f"LEAD(w, {j}) OVER (PARTITION BY rid ORDER BY i)"
         for j in range(1, _SHINGLE_K)
     )
     return f"""
-    {prefix}words AS (SELECT doc_id, regexp_split_to_array({_DUCK_NORM}, ' ') AS wa
+    {prefix}words AS (SELECT doc_id, row_number() OVER () AS rid,
+                   regexp_split_to_array({_DUCK_NORM}, ' ') AS wa
               FROM {src}
               WHERE {_DUCK_NORM} IS NOT NULL AND {_DUCK_NORM} != ''),
     {prefix}wordpos AS (
-      SELECT doc_id, len(wa) AS n, unnest(wa) AS w,
+      SELECT doc_id, rid, len(wa) AS n, unnest(wa) AS w,
              unnest(range(1, len(wa) + 1)) AS i
       FROM {prefix}words
     ),

@@ -2,7 +2,7 @@
 axis, one JSON record out (round-7 VERDICT directive #1 — a hand-run axis
 that silently dropped out of the routine was invisible).
 
-The FIFTEEN-axis set (rounds 8-9):
+The SIXTEEN-axis set (rounds 8-10):
   clean-sf0.001 / clean-sf0.01 / clean-sf0.1   driver parquet as-is
   adversarial-sf0.001 / adversarial-sf0.1      adversarial_fixture phases 1-7
   skew, empty, single-row, all-duplicates,     derived from sf0.001
@@ -10,6 +10,8 @@ The FIFTEEN-axis set (rounds 8-9):
   cpus3                                        clean sf0.001, SPARK_GRAFT_CPUS=3
   fuzz-s101 / fuzz-s202 / fuzz-s303            fuzz_fixture seeded mutations
   fuzz-shape-s2028                             --shape schema mutations (r9:
+  fuzz-corr-s4102                              --shape --corr (r10: found the
+                                               per-row shingle-window class)
                                                found the topk totality class)
 
 Each axis runs as a SUBPROCESS of tools/check_correctness.py: a JVM crash on
@@ -78,6 +80,15 @@ def axis_specs(testdata: str, workdir: str) -> dict[str, dict]:
         "fuzz-shape-s2028": {
             "dir": d("fuzzshape2028"),
             "build": lambda p: ff.build(sf["0.001"], p, 2028, shape=True),
+        },
+        # axis 16 (round 10): pinned CORR-sweep seed — all-identical texts
+        # PLUS verbatim duplicate doc_ids; found the per-row shingle-window
+        # class (a doc_id-partitioned LEAD window interleaves duplicate
+        # copies' word positions into garbage shingles)
+        "fuzz-corr-s4102": {
+            "dir": d("fuzzcorr4102"),
+            "build": lambda p: ff.build(sf["0.001"], p, 4102, shape=True,
+                                        corr=True),
         },
     }
 
