@@ -10,9 +10,9 @@ The SIXTEEN-axis set (rounds 8-10):
   cpus3                                        clean sf0.001, SPARK_GRAFT_CPUS=3
   fuzz-s101 / fuzz-s202 / fuzz-s303            fuzz_fixture seeded mutations
   fuzz-shape-s2028                             --shape schema mutations (r9:
+                                               found the topk totality class)
   fuzz-corr-s4102                              --shape --corr (r10: found the
                                                per-row shingle-window class)
-                                               found the topk totality class)
 
 Each axis runs as a SUBPROCESS of tools/check_correctness.py: a JVM crash on
 one axis fails that axis only, and the cpus3 axis needs its own session (the
