@@ -32,10 +32,15 @@ def main() -> int:
     argv = sys.argv[1:]
     if "--warm" in argv:  # positional-agnostic; ADVICE r9: argv[:1] check
         i = argv.index("--warm")
-        if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
-            print("usage: bench.py [--warm N]", file=sys.stderr)
+        # Plain int() parse + explicit >=1 check: lstrip('-')+clamp used to
+        # silently accept --warm -3 as 1 (ADVICE r10).
+        try:
+            warm_n = int(argv[i + 1])
+        except (IndexError, ValueError):
+            warm_n = 0
+        if warm_n < 1:
+            print("usage: bench.py [--warm N]  (N >= 1)", file=sys.stderr)
             return 2
-        warm_n = max(1, int(argv[i + 1]))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Best-effort sf label from the dir name; any non-sfN.N spelling
     # (sf-data, sf_custom) degrades to -1.0 instead of crashing the

@@ -981,35 +981,45 @@ def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prices bucket before all (NULLS FIRST), NaN after all.
     n_bk = int(spark.conf.get("spark.sql.shuffle.partitions")) * 2
     pcts = ",".join(str(i / n_bk) for i in range(1, n_bk))
+    # coalesce to array() at the AGGREGATE: a sample with zero non-NULL
+    # prices yields _bs=NULL, and size(filter(NULL,..)) is -1 under legacy
+    # sizeOfNull — every numeric row would share bucket -1 with NULL
+    # prices (ADVICE r10). Empty bounds degrade to ONE bucket (bucket 0),
+    # which stays order-consistent.
     bounds = orders.filter(F.xxhash64("o_orderkey") % 200 == 0).agg(
-        F.expr(f"percentile(o_totalprice, array({pcts}))").alias("_bs"))
+        F.expr(f"coalesce(percentile(o_totalprice, array({pcts})), "
+               "cast(array() as array<double>))").alias("_bs"))
     price = F.col("o_totalprice")
     parts = (
         orders.join(F.broadcast(bounds))
         .withColumn("_bk", F.when(price.isNull(), F.lit(-1))
                     .when(F.isnan(price), F.lit(n_bk))
-                    .otherwise(F.coalesce(
-                        F.size(F.filter("_bs", lambda b: b <= price)),
-                        F.lit(0))))
+                    .otherwise(
+                        F.size(F.filter("_bs", lambda b: b <= price))))
         .drop("_bs")
     )
     w_loc = Window.partitionBy("_bk", "o_orderstatus").orderBy(
         "o_totalprice", "o_orderkey")
     loc = parts.withColumn("_lrn", F.row_number().over(w_loc))
-    w_opre = (Window.partitionBy("_os").orderBy("_bk")
+    w_opre = (Window.partitionBy("_os").orderBy("_bk2")
               .rowsBetween(Window.unboundedPreceding, -1))
+    # `_bk2`/`_os` aliases make the self-join condition unambiguous by
+    # construction — joining two branches of ONE lineage on same-named
+    # columns made Spark construct a "trivially true equals predicate"
+    # special case (benign but a plan wart; VERDICT r10 #3).
     offs = (
-        loc.groupBy("_bk", F.col("o_orderstatus").alias("_os"))
+        loc.groupBy(F.col("_bk").alias("_bk2"),
+                    F.col("o_orderstatus").alias("_os"))
         .agg(F.count(F.lit(1)).alias("_c"))
-        .select("_bk", "_os",
+        .select("_bk2", "_os",
                 F.coalesce(F.sum("_c").over(w_opre), F.lit(0)).alias("_off"),
                 F.sum("_c").over(Window.partitionBy("_os")).alias("_n"))
     )
     with_rn = loc.join(
         F.broadcast(offs),
-        (loc["_bk"] == offs["_bk"])
-        & loc["o_orderstatus"].eqNullSafe(offs["_os"]),
-    ).drop(offs["_bk"]).drop("_os")
+        (F.col("_bk") == F.col("_bk2"))
+        & F.col("o_orderstatus").eqNullSafe(F.col("_os")),
+    ).drop("_bk2", "_os")
     rn, n = F.col("_lrn") + F.col("_off"), F.col("_n")
     base, rem = (n / 4).cast("long"), n % 4
     quartile = (

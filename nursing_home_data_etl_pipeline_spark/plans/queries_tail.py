@@ -393,7 +393,19 @@ def _drain_to_memory(
         try:
             q.processAllAvailable()
             if require_single_batch or require_multi_batch:
-                fed = [p for p in q.recentProgress if p.numInputRows > 0]
+                prog = q.recentProgress
+                # recentProgress is a RING BUFFER (default cap 100): a
+                # drain spanning more microbatches than the cap would
+                # silently undercount fed batches (ADVICE r10) — refuse to
+                # trust a possibly-saturated buffer.
+                cap = int(spark.conf.get(
+                    "spark.sql.streaming.numRecentProgressUpdates", "100"))
+                if len(prog) >= cap:
+                    raise AssertionError(
+                        f"recentProgress holds {len(prog)} >= cap {cap} "
+                        "entries; batch-count guards would undercount"
+                    )
+                fed = [p for p in prog if p.numInputRows > 0]
                 if require_single_batch and len(fed) > 1:
                     raise AssertionError(
                         f"bounded drain spanned {len(fed)} microbatches; "

@@ -38,7 +38,8 @@ def windowed_counts(
     multi-microbatch delivery here — the None escape hatch exists for
     symmetry with ``session_counts``, where it is load-bearing."""
     return (
-        (events.withWatermark(ts_col, watermark) if watermark else events)
+        (events.withWatermark(ts_col, watermark)
+         if watermark is not None else events)
         .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -73,7 +74,8 @@ def session_counts(
     so a watermark makes incremental delivery lossy even in complete mode;
     omitting it is legal there and restores batch equivalence."""
     return (
-        (events.withWatermark(ts_col, watermark) if watermark else events)
+        (events.withWatermark(ts_col, watermark)
+         if watermark is not None else events)
         .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

@@ -33,6 +33,10 @@ EXPECTATIONS = [
     ("similarity_topk", lambda p: "Broadcast" in p),
     ("shipping_priority_q3", lambda p: "TakeOrderedAndProject" in p),
     ("chunk_documents", lambda p: "Exchange" not in p),
+    # The ntile offset join and the ranks join both broadcast their tiny
+    # side (r11 #3: offs aliased _bk2 so neither degrades to SortMergeJoin
+    # via an ambiguous self-join condition).
+    ("window_rank_values", lambda p: p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p),
 ]
 
 

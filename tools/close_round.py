@@ -103,10 +103,14 @@ def close(n: int, warm: int, skip: set[str]) -> int:
         print(f"{steps[name]['status']:5s} {name} "
               f"({steps[name]['seconds']}s) {detail}", flush=True)
 
-    all_green = all(s["status"] in ("pass", "skipped")
+    # A skipped step is NOT green: --skip closes used to stamp
+    # all_green=true without ever running matrix/bench (ADVICE r10),
+    # undercutting the atomic-close guarantee. `complete` records whether
+    # every step actually ran.
+    all_green = all(s["status"] == "pass"
                     for s in steps.values() if "status" in s)
     record = {"round": n, "commit": commit, "warm": warm, "steps": steps,
-              "all_green": all_green}
+              "complete": not skip, "all_green": all_green}
     out = os.path.join(REPO, f"CLOSE_r{n:02d}.json")
     json.dump(record, open(out, "w"), indent=1)
     print(f"{'ALL GREEN' if all_green else 'FAILURES'} -> {out}")

@@ -6,13 +6,18 @@ make the pair-enumerating queries measure an artificial O(replicas^2)
 blowup instead of a real corpus's ~linear growth). Each replica r:
 - shifts every id/FK family by r * stride (powers of 10 above each
   family's max; FKs move with their dimension, so joins stay consistent);
-- Caesar-ciphers document text by r: length/whitespace/punctuation/word-
-  structure preserving (n_chars stays truthful, quality_score identical),
-  shingle sets map bijectively — within-replica dup structure exact,
-  cross-replica Jaccard ~0 (lang_id flips to 'und'; fine — corpus queries
-  filter on the stored `lang` column, kept verbatim);
-- circularly rotates each embedding by r: within-replica dot products
-  bit-preserved, cross-replica cosines decorrelate.
+- substitution-ciphers document text by a per-replica seeded letter
+  permutation (round 11; the round-9 Caesar shift repeated with period 25,
+  capping replicas at 25 — sf10 needs 100): length/whitespace/punctuation/
+  word-structure preserving (n_chars stays truthful, quality_score
+  identical), shingle sets map bijectively — within-replica dup structure
+  exact, cross-replica Jaccard ~0 (lang_id flips to 'und'; fine — corpus
+  queries filter on the stored `lang` column, kept verbatim);
+- circularly rotates each embedding by r % dim AND sign-flips elements by
+  a per-replica 64-bit mask (both orthogonal and IEEE-exact per ELEMENT,
+  so within-replica dot products are preserved up to float summation
+  order — ~1 ulp, same as rotation alone; rotation alone has period
+  dim=64 < 100 replicas): cross-replica cosines decorrelate.
 region/nation stay single-copy dims; timestamps stay verbatim (more users
 over the same time range — window/session state grows in width, not
 history). Each replica is one part file in a `{table}.parquet` directory.
@@ -157,13 +162,36 @@ def _skew_replica(name: str, tbl: pa.Table, base_ids: list, r: int,
     return tbl
 
 
-def _cipher(text: str | None, r: int) -> str | None:
-    if text is None or r == 0:
-        return text
-    lo = "abcdefghijklmnopqrstuvwxyz"
-    hi = lo.upper()
-    tbl = str.maketrans(lo + hi, lo[r:] + lo[:r] + hi[r:] + hi[:r])
-    return text.translate(tbl)
+_LO = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _mix(s: int) -> int:
+    return (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+
+
+def _perm(r: int) -> str:
+    """Per-replica letter permutation (Fisher-Yates over an LCG stream):
+    26! possible bijections, so replicas never repeat text the way the
+    old Caesar shift did every 25."""
+    letters, s = list(_LO), _mix(r)
+    for i in range(25, 0, -1):
+        s = _mix(s)
+        j = s % (i + 1)
+        letters[i], letters[j] = letters[j], letters[i]
+    return "".join(letters)
+
+
+def _trans(r: int) -> dict:
+    lo = _perm(r)
+    return str.maketrans(_LO + _LO.upper(), lo + lo.upper())
+
+
+def _signs(r: int, n: int) -> list[float]:
+    """±1 mask from the per-replica odd 64-bit hash: element 0 always
+    flips (bit 0 forced), masks are distinct for every r < 2^64 so two
+    replicas sharing a rotation (r, r+64) still decorrelate."""
+    h = (r * 2654435761) | 1
+    return [-1.0 if (h >> (j % 64)) & 1 else 1.0 for j in range(n)]
 
 
 def _replica(name: str, tbl: pa.Table, r: int) -> pa.Table:
@@ -174,12 +202,20 @@ def _replica(name: str, tbl: pa.Table, r: int) -> pa.Table:
         tbl = tbl.set_column(i, col, shifted)
     if r and name == "documents":
         i = tbl.schema.get_field_index("text")
-        vals = [_cipher(t, r % 25 + 1) for t in tbl.column("text").to_pylist()]
+        t9n = _trans(r)
+        vals = [t if t is None else t.translate(t9n)
+                for t in tbl.column("text").to_pylist()]
         tbl = tbl.set_column(i, "text", pa.array(vals, pa.string()))
     if r and name == "embeddings":
         i = tbl.schema.get_field_index("embedding")
-        vals = [v if not v else v[r:] + v[:r]
-                for v in tbl.column("embedding").to_pylist()]
+        vals = []
+        for v in tbl.column("embedding").to_pylist():
+            if not v:
+                vals.append(v)
+                continue
+            k = r % len(v)
+            vals.append([x if x is None else s * x
+                         for s, x in zip(_signs(r, len(v)), v[k:] + v[:k])])
         tbl = tbl.set_column(i, "embedding", pa.array(vals, tbl.schema.field(i).type))
     return tbl
 
@@ -190,12 +226,13 @@ SKEW_ID = {"orders": "o_orderkey", "events": "event_id",
 
 
 def build(src: str, dest: str, replicas: int, skew: bool = False) -> None:
-    # Cipher shift r % 25 + 1 repeats with period 25: replicas r and r+25
-    # would get identical text, silently breaking the cross-replica
-    # Jaccard ~0 property the module docstring promises (ADVICE r9).
-    if replicas > 25:
-        raise ValueError("scale_fixture supports at most 25 replicas "
-                         "(Caesar shift period); got %d" % replicas)
+    # Two replicas with the same letter permutation would get identical
+    # text, silently breaking the cross-replica Jaccard ~0 property
+    # (ADVICE r9, when Caesar repeated every 25) — the 26! substitution
+    # space makes a collision ~impossible, but the check is one set().
+    perms = {_perm(r) for r in range(1, replicas)}
+    if len(perms) != max(replicas - 1, 0):
+        raise ValueError("letter-permutation collision across replicas")
     os.makedirs(dest, exist_ok=True)
     hot = _skew_keys(src) if skew else None
     for name in DIMS:
