@@ -41,15 +41,8 @@ __all__ = [
 def _bucket(item: Column, row: int, width: int) -> Column:
     """Bucket of ``item`` under hash row ``row``: first 12 hex chars of
     md5(row|item) as an integer, mod width. 48 bits of hash >> any sane
-    width, so the mod bias is negligible.
-
-    NULL items hash via a sentinel instead of propagating NULL: a NULL
-    bucket would land build-side counts in an unreachable (row, NULL) cell
-    while NULL probes missed the join and estimated 0 — silently violating
-    the CMS "estimate >= true count" guarantee. With the sentinel, NULL is
-    just another countable key (SQL GROUP BY semantics). Membership-style
-    sketches (Bloom) deliberately keep SQL NULL-never-matches semantics
-    instead — see bloom_build."""
+    width, so the mod bias is negligible. Design notes:
+    docs/DESIGN.md#sketches--bucket"""
     safe = F.coalesce(item, F.lit("\x00<null>"))
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{row}|"), safe)), 1, 12), 16, 10
@@ -174,14 +167,8 @@ def cms_estimate(
     addressed counter (absent counter = 0). The sketch side is depth*width
     rows — always broadcast; the items side streams, so estimating a
     10^9-row candidate list is a map-side join + small aggregate, never a
-    shuffle of the corpus.
-
-    ``depth``/``width`` normally come from the sketch itself (embedded by
-    :func:`cms_build` as column metadata); passing values that conflict
-    with the embedded ones raises — see :func:`_cms_params`.
-
-    Output: items columns + ``est`` (long, >= true count).
-    """
+    shuffle of the corpus. Design notes: docs/DESIGN.md#sketches-cms-
+    estimate"""
     depth, width = _cms_params(cms, depth, width, "cms_estimate")
     clash = {"row", "bucket", "cnt", "rb", "est"} & set(items.columns)
     if clash:
@@ -228,17 +215,10 @@ def cms_estimate(
 
 def _fold_binary(sketch_col: str, merge_fn: str) -> Column:
     """Fold a grouped collection of binary sketches with a pairwise merge
-    function via the higher-order ``reduce`` — used for families (KLL) that
-    ship pairwise merges but no union aggregate. Sketch lists are tiny
-    (#partials per group), so the collect_list never approaches row scale.
-
-    The seed is ``try_element_at(..., 1)``, NOT ``[0]``: collect_list skips
-    NULLs, so a group whose sketches are all NULL (partials re-read through
-    an outer join/union) folds an EMPTY list, and under ANSI mode (the
-    Spark 4 default) GetArrayItem on an empty array RAISES
-    INVALID_ARRAY_INDEX — aborting the whole rollup — where the fold
-    should yield NULL for the downstream ``_merged IS NULL`` guard.
-    """
+    function via the higher-order ``reduce`` — used for families (KLL)
+    that ship pairwise merges but no union aggregate. Sketch lists are
+    tiny (#partials per group), so the collect_list never approaches row
+    scale. Design notes: docs/DESIGN.md#sketches--fold-binary"""
     # backtick-quote the identifier (doubling embedded backticks): the raw
     # interpolation broke on any column name needing quoting (round-9 review)
     q = f"`{sketch_col.replace('`', '``')}`"
@@ -421,29 +401,7 @@ def bloom_build(
 ) -> DataFrame:
     """Build a Bloom filter over ``df[item_col]`` as a (word long, bits long)
     DataFrame — at most ``n_bits/64`` rows regardless of input size.
-
-    Plan: one Expand (k probe copies per row) + one hash aggregate with
-    map-side bit_or partials — a few MB of bitmap state after ONE pass, no
-    driver-side bitmap, no UDF (``DataFrame.stat.bloomFilter`` collects to
-    the driver; this stays distributed and the result is itself a DataFrame
-    you can persist/merge with bit_or). Defaults: 8M bits / k=5 keeps the
-    false-positive rate under ~1% up to ~800k distinct items; size n_bits at
-    ~10x expected distinct items.
-
-    The 100 TB use: build over the SMALL side's keys (e.g. benchmark
-    fingerprints in decontamination), broadcast-probe the corpus with
-    :func:`bloom_might_contain`, and only rows that pass (a ~FPP fraction of
-    true negatives) reach the exact anti-join — the corpus never shuffles.
-
-    NULL items are DELIBERATELY un-probeable (a NULL probe returns
-    might_contain=false even when NULLs were fed to the build): membership
-    here mirrors SQL's NULL-never-equals join semantics, which is exactly
-    what the exact-refine anti-join downstream implements. Contrast
-    :func:`cms_build`, where NULL is a countable frequency key. That
-    contract needs an explicit NULL filter here: ``xxhash64`` IGNORES null
-    arguments (hashing just the seed), so without it every NULL item would
-    set one stable probe position and NULL-probe as a hit.
-    """
+    Design notes: docs/DESIGN.md#sketches-bloom-build"""
     item = F.col(item_col).cast("string")
     return (
         df.filter(item.isNotNull())
@@ -472,14 +430,8 @@ def bloom_might_contain(
     the metadata :func:`bloom_build` embeds on ``bits``; explicit values
     that conflict with it raise (a mismatched probe produces false
     negatives); a metadata-less bitmap (rebuilt from collected rows) uses
-    the parameters, defaulting to the build defaults (1<<23, 5).
-
-    Plan: k successive BroadcastHashJoins of the (tiny) bitmap, one per
-    probe — entirely map-side for the probed side, NO exchange of ``df``
-    at any point. (An earlier explode-k-rows-then-regroup formulation cost
-    one corpus-sized shuffle for the regroup; k chained broadcast joins
-    preserve the input partitioning, which is the difference between
-    probing 10^9 rows in place and re-shuffling them.)"""
+    the parameters, defaulting to the build defaults (1<<23, 5). Design
+    notes: docs/DESIGN.md#sketches-bloom-might-contain"""
     n_bits, k = _pair_params(
         bloom, "bits", ("bloom_n_bits", "bloom_k"), (n_bits, k),
         (1 << 23, 5), "bloom_might_contain",

@@ -209,14 +209,9 @@ def word_shingles(text: Column, k: int = 5) -> Column:
     """Distinct word k-grams (space-joined) -> array<string>. Documents
     shorter than k words yield a single whole-text shingle so they still
     participate in dedup; NULL/blank documents yield the EMPTY array (a
-    blank doc must not shingle to [''] — n identical blank docs would
-    LSH-collide into O(n^2) bogus pairs, the failure shingle_table's
-    filter exists to prevent).
-
-    Scale note: as a pure Column expression this inlines the tokenizer
-    into each per-index slice (Catalyst cannot bind it to an attribute
-    here). For corpus-scale dedup use ``operators.dedup.shingle_table``,
-    which materializes the word array once per row."""
+    blank doc must not shingle to [''] — n identical blank docs would LSH-
+    collide into O(n^2) bogus pairs, the failure shingle_table's filter
+    exists to prevent). Design notes: docs/DESIGN.md#text-word-shingles"""
     w = words(normalize_text(text))
     n = F.size(w)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
@@ -267,16 +262,9 @@ def redact_pii(text: Column) -> Column:
 
 
 def pii_hit_count(text: Column) -> Column:
-    """Number of PII placeholder insertions ``redact_pii`` would make —
-    a per-document risk score, filterable without materializing the
-    redacted text.
-
-    Counts placeholders in the redacted text MINUS those already present
-    in the input: a document that legitimately contains the literal
-    string '<EMAIL>' (already-redacted text re-ingested, redaction docs)
-    makes zero insertions and must score zero — no pattern matches a
-    placeholder, so pre-existing ones pass through redact_pii unchanged
-    and subtract out exactly."""
+    """Number of PII placeholder insertions ``redact_pii`` would make — a
+    per-document risk score, filterable without materializing the redacted
+    text. Design notes: docs/DESIGN.md#text-pii-hit-count"""
     red = redact_pii(text)
 
     def _count(src: Column, token: str) -> Column:

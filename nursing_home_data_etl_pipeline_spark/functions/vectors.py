@@ -14,24 +14,7 @@ from pyspark.sql import functions as F
 def round_half_away(col: Column, decimals: int = 6) -> Column:
     """Half-away-from-zero rounding of the BINARY double, in primitive IEEE
     ops both engines evaluate identically: sign * floor(|x| * 10^d + 0.5).
-
-    ``F.round(double)`` is NOT portable: Spark re-parses the double's
-    SHORTEST DECIMAL REPR and HALF_UPs that string, while DuckDB rounds
-    the binary value — so a count-derived ratio like 41/640 (= exactly
-    0.0640625 in decimal, just BELOW the midpoint in binary) rounds to
-    0.064063 in Spark and 0.064062 in DuckDB (round-8 second-pass hunt,
-    execution-confirmed on dedup_near_pairs and embedding_near_dup). No
-    fixture policy can exclude ratios of COUNTS, so every rounded
-    count/count or dot/norm ratio goes through this helper and its SQL
-    twin :func:`duck_round_sql` instead. Scope: |x| * 10^d must fit a
-    long (fine for the unit-interval ratios this serves); NaN, ±inf, and
-    any |x| * 10^d >= 2^63 pass through UNROUNDED — Spark's F.floor lands
-    on LONG and would ANSI-overflow-abort the whole job on magnitudes the
-    DuckDB twin's double floor quietly handles (round-9 ADVICE: the
-    unbounded stats outputs, e.g. covariance at 2 decimals, can reach
-    ~9.2e16 on adversarial data). The twin mirrors the gate so the two
-    engines still agree bit-for-bit on out-of-scope magnitudes. At that
-    scale doubles are spaced >1 apart, so "unrounded" loses nothing."""
+    Design notes: docs/DESIGN.md#vectors-round-half-away"""
     s = F.lit(float(10**decimals))
     mag = F.floor(F.abs(col) * s + F.lit(0.5)) / s
     signed = F.when(col < 0, -mag).otherwise(mag)

@@ -121,20 +121,8 @@ def time_rollup(
     """Hypertable-style multi-resolution time rollup: one row set per
     truncation level (hour/day/month/...), computed in a SINGLE expanded
     aggregate — one shuffle and ONE fact-table scan for every resolution,
-    instead of one scan + shuffle per level.
-
-    Implementation: pre-truncate the timestamp once per level, then
-    GROUPING SETS over the truncation columns (each set = one level's
-    bucket + ``extra_keys``). Catalyst's Expand multiplies rows by
-    len(levels) before the partial aggregate, so map-side combine still
-    collapses each level's buckets locally — the expand is cheap relative
-    to len(levels)-1 full rescans at 100 TB. Rows are tagged with their
-    level via grouping_id (computed, not inferred from nulls, so null
-    timestamps stay correct).
-
-    Output: ``resolution`` (level name), ``bucket_start`` (the truncated
-    timestamp), ``extra_keys``..., then the aggregate columns.
-    """
+    instead of one scan + shuffle per level. Design notes:
+    docs/DESIGN.md#aggregates-time-rollup"""
     if not levels:
         raise ValueError("need at least one truncation level")
     tcols = [f"_t_{lv}" for lv in levels]

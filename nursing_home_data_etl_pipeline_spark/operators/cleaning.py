@@ -147,19 +147,7 @@ def promote_types(
     null_token: str = "",
 ) -> DataFrame:
     """Post-hoc type promotion for untyped (all-string) staging tables.
-
-    The reference keeps every column string forever (SURVEY §1.2); numeric
-    analytics then cast ad-hoc. This operator profiles each string column
-    with ONE aggregate pass (per-type ``try_cast`` success counts) and
-    promotes a column to the first candidate type that parses every
-    non-null, non-``null_token`` value. Values equal to ``null_token``
-    become NULL in promoted columns (``NULLIF`` before the cast — they
-    were excluded from profiling, so leaving them in would throw
-    CAST_INVALID_INPUT under ANSI the moment the frame materializes).
-    Profiling cost: one job over the data; at 100 TB run it on a
-    deterministic sample instead and validate with a ``try_cast IS NULL``
-    quarantine filter on the full write.
-    """
+    Design notes: docs/DESIGN.md#cleaning-promote-types"""
     string_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
     if not string_cols:
         return df

@@ -90,23 +90,8 @@ def connected_components(
     max_iterations: int = 20,
     driver_edge_threshold: int = 100_000,
 ) -> DataFrame:
-    """Label every vertex with the min vertex id of its component.
-
-    ``vertices``: one column ``id_col`` (includes isolated vertices).
-    ``edges``: undirected pairs (``src_col``, ``dst_col``).
-    Returns (id_col, component). Raises if not converged within
-    ``max_iterations`` (a near-dup graph needing >20 rounds means the
-    banding threshold is far too loose).
-
-    Cost-based hybrid (the same reasoning Catalyst applies to broadcast
-    joins): the EDGE set of a near-dup graph is tiny relative to the corpus
-    — bounded by candidate pairs, not documents. Below
-    ``driver_edge_threshold`` edges, union-find on the driver + one
-    broadcast join back to the vertices beats N rounds of distributed
-    joins by job-overhead alone; the vertex set itself never leaves the
-    cluster. Above the threshold, distributed min-label propagation runs
-    (each round two hash joins, state bounded per vertex).
-    """
+    """Label every vertex with the min vertex id of its component. Design
+    notes: docs/DESIGN.md#components-connected-components"""
     if id_col == "component":
         # the output schema is (id_col, 'component') — inherently duplicate
         raise ValueError(

@@ -37,23 +37,8 @@ def shingle_table(
     id_col: str = "doc_id",
     k: int = 5,
 ) -> DataFrame:
-    """(id, shingle) long table of distinct word-k-grams.
-
-    NULL and whitespace-only texts emit NO shingles, so they never enter
-    near-dup pairing (matching exact_dedup's documented NULL contract).
-    Without the filter every such document produced the empty-string
-    shingle: n NULL/blank docs then LSH-collided into O(n^2) bogus pairs
-    (Jaccard 1.0 each), and ONE blank benchmark doc made decontaminate
-    silently drop every NULL-text training row. Exact-duplicate blank
-    docs are exact_dedup's job (same fingerprint), not LSH's.
-
-    Two-step on purpose: the word array is materialized as its own
-    projection BEFORE the shingle lambda runs. Referencing the split
-    expression directly inside ``transform``'s lambda would inline the
-    regexp+split into every per-index slice — O(words^2) re-evaluation per
-    document (measured 2.7x slower at sf0.1). With the array as a bound
-    attribute each row tokenizes exactly once.
-    """
+    """(id, shingle) long table of distinct word-k-grams. Design notes:
+    docs/DESIGN.md#dedup-shingle-table"""
     # Normalize ONCE into a projected column, filter on that, then split
     # the bound attribute — repeating normalize_text in the filter and the
     # split would run the regex chain twice per row.
@@ -81,23 +66,7 @@ def exact_dedup(
     """Exact dedup on the normalized-content fingerprint: keeps the min-id
     row per fingerprint. min_by keeps it a single hash aggregate (one
     shuffle on the fingerprint — never a window over the whole corpus).
-
-    Rows with a NULL ``text_col`` pass through UNDEDUPED: a missing text is
-    not a duplicate of another missing text (grouping them would silently
-    delete every NULL-text document but one — SQL GROUP BY treats NULL as
-    one group), matching the minhash path, which excludes them from
-    pairing. The surviving row per fingerprint is picked with ONE struct
-    min_by (per-column min_by expressions could not tear here because the
-    order key is the unique id, but the struct form also survives column
-    names that aren't bare SQL identifiers).
-
-    ANY NULL ``id_col`` raises: the keep-one rule is min-id-per-
-    fingerprint, and ``min``/``min_by`` SKIP null ordering keys — a
-    fingerprint group whose every id is NULL would emit one row of all
-    NULLs (the text silently destroyed), and a NULL-text row needs its id
-    as the pass-through key. Filter or key NULL-id rows upstream (the
-    catalog plan does: queries_northstar ``doc_id IS NOT NULL``).
-    """
+    Design notes: docs/DESIGN.md#dedup-exact-dedup"""
     keyed = df.withColumn("_fp", fingerprint(F.col(text_col)))
     checked_id = F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
         F.raise_error(
@@ -155,24 +124,14 @@ def minhash_signatures(
     num_hashes: int = 12,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Per-document MinHash signature: hash ``s`` of a shingle is
-    ``(h1 + s*h2) mod MINHASH_P`` where h1/h2 are the two 48-bit halves of
-    one md5 digest (Kirsch-Mitzenmacher double hashing — one digest instead
-    of ``num_hashes``); the signature is the per-hash MIN over the
-    document's distinct word-k-gram shingles. Output: (id_col,
-    mh_0..mh_{n-1}) as longs. s*h2 < 2^52 for s < 16, so the arithmetic
-    never overflows a 64-bit integer (num_hashes is capped accordingly).
-
-    Plan shape: explode shingles -> one hash aggregate with n min()s. Linear
-    in total shingle count, one shuffle on doc id.
-
-    NULL-id documents are EXCLUDED (round-8 hunt): SQL GROUP BY would merge
-    every NULL-id doc into ONE chimera signature mixing all their shingles
-    — bogus band keys, wasted hashing — and a NULL id can never appear in
-    an (id_a, id_b) candidate pair anyway (the band join's ``id_a < id_b``
-    is NULL-false). Identity-less docs need ids assigned upstream
-    (:func:`decontaminate` does exactly that for its benchmark side).
-    """
+    """Per-document MinHash signature: hash ``s`` of a shingle is ``(h1 +
+    s*h2) mod MINHASH_P`` where h1/h2 are the two 48-bit halves of one md5
+    digest (Kirsch-Mitzenmacher double hashing — one digest instead of
+    ``num_hashes``); the signature is the per-hash MIN over the document's
+    distinct word-k-gram shingles. Output: (id_col, mh_0..mh_{n-1}) as
+    longs. s*h2 < 2^52 for s < 16, so the arithmetic never overflows a
+    64-bit integer (num_hashes is capped accordingly). Design notes:
+    docs/DESIGN.md#dedup-minhash-signatures"""
     if num_hashes > 16:
         raise ValueError("num_hashes > 16 would overflow the 2^53 bound")
     sh = shingle_table(
@@ -261,24 +220,10 @@ def decontaminate(
     bands: int = 4,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Cross-corpus near-dup removal: drop training documents that
-    LSH-collide with ANY benchmark document — the train/test contamination
-    scrub of an LLM data pipeline.
-
-    Same MinHash/banding machinery as within-corpus dedup, but the join is
-    train-buckets LEFT ANTI benchmark-buckets: the benchmark side is tiny
-    (eval sets), so its bucket table broadcasts and the training corpus
-    never shuffles. Returns the clean training rows.
-
-    NULL-id handling (round-8 hunt): benchmark ids are IRRELEVANT to the
-    result (only band keys cross the join), so the benchmark side gets
-    surrogate row ids — a NULL-id benchmark doc still scrubs what it
-    should, instead of being excluded (or worse, chimera-merged with every
-    other NULL-id benchmark doc into one wrong signature). TRAIN rows with
-    a NULL id, however, pass through UNSCANNED: the final anti-join is
-    id-keyed and NULL never equals NULL — give training rows stable ids
-    upstream if they must participate.
-    """
+    """Cross-corpus near-dup removal: drop training documents that LSH-
+    collide with ANY benchmark document — the train/test contamination
+    scrub of an LLM data pipeline. Design notes: docs/DESIGN.md#dedup-
+    decontaminate"""
     t_sig = minhash_signatures(train, text_col, id_col, num_hashes, shingle_k)
     b_keyed = benchmark.select(
         F.monotonically_increasing_id().alias(id_col), F.col(text_col)
@@ -459,15 +404,8 @@ def ngram_jaccard_pairs(
     hot_shingle_cap: int = HOT_SHINGLE_CAP,
 ) -> DataFrame:
     """Exact Jaccard similarity over word-k-gram shingle sets, computed only
-    for pairs sharing >= 1 shingle (inverted-index self-join).
-
-    ``hot_shingle_cap`` drops shingles appearing in more than N documents
-    before pairing — a stop-shingle guard: a boilerplate shingle shared by
-    10^5 docs would otherwise emit 10^10 pairs. Dropped shingles still count
-    in each document's set size, so Jaccard is slightly UNDER-estimated for
-    pairs that only shared hot shingles — the conservative direction for
-    dedup. The cap is logged at plan time via the returned plan's filter.
-    """
+    for pairs sharing >= 1 shingle (inverted-index self-join). Design
+    notes: docs/DESIGN.md#dedup-ngram-jaccard-pairs"""
     # The shingle table feeds four consumers (sizes, doc-freq, both join
     # sides); without a persist each one re-tokenizes the corpus. At cluster
     # scale use persist(StorageLevel.DISK_ONLY) or a checkpoint instead of

@@ -27,15 +27,17 @@ def with_fast_id(df: DataFrame, name: str = "row_id") -> DataFrame:
 
 def _tiebreak(df: DataFrame, order_by: Sequence[str]) -> list[Column]:
     """Deterministic tie contract for dense ids: ``order_by`` SHOULD be a
-    unique key, but nothing upstream enforces it, and ``row_number`` over a
-    tied ordering is nondeterministic across reruns/partitionings. Appending
-    the remaining columns' ordering struct (``joins.ordering_struct`` — the
-    same canonicalization the merge tiebreak uses: orderable columns as-is,
-    eligible maps as sorted entry arrays, the rest excluded) to the sort
-    makes the output multiset deterministic whenever tied rows differ
-    anywhere the struct can see (rows identical everywhere orderable are
-    interchangeable, so any assignment yields the same output). Costs
-    nothing when keys are unique — the struct is only compared on a tie."""
+    unique key, but nothing upstream enforces it, and ``row_number`` over
+    a tied ordering is nondeterministic across reruns/partitionings.
+    Appending the remaining columns' ordering struct
+    (``joins.ordering_struct`` — the same canonicalization the merge
+    tiebreak uses: orderable columns as-is, eligible maps as sorted entry
+    arrays, the rest excluded) to the sort makes the output multiset
+    deterministic whenever tied rows differ anywhere the struct can see
+    (rows identical everywhere orderable are interchangeable, so any
+    assignment yields the same output). Costs nothing when keys are unique
+    — the struct is only compared on a tie. Design notes:
+    docs/DESIGN.md#ids--tiebreak"""
     from .joins import ordering_struct
 
     rest = [c for c in df.columns if c not in order_by]
@@ -50,19 +52,8 @@ def with_dense_id(
     name: str = "row_id",
     tiebreak: bool = True,
 ) -> DataFrame:
-    """Stable, dense 1..N id given a total ordering — FLAT variant.
-
-    Costs a global sort through a single ordered window (one task holds
-    every row). Correct and cheapest for dimension-sized frames (the
-    reference's actual use: ~15k facilities); for fact-table-sized frames
-    use :func:`with_dense_id_sharded`, which computes the identical ids
-    without any corpus-sized single-partition stage.
-
-    ``order_by`` should be a unique key; if it can tie, the default
-    ``tiebreak`` extends the sort with the remaining orderable columns so
-    ids stay deterministic (see :func:`_tiebreak`). Pass ``tiebreak=False``
-    only when uniqueness is guaranteed and the wider sort key matters.
-    """
+    """Stable, dense 1..N id given a total ordering — FLAT variant. Design
+    notes: docs/DESIGN.md#ids-with-dense-id"""
     cols = [F.col(c) for c in order_by]
     tb = _tiebreak(df, order_by) if tiebreak else []
     w = Window.orderBy(*cols, *tb)
@@ -79,15 +70,7 @@ def _shard_case_tree(
     the operator must shine. The binary tree evaluates ceil(log2(n+1))
     comparisons per row with matching expression depth; the cut literals
     still appear once each (O(n) plan size, unavoidable — they ARE the
-    routing table).
-
-    NULL-component keys: every struct comparison yields NULL, so each CASE
-    takes its ``otherwise`` (left) branch and the row lands in shard 0 —
-    identical to the flat variant's nulls-first sort position.
-
-    Returns ``(expr, depth)`` where depth counts nested CASE levels —
-    pinned by a pytest at n_shards=1024.
-    """
+    routing table). Design notes: docs/DESIGN.md#ids--shard-case-tree"""
 
     def lit_struct(cut: tuple) -> Column:
         return F.struct(*[F.lit(v).alias(c) for v, c in zip(cut, order_by)])
@@ -114,39 +97,7 @@ def with_dense_id_sharded(
     tiebreak: bool = True,
 ) -> DataFrame:
     """Stable, dense 1..N id given a total ordering — DISTRIBUTED variant.
-
-    Same ids as :func:`with_dense_id` (1..N following ``order_by``; pass a
-    unique key list — if it can tie, the default ``tiebreak`` extends the
-    intra-shard sort with the remaining orderable columns, keeping ids
-    deterministic; ties never cross shards because the shard id is a pure
-    function of the key alone), but no stage ever holds the whole frame.
-    Two-level scan, the same pattern as ``operators.packing.pack_sequences``:
-
-    1. ONE bounded job collects an equi-depth boundary sample of the key
-       space (exact hash-ordered top-N — deterministic for a given input,
-       unlike reservoir sampling) and embeds the cut points as LITERALS;
-       every row's shard id ``_pid`` is then a pure row-local function of
-       its key — the count of boundaries <= key, evaluated as a log-depth
-       binary-search CASE tree (:func:`_shard_case_tree`) — so it is
-       monotone in key order and IDENTICAL in every physical
-       instantiation of the subtree.
-       (An earlier ``repartitionByRange`` + ``spark_partition_id``
-       formulation was only correct while Catalyst reused the range
-       exchange between the window side and the counts side: with
-       ``spark.sql.exchange.reuse=false`` the two materializations sampled
-       different boundaries and ids duplicated. Literal boundaries cannot
-       diverge.)
-    2. per-shard ``row_number`` (window partitioned by ``_pid`` — one
-       corpus shuffle, parallel),
-    3. one count per shard (``n_shards`` rows), exclusive cumsum of THOSE
-       on a single partition, broadcast the offsets back.
-
-    Rows whose key contains a NULL land in shard 0 (struct comparison with
-    a null component is null) — consistent with the flat variant's
-    nulls-first sort order. ``n_shards`` is capped at 1024 because the cut
-    points live in the plan as literals; at 100 TB that still bounds the
-    offset table and each shard holds ~corpus/1024.
-    """
+    Design notes: docs/DESIGN.md#ids-with-dense-id-sharded"""
     spark = df.sparkSession
     if n_shards is None:
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -215,17 +166,8 @@ def with_etl_metadata(
     shard_threshold_bytes: int = DENSE_ID_SHARD_THRESHOLD_BYTES,
 ) -> DataFrame:
     """row_id + etl_date, the reference's universal output stamp.
-    ``order_by=None`` -> fast (unstable) ids, else dense deterministic ids.
-
-    Dense ids pick their physical strategy by size: below
-    ``shard_threshold_bytes`` of ESTIMATED plan output (Catalyst stats —
-    zero extra jobs; an exact count would re-execute the upstream plan
-    once per stamp), the flat single-window sort (cheapest for dimension
-    frames); above it, :func:`with_dense_id_sharded`, so a fact-table
-    stamp never funnels the corpus through one task. Unknown sizes
-    estimate huge and take the sharded path. Both strategies emit
-    identical ids, so the switch can't change results.
-    ``shard_threshold_bytes=0`` forces the sharded path."""
+    ``order_by=None`` -> fast (unstable) ids, else dense deterministic
+    ids. Design notes: docs/DESIGN.md#ids-with-etl-metadata"""
     if order_by:
         if (
             shard_threshold_bytes > 0

@@ -37,14 +37,7 @@ def left_enrich(
 ) -> DataFrame:
     """J1/J2: left equi-join against an enrichment table, dropping the enrich
     side's denormalized duplicates first (provider-transform.py:84-88).
-
-    ``drop_overlap=True`` additionally drops every non-key enrich column
-    whose name (case-insensitive, Spark's resolution rule) already exists on
-    ``df`` — without it, any shared name beyond ``drop_from_other`` joins
-    into a duplicate-name frame whose first column reference raises
-    AMBIGUOUS_REFERENCE. The entity row's value wins, same rationale as the
-    denorm drop: the enrich side contributes NEW attributes only.
-    """
+    Design notes: docs/DESIGN.md#joins-left-enrich"""
     other = drop_columns_if_present(other, drop_from_other)
     if drop_overlap:
         keys = {on.lower()} if isinstance(on, str) else {k.lower() for k in on}
@@ -79,16 +72,9 @@ def merge_scd1(
     keys: Sequence[str],
 ) -> DataFrame:
     """J4: SCD-type-1 upsert on plain Parquet — source rows win, unmatched
-    target rows survive. Replaces the Snowflake ``SP_MERGE_DIM_*`` procedures
-    (reference README.md:238-269) without requiring a MERGE-capable format.
-
-    Implementation: ``source UNION ALL (target ANTI JOIN source ON keys)``.
-    One shuffle on the keys (or zero if both sides are bucketed on them);
-    output schema is the target's column set, by name.
-
-    Requires source to be unique per key (a MERGE precondition); violations
-    should be resolved upstream with :func:`latest_per_key`.
-    """
+    target rows survive. Replaces the Snowflake ``SP_MERGE_DIM_*``
+    procedures (reference README.md:238-269) without requiring a MERGE-
+    capable format. Design notes: docs/DESIGN.md#joins-merge-scd1"""
     keys = list(keys)
     updates = source.select(*target.columns)
     keep = target.join(source.select(*keys), on=keys, how="left_anti")
@@ -105,7 +91,7 @@ def ordering_struct(df: DataFrame, cols: Sequence[str]):
     maps of maps) is excluded from the tiebreak — array_sort over its
     entries would fail analysis, so those ties stay documented-arbitrary.
     Shared by latest_per_key's ordered and unordered modes so the two
-    cannot drift."""
+    cannot drift. Design notes: docs/DESIGN.md#joins-ordering-struct"""
     from pyspark.sql import types as T
 
     types = {f.name: f.dataType for f in df.schema.fields}
@@ -128,18 +114,11 @@ def latest_per_key(
     prefer_col: str | None = None,
 ) -> DataFrame:
     """Resolve multi-row-per-key sources to one row per key: the latest by
-    ``order_col``, or — with ``order_col`` None/empty — the
-    tiebreak-struct-max row (no version column; deterministic given the
-    frame's content, unlike dropDuplicates, whose survivor depends on
+    ``order_col``, or — with ``order_col`` None/empty — the tiebreak-
+    struct-max row (no version column; deterministic given the frame's
+    content, unlike dropDuplicates, whose survivor depends on
     partitioning). max_by keeps both modes a single hash aggregate — no
-    window sort needed.
-
-    ``prefer_col``: optional numeric precedence that ranks BETWEEN the
-    version and the attribute tiebreak — the versioned merge passes a
-    source=1/target=0 flag here so a re-emitted row with an UNCHANGED
-    version still beats the stale row it corrects (without it, the
-    attribute tiebreak could deterministically keep the old row).
-    """
+    window sort needed. Design notes: docs/DESIGN.md#joins-latest-per-key"""
     keys = list(keys)
     others = [c for c in df.columns if c not in keys]
     # ONE max_by over the whole row struct: per-column max_by calls would
@@ -174,24 +153,12 @@ def merge_scd2(
 ) -> DataFrame:
     """SCD-type-2 merge on plain Parquet: instead of overwriting changed
     attributes (:func:`merge_scd1`), close the current version row
-    (``valid_to = batch_date``, ``is_current = false``) and append a new one
-    (``valid_from = batch_date``, open-ended). History rows and unchanged
-    current rows pass through untouched; brand-new keys insert an open row.
-    Extends the reference's Snowflake SP_MERGE_DIM_* surface
+    (``valid_to = batch_date``, ``is_current = false``) and append a new
+    one (``valid_from = batch_date``, open-ended). History rows and
+    unchanged current rows pass through untouched; brand-new keys insert
+    an open row. Extends the reference's Snowflake SP_MERGE_DIM_* surface
     (README.md:238-269) with the history-keeping variant those procedures
-    lack.
-
-    ``target`` carries the three SCD columns; ``source`` carries keys +
-    tracked attributes only (one row per key — resolve with
-    :func:`latest_per_key` upstream). Change detection is null-safe over
-    every shared non-key attribute column.
-
-    Shape for 100 TB: history rows never enter the join — only the current
-    slice shuffles against the source, and each joined row emits its 1-2
-    output rows through one explode projection (no per-branch join
-    recompute, no window). Bucket both sides by the PK to make the single
-    join co-located.
-    """
+    lack. Design notes: docs/DESIGN.md#joins-merge-scd2"""
     keys = list(keys)
     scd_cols = [valid_from, valid_to, is_current]
     attrs = [c for c in target.columns if c not in keys + scd_cols]

@@ -106,15 +106,8 @@ def decode_image(
     :func:`decode_fake` — the ENVIRONMENT is the only gate: Pillow is not
     in this container (verified by import), so the import check raises
     NotImplementedError here, but the body is complete and runs wherever
-    Pillow is installed on the executors (covered by a skipif(no PIL) test).
-
-    Same contracts as the fake: bytes stay in Arrow buffers between stages;
-    a NULL payload decodes to NULL metadata (distinct from an EMPTY payload,
-    which is a decode ERROR — Pillow raises, failing the task loudly rather
-    than emitting fabricated dimensions). The per-item loop inside the
-    Arrow batch is inherent to codecs (Pillow decodes one image at a time);
-    the batch boundary is still Arrow-sized, never row-at-a-time Python.
-    """
+    Pillow is installed on the executors (covered by a skipif(no PIL)
+    test). Design notes: docs/DESIGN.md#multimodal-decode-image"""
     try:
         from PIL import Image
     except ImportError as exc:

@@ -38,33 +38,8 @@ def pack_sequences(
     n_shards: int = 64,
 ) -> DataFrame:
     """Assign every document its span(s) in a stream of back-to-back
-    ``budget``-token training sequences.
-
-    Documents longer than the remaining room in a sequence straddle the
-    boundary and continue in the next one (concat-and-chunk; no padding
-    waste, the LLM-pretraining default). Output, one row per
-    (document, sequence) span:
-
-    - ``seq_id``      — which training sequence the span lands in
-    - ``seq_offset``  — token offset of the span inside that sequence
-    - ``n_tokens``    — span length in tokens
-    - ``is_head``     — true for the document's first span (loss masking /
-      document-boundary bookkeeping downstream)
-
-    Sum of ``n_tokens`` per ``seq_id`` is exactly ``budget`` for every
-    sequence but the last; sum per document is the document's token count.
-    The global order is (shard, id, token_count): the token count is a
-    deterministic tiebreaker for duplicate ids — two NULL-id documents
-    with different lengths used to receive partition-order-dependent
-    placements (found by fuzz seed 435: both NULLs hash to one shard and
-    tie on the id alone), and rows tied on (id, tok) produce identical
-    span rows in either order, so the output MULTISET is deterministic
-    for any input. ``id_col`` should still be unique when spans must be
-    attributable to one physical row.
-    ``n_shards`` bounds the single-partition offset table — size it so each
-    shard holds ~a task's worth of documents (at 100 TB: tens of thousands
-    of shards is still a trivially small offset table).
-    """
+    ``budget``-token training sequences. Design notes:
+    docs/DESIGN.md#packing-pack-sequences"""
     if budget <= 0:
         raise ValueError("budget must be positive")
     tok = F.col(token_col).cast("long")

@@ -59,14 +59,8 @@ def salted_join(
     ``buckets``x duplication of the other side's matching rows in the
     shuffle — use when the other side is small-ish but above the broadcast
     threshold (below it, broadcast join already solves skew; above both,
-    AQE skew-join splitting is the first resort, this the explicit second).
-
-    Output parity with plain ``skewed.join(other, on, how)`` holds only for
-    joins that preserve/probe from the SKEWED side: inner, left (incl.
-    left_outer), left_semi, left_anti. Right/full-outer would emit each
-    unmatched ``other`` row once per salt bucket (it was replicated), so
-    those types are rejected rather than silently wrong (ADVICE round 1).
-    """
+    AQE skew-join splitting is the first resort, this the explicit
+    second). Design notes: docs/DESIGN.md#partitioning-salted-join"""
     allowed = {"inner", "left", "left_outer", "leftouter",
                "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
     if how.lower() not in allowed:
@@ -95,21 +89,8 @@ def zorder_key(
     name: str = "_zorder",
 ) -> DataFrame:
     """Append a Morton (Z-order) clustering key interleaving up to 4 numeric
-    columns, each quantile-bucketed into ``2**bits_per_col`` ranks.
-
-    Why: sorting files by ONE column gives tight parquet min/max stats (and
-    so row-group/file skipping) on that column only; interleaving the bit
-    patterns of several columns' ranks yields a single sort key whose file
-    ranges stay narrow in EVERY interleaved dimension — selective filters on
-    any of them skip most files. This is the plain-parquet analog of
-    Delta/Iceberg OPTIMIZE ZORDER.
-
-    Mechanics (all JVM-side expressions, no UDF): per column, bucket values
-    by the approxQuantile cut points (equi-DEPTH, so skewed columns still
-    spread across ranks; the cut list is driver-side but bounded at
-    ``2**bits_per_col - 1`` doubles — stats-sized, like IVF centroids), then
-    interleave bucket bits round-robin. NULLs rank into bucket 0.
-    """
+    columns, each quantile-bucketed into ``2**bits_per_col`` ranks. Design
+    notes: docs/DESIGN.md#partitioning-zorder-key"""
     cols = list(cols)
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder interleaves 1-4 columns")

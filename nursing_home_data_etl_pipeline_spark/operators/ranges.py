@@ -41,19 +41,9 @@ def range_join_points(
     how: str = "inner",
     max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
-    """Join each point row to every interval row whose half-open range
-    ``[lo, hi)`` contains the point (and whose ``on`` keys match, if given).
-
-    ``point_col`` / ``lo_col`` / ``hi_col`` must be numeric (for event time,
-    convert to epoch microseconds first — ``F.unix_micros``); the default
-    ``bucket_width`` is one hour in microseconds. ``how`` may be ``inner``
-    or ``left`` (left keeps unmatched points with null interval columns);
-    the replicated-interval side rules out right/full-outer, same contract
-    as ``partitioning.salted_join``.
-
-    Output: all point columns plus all interval columns (minus shared join
-    keys, which appear once).
-    """
+    """Join each point row to every interval row whose half-open range ``[lo,
+    hi)`` contains the point (and whose ``on`` keys match, if given).
+    Design notes: docs/DESIGN.md#ranges-range-join-points"""
     if how not in {"inner", "left"}:
         raise ValueError(
             f"range_join_points supports how='inner'|'left', got {how!r}: "

@@ -238,19 +238,7 @@ def kmeans_fit(
 ) -> list[list[float]]:
     """Lloyd k-means over an embedding column — the trained coarse quantizer
     for IVF ANN (vs. the training-free fixed cells in the catalog query).
-
-    Deterministic: init = batched farthest-point over a hash-ordered
-    sample (one job, see below); assignment ties break on cell id
-    (array_min over (distance, cell) structs — struct ordering is
-    lexicographic); fixed ``iters`` sweeps. Total driver round-trips per
-    fit: O(iters), independent of k. Each sweep's
-    assignment is ROW-LOCAL (centroids are embedded as literal constants,
-    k x dim doubles — stats-sized, like the hyperplane constants) and the
-    update is ONE hash aggregate of per-cell per-dimension sums via
-    posexplode — the corpus never shuffles and lineage resets every sweep
-    because the new centroids return to the driver. Returns the centroid
-    list; feed it to an IVF assignment join.
-    """
+    Design notes: docs/DESIGN.md#similarity-kmeans-fit"""
     # Farthest-point init (deterministic k-means++ variant), BATCHED: one
     # job collects a deterministic hash-ordered candidate sample (>= 8k
     # vectors, uniform over the corpus because the order key is md5(id),
@@ -371,14 +359,9 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split ``dim`` into ``m``
     subspaces of dim/m and Lloyd-fit ``k`` centroids per subspace
-    (:func:`kmeans_fit` on array slices). Returns m codebooks of k
-    sub-centroids each — m*k*(dim/m) floats of driver-side constants.
-
-    PQ is the memory tier of ANN at 100 TB: an encoded vector is m small
-    codes (8 bytes at m=8) instead of dim floats (256 bytes at 64-dim
-    float32) — a ~32x shrink that lets a candidate set orders of magnitude
-    larger stay in executor memory for re-ranking.
-    """
+    (:func:`kmeans_fit` on array slices). Returns m codebooks of k sub-
+    centroids each — m*k*(dim/m) floats of driver-side constants. Design
+    notes: docs/DESIGN.md#similarity-pq-train"""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -437,13 +420,8 @@ def pq_topk_adc(
     its m x k lookup table of exact sub-distances to every sub-centroid
     (row-local on the bounded query batch), then every (query, corpus)
     pair's distance is just m array lookups + adds over the PQ codes —
-    never a dim-wide dot against the corpus.
-
-    Output: (query_id, neighbor_id, adc_d2, rank). The broadcast side is
-    queries + their LUTs; the corpus streams codes only. Standard IVF-PQ
-    pairing: restrict the pair join with an IVF cell equi-join upstream and
-    re-rank the ADC top-k' exactly downstream.
-    """
+    never a dim-wide dot against the corpus. Design notes:
+    docs/DESIGN.md#similarity-pq-topk-adc"""
     sub = len(codebooks[0][0])
     luts = []
     for s, book in enumerate(codebooks):

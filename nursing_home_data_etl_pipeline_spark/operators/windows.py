@@ -63,8 +63,8 @@ def running_agg(
     agg: str = "sum",
     out_name: str = "running",
 ) -> DataFrame:
-    """Cumulative aggregate over unbounded-preceding..current — RANGE
-    frame (peers of the current row by ``order_by`` are INCLUDED), the SQL
+    """Cumulative aggregate over unbounded-preceding..current — RANGE frame
+    (peers of the current row by ``order_by`` are INCLUDED), the SQL
     default when ORDER BY is present. The frame choice is load-bearing for
     determinism: with a ROWS frame, rows TIED on the full ordering would
     take order-dependent running values (hit in practice — sf0.1 lineitem
@@ -72,7 +72,7 @@ def running_agg(
     linenumber) collision flipped the cumulative sum between engines);
     with RANGE, every tie group shares the sum through its last member,
     deterministic for ANY data without needing ``order_by`` to be a
-    provable total order."""
+    provable total order. Design notes: docs/DESIGN.md#windows-running-agg"""
     w = (
         Window.partitionBy(*partition_by)
         .orderBy(*order_by)
@@ -103,15 +103,10 @@ def sessionize(
     session_name: str = "session_id",
 ) -> DataFrame:
     """Batch sessionization: a new session starts when the gap to the
-    previous event exceeds ``gap_seconds``. session_id = cumulative count of
-    session starts per user (1-based). Streaming variant: ``session_window``
-    (see streaming module).
-
-    NULL timestamps sort first (Spark's default asc ordering) and each such
-    event is its OWN session (a NULL gap reads as a session start) — they
-    never merge with real-time events or each other. Filter them out
-    upstream if absent-timestamp events shouldn't count as sessions.
-    """
+    previous event exceeds ``gap_seconds``. session_id = cumulative count
+    of session starts per user (1-based). Streaming variant:
+    ``session_window`` (see streaming module). Design notes:
+    docs/DESIGN.md#windows-sessionize"""
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
     w = Window.partitionBy(user_col).orderBy(*order)
     # Exact integer microsecond arithmetic — no float drift at the gap

@@ -114,22 +114,8 @@ def run_stage(
     policy: StagePolicy = StagePolicy(),
     detail_of: Callable[[object], dict] | None = None,
 ):
-    """Execute one pipeline stage under its retry/timeout policy.
-
-    Every attempt is a run-log row (status RETRIED for non-final failures,
-    FAILURE for the last — the Catch->Fail shape); the stage's Spark jobs
-    run in a cancellable job group so a timeout actually stops the work
-    rather than abandoning it. The final failure re-raises to the driver,
-    which is the pipeline's fail-fast gate.
-
-    A TIMEOUT is always terminal, even with retries left (diverging from
-    Glue, which kills the JVM and can then retry cleanly): the timed-out
-    worker thread cannot be killed from Python, so a retry would run two
-    attempts of a side-effecting stage concurrently — the zombie attempt
-    could e.g. see a half-written warehouse dim as "missing" and bootstrap
-    over it. cancelJobGroup stops the Spark jobs; anything stuck in
-    non-Spark code fails the run instead of racing a second attempt.
-    """
+    """Execute one pipeline stage under its retry/timeout policy. Design
+    notes: docs/DESIGN.md#pipeline-run-stage"""
     last_exc: BaseException = RuntimeError("unreachable")
     for attempt in range(policy.max_retries + 1):
         t0 = time.time()

@@ -15,5 +15,6 @@ from . import queries_sampling  # noqa: F401
 from . import queries_multijoin  # noqa: F401
 from . import queries_northstar  # noqa: F401
 from . import queries_tail  # noqa: F401
+from . import queries_streaming  # noqa: F401
 
 __all__ = ["catalog"]

@@ -48,10 +48,9 @@ from ..operators.ranges import range_join_points
     """,
     doc="Row predicates (between / isin / comparison / null check) pushed to "
     "the parquet scan, composed with the schema-level name-predicate "
-    "projection (keep columns whose NAME matches a keyword set, plus the PK; "
-    "sorted output order) — SURVEY §2.2 P9 + P7 in one plan. The filter "
-    "references columns the projection then drops; Catalyst still prunes the "
-    "scan to the union of both column sets.",
+    "projection (keep columns whose NAME matches a keyword set, plus the "
+    "PK; sorted output order) — SURVEY §2.2 P9 + P7 in one plan. Full "
+    "contract: docs/CONTRACTS.md#filter_name_projection",
 )
 def filter_name_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
@@ -117,8 +116,9 @@ def rev_sum_col(tax: bool = False):
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1 shape: two-key hash aggregation with 8 aggregates — "
-    "map-side partial agg + one shuffle (SURVEY §2.4 gap).",
+    doc="TPC-H Q1 shape: two-key hash aggregation with 8 aggregates — map-side "
+    "partial agg + one shuffle (SURVEY §2.4 gap). Full contract: "
+    "docs/CONTRACTS.md#pricing_summary",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
@@ -154,9 +154,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_custkey
     HAVING COUNT(*) FILTER (WHERE o_orderstatus = 'F') >= 5
     """,
-    doc="GROUP BY + HAVING with conditional aggregates (FILTER clauses / "
-    "CASE-gated sums — the single-pass alternative to N self-joins); the "
-    "HAVING predicate itself is over a filtered count.",
+    doc="GROUP BY + HAVING with conditional aggregates (FILTER clauses / CASE- "
+    "gated sums — the single-pass alternative to N self-joins); the HAVING "
+    "predicate itself is over a filtered count. Full contract: "
+    "docs/CONTRACTS.md#group_having_conditional",
 )
 def group_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
@@ -231,15 +232,8 @@ _GROUPING_BRANCHES = (
         for v, g in _GROUPING_BRANCHES
     )
     + f"\n    UNION ALL{_time_rollup_oracle_branch()}",
-    doc="The grouping-sets family as one tagged union. variant='rollup'/"
-    "'cube': hierarchical subtotals vs all combinations over lineitem with "
-    "grouping_id — one expanded-aggregate shuffle each. variant='gsets': "
-    "explicit GROUPING SETS through the SQL entry point (temp view + "
-    "spark.sql) — DataFrame and SQL APIs produce the same Expand plan. "
-    "variant='time_{hour,day,month}': hypertable-style multi-resolution "
-    "rollup over events (operators.aggregates.time_rollup) — every "
-    "resolution from ONE fact scan and one shuffle via grouping sets on "
-    "pre-truncated timestamps; k1 = bucket start, k2 = event_type.",
+    doc="The grouping-sets family as one tagged union. Full contract: "
+    "docs/CONTRACTS.md#rollup_cube_summary",
 )
 def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import time_rollup
@@ -333,11 +327,10 @@ def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ) WHERE rank <= 3
     """,
-    doc="Top-k both ways in one query: global top-100 (TakeOrderedAndProject "
-    "— per-partition heaps, no full sort) and top-3 per customer "
-    "(row_number window; Catalyst's WindowGroupLimit pushes the limit below "
-    "the shuffle). The global branch ranks its 100 survivors with a "
-    "post-limit window over a single tiny partition.",
+    doc="Top-k both ways in one query: global top-100 (TakeOrderedAndProject — "
+    "per-partition heaps, no full sort) and top-3 per customer (row_number "
+    "window; Catalyst's WindowGroupLimit pushes the limit below the "
+    "shuffle). Full contract: docs/CONTRACTS.md#topk_global_grouped",
 )
 def topk_global_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
@@ -372,7 +365,8 @@ def topk_global_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
            ), 2) AS running
     FROM lineitem
     """,
-    doc="Cumulative sum per supplier with a fully deterministic ordering.",
+    doc="Cumulative sum per supplier with a fully deterministic ordering. Full "
+    "contract: docs/CONTRACTS.md#window_running_sum",
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
@@ -422,10 +416,10 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="One pass over events combining three row-level analytics: per-user "
     "value delta (lag over the user window), time-debounce keep flag (drop "
-    "repeats of the same (user, event_type) within 5 minutes — the "
-    "time-aware twin of dropDuplicates), and JSON field extraction "
-    "(from_json with an explicit schema — never schema inference at scale). "
-    "Two window specs share one shuffle family on user_id.",
+    "repeats of the same (user, event_type) within 5 minutes — the time- "
+    "aware twin of dropDuplicates), and JSON field extraction (from_json "
+    "with an explicit schema — never schema inference at scale). Full "
+    "contract: docs/CONTRACTS.md#events_lag_debounce",
 )
 def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
@@ -477,9 +471,10 @@ def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
     """,
     doc="The set-op family as one tagged union: UNION/INTERSECT/EXCEPT chain "
-    "(SQL distinct semantics), INTERSECT ALL / EXCEPT ALL (duplicate-"
+    "(SQL distinct semantics), INTERSECT ALL / EXCEPT ALL (duplicate- "
     "preserving multiset semantics the distinct variants silently change), "
-    "and DISTINCT as aggregate-without-measures.",
+    "and DISTINCT as aggregate-without-measures. Full contract: "
+    "docs/CONTRACTS.md#set_ops_all",
 )
 def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import tag_union
@@ -535,11 +530,12 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in (1, 2, 3, 4)
     ),
     doc="Long->wide pivot (quarterly measure columns q1..q4, mirroring the "
-    "reference's pre-pivoted quality-measure shape, quality-transform.py:"
-    "40-43; explicit pivot values skip the distinct-discovery job) "
-    "immediately unpivoted back to long form with the built-in stack — the "
-    "roundtrip exercises both W2 directions in one plan; unpivot is "
-    "row-local, no extra shuffle.",
+    "reference's pre-pivoted quality-measure shape, quality- "
+    "transform.py:40-43; explicit pivot values skip the distinct-discovery "
+    "job) immediately unpivoted back to long form with the built-in stack — "
+    "the roundtrip exercises both W2 directions in one plan; unpivot is "
+    "row-local, no extra shuffle. Full contract: "
+    "docs/CONTRACTS.md#pivot_unpivot",
 )
 def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").withColumn(
@@ -593,19 +589,8 @@ _OK_COLS = ("distinct_ok", "p50_ok", "p95_ok",
     "state, the 100 TB path) verified against exact twins in the same plan: "
     "within-error-band booleans (HLL within 3x rsd; approx percentile "
     "inside the exact rank band) that the oracle asserts TRUE — sketch "
-    "accuracy as a hash-checkable signal, not a rows-only smoke check. "
-    "variant='cms_hh': heavy hitters via Count-Min sketch + exact refine — "
-    "the sketch over-counts but never under-counts, so clearing keys are a "
-    "SUPERSET of the true heavy hitters and the exact count runs over a "
-    "semi-joined sliver, never every key. Also proves the MERGEABLE-sketch "
-    "path (functions/sketches.py over the Spark 4 Datasketches builtins): "
-    "per-day HLL/theta/KLL partials in one aggregate, merged per "
-    "event_type in a second — shard-once/roll-up-forever, answering "
-    "distinct/quantile queries at 100 TB without re-reading raw data — "
-    "each merged estimate checked against the same exact twins. The exact "
-    "twins are the expensive part, so verification runs on a deterministic "
-    "20% slice; in production the sketches run alone. Raw sketch values: "
-    "operators.aggregates.approx_stats (unit-tested).",
+    "accuracy as a hash-checkable signal, not a rows-only smoke check. Full "
+    "contract: docs/CONTRACTS.md#approx_stats_events",
 )
 def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
@@ -789,13 +774,8 @@ _RANGE_WINDOW_US = 3_600_000_000  # attribute clicks within 1h after a purchase
      AND c.us >= p.us
      AND c.us < p.us + {_RANGE_WINDOW_US}
     """,
-    doc="Temporal joins Spark lacks natively. variant='asof': backward "
-    "as-of join (each click to the user's latest prior purchase) — "
-    "union+window formulation, one shuffle on the key, no Python; oracle "
-    "is DuckDB's native ASOF JOIN. variant='range': interval join via the "
-    "operators.ranges bucketized rewrite — equi-join on (user_id, hour "
-    "bucket) with the range refine in the join condition, a hash join "
-    "where the naive theta join plans a nested loop.",
+    doc="Temporal joins Spark lacks natively. Full contract: "
+    "docs/CONTRACTS.md#asof_join_events",
 )
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
@@ -854,8 +834,9 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.o_orderkey, l.status, r.status IS NOT NULL OR l.status IS NULL AS matched
     FROM l JOIN r ON l.status IS NOT DISTINCT FROM r.status
     """,
-    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
-    "match each other — the semantics a plain equi-join silently drops.",
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match "
+    "each other — the semantics a plain equi-join silently drops. Full "
+    "contract: docs/CONTRACTS.md#null_safe_join",
 )
 def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
@@ -894,7 +875,8 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Banding rows by exact quantiles (percentile via sort-based exact "
     "computation here; approx_percentile is the 100 TB variant with the "
-    "same plan shape minus the full sort).",
+    "same plan shape minus the full sort). Full contract: "
+    "docs/CONTRACTS.md#quantile_bands",
 )
 def quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
@@ -935,16 +917,8 @@ def quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Ranking family (rank/dense_rank tie-stable by value, ntile and "
     "percent_rank over a unique total order) plus first/last/nth value over "
     "a full-partition frame (explicit UNBOUNDED FOLLOWING — the default "
-    "frame makes last_value a footgun). SCALE-FIRST SHAPE (round-10 #3): "
-    "o_orderstatus has 3 distinct values, so a window partitioned by it is "
-    "three giant single-threaded sorts — the measured super-median sf2 "
-    "scaler. rank/dense_rank/percent_rank depend only on (status, priority) "
-    "so they aggregate to that ~15-row table, rank THERE, and broadcast "
-    "back; ntile(4) needs a true per-status row number over a unique order, "
-    "computed two-level: range-partition by the sort key, row_number within "
-    "each (partition, status) slice in parallel, then add the "
-    "partition-count prefix offsets (broadcast-joined, like packing's "
-    "prefix sum). No window partitions by the 3-value key anywhere.",
+    "frame makes last_value a footgun). Full contract: "
+    "docs/CONTRACTS.md#window_rank_values",
 )
 def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")

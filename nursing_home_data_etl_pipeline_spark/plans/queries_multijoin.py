@@ -33,9 +33,8 @@ from .queries_analytics import rev_sum_col, rev_sum_sql
     LIMIT 10
     """,
     doc="TPC-H Q3 shape: 3-table join with selective filters on both dims, "
-    "aggregate over the join, top-10 by revenue. Filters push to every "
-    "scan; the filtered customer side's join strategy is AQE-sized (it "
-    "scales with sf). The top-10 ordering is total over the group key.",
+    "aggregate over the join, top-10 by revenue. Full contract: "
+    "docs/CONTRACTS.md#shipping_priority_q3",
 )
 def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").filter(
@@ -88,15 +87,8 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
     GROUP BY 1
     """,
-    doc="TPC-style multijoin revenue. variant='q5' (TPC-H Q5): 5-table "
-    "star join with a region filter; bounded nation/region sides carry "
-    "broadcast hints, the sf-scaling customer reduction is AQE-sized and "
-    "applied to orders BEFORE the one unavoidable large-large shuffle — "
-    "lineitem><orders exchanges a filtered 2-column orders side and a "
-    "3-column lineitem projection, never full tables. variant='q14_*': "
-    "promo-vs-other revenue over a date-filtered part><lineitem join — "
-    "Q14's numerator and denominator as separately-rounded rows (the "
-    "ratio would compound float noise across engines).",
+    doc="TPC-style multijoin revenue. Full contract: "
+    "docs/CONTRACTS.md#regional_revenue_q5",
 )
 def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -159,8 +151,9 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
              c.c_name NULLS FIRST, n.n_name NULLS FIRST
     LIMIT 20
     """,
-    doc="TPC-H Q10 shape: returned-item revenue per customer, 4-table join "
-    "+ top-20 — the classic churn-analysis plan.",
+    doc="TPC-H Q10 shape: returned-item revenue per customer, 4-table join + "
+    "top-20 — the classic churn-analysis plan. Full contract: "
+    "docs/CONTRACTS.md#returned_items_q10",
 )
 def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")

@@ -114,11 +114,10 @@ def _text_profile_oracle() -> str:
     doc="The per-document text-analysis profile in one map-only pass: "
     "char/word/BPE-ish token counts, mean word length, lexical diversity, "
     "heuristic quality score, stopword ratio (the training-data filter "
-    "stage), language-ID (argmax of per-language stopword hits, 'und' "
-    "when nothing scores) beside the declared lang, and the md5 content "
-    "fingerprint over normalized text (the exact-dedup key). All JVM-side "
-    "builtins — zero Python, zero shuffles; word arrays materialize once "
-    "and every metric reads the bound attribute.",
+    "stage), language-ID (argmax of per-language stopword hits, 'und' when "
+    "nothing scores) beside the declared lang, and the md5 content "
+    "fingerprint over normalized text (the exact-dedup key). Full contract: "
+    "docs/CONTRACTS.md#text_profile",
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import normalize_text, words
@@ -183,10 +182,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT CAST(NULL AS VARCHAR), doc_id FROM corpus WHERE text IS NULL
     """,
     doc="Exact dedup via content-fingerprint hash aggregation (min-id "
-    "survivor). Duplicates are synthesized (10% of docs re-appear with "
-    "trailing whitespace + shifted ids) to prove normalization + collapse. "
-    "Contract: NULL-id rows are excluded on both sides — no identity, no "
-    "survivor (see the oracle's corpus CTE note).",
+    "survivor). Full contract: docs/CONTRACTS.md#dedup_exact",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -213,22 +209,9 @@ def _duck_shingles(src: str = "documents", prefix: str = "") -> str:
     """DuckDB shingle CTE (distinct word 5-grams of normalized text; whole
     text when shorter than k) — mirrors functions.text.word_shingles
     exactly. ``src`` parameterizes the corpus relation so composed queries
-    (e.g. training_corpus) can shingle a filtered CTE; ``prefix`` names the
-    CTEs so one query can shingle two corpora (decontamination).
-
-    LINEAR formulation (round 10): the previous ``FROM words,
-    unnest(generate_series(...))`` cross join re-materialized the whole
-    word array per output row — O(words^2) per doc, 60 s on the skew
-    fixture's 26k-word documents — so word positions now come from a
-    parallel unnest (DuckDB zips equal-length unnests) and each k-gram
-    from LEAD windows. concat_ws skips the NULL LEADs past the end of a
-    doc, which also reproduces the whole-text shingle for short docs.
-    The LEAD window partitions by a per-ROW id, not doc_id: a VERBATIM
-    duplicate doc_id row restarts i at 1, and a doc_id-partitioned window
-    would tie on i across the copies and interleave them into garbage
-    shingles (corr-sweep seed 4102: all-identical texts + duplicate ids
-    lost 3x497 jaccard pairs); per-row windows make each copy shingle
-    itself, and the per-doc DISTINCT collapses the identical results."""
+    (e.g. training_corpus) can shingle a filtered CTE; ``prefix`` names
+    the CTEs so one query can shingle two corpora (decontamination).
+    Design notes: docs/DESIGN.md#queries-northstar--duck-shingles"""
     leads = ", ".join(
         f"LEAD(w, {j}) OVER (PARTITION BY rid ORDER BY i)"
         for j in range(1, _SHINGLE_K)
@@ -427,15 +410,8 @@ _JACCARD_PAIRS_SQL = _jaccard_pairs_sql(HOT_SHINGLE_CAP, _JACCARD_THRESHOLD)
            jaccard
     FROM ({_JACCARD_PAIRS_SQL})
     """,
-    doc="Near-duplicate candidate pairs, one tagged row set per algorithm. "
-    "variant='simhash': 60-bit signatures over distinct words (portable "
-    "md5-derived token hashes, engine-identical bit math), banded Hamming "
-    "search (4 x 15-bit bands, pigeonhole-exact for distance <= 3) + "
-    "bit_count verify; n = Hamming distance. variant='jaccard': exact "
-    "n-gram Jaccard via inverted-index self-join (only pairs sharing a "
-    "shingle materialize; the hot-shingle cap bounds pair blowup); n = "
-    "intersection size, score = Jaccard. Two bounded band/index "
-    "self-joins — never an all-pairs product.",
+    doc="Near-duplicate candidate pairs, one tagged row set per algorithm. Full "
+    "contract: docs/CONTRACTS.md#dedup_near_pairs",
 )
 def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_pairs
@@ -587,12 +563,8 @@ def _ann_lsh_oracle() -> str:
     SELECT 'lsh', query_id, neighbor_id, cos_sim, rank
     FROM ({_ann_lsh_oracle()})
     """,
-    doc="Cosine top-k both ways. variant='brute': exact — broadcast query "
-    "batch x corpus, zip_with/aggregate dots in whole-stage codegen, rank "
-    "on the rounded score; the ANN correctness baseline. variant='lsh': "
-    "random-hyperplane LSH — 6 seeded hyperplanes -> 64-bucket equi-join "
-    "replaces the cross join, exact cosine within buckets; deterministic "
-    "planes replicated verbatim in the oracle.",
+    doc="Cosine top-k both ways. Full contract: "
+    "docs/CONTRACTS.md#similarity_topk",
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-dim contract: off-dimension vectors are excluded (see
@@ -643,12 +615,9 @@ def _near_dup_oracle() -> str:
 @register(
     "embedding_near_dup",
     oracle=_near_dup_oracle(),
-    doc="Embedding-cosine near-duplicate pairs: RHP bucket collision + "
-    "cosine >= threshold (0.3 fits this corpus's random-vector range; real "
-    "corpora use ~0.95). The plane count is DERIVED from corpus size "
-    "(ceil(log2(n/32)), clamped [4, 24]) so bucket count grows with n and "
-    "within-bucket all-pairs work stays linear — the oracle reproduces the "
-    "derivation from COUNT(*), masking its 24 embedded planes down.",
+    doc="Embedding-cosine near-duplicate pairs: RHP bucket collision + cosine "
+    ">= threshold (0.3 fits this corpus's random-vector range; real corpora "
+    "use ~0.95). Full contract: docs/CONTRACTS.md#embedding_near_dup",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-dim contract (also keeps the derived plane count — a function
@@ -681,11 +650,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST({hex_to_bigint_sql("lower(hex(encode(text)))", 1, 2)} AS INTEGER) AS fake_height
     FROM documents
     """,
-    doc="Multimodal plumbing: BinaryType payload + metadata struct decoded "
-    "by an Arrow-batched mapInArrow fake codec (real image/audio codecs "
-    "are import-gated stubs with this exact signature; ids pass through "
-    "as Arrow int64 — the pandas boundary would double them past 2^53 on "
-    "NULL-bearing batches). ASCII payloads make the oracle exact.",
+    doc="Multimodal plumbing: BinaryType payload + metadata struct decoded by "
+    "an Arrow-batched mapInArrow fake codec (real image/audio codecs are "
+    "import-gated stubs with this exact signature; ids pass through as "
+    "Arrow int64 — the pandas boundary would double them past 2^53 on NULL- "
+    "bearing batches). Full contract: docs/CONTRACTS.md#multimodal_decode",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")

@@ -58,13 +58,14 @@ from ..operators.sampling import (
            m.n_data
     FROM w JOIN m USING (doc_id)
     """,
-    doc="Collection-function surface in one pass: array HOFs (sort/distinct/"
-    "slice/filter/reverse-sort/contains over word arrays — all builtin, "
-    "row-local; array outputs serialized with array_join so order-"
-    "insensitive canonicalizers can sort the result columns) joined with "
-    "map-typed columns (word->count maps built with map_from_entries, "
+    doc="Collection-function surface in one pass: array HOFs "
+    "(sort/distinct/slice/filter/reverse-sort/contains over word arrays — "
+    "all builtin, row-local; array outputs serialized with array_join so "
+    "order-insensitive canonicalizers can sort the result columns) joined "
+    "with map-typed columns (word->count maps built with map_from_entries, "
     "probed with element_at — the per-row associative shape for sparse "
-    "feature vectors).",
+    "feature vectors). Full contract: "
+    "docs/CONTRACTS.md#collection_functions",
 )
 def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -106,9 +107,10 @@ def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY lang
     """,
-    doc="Schema-evolution union: an old staging batch (no lang column) "
-    "unioned BY NAME with a newer one — missing columns null-fill instead "
-    "of silently mis-aligning (the positional-union corruption bug).",
+    doc="Schema-evolution union: an old staging batch (no lang column) unioned "
+    "BY NAME with a newer one — missing columns null-fill instead of "
+    "silently mis-aligning (the positional-union corruption bug). Full "
+    "contract: docs/CONTRACTS.md#union_schema_evolution",
 )
 def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -135,12 +137,9 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                        regexp_replace(name_b, '[^ -~]', '?', 'g')) <= 2 AS near_name
     FROM pairs
     """,
-    doc="String similarity (Levenshtein) over candidate pairs — the "
-    "entity-resolution primitive; JVM builtin, applied post-blocking "
-    "(never all-pairs). Contract: the distance runs over the ASCII "
-    "projection (non-ASCII folds to '?') — Spark counts code points, "
-    "DuckDB counts BYTES, so unprojected unicode diverges (adv phase 5); "
-    "cost: two different non-ASCII chars at one position compare equal.",
+    doc="String similarity (Levenshtein) over candidate pairs — the entity- "
+    "resolution primitive; JVM builtin, applied post-blocking (never all- "
+    "pairs). Full contract: docs/CONTRACTS.md#string_similarity",
 )
 def string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
@@ -204,11 +203,12 @@ def _duck_hash_bucket(key_expr: str, salt: str) -> str:
        OR (lang = 'de' AND {_duck_hash_bucket('doc_id', 'strata')} < 5000)
        OR (lang = 'zh' AND {_duck_hash_bucket('doc_id', 'strata')} < 2500)
     """,
-    doc="Deterministic sampling as a tagged union: train/val/test by "
-    "content hash (80/10/10 — no row migrates between splits on rerun, "
-    "which df.sample cannot promise) and stratified sampling (per-language "
-    "keep rates en 90/de 50/zh 25%, others dropped — the 'rebalance "
-    "sources' op of a training mix).",
+    doc="Deterministic sampling as a tagged union: train/val/test by content "
+    "hash (80/10/10 — no row migrates between splits on rerun, which "
+    "df.sample cannot promise) and stratified sampling (per-language keep "
+    "rates en 90/de 50/zh 25%, others dropped — the 'rebalance sources' op "
+    "of a training mix). Full contract: "
+    "docs/CONTRACTS.md#sampling_deterministic",
 )
 def sampling_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -231,9 +231,10 @@ def sampling_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
     GROUP BY label, i
     """,
-    doc="Vector aggregation: per-label centroid (posexplode to long form, "
-    "one hash aggregate over (label, dim)) — the embedding-pooling shape "
-    "for cluster centroids / class prototypes.",
+    doc="Vector aggregation: per-label centroid (posexplode to long form, one "
+    "hash aggregate over (label, dim)) — the embedding-pooling shape for "
+    "cluster centroids / class prototypes. Full contract: "
+    "docs/CONTRACTS.md#vector_mean_by_label",
 )
 def vector_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -274,9 +275,9 @@ def vector_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_words
     FROM chunks
     """,
-    doc="Document chunking: 50-word windows with 10-word overlap — the "
-    "context-window prep op; map-only (explode of a per-row start "
-    "sequence), no shuffle, no Python.",
+    doc="Document chunking: 50-word windows with 10-word overlap — the context- "
+    "window prep op; map-only (explode of a per-row start sequence), no "
+    "shuffle, no Python. Full contract: docs/CONTRACTS.md#chunk_documents",
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chunking import chunk_table
@@ -326,18 +327,8 @@ _DUCK_FP = f"md5({duck_norm_sql()})"
       ) b WHERE b.fp = {_DUCK_FP}
     )
     """,
-    doc="Train/benchmark decontamination both ways. variant='lsh' (meta = "
-    "lang): drop training docs that LSH-collide with any benchmark doc — "
-    "cross-corpus MinHash banding; the benchmark bucket table broadcasts, "
-    "the training corpus never shuffles (stand-in: every 17th doc). "
-    "variant='bloom' (meta = source): exact fingerprint decontamination "
-    "through a distributed Bloom filter — bitmap over benchmark "
-    "fingerprints (one pass, bit_or partials), broadcast-probe the corpus, "
-    "exact-check only all-probes-hit rows (any miss is provably clean). "
-    "ONE corpus scan, zero corpus exchanges; at 100 TB, when the exact "
-    "refine must shuffle, only the ~FPP candidate sliver shuffles — never "
-    "the corpus. Byte-identical to the oracle's plain anti-join (NOT "
-    "EXISTS, so NULL fingerprints stay clean on both sides).",
+    doc="Train/benchmark decontamination both ways. Full contract: "
+    "docs/CONTRACTS.md#decontaminate_corpus",
 )
 def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.sketches import bloom_build, bloom_might_contain
@@ -411,11 +402,10 @@ _DUCK_QUALITY = duck_round_sql(_QUALITY_RAW)
     FROM kept k JOIN comp ON comp.doc_id = k.doc_id
     WHERE comp.cluster_id = k.doc_id
     """,
-    doc="End-to-end training-corpus assembly: quality gate + language "
-    "filter -> MinHash-LSH near-dup clustering -> keep one representative "
-    "per cluster -> fingerprinted corpus manifest. The composition query "
-    "proving the north-star stages stack into one Catalyst plan (plus the "
-    "iterative CC step).",
+    doc="End-to-end training-corpus assembly: quality gate + language filter -> "
+    "MinHash-LSH near-dup clustering -> keep one representative per cluster "
+    "-> fingerprinted corpus manifest. Full contract: "
+    "docs/CONTRACTS.md#training_corpus",
 )
 def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -465,10 +455,11 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_orderkey % 50 = 0
     """,
-    doc="Scalar-function surface: date parts, string ops (upper/substr/"
-    "concat/length), math (abs/ceil/floor), null handling (coalesce/nullif), "
-    "and date/interval arithmetic (truncation, interval addition, datediff, "
-    "month boundaries) — all whole-stage-codegen built-ins.",
+    doc="Scalar-function surface: date parts, string ops "
+    "(upper/substr/concat/length), math (abs/ceil/floor), null handling "
+    "(coalesce/nullif), and date/interval arithmetic (truncation, interval "
+    "addition, datediff, month boundaries) — all whole-stage-codegen built- "
+    "ins. Full contract: docs/CONTRACTS.md#scalar_date_functions",
 )
 def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
@@ -569,19 +560,13 @@ def _dsum2(a: str, b: str) -> str:
            {duck_round_sql("p25_d", 6)} AS p25_disc
     FROM v
     """,
-    doc="Statistical aggregates: stddev/variance/correlation/covariance "
-    "from EXACT decimal moment sums — the grid-valued inputs sum without "
+    doc="Statistical aggregates: stddev/variance/correlation/covariance from "
+    "EXACT decimal moment sums — the grid-valued inputs sum without "
     "rounding, then both engines run the identical double formula on the "
-    "identical exact sums, so results are bit-identical across engines "
-    "(the one-pass covar_samp/stddev_samp builtins accumulate in "
-    "engine-specific orders; fuzz seed 621 caught their noise straddling "
-    "a rounding boundary). Zero-variance and single-row groups yield NULL "
-    "corr/variance via nullif guards — no ANSI DIVIDE_BY_ZERO. On "
-    "arbitrary-precision doubles (no decimal grid), prefer the builtin "
-    "Welford aggregates and accept engine-specific low bits. Exact "
-    "per-group quantiles keep linear interpolation (Spark percentile == "
-    "DuckDB quantile_cont; percentile_approx is the sublinear 100 TB "
-    "variant, verified in approx_stats_events).",
+    "identical exact sums, so results are bit-identical across engines (the "
+    "one-pass covar_samp/stddev_samp builtins accumulate in engine-specific "
+    "orders; fuzz seed 621 caught their noise straddling a rounding "
+    "boundary). Full contract: docs/CONTRACTS.md#stats_aggregates",
 )
 def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")

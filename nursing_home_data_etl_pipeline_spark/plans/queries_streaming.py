@@ -1,0 +1,324 @@
+"""Streaming catalog entries (split out of queries_tail, round-11 #2):
+the four Structured-Streaming drains (windowed / session / stateful /
+join+dedup) plus the shared bounded-stream source and memory-sink drain.
+Registered AFTER queries_tail — the catalog keeps the same 50 keys (the
+driver gates by name, not position).
+
+THE EVENT-TIME CONTRACT (canonical statement; every watermark-bearing
+oracle in this file points here): (1) a NULL event time belongs to no
+window/session and never enters a stateful op; (2) Spark initializes the
+watermark to 0 and its late filter drops rows at-or-before it even in the
+first microbatch — for plain watermark ops that is epoch_us(ts) > 0, for
+session windows the event's own window END tests the watermark, so the
+filter is ts + gap > 0 (both probed empirically, round 7); (3) identity-
+keyed stateful ops (dedup) also exclude NULL-id rows — the state store
+would fold every NULL key into one group and keep an arbitrary first
+arrival (round-8 fuzz; same contract as minhash/exact dedup)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..streaming.aggregations import (
+    running_totals_stateful,
+    session_counts,
+    windowed_counts,
+)
+from .catalog import register
+
+# ts nanos-as-long here; stream_events substitutes the probed ts type.
+_EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField(n, t()) for n, t in (
+        ("event_id", T.LongType), ("ts", T.LongType), ("user_id", T.LongType),
+        ("event_type", T.StringType), ("value", T.DoubleType),
+        ("props", T.StringType),
+    )
+])
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Bounded file stream over the events table, with ``ts`` normalized to
+    TimestampType (LTZ, UTC session tz) — the streaming twin of
+    ``sources.readers.read_table``. The on-disk encoding has varied across
+    testdata generations (TIMESTAMP(NANOS) vs plain micros / NTZ), so
+    probe the batch-inferred type once (footer-only) and build the
+    matching streaming schema. Design notes: docs/DESIGN.md#queries-
+    streaming-stream-events"""
+    from ..sources.readers import (
+        normalize_events_ts,
+        path_is_dir,
+        pin_events_time_confs,
+    )
+
+    pin_events_time_confs(spark)  # shared encoding contract (readers.py)
+    events_path = f"{sf_dir}/events.parquet"
+    ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts")
+    # Directory-shaped tables stream directly; a single file needs the glob
+    # filter — but pathGlobFilter matches LEAF names, so applying it to a
+    # directory table would silently drain an empty stream.
+    if path_is_dir(spark, events_path):
+        reader, stream_path = spark.readStream, events_path
+    else:
+        reader = spark.readStream.option("pathGlobFilter", "events.parquet")
+        stream_path = sf_dir
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # readStream needs an EXPLICIT schema: substitute the probed ts type,
+    # then normalize through the same shared helper the batch reader uses.
+    if ts_type == "bigint":  # nanos-as-long generation
+        raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(stream_path)
+    else:
+        fields = [
+            f if f.name != "ts" else T.StructField(
+                "ts",
+                T.TimestampNTZType()
+                if ts_type == "timestamp_ntz"
+                else T.TimestampType(),
+            )
+            for f in _EVENTS_RAW_SCHEMA.fields
+        ]
+        raw = reader.schema(T.StructType(fields)).parquet(stream_path)
+    return normalize_events_ts(raw, ts_type)
+
+
+def _drain_to_memory(
+    df: DataFrame,
+    output_mode: str,
+    state_partitions: int = 8,
+    require_single_batch: bool = False,
+    require_multi_batch: bool = False,
+) -> DataFrame:
+    """Run the streaming plan to completion into a memory sink; return the
+    result table. Bounded input + processAllAvailable => deterministic.
+    Design notes: docs/DESIGN.md#queries-streaming--drain-to-memory"""
+    spark = df.sparkSession
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            if require_single_batch or require_multi_batch:
+                prog = q.recentProgress
+                # recentProgress is a RING BUFFER (default cap 100): a
+                # drain spanning more microbatches than the cap would
+                # silently undercount fed batches (ADVICE r10) — refuse to
+                # trust a possibly-saturated buffer.
+                cap = int(spark.conf.get(
+                    "spark.sql.streaming.numRecentProgressUpdates", "100"))
+                if len(prog) >= cap:
+                    raise AssertionError(
+                        f"recentProgress holds {len(prog)} >= cap {cap} "
+                        "entries; batch-count guards would undercount"
+                    )
+                fed = [p for p in prog if p.numInputRows > 0]
+                if require_single_batch and len(fed) > 1:
+                    raise AssertionError(
+                        f"bounded drain spanned {len(fed)} microbatches; "
+                        "the exact-oracle watermark contract assumes one"
+                    )
+                if require_multi_batch and len(fed) < 2:
+                    raise AssertionError(
+                        f"drain fed {len(fed)} microbatch(es); the "
+                        "incremental-delivery contract needs >1"
+                    )
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return df.sparkSession.table(name)
+
+
+@register(
+    "streaming_windowed_agg",
+    oracle="""
+    -- FLOORED division to the window start: DuckDB's // truncates toward
+    -- zero, which would snap a pre-epoch (negative-us) event to window 0
+    -- instead of its true 1969 window; Spark's window() floors.
+    SELECT make_timestamp(
+             epoch_us(ts)
+               - (((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000)
+           ) AS window_start,
+           event_type,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(value), 4)  AS sum_value
+    FROM events
+    -- event-time contract (1), module docstring
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Streaming tumbling-window aggregation (watermark + complete mode, "
+    "drained over the bounded events table) — must equal the batch window "
+    "query exactly: the batch/stream equivalence contract. Full contract: "
+    "docs/CONTRACTS.md#streaming_windowed_agg",
+)
+def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return _drain_to_memory(windowed_counts(ev), "complete")
+
+
+@register(
+    "streaming_session_counts",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             ts,
+             event_id,
+             epoch_us(ts) AS us,
+             -- STRICTLY greater: session_window MERGES an event at
+             -- exactly last+gap (probed on a 12:00/12:30 pair, round-8
+             -- hunt — the inclusive-boundary contract in BASELINE.md)
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                        > 1800 * 1000000
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      -- event-time contract (1)+(2), module docstring: session windows
+      -- test the event's own window END, so ts + gap > 0, NOT ts >= 0
+      WHERE ts IS NOT NULL AND epoch_us(ts) + 1800000000::BIGINT > 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)
+    ), sessions AS (
+      SELECT user_id, us,
+             -- same (ts, event_id) tiebreak as the flagged window: with a
+             -- bare ORDER BY ts, equal-ts rows could order differently in
+             -- the two windows and a session-start flag could land inside
+             -- the PREVIOUS session's cumulative range
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(us)  AS session_start_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Streaming session windows (30-min gap): the stream twin of batch "
+    "sessionization. Full contract: "
+    "docs/CONTRACTS.md#streaming_session_counts",
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return _drain_to_memory(session_counts(ev), "complete")
+
+
+@register(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)             AS n_events,
+           -- NaN totals emit as NULL: the Arrow pandas-worker boundary
+           -- uses NaN as its null sentinel, so the Python-side stateful
+           -- operator cannot represent a NaN result (documented in
+           -- streaming/aggregations._accumulate); Inf round-trips fine
+           CASE WHEN isnan(SUM(value)) THEN NULL
+                ELSE ROUND(SUM(value), 4) END AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Custom stateful operator (applyInPandasWithState): per-user running "
+    "totals. Full contract: docs/CONTRACTS.md#streaming_stateful_totals",
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return _drain_to_memory(
+        running_totals_stateful(ev), "update", require_single_batch=True
+    )
+
+
+_WINDOW = "INTERVAL 1 HOUR"
+
+
+@register(
+    "streaming_join_dedup",
+    oracle=f"""
+    SELECT 'interval_join' AS variant,
+           c.event_id,
+           c.user_id,
+           p.value AS num,
+           CAST(epoch_us(p.ts) AS VARCHAR) AS tag
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + {_WINDOW}
+    -- event-time contract (2) on BOTH join inputs, module docstring
+    WHERE epoch_us(c.ts) > 0 AND epoch_us(p.ts) > 0
+    UNION ALL
+    -- DISTINCT mirrors dedup-by-event_id for VERBATIM duplicate source
+    -- rows (a re-delivered event collapses on both sides — round-8 fuzz).
+    -- Duplicate ids with DIFFERING payloads are excluded by fixture
+    -- policy: the engine keeps whichever copy arrives first, an
+    -- order-dependent pick no SQL oracle can reproduce (same class as
+    -- DuckDB's native ASOF under ties).
+    SELECT DISTINCT 'dedup', event_id, user_id, CAST(NULL AS DOUBLE), event_type
+    FROM events
+    -- event-time contract (1)+(2)+(3), module docstring
+    WHERE epoch_us(ts) > 0 AND event_id IS NOT NULL
+    """,
+    doc="Watermark-bearing streaming operators, one tagged row set per drain. "
+    "Full contract: docs/CONTRACTS.md#streaming_join_dedup",
+)
+def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_cols = ["variant", "event_id", "user_id", "num", "tag"]
+
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(f"c_user = p_user AND p_ts >= c_ts AND p_ts < c_ts + {_WINDOW}"),
+    ).select(
+        F.lit("interval_join").alias("variant"),
+        "event_id",
+        F.col("c_user").alias("user_id"),
+        F.col("value").alias("num"),
+        F.unix_micros(F.col("p_ts")).cast("string").alias("tag"),
+    )
+    interval = _drain_to_memory(joined, "append", require_single_batch=True)
+
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    # SELF-union: each union leg re-reads the file source, so every event
+    # arrives twice — identical to two separately built streams; reusing
+    # `ev` (a plan, not a running query) skips a second footer probe.
+    a = ev.select(cols)
+    deduped = (
+        # event-time contract (1)+(3), module docstring — explicit filter
+        # because dropDuplicatesWithinWatermark would otherwise pass
+        # NULL-ts rows (NULL < watermark is NULL, not true)
+        a.unionByName(a)
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            F.lit("dedup").alias("variant"),
+            "event_id",
+            "user_id",
+            F.lit(None).cast("double").alias("num"),
+            F.col("event_type").alias("tag"),
+        )
+    )
+    dedup = _drain_to_memory(deduped, "append", require_single_batch=True)
+
+    return interval.select(*out_cols).unionByName(dedup.select(*out_cols))

@@ -24,16 +24,8 @@ FLOAT_DECIMALS = 6
 
 
 class _Tag:
-    """Private, non-constructible-from-data canonicalization markers.
-
-    Canonicalizing NaN to the STRING 'NaN' would compare equal to a genuine
-    string 'NaN' on the other side (the schema check compares column names,
-    not types), false-PASSing a query that stringifies a numeric column —
-    and a sentinel TUPLE of a reachable string was not safe either: canon
-    maps arrays into tuple space, so the single-element string array
-    ['__float_nan__'] collided with the old NaN sentinel (round-8
-    comparator review, execution-confirmed). Module-level objects compare
-    by identity; no engine result can ever equal one."""
+    """Private, non-constructible-from-data canonicalization markers. Design
+    notes: docs/DESIGN.md#verify--tag"""
 
     __slots__ = ("label",)
 

@@ -185,18 +185,13 @@ class IngestLedger:
 
 
 def list_landing_files(spark: SparkSession, landing_dir: str) -> DataFrame:
-    """Enumerate the landing directory as a listing DataFrame. file_id is
-    the content-addressed identity (RELATIVE path + size + mtime — basename
-    alone collided for same-named files in different subdirectories, so one
-    could shadow the other in the ledger) — the engine analog of the
+    """Enumerate the landing directory as a listing DataFrame. file_id is the
+    content-addressed identity (RELATIVE path + size + mtime — basename
+    alone collided for same-named files in different subdirectories, so
+    one could shadow the other in the ledger) — the engine analog of the
     reference's Drive file_id. file_name stays the basename: routing
-    patterns match on it.
-
-    Migration note: ids for SUBDIRECTORY-resident files changed from
-    basename- to relpath-keyed; a ledger written by the older scheme
-    re-ingests such files once (under the new flattened destination name)
-    unless its file_ids are rewritten. Flat landing directories — the
-    reference's actual shape — are unaffected (relpath == basename)."""
+    patterns match on it. Design notes: docs/DESIGN.md#ingest-list-
+    landing-files"""
     rows = []
     base = Path(landing_dir)
     if base.exists():

@@ -26,26 +26,8 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Convenience scan for the driver test tables (TESTDATA.md).
-
-    ``events.ts`` has shipped in two physical encodings across testdata
-    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
-    rejects — we opt into ``spark.sql.legacy.parquet.nanosAsLong`` and
-    truncate to micros) and plain micros with isAdjustedToUTC=false (which
-    Spark 4 infers as TIMESTAMP_NTZ — epoch functions like ``unix_micros``
-    reject NTZ). Both are normalized here to one canonical shape: a
-    TimestampType (LTZ) column under a UTC session timezone, so every
-    downstream epoch conversion is exact and matches DuckDB's naive-as-UTC
-    ``epoch_ns`` semantics.
-
-    Both conf pins are deliberately SESSION-WIDE and not restored: the
-    returned DataFrame is lazy, so a conf restored here would no longer
-    hold when the caller materializes the plan. Consequence: after an
-    events read, other tables' genuine TIMESTAMP(NANOS) columns also load
-    as bigint — acceptable for this engine (UTC + nanosAsLong are its
-    global contract, pinned at session build), but the reason this
-    function, not each query, owns the setting.
-    """
+    """Convenience scan for the driver test tables (TESTDATA.md). Design
+    notes: docs/DESIGN.md#readers-read-table"""
     if name == "events":
         pin_events_time_confs(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -58,12 +40,8 @@ def pin_events_time_confs(spark: SparkSession) -> None:
     interprets the wall clock in the session timezone; pin it to UTC
     UNCONDITIONALLY (session.py already does at build time; re-pinning
     keeps any read order-independent for sessions built without that pin)
-    so epoch math is deterministic regardless of the host default.
-
-    SHARED by read_table and the streaming reader
-    (plans.queries_tail.stream_events) — one place for the encoding
-    contract, so a new testdata generation cannot split batch vs stream
-    ts semantics."""
+    so epoch math is deterministic regardless of the host default. Design
+    notes: docs/DESIGN.md#readers-pin-events-time-confs"""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 

@@ -52,15 +52,8 @@ def write_parquet(
 ) -> None:
     """S3: Parquet sink. ``partition_by`` is the 100 TB lever the reference
     lacks (SURVEY.md §4.3) — partitioned layout gives downstream readers
-    partition pruning; AQE coalescing keeps file counts sane.
-
-    Partition-value contract: Spark folds an EMPTY-STRING partition value
-    into ``__HIVE_DEFAULT_PARTITION__``, which reads back as NULL — '' and
-    NULL rows merge indistinguishably after a round-trip (upstream Spark
-    behavior, execution-confirmed round 8). Do not partition by a
-    stringly-typed column that can be blank; NULLIF it (or fill a
-    sentinel) first. Other special characters round-trip correctly.
-    """
+    partition pruning; AQE coalescing keeps file counts sane. Design
+    notes: docs/DESIGN.md#writers-write-parquet"""
     _writer(df, mode, partition_by).parquet(path)
 
 
@@ -104,32 +97,12 @@ def write_bucketed(
 
 def replace_dir(df: DataFrame, target_path: str, meta: dict | None = None) -> None:
     """Overwrite ``target_path`` with ``df`` when the plan READS the target
-    (self-referential merge): materialize to a staging suffix, then swap via
-    Hadoop FS renames. Rename is atomic on HDFS/local filesystems, so the
-    not-there window is a metadata operation instead of a full rewrite. On
-    rename-less object stores (S3) this degrades to copy semantics — front
-    a table format (Delta/Iceberg) there instead.
-
-    ``meta``, when given, is written as ``_meta.json`` INSIDE the staging
-    dir before the swap (underscore files are invisible to parquet
-    readers), so data and metadata replace atomically together — the hook
-    :func:`read_dir_meta` + foreachBatch use for replay idempotence (a
-    marker written after the swap would leave a crash window in which the
-    data is new but the marker is old).
-
-    Crash safety: the live target is renamed ASIDE (``__old``) before
-    staging renames into place, then the backup is deleted — a crash in any
-    window leaves the data recoverable (either the target is still live, or
-    ``__old``/``__staging`` hold the previous/next version and a
-    :func:`recover_dir` restores service). The previous delete-then-rename
-    order had a window where the only copy of self-referential merge state
-    was the staging dir — a rename failure there lost the table outright.
-    A leftover ``__old`` WITH the target missing means the caller built
-    ``df`` against a half-swapped state: that raises here rather than
-    deleting the backup (the only full copy) and installing a frame
-    computed without it — callers maintaining a target across restarts run
-    :func:`recover_dir` before reading it.
-    """
+    (self-referential merge): materialize to a staging suffix, then swap
+    via Hadoop FS renames. Rename is atomic on HDFS/local filesystems, so
+    the not-there window is a metadata operation instead of a full
+    rewrite. On rename-less object stores (S3) this degrades to copy
+    semantics — front a table format (Delta/Iceberg) there instead. Design
+    notes: docs/DESIGN.md#writers-replace-dir"""
     spark = df.sparkSession
     staging = target_path + "__staging"
     df.write.mode("overwrite").parquet(staging)
@@ -216,15 +189,15 @@ def write_error(
     exc: BaseException | None = None,
 ) -> None:
     """S4: quarantine the failing input frame (if any) plus a diagnostics
-    sidecar. Unlike the reference (bug B1) this never references an unbound
-    frame and records the actual exception — format_exception(exc) renders
-    THAT exception's traceback (format_exc() rendered whatever happened to
-    be mid-flight, which is wrong outside an except block or in cleanup
-    code handling a different error). The sidecar goes through the Hadoop
-    FileSystem API so it lands next to the quarantined parquet on ANY
-    scheme (hdfs://, s3a://) — driver-local open() would write a garbage
-    local path on a cluster.
-    """
+    sidecar. Unlike the reference (bug B1) this never references an
+    unbound frame and records the actual exception — format_exception(exc)
+    renders THAT exception's traceback (format_exc() rendered whatever
+    happened to be mid-flight, which is wrong outside an except block or
+    in cleanup code handling a different error). The sidecar goes through
+    the Hadoop FileSystem API so it lands next to the quarantined parquet
+    on ANY scheme (hdfs://, s3a://) — driver-local open() would write a
+    garbage local path on a cluster. Design notes: docs/DESIGN.md#writers-
+    write-error"""
     diag = {
         "context": context,
         "error": repr(exc) if exc else None,

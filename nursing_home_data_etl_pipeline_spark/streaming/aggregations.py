@@ -36,7 +36,16 @@ def windowed_counts(
     cutoff at all. Plain streaming aggregation never filters late input in
     complete mode, so the default watermark is already exact under
     multi-microbatch delivery here — the None escape hatch exists for
-    symmetry with ``session_counts``, where it is load-bearing."""
+    symmetry with ``session_counts``, where it is load-bearing.
+
+    APPEND-mode multi-batch contract (round-11 #5, execution-probed): with
+    a pinned delivery order the emission set is exact — Spark's late-events
+    filter runs one batch BEHIND the eviction watermark (a row at-or-below
+    the current watermark still merges while its window state is live), a
+    window emits exactly when the eviction watermark reaches its end
+    (inclusive), and the final no-data microbatch flushes the last advance.
+    Replayed oracle-exactly in
+    tests/test_streaming.py::test_append_mode_multibatch_windowed_counts."""
     return (
         (events.withWatermark(ts_col, watermark)
          if watermark is not None else events)
@@ -65,14 +74,7 @@ def session_counts(
     The streaming twin of the batch lag+cumsum sessionization (operators/
     windows.sessionize) — same (user, session) event counts, with session
     identity carried by the window start instead of a per-user ordinal.
-
-    ``watermark=None`` for complete-mode bounded drains spanning multiple
-    microbatches: Spark's session operator filters watermark-late INPUT in
-    every output mode (SessionWindowStateStoreRestoreExec, unlike plain
-    aggregation which only filters in append/update — execution-probed,
-    round 10: a 4-file maxFilesPerTrigger=1 drain kept 507/1000 events),
-    so a watermark makes incremental delivery lossy even in complete mode;
-    omitting it is legal there and restores batch equivalence."""
+    Design notes: docs/DESIGN.md#aggregations-session-counts"""
     return (
         (events.withWatermark(ts_col, watermark)
          if watermark is not None else events)
@@ -135,22 +137,9 @@ def _accumulate(
     key_col: str,
     value_col: str,
 ) -> pd.DataFrame:
-    """Shared accumulation body for both stateful variants — one site for
-    the count/total/rounding logic so the TTL twin can't drift.
-
-    SQL SUM semantics, exactly: NULL values are ignored (the upstream
-    ``_vnull`` flag identifies them — in the worker a SQL NULL is
-    indistinguishable from a genuine NaN, both arrive as float NaN), a
-    genuine NaN poisons the total (``skipna=False``; pandas' default
-    skipna would silently drop NaN and emit the sum of the rest), and a
-    key that never saw a non-NULL value totals NULL, not 0.0.
-
-    State-shape compatibility: widening ``_STATE_SCHEMA`` (has_val joined in
-    round 6) requires DISCARDING the checkpoint — Spark's state-store schema
-    compatibility check rejects a restart whose stateStructType changed
-    (StateSchemaNotCompatible) before user code ever unpacks state, so an
-    in-code migration branch here can never execute (round-7 ADVICE; a
-    defensive len-check was removed as dead code)."""
+    """Shared accumulation body for both stateful variants — one site for the
+    count/total/rounding logic so the TTL twin can't drift. Design notes:
+    docs/DESIGN.md#aggregations--accumulate"""
     if state.exists:
         n, total, has_val = state.get
     else:

@@ -43,18 +43,7 @@ def start_upsert_sink(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Merge every micro-batch into the Parquet dim at ``target_path``.
-
-    ``order_col`` resolves multi-row-per-key batches (latest wins) before
-    the merge; without one, the struct-max row per key wins — either way
-    the merge input is unique per key (merge_scd1's precondition; feeding
-    a raw multi-row batch left duplicate key rows in the dim forever).
-    The double-buffered overwrite matches pipeline.merge_warehouse.
-
-    Replay safety: foreachBatch is AT-LEAST-ONCE (the epoch commits after
-    this function returns), but this merge is idempotent — re-merging an
-    already-applied batch replaces rows with identical rows — so no epoch
-    guard is needed; contrast :func:`start_incremental_agg`.
-    """
+    Design notes: docs/DESIGN.md#upsert-start-upsert-sink"""
     spark = stream.sparkSession
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -111,26 +100,9 @@ def start_incremental_agg(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Incrementally maintain per-key aggregates (count/sum/min/max — the
-    distributive set; avg derives as sum/count) in a Parquet table, merging
-    each micro-batch's PARTIAL aggregate into the stored state.
-
-    The 100 TB property: history is never re-scanned. Each batch reduces to
-    #distinct-keys rows map-side, then merges with the (aggregate-sized)
-    target by the same algebra Spark uses for partial aggregation — counts
-    and sums add, min/max fold. Contrast with withWatermark+window state
-    (bounded by watermark, results only on emit): this keeps an unbounded
-    all-time aggregate queryable between batches.
-
-    Replay safety: foreachBatch is AT-LEAST-ONCE and count/sum merging is
-    NOT idempotent, so each swap records its epoch in the target's
-    ``_meta.json`` (atomically, inside the same rename) and an
-    already-applied epoch is skipped on replay — without this, a crash
-    between the swap and the checkpoint commit double-counted the whole
-    batch on restart. Consequence: the target is bound to ONE checkpoint
-    lineage (epoch ids restart at 0 with a fresh checkpoint dir; pointing
-    a new checkpoint at an existing target must be treated as a
-    bootstrap/migration, not a resume).
-    """
+    distributive set; avg derives as sum/count) in a Parquet table,
+    merging each micro-batch's PARTIAL aggregate into the stored state.
+    Design notes: docs/DESIGN.md#upsert-start-incremental-agg"""
     spark = stream.sparkSession
 
     def agg_exprs(df: DataFrame) -> DataFrame:

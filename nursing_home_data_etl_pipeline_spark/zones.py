@@ -56,16 +56,8 @@ class ZoneLayout:
         return self.path("warehouse", domain)
 
     def list_domains(self, zone: str, spark: SparkSession | None = None) -> list[str]:
-        """Enumerate immediate child domains of a zone.
-
-        Catalog discovery — the engine analog of the reference's
-        ``list_objects_v2(Delimiter='/')`` prefix walk
-        (``nh-etl-universal-cleaning.py:58-63``, ``move_sources_files.py:16-17``).
-        Goes through the Hadoop FileSystem API (``spark`` argument, or the
-        active session) so an ``s3a://``/``hdfs://`` root lists the real
-        zone, not a driver-local phantom path; only with no JVM at all does
-        it fall back to the local filesystem.
-        """
+        """Enumerate immediate child domains of a zone. Design notes:
+        docs/DESIGN.md#zones-list-domains"""
         spark = spark or SparkSession.getActiveSession()
         if spark is None:
             base = Path(self.path(zone))

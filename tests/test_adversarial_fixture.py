@@ -174,17 +174,22 @@ def test_derived_axis_builders(tmp_path):
     assert got == orig[::-1]
 
 
-def test_scale_fixture_replica_cap():
-    """ADVICE r9: Caesar shift repeats with period 25, so replicas > 25
-    would silently produce cross-replica text duplicates; build() raises."""
+def test_scale_fixture_replica_decorrelation():
+    """Round 11 replaced the period-25 Caesar shift with per-replica
+    substitution permutations (sf10 needs 100 replicas): the permutations
+    must be pairwise distinct AND non-identity over the sf10 range, and
+    the embedding sign masks must differ for replicas sharing a rotation
+    (r and r+64) so no two replicas carry identical vectors."""
     spec = importlib.util.spec_from_file_location(
         "scale_fixture",
         os.path.join(os.path.dirname(__file__), "..", "tools", "scale_fixture.py"),
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    with pytest.raises(ValueError, match="25 replicas"):
-        mod.build("/nonexistent", "/nonexistent-out", 26)
+    perms = [mod._perm(r) for r in range(1, 100)]
+    assert len(set(perms)) == 99 and mod._LO not in perms
+    s0, s64 = mod._signs(0 + 1, 64), mod._signs(64 + 1, 64)
+    assert s0 != s64 and all(mod._signs(r, 64)[0] == -1.0 for r in (1, 64))
 
 
 def test_corr_fuzz_builder_properties(tmp_path):

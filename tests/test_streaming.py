@@ -103,7 +103,7 @@ def test_stateful_ttl_variant_matches_on_bounded_input(spark):
 
     from pyspark.sql import types as T
 
-    from nursing_home_data_etl_pipeline_spark.plans.queries_tail import (
+    from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
         _drain_to_memory,
     )
     from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
@@ -166,7 +166,7 @@ def test_stateful_totals_with_string_key(spark):
 
     from pyspark.sql import types as T
 
-    from nursing_home_data_etl_pipeline_spark.plans.queries_tail import (
+    from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
         _drain_to_memory,
     )
     from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
@@ -283,7 +283,7 @@ def test_multibatch_complete_drains_equal_single_batch(spark, tmp_path):
     aggregate state, so the final emission is the full aggregate no matter
     how the bounded input was sliced into microbatches. The same oracles
     that gate the single-batch catalog entries therefore hold exactly."""
-    from nursing_home_data_etl_pipeline_spark.plans.queries_tail import (
+    from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
         _drain_to_memory,
         stream_events,
     )
@@ -334,7 +334,7 @@ def test_update_mode_multibatch_contract(spark, tmp_path):
     the guard trips, and the duplication it guards against is real."""
     import pytest as _pytest
 
-    from nursing_home_data_etl_pipeline_spark.plans.queries_tail import (
+    from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
         _drain_to_memory,
         stream_events,
     )
@@ -354,3 +354,116 @@ def test_update_mode_multibatch_contract(spark, tmp_path):
     )
     keys = [r.user_id for r in out.collect()]
     assert len(keys) > len(set(keys))  # per-trigger emission duplicates keys
+
+
+def test_append_mode_multibatch_windowed_counts(spark, tmp_path):
+    """Round-11 #5: append-mode drain over a maxFilesPerTrigger file source
+    has an EXACT oracle once delivery order is pinned (file mtime order).
+    Probed semantics this test replays: Spark's LATE-EVENTS filter runs one
+    batch BEHIND its eviction watermark — a row in batch k is dropped iff
+    its window end <= the watermark at the start of batch k-1, while
+    eviction/emission during batch k uses the batch-k start watermark — so
+    a row at-or-below the current watermark still MERGES while its window
+    state is live (execution-probed: such a row landed in the emitted
+    aggregate), and a window EMITS exactly when the eviction watermark
+    REACHES its end (inclusive, probed), including via the final no-data
+    microbatch. Completes the three-mode delivery matrix (complete-mode
+    multi-batch r10; update-mode impossibility pinned r10)."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
+        windowed_counts,
+    )
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # One file per microbatch. Watermark history (delay 10 min):
+    # w0=10:20, w1=11:50, w2=13:00, w3=13:10.
+    files = [
+        [(1, t(10, 0), 1, "a", 1.0), (2, t(10, 30), 1, "a", 2.0),
+         (3, None, 1, "a", 9.9)],                      # NULL ts: no window
+        # b1: 10:05 merges (late wm = 0); 12:00 advances wm to 11:50
+        [(4, t(10, 5), 1, "a", 4.0), (5, t(12, 0), 1, "b", 8.0)],
+        # b2: late wm = w0 = 10:20 < 11:00, so 10:45 still MERGES even
+        # though the eviction wm (11:50) passed its window; [10,11) emits
+        # at the end of this batch INCLUDING it. 13:10 -> w2 = 13:00 ==
+        # end of [12,13): boundary emission next batch.
+        [(6, t(10, 45), 1, "a", 64.0), (7, t(13, 10), 1, "c", 16.0)],
+        # b3: late wm = w1 = 11:50 >= 11:00 -> 10:50 DROPPED (its window
+        # already emitted; no duplicate row). [13,14) stays open forever
+        # (final wm 13:10 < 14:00) -> never emits.
+        [(8, t(13, 20), 1, "c", 32.0), (9, t(10, 50), 1, "a", 100.0)],
+    ]
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    for i, rows in enumerate(files):
+        one = str(tmp_path / f"one{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(one)
+        part = next(f for f in os.listdir(one) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"f{i}.parquet")
+        shutil.copy(os.path.join(one, part), dst)
+        os.utime(dst, (1_000_000 * (i + 1),) * 2)
+
+    # --- oracle replay of the probed two-lagged watermark rule ----------
+    H, D = 3_600_000_000, 600_000_000  # window, delay (us)
+
+    def us(x):
+        return int(x.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+
+    wm_start = [0]  # wm_start[k] = watermark at the start of batch k
+    for rows in files:
+        top = max((us(r[1]) for r in rows if r[1] is not None), default=None)
+        wm_start.append(wm_start[-1] if top is None
+                        else max(wm_start[-1], top - D))
+    agg = {}
+    for k, rows in enumerate(files):
+        late_wm = wm_start[k - 1] if k else 0
+        for _eid, ts, _u, et, v in rows:
+            if ts is None:
+                continue
+            w0 = (us(ts) // H) * H
+            if w0 + H <= late_wm:
+                continue
+            n, s = agg.get((w0, et), (0, 0.0))
+            agg[(w0, et)] = (n + 1, s + v)
+    final_wm = wm_start[-1]
+    want = {
+        (dt.datetime.utcfromtimestamp(w0 / 1e6), et, n, round(s, 4))
+        for (w0, et), (n, s) in agg.items()
+        if w0 + H <= final_wm
+    }
+
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src))
+    out = windowed_counts(ev, window="1 hour", watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("append_mb")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        fed = [p for p in q.recentProgress if p.numInputRows > 0]
+        assert len(fed) >= 2, "multi-batch contract needs >1 fed batches"
+    finally:
+        q.stop()
+    got = {
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in spark.table("append_mb").collect()
+    }
+    assert got == want
+    # the fixture must itself exercise every probed branch
+    assert (t(10), "a", 4, 71.0) in want      # late row 6 merged pre-emit
+    assert (t(12), "b", 1, 8.0) in want       # emitted at wm == window end
+    assert all(ws.hour != 13 for ws, *_ in want)  # open window never emits
+    # row 9 fully dropped: no duplicate [10,11) row, value 100 nowhere
+    assert len([x for x in got if x[0] == t(10)]) == 1

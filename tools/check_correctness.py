@@ -1,12 +1,24 @@
 """Local mirror of the driver's t2 correctness gate.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [sf_dir] [--offload] [query ...]
+
+``--offload`` (round-11 #1, for the sf10 gate): compare INSIDE DuckDB —
+the Spark result is written to parquet and diffed against the oracle with
+EXCEPT ALL both ways (exact multiset compare, doubles rounded to the same
+6 decimals as plans.verify.canon, -0.0 normalized) instead of collecting
+both sides into Python rows. At sf10 the largest outputs are ~40M rows;
+collecting them would dominate the gate. Weaker than plans.verify only on
+cross-TYPE confusions (bool-vs-int, bytes-vs-hex), which the strict
+sf0.01 gate already pins; row count, schema names, and the full value
+multiset are all still exact.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 # Repo root by FILE location, not cwd: robustness_matrix imports this
@@ -28,9 +40,55 @@ from nursing_home_data_etl_pipeline_spark.plans.verify import (  # noqa: E402
 EXPECTED_CATALOG = 50
 
 
+def _canon_select(con, rel: str) -> str:
+    """Column list for the offloaded compare: sorted by name (the driver
+    hashes column-name-sorted values), doubles rounded to 6 decimals with
+    -0.0 normalized via +0 (DuckDB groups NaN as equal to itself, matching
+    canon's NaN tag); double arrays element-rounded."""
+    cols = con.execute(f"DESCRIBE {rel}").fetchall()
+    parts = []
+    for c, t, *_ in sorted(cols):
+        q, tu = f'"{c}"', t.upper()
+        if tu in ("DOUBLE", "FLOAT", "REAL"):
+            parts.append(f"round({q}, 6) + 0 AS {q}")
+        elif tu in ("DOUBLE[]", "FLOAT[]", "REAL[]"):
+            parts.append(f"list_transform({q}, x -> round(x, 6) + 0) AS {q}")
+        else:
+            parts.append(q)
+    return ", ".join(parts)
+
+
+def compare_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
+    sdf = fn(spark, sf_dir)
+    path = os.path.join(tmp, name)
+    sdf.write.mode("overwrite").parquet(path)
+    con.execute(f"CREATE OR REPLACE TEMP VIEW _s AS "
+                f"SELECT * FROM '{path}/*.parquet'")
+    con.execute(f"CREATE OR REPLACE TEMP TABLE _o AS {oracle}")
+    scols = sorted(sdf.columns)
+    ocols = sorted(r[0] for r in con.execute("DESCRIBE _o").fetchall())
+    if scols != ocols:
+        return [f"schema: spark={scols} oracle={ocols}"]
+    ns, no = con.execute(
+        "SELECT (SELECT COUNT(*) FROM _s), (SELECT COUNT(*) FROM _o)"
+    ).fetchone()
+    if ns != no:
+        return [f"rowcount: spark={ns} oracle={no}"]
+    sel_s, sel_o = _canon_select(con, "_s"), _canon_select(con, "_o")
+    diff = con.execute(
+        f"SELECT COUNT(*) FROM ("
+        f"(SELECT {sel_s} FROM _s EXCEPT ALL SELECT {sel_o} FROM _o)"
+        f" UNION ALL "
+        f"(SELECT {sel_o} FROM _o EXCEPT ALL SELECT {sel_s} FROM _s))"
+    ).fetchone()[0]
+    return [f"values: {diff} rows differ (multiset, both directions)"] if diff else []
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--offload"]
+    offload = "--offload" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from nursing_home_data_etl_pipeline_spark.session import get_spark
@@ -53,12 +111,19 @@ def main() -> int:
         )
         return 2
     failures = []
+    tmp = tempfile.mkdtemp(prefix="offload_gate_") if offload else None
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
-            problems = compare_query(spark, con, fn, oracles.get(name), sf_dir)
+            if offload and name in oracles:
+                problems = compare_offloaded(
+                    spark, con, name, fn, oracles[name], sf_dir, tmp)
+                shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            else:
+                problems = compare_query(
+                    spark, con, fn, oracles.get(name), sf_dir)
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: error {str(ex)[:300]}")

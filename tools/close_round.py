@@ -82,7 +82,23 @@ def close(n: int, warm: int, skip: set[str]) -> int:
         path = os.path.join(REPO, "docs", "EXPLAIN_AUDIT.md")
         if rc != 0 or not os.path.exists(path):
             return False, f"rc={rc}"
-        lines = open(path).read().splitlines()
+        text = open(path).read()
+        # Round-11 #4: every catalog query pinned by name in
+        # test_plan_expectations.py must be documented in the audit — the
+        # audit is the only human-readable record that the plans are the
+        # 100x-safe ones, and pinned-but-undocumented families drift.
+        import re
+        sys.path.insert(0, REPO)
+        from nursing_home_data_etl_pipeline_spark.plans import catalog
+        tsrc = open(os.path.join(REPO, "tests",
+                                 "test_plan_expectations.py")).read()
+        pinned = set(re.findall(r'"([a-z0-9_]{3,})"', tsrc)) & set(
+            catalog.entries())
+        documented = set(re.findall(r"^## (\w+)", text, re.M))
+        missing = sorted(pinned - documented)
+        if missing:
+            return False, f"audit missing pinned plan families: {missing}"
+        lines = text.splitlines()
         lines.insert(1, f"\nGenerated on commit `{commit}`.")
         open(path, "w").write("\n".join(lines))
         return True, stdout.strip().splitlines()[-1] if stdout else ""

@@ -30,6 +30,17 @@ AUDITED = {
     "rollup_cube_summary": "Each grouping branch (rollup/cube/gsets/time rollup) is one scan + one Expand + partial/final HashAggregate pair — a single shuffle per branch; the time branch serves all three resolutions from ONE events scan, no per-level rescan.",
     "approx_stats_events": "cms_hh branch: sketch and candidate list are BroadcastExchanges; the corpus is touched by the one-pass sketch build aggregate and the exact-refine aggregate over the semi-joined sliver — never a corpus self-join.",
     "tpch_shapes_q4_q13_q18": "q4: EXISTS plans as LEFT SEMI with the correlated date bound in the join condition. q13: left outer + two key-sized aggregates. q18: only the tiny big-order key set carries a broadcast hint; AQE picks the orders/customer strategies.",
+    # --- round-11 #4 additions: the remaining scale-critical families ---
+    "window_rank_values": "No window partitioned by the 3-value status key anywhere: rank/dense_rank/percent_rank come from the ~15-row (status, priority) aggregate broadcast back (BroadcastHashJoin); ntile is the two-level shape — bucket from a broadcast 1-row percentile-bounds array (the one allowed 1-row BroadcastNestedLoopJoin), per-(bucket, status) row_number, offsets re-attached via BroadcastHashJoin on the aliased _bk2 (no SortMergeJoin).",
+    "regional_revenue_q5": "The one unavoidable large-large join exchanges projections, not tables: the lineitem scan reads exactly its 3 needed columns (ReadSchema, pinned in test_q5_scans_are_column_pruned); dimension hops are BroadcastHashJoins. The lineitem-orders strategy is AQE's call — broadcast at audit scale, projection exchange at 100 TB.",
+    "quantile_bands": "The KLL/exact boundary row set is a broadcast 1-row aggregate (bounded BroadcastNestedLoopJoin); the scored corpus side is touched once and never re-shuffles on a quantile key.",
+    "tfidf_terms": "df aggregates the (doc, term)-sized tf relation — no Expand node and no second token-sized shuffle (the round-10 rewrite); the corpus count is a broadcast 1-row aggregate, not a driver count.",
+    "dedup_exact": "One aggregate family on the fingerprint — partial + final around a single Exchange, over the union of the text branch and the NULL-text sentinel branch; no self-join of the corpus anywhere.",
+    "dedup_clusters": "Pair generation is the banded LSH self-join (only colliding buckets materialize); min-label propagation is a bounded sequence of hash joins over the edge set — no CartesianProduct, no corpus x corpus.",
+    "embedding_near_dup": "RHP-LSH: plane count derived from an occupancy aggregate (broadcast), candidate pairs come from the bucket equi-join — the corpus is never nested-loop joined with itself.",
+    "stats_aggregates": "Single-pass aggregate shapes: each variant is scan -> partial HashAggregate -> one Exchange -> final HashAggregate; moment sums are exact decimals, still one pass.",
+    "window_running_sum": "The running-sum window hash-partitions by its key (no global single-partition Window over the fact table).",
+    "training_corpus": "End-to-end pipeline keeps each stage's own bound: quality gate is map-only on the scan, LSH dedup is the banded self-join, the representative re-join is key-hashed — no stage shuffles the corpus more than once.",
     # streaming queries are excluded: entries() drains them, so the returned
     # frame is the memory sink's LocalTableScan, not the streaming plan.
 }
