@@ -592,10 +592,43 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pp * pp).cast("double").alias("_syy"),
         round_half_away(F.min("l_extendedprice"), 2).alias("min_price"),
         round_half_away(F.max("l_extendedprice"), 2).alias("max_price"),
-        round_half_away(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
-        round_half_away(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-        round_half_away(F.expr("percentile(l_discount, 0.25)"), 6).alias("p25_disc"),
     )
+    # SCALE-FIRST percentiles (round 11, the one super-linear sf10 scaler):
+    # exact percentile() inside the moments aggregate forced the WHOLE
+    # thing into ObjectHashAggregate — per-row count-map ingestion for 60M
+    # rows x 3 columns, full-map merges on the 3 returnflag reducer tasks,
+    # and zero whole-stage codegen for the 12 decimal sums riding along
+    # (sf2->sf10 grew 6.4x at 5x data). Split: a codegen'd histogram
+    # aggregate shuffles only DISTINCT (flag, col, value) rows across all
+    # reducers (grid-valued money: histogram ~= sf0.1's distinct values,
+    # not row count), then the SAME exact percentile runs frequency-
+    # weighted over the tiny histogram and rejoins by broadcast.
+    hist = (
+        li.selectExpr(
+            "l_returnflag",
+            "stack(3, 'q', l_quantity, 'p', l_extendedprice, "
+            "'d', l_discount) as (_w, _v)")
+        .filter(F.col("_v").isNotNull())
+        .groupBy("l_returnflag", "_w", "_v")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    pcts = hist.groupBy(F.col("l_returnflag").alias("_rf")).agg(
+        round_half_away(F.expr(
+            "percentile(if(_w = 'q', _v, null), 0.5D, _f)"), 6)
+        .alias("median_qty"),
+        round_half_away(F.expr(
+            "percentile(if(_w = 'p', _v, null), 0.9D, _f)"), 4)
+        .alias("p90_price"),
+        round_half_away(F.expr(
+            "percentile(if(_w = 'd', _v, null), 0.25D, _f)"), 6)
+        .alias("p25_disc"),
+    )
+    # LEFT join: a flag whose three columns are all NULL has no histogram
+    # rows but must keep its moments row (percentiles NULL, like the
+    # oracle's quantile_cont over nothing).
+    agg = agg.join(F.broadcast(pcts),
+                   F.col("l_returnflag").eqNullSafe(F.col("_rf")),
+                   "left").drop("_rf")
 
     def _nz(c):  # NULL instead of ANSI divide-by-zero
         return F.nullif(c, F.lit(0.0))

@@ -38,7 +38,7 @@ AUDITED = {
     "dedup_exact": "One aggregate family on the fingerprint — partial + final around a single Exchange, over the union of the text branch and the NULL-text sentinel branch; no self-join of the corpus anywhere.",
     "dedup_clusters": "Pair generation is the banded LSH self-join (only colliding buckets materialize); min-label propagation is a bounded sequence of hash joins over the edge set — no CartesianProduct, no corpus x corpus.",
     "embedding_near_dup": "RHP-LSH: plane count derived from an occupancy aggregate (broadcast), candidate pairs come from the bucket equi-join — the corpus is never nested-loop joined with itself.",
-    "stats_aggregates": "Single-pass aggregate shapes: each variant is scan -> partial HashAggregate -> one Exchange -> final HashAggregate; moment sums are exact decimals, still one pass.",
+    "stats_aggregates": "Two branches (round-11 split of the sf10 super-linear scaler): the 12 exact-decimal moment sums run as codegen HashAggregate pairs with NO percentile riding along; the exact percentiles run frequency-weighted over a (flag, col, value) HISTOGRAM aggregate — ObjectHashAggregate ingests distinct grid values, not 60M rows — and rejoin via one BroadcastHashJoin.",
     "window_running_sum": "The running-sum window hash-partitions by its key (no global single-partition Window over the fact table).",
     "training_corpus": "End-to-end pipeline keeps each stage's own bound: quality gate is map-only on the scan, LSH dedup is the banded self-join, the representative re-join is key-hashed — no stage shuffles the corpus more than once.",
     # streaming queries are excluded: entries() drains them, so the returned
