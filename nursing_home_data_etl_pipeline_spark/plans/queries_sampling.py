@@ -499,15 +499,22 @@ _MOMENT_DEC = "decimal(18,4)"
 _MOMENT_DEC_WIDE = "decimal(20,4)"
 
 
+#: DECIMAL -> DOUBLE goes THROUGH VARCHAR (round-11 fuzz seed 5284): when
+#: the sum's unscaled integer exceeds 2^53 the direct casts diverge by one
+#: ulp between engines (DuckDB double-rounds via unscaled/10^scale; Java
+#: converts once), and a duplicate-row group whose true variance is 0
+#: turns that ulp into sd=0.0014 vs 0.0. Decimal->string is exact digits
+#: and string->double is correctly rounded in BOTH engines, so the routed
+#: cast is bit-identical. Group-count rows only — free.
 def _dsum(col: str) -> str:
-    """Exact-decimal SUM rendered back to DOUBLE."""
-    return f"CAST(SUM(CAST({col} AS {_MOMENT_DEC})) AS DOUBLE)"
+    """Exact-decimal SUM rendered back to DOUBLE (via VARCHAR, see above)."""
+    return f"CAST(CAST(SUM(CAST({col} AS {_MOMENT_DEC})) AS VARCHAR) AS DOUBLE)"
 
 
 def _dsum2(a: str, b: str) -> str:
     """Exact-decimal SUM of a product (second factor widened for DuckDB)."""
-    return (f"CAST(SUM(CAST({a} AS {_MOMENT_DEC})"
-            f" * CAST({b} AS {_MOMENT_DEC_WIDE})) AS DOUBLE)")
+    return (f"CAST(CAST(SUM(CAST({a} AS {_MOMENT_DEC})"
+            f" * CAST({b} AS {_MOMENT_DEC_WIDE})) AS VARCHAR) AS DOUBLE)")
 
 
 @register(
@@ -527,11 +534,11 @@ def _dsum2(a: str, b: str) -> str:
              {_dsum("l_discount")} AS sd,
              {_dsum2("l_discount", "l_discount")} AS sdd,
              COUNT(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
-             CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL THEN CAST(l_quantity AS {_MOMENT_DEC}) END) AS DOUBLE) AS sx,
-             CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN CAST(l_extendedprice AS {_MOMENT_DEC}) END) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL THEN CAST(l_quantity AS {_MOMENT_DEC}) END) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN CAST(l_extendedprice AS {_MOMENT_DEC}) END) AS VARCHAR) AS DOUBLE) AS sy,
              {_dsum2("l_quantity", "l_extendedprice")} AS sxy,
-             CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL THEN CAST(l_quantity AS {_MOMENT_DEC}) * CAST(l_quantity AS {_MOMENT_DEC_WIDE}) END) AS DOUBLE) AS sxx,
-             CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN CAST(l_extendedprice AS {_MOMENT_DEC}) * CAST(l_extendedprice AS {_MOMENT_DEC_WIDE}) END) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL THEN CAST(l_quantity AS {_MOMENT_DEC}) * CAST(l_quantity AS {_MOMENT_DEC_WIDE}) END) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN CAST(l_extendedprice AS {_MOMENT_DEC}) * CAST(l_extendedprice AS {_MOMENT_DEC_WIDE}) END) AS VARCHAR) AS DOUBLE) AS syy,
              min(l_extendedprice) AS min_p,
              max(l_extendedprice) AS max_p,
              quantile_cont(l_quantity, 0.5) AS med_q,
@@ -579,17 +586,17 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = F.when(F.col("l_quantity").isNotNull(), pd_)
     agg = li.groupBy("l_returnflag").agg(
         F.count("l_extendedprice").alias("_np"),
-        F.sum(pd_).cast("double").alias("_sp"),
-        F.sum(pd_ * pd_).cast("double").alias("_spp"),
+        F.sum(pd_).cast("string").cast("double").alias("_sp"),
+        F.sum(pd_ * pd_).cast("string").cast("double").alias("_spp"),
         F.count("l_discount").alias("_nd"),
-        F.sum(dd).cast("double").alias("_sd"),
-        F.sum(dd * dd).cast("double").alias("_sdd"),
+        F.sum(dd).cast("string").cast("double").alias("_sd"),
+        F.sum(dd * dd).cast("string").cast("double").alias("_sdd"),
         F.count(F.when(pp.isNotNull() & qp.isNotNull(), 1)).alias("_n"),
-        F.sum(qp).cast("double").alias("_sx"),
-        F.sum(pp).cast("double").alias("_sy"),
-        F.sum(qd * pd_).cast("double").alias("_sxy"),
-        F.sum(qp * qp).cast("double").alias("_sxx"),
-        F.sum(pp * pp).cast("double").alias("_syy"),
+        F.sum(qp).cast("string").cast("double").alias("_sx"),
+        F.sum(pp).cast("string").cast("double").alias("_sy"),
+        F.sum(qd * pd_).cast("string").cast("double").alias("_sxy"),
+        F.sum(qp * qp).cast("string").cast("double").alias("_sxx"),
+        F.sum(pp * pp).cast("string").cast("double").alias("_syy"),
         round_half_away(F.min("l_extendedprice"), 2).alias("min_price"),
         round_half_away(F.max("l_extendedprice"), 2).alias("max_price"),
     )

@@ -731,3 +731,46 @@ def test_topk_global_ordering_total_under_duplicate_keys(spark, tmp_path):
 
     d = _derive(tmp_path, "orders", degenerate_orders)
     _check(spark, d, "topk_global_grouped")
+
+
+def test_decimal_to_double_cast_routes_through_varchar(spark):
+    """Round-11 fuzz seed 5284: casting a DECIMAL sum whose unscaled
+    integer exceeds 2^53 directly to DOUBLE can differ by one ulp between
+    engines (DuckDB double-rounds via unscaled/10^scale; Java converts
+    once) — invisible until a duplicate-row group's true variance is 0 and
+    the ulp becomes the entire answer (sd 0.0014 vs 0.0). Contract: every
+    moment-sum cast in stats_aggregates routes DECIMAL -> VARCHAR ->
+    DOUBLE on BOTH sides; decimal->string is exact digits and
+    string->double parses correctly rounded in both engines, so the routed
+    doubles are bit-identical. This test pins (a) the route produces the
+    correctly-rounded double for a >2^53-unscaled decimal in both engines,
+    and (b) the stats_aggregates source carries no direct
+    decimal-sum->double cast."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    # 144665355046088.0001 -> unscaled 1446653550460880001 > 2^53
+    lit = "144665355046088.0001"
+    sdf = spark.range(1).select(
+        F.lit(lit).cast("decimal(38,8)").cast("string").cast("double")
+        .alias("v")
+    )
+    got_spark = sdf.collect()[0].v
+    got_duck = duckdb.sql(
+        f"SELECT CAST(CAST(CAST('{lit}' AS DECIMAL(38,8)) AS VARCHAR) "
+        "AS DOUBLE)"
+    ).fetchone()[0]
+    want = float(lit)  # Python strtod: correctly rounded reference
+    assert got_spark == got_duck == want
+
+    import inspect
+
+    from nursing_home_data_etl_pipeline_spark.plans import queries_sampling
+
+    src = inspect.getsource(queries_sampling)
+    assert 'AS VARCHAR) AS DOUBLE)' in src
+    # engine side: every decimal moment sum goes .cast("string") first
+    direct = src.count('.cast("double").alias("_s')
+    routed = src.count('.cast("string").cast("double").alias("_s')
+    assert direct == routed and routed >= 9

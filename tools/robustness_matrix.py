@@ -90,6 +90,15 @@ def axis_specs(testdata: str, workdir: str) -> dict[str, dict]:
             "build": lambda p: ff.build(sf["0.001"], p, 4102, shape=True,
                                         corr=True),
         },
+        # axis 17 (round 11): pinned CORR-sweep seed — duplicated lineitem
+        # rows whose group variance is exactly 0; found the decimal->double
+        # CAST divergence (unscaled > 2^53 double-rounds differently per
+        # engine; fixed by routing the cast through VARCHAR on both sides)
+        "fuzz-corr-s5284": {
+            "dir": d("fuzzcorr5284"),
+            "build": lambda p: ff.build(sf["0.001"], p, 5284, shape=True,
+                                        corr=True),
+        },
     }
 
 
