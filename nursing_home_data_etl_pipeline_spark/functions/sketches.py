@@ -167,8 +167,8 @@ def cms_estimate(
     addressed counter (absent counter = 0). The sketch side is depth*width
     rows — always broadcast; the items side streams, so estimating a
     10^9-row candidate list is a map-side join + small aggregate, never a
-    shuffle of the corpus. Design notes: docs/DESIGN.md#sketches-cms-
-    estimate"""
+    shuffle of the corpus.
+    Design notes: docs/DESIGN.md#sketches-cms-estimate"""
     depth, width = _cms_params(cms, depth, width, "cms_estimate")
     clash = {"row", "bucket", "cnt", "rb", "est"} & set(items.columns)
     if clash:

@@ -222,8 +222,8 @@ def decontaminate(
 ) -> DataFrame:
     """Cross-corpus near-dup removal: drop training documents that LSH-
     collide with ANY benchmark document — the train/test contamination
-    scrub of an LLM data pipeline. Design notes: docs/DESIGN.md#dedup-
-    decontaminate"""
+    scrub of an LLM data pipeline.
+    Design notes: docs/DESIGN.md#dedup-decontaminate"""
     t_sig = minhash_signatures(train, text_col, id_col, num_hashes, shingle_k)
     b_keyed = benchmark.select(
         F.monotonically_increasing_id().alias(id_col), F.col(text_col)

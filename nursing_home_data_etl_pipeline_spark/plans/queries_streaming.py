@@ -48,8 +48,8 @@ def stream_events(
     ``sources.readers.read_table``. The on-disk encoding has varied across
     testdata generations (TIMESTAMP(NANOS) vs plain micros / NTZ), so
     probe the batch-inferred type once (footer-only) and build the
-    matching streaming schema. Design notes: docs/DESIGN.md#queries-
-    streaming-stream-events"""
+    matching streaming schema.
+    Design notes: docs/DESIGN.md#queries-streaming-stream-events"""
     from ..sources.readers import (
         normalize_events_ts,
         path_is_dir,

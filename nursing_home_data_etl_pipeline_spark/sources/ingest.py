@@ -190,8 +190,8 @@ def list_landing_files(spark: SparkSession, landing_dir: str) -> DataFrame:
     alone collided for same-named files in different subdirectories, so
     one could shadow the other in the ledger) — the engine analog of the
     reference's Drive file_id. file_name stays the basename: routing
-    patterns match on it. Design notes: docs/DESIGN.md#ingest-list-
-    landing-files"""
+    patterns match on it.
+    Design notes: docs/DESIGN.md#ingest-list-landing-files"""
     rows = []
     base = Path(landing_dir)
     if base.exists():

@@ -196,8 +196,8 @@ def write_error(
     in cleanup code handling a different error). The sidecar goes through
     the Hadoop FileSystem API so it lands next to the quarantined parquet
     on ANY scheme (hdfs://, s3a://) — driver-local open() would write a
-    garbage local path on a cluster. Design notes: docs/DESIGN.md#writers-
-    write-error"""
+    garbage local path on a cluster.
+    Design notes: docs/DESIGN.md#writers-write-error"""
     diag = {
         "context": context,
         "error": repr(exc) if exc else None,

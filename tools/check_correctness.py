@@ -4,13 +4,17 @@ Usage: python tools/check_correctness.py [sf_dir] [--offload] [query ...]
 
 ``--offload`` (round-11 #1, for the sf10 gate): compare INSIDE DuckDB —
 the Spark result is written to parquet and diffed against the oracle with
-EXCEPT ALL both ways (exact multiset compare, doubles rounded to the same
-6 decimals as plans.verify.canon, -0.0 normalized) instead of collecting
-both sides into Python rows. At sf10 the largest outputs are ~40M rows;
-collecting them would dominate the gate. Weaker than plans.verify only on
-cross-TYPE confusions (bool-vs-int, bytes-vs-hex), which the strict
-sf0.01 gate already pins; row count, schema names, and the full value
-multiset are all still exact.
+EXCEPT ALL both ways (exact multiset compare, doubles rounded to 6
+decimals via the repo's half-away ``duck_round_sql``, -0.0 normalized)
+instead of collecting both sides into Python rows. At sf10 the largest
+outputs are ~40M rows; collecting them would dominate the gate. Weaker
+than plans.verify only on cross-TYPE confusions (bool-vs-int,
+bytes-vs-hex), which the strict sf0.01 gate already pins, and on exact
+1e-6 rounding midpoints (canon uses Python banker's round; here both
+sides get the identical half-away expression, so the compare itself can
+never split on a midpoint); row count, schema names, and the full value
+multiset are all still exact. ``tools/close_round.py`` proves the two
+gates agree over the whole catalog at sf0.1 each close (round-12 #4).
 """
 
 from __future__ import annotations
@@ -26,6 +30,9 @@ import time
 # import whenever the caller's cwd is not the repo root.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nursing_home_data_etl_pipeline_spark.functions.vectors import (  # noqa: E402
+    duck_round_sql,
+)
 from nursing_home_data_etl_pipeline_spark.plans.verify import (  # noqa: E402
     compare_query,
     duckdb_connection,
@@ -42,17 +49,21 @@ EXPECTED_CATALOG = 50
 
 def _canon_select(con, rel: str) -> str:
     """Column list for the offloaded compare: sorted by name (the driver
-    hashes column-name-sorted values), doubles rounded to 6 decimals with
-    -0.0 normalized via +0 (DuckDB groups NaN as equal to itself, matching
-    canon's NaN tag); double arrays element-rounded."""
+    hashes column-name-sorted values), doubles rounded to 6 decimals via
+    duck_round_sql (the pinned half-away cross-engine twin — NOT DuckDB
+    round(), so both compare sides share one rounding decision at exact
+    1e-6 midpoints) with -0.0 normalized via +0 (DuckDB groups NaN as
+    equal to itself, matching canon's NaN tag); double arrays
+    element-rounded."""
     cols = con.execute(f"DESCRIBE {rel}").fetchall()
     parts = []
     for c, t, *_ in sorted(cols):
         q, tu = f'"{c}"', t.upper()
         if tu in ("DOUBLE", "FLOAT", "REAL"):
-            parts.append(f"round({q}, 6) + 0 AS {q}")
+            parts.append(f"{duck_round_sql(q)} + 0 AS {q}")
         elif tu in ("DOUBLE[]", "FLOAT[]", "REAL[]"):
-            parts.append(f"list_transform({q}, x -> round(x, 6) + 0) AS {q}")
+            parts.append(
+                f"list_transform({q}, x -> {duck_round_sql('x')} + 0) AS {q}")
         else:
             parts.append(q)
     return ", ".join(parts)
@@ -112,30 +123,38 @@ def main() -> int:
         return 2
     failures = []
     tmp = tempfile.mkdtemp(prefix="offload_gate_") if offload else None
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            if offload and name in oracles:
-                problems = compare_offloaded(
-                    spark, con, name, fn, oracles[name], sf_dir, tmp)
-                shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+    try:
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            t0 = time.time()
+            try:
+                if offload and name in oracles:
+                    problems = compare_offloaded(
+                        spark, con, name, fn, oracles[name], sf_dir, tmp)
+                else:
+                    problems = compare_query(
+                        spark, con, fn, oracles.get(name), sf_dir)
+            except Exception as ex:
+                failures.append(name)
+                print(f"FAIL  {name}: error {str(ex)[:300]}")
+                continue
+            finally:
+                # inside the loop so a raising compare still frees its
+                # (sf10-sized) parquet before the next query runs
+                if tmp:
+                    shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            dt = time.time() - t0
+            if problems:
+                failures.append(name)
+                print(f"FAIL  {name}: " + "; ".join(p[:400] for p in problems))
+            elif name not in oracles:
+                print(f"ok?   {name}: rows-only ({dt:.1f}s)")
             else:
-                problems = compare_query(
-                    spark, con, fn, oracles.get(name), sf_dir)
-        except Exception as ex:
-            failures.append(name)
-            print(f"FAIL  {name}: error {str(ex)[:300]}")
-            continue
-        dt = time.time() - t0
-        if problems:
-            failures.append(name)
-            print(f"FAIL  {name}: " + "; ".join(p[:400] for p in problems))
-        elif name not in oracles:
-            print(f"ok?   {name}: rows-only ({dt:.1f}s)")
-        else:
-            print(f"PASS  {name} ({dt:.1f}s)")
+                print(f"PASS  {name} ({dt:.1f}s)")
+    finally:
+        if tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0

@@ -188,8 +188,11 @@ def _trans(r: int) -> dict:
 
 def _signs(r: int, n: int) -> list[float]:
     """±1 mask from the per-replica odd 64-bit hash: element 0 always
-    flips (bit 0 forced), masks are distinct for every r < 2^64 so two
-    replicas sharing a rotation (r, r+64) still decorrelate."""
+    flips (bit 0 forced). Forcing bit 0 means two r whose products differ
+    only in bit 0 share a mask, so 'distinct' holds for practical replica
+    counts (pairwise-distinct for this run's replicas, asserted in build()), not
+    for every r < 2^64 — enough for replicas sharing a rotation (r, r+64)
+    to decorrelate at any sf this fixture builds."""
     h = (r * 2654435761) | 1
     return [-1.0 if (h >> (j % 64)) & 1 else 1.0 for j in range(n)]
 
@@ -233,6 +236,11 @@ def build(src: str, dest: str, replicas: int, skew: bool = False) -> None:
     perms = {_perm(r) for r in range(1, replicas)}
     if len(perms) != max(replicas - 1, 0):
         raise ValueError("letter-permutation collision across replicas")
+    # same guard for the sign masks: |1 forces bit 0, so distinctness is a
+    # property to check per replica count, not a universal guarantee
+    masks = {(r * 2654435761) | 1 for r in range(1, replicas)}
+    if len(masks) != max(replicas - 1, 0):
+        raise ValueError("sign-mask collision across replicas")
     os.makedirs(dest, exist_ok=True)
     hot = _skew_keys(src) if skew else None
     for name in DIMS:
