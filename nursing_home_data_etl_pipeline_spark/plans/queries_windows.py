@@ -1,0 +1,273 @@
+"""Window-function queries (SURVEY.md §2.8 windows + sort/top-k): ranking
+family, running aggregates, lag/debounce event analytics, and top-k both
+global and per-group. Split from queries_analytics in round 12 (family
+cohesion); catalog names and semantics unchanged.
+
+Determinism conventions (BASELINE.md): float aggregates round identically
+on both sides; every window ordering carries a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.vectors import duck_round_sql, round_half_away
+from ..operators.windows import running_agg, top_k_global, top_k_per_group
+from ..sources.readers import read_table
+from .catalog import register
+
+
+@register(
+    "topk_global_grouped",
+    oracle="""
+    -- global ordering is TOTAL over the output projection (custkey as the
+    -- final tiebreaker): duplicate o_orderkey rows tied on totalprice but
+    -- differing in custkey otherwise rank engine-order-dependently
+    -- (round-9 shape fuzz seed 2028 — all-NULL totalprice tied every row)
+    SELECT 'global' AS variant, o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST,
+                                       o_custkey NULLS FIRST) AS rank
+    FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST,
+                                        o_custkey NULLS FIRST LIMIT 100)
+    UNION ALL
+    SELECT 'grouped', o_custkey, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_custkey,
+             o_orderkey,
+             o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST
+             ) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+    doc="Top-k both ways in one query: global top-100 (TakeOrderedAndProject — "
+    "per-partition heaps, no full sort) and top-3 per customer (row_number "
+    "window; Catalyst's WindowGroupLimit pushes the limit below the "
+    "shuffle). Full contract: docs/CONTRACTS.md#topk_global_grouped",
+)
+def topk_global_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    # TOTAL over the output projection — see the oracle's tiebreak note
+    order_by = [F.col("o_totalprice").desc(), F.col("o_orderkey"),
+                F.col("o_custkey")]
+    glob = top_k_global(orders, order_by=order_by, k=100).withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order_by))
+    )
+    grouped = top_k_per_group(
+        orders, partition_by=["o_custkey"], order_by=order_by, k=3
+    )
+    cols = ["o_custkey", "o_orderkey", "o_totalprice", "rank"]
+    return glob.select(F.lit("global").alias("variant"), *cols).unionByName(
+        grouped.select(F.lit("grouped").alias("variant"), *cols)
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT l_suppkey,
+           l_orderkey,
+           l_linenumber,
+           ROUND(SUM(l_quantity) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST,
+                      l_linenumber NULLS FIRST
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running
+    FROM lineitem
+    """,
+    doc="Cumulative sum per supplier with a fully deterministic ordering. Full "
+    "contract: docs/CONTRACTS.md#window_running_sum",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    out = running_agg(
+        li,
+        partition_by=["l_suppkey"],
+        order_by=[F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        agg_col="l_quantity",
+    )
+    return out.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(F.col("running"), 2).alias("running"),
+    )
+
+
+@register(
+    "events_lag_debounce",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           event_type,
+           -- duck_round_sql expansion (portable repr-midpoint-safe round)
+           (CASE WHEN isnan((value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))) OR isinf((value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))) THEN (value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)) WHEN (value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)) < 0 THEN -(floor(abs((value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))) * 1000000.0 + 0.5) / 1000000.0) ELSE floor(abs((value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))) * 1000000.0 + 0.5) / 1000000.0 END) AS delta,
+           COALESCE(
+             epoch_us(ts)
+               - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                 ) > 300 * 1000000,
+             TRUE) AS kept,
+           -- real JSON parsing like from_json: non-integer shapes are NULL
+           -- (TRY_CAST would ROUND '1.5'); the regex runs on json_extract's
+           -- RAW text so a string-typed {"k": "7"} keeps its quotes and
+           -- fails, matching from_json's NULL for a LongType field (r6)
+           TRY_CAST(CASE WHEN json_valid(props)
+                          AND regexp_matches(
+                                CAST(json_extract(props, '$.k') AS VARCHAR),
+                                '^-?[0-9]+$')
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) AS k
+    FROM events
+    """,
+    doc="One pass over events combining three row-level analytics: per-user "
+    "value delta (lag over the user window), time-debounce keep flag (drop "
+    "repeats of the same (user, event_type) within 5 minutes — the time- "
+    "aware twin of dropDuplicates), and JSON field extraction (from_json "
+    "with an explicit schema — never schema inference at scale). Full "
+    "contract: docs/CONTRACTS.md#events_lag_debounce",
+)
+def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us, 1).over(w_ut)
+    k = F.from_json(
+        F.col("props"), T.StructType([T.StructField("k", T.LongType())])
+    )["k"]
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        round_half_away(F.col("value") - F.lag("value", 1).over(w_user), 6).alias("delta"),
+        F.coalesce(gap > 300 * 1_000_000, F.lit(True)).alias("kept"),
+        k.alias("k"),
+    )
+
+
+@register(
+    "window_rank_values",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_orderstatus,
+           o_custkey,
+           RANK()         OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST)                AS rnk,
+           DENSE_RANK()   OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST)                AS drnk,
+           NTILE(4)       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)       AS quartile,
+           {duck_round_sql("PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST)")}      AS prank,
+           FIRST_VALUE(o_totalprice)  OVER wc AS first_price,
+           LAST_VALUE(o_totalprice)   OVER wc AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER wc AS second_price
+    FROM orders
+    -- NULLS FIRST pins Spark's ASC default; DuckDB defaults NULLS LAST
+    WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Ranking family (rank/dense_rank tie-stable by value, ntile and "
+    "percent_rank over a unique total order) plus first/last/nth value over "
+    "a full-partition frame (explicit UNBOUNDED FOLLOWING — the default "
+    "frame makes last_value a footgun). Full contract: "
+    "docs/CONTRACTS.md#window_rank_values",
+)
+def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    # ranks on the aggregated (status, priority) table
+    w_cum = (Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_ord = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    w_all = Window.partitionBy("o_orderstatus")
+    ranks = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            F.col("o_orderstatus").alias("_rs"),
+            F.col("o_orderpriority").alias("_rp"),
+            (F.coalesce(F.sum("_c").over(w_cum), F.lit(0)) + 1)
+            .cast("int").alias("rnk"),
+            F.row_number().over(w_ord).alias("drnk"),
+            F.sum("_c").over(w_all).alias("_n_st"),
+        )
+        .withColumn("prank", round_half_away(
+            (F.col("rnk") - 1)
+            / F.greatest(F.col("_n_st") - 1, F.lit(1)).cast("double"), 6))
+    )
+    # Two-level ntile. The shard column must assign IDENTICALLY in the row
+    # branch and the offset branch (two evaluations of one lineage) —
+    # spark_partition_id over repartitionByRange cannot: range-boundary
+    # SAMPLING is nondeterministic across evaluations (probed at sf1-skew:
+    # all 66 (pid, status) group counts differed between back-to-back runs;
+    # implicit N lost 80% of rows to AQE coalescing, explicit N still
+    # mis-bucketed 41k). So the shard is a DATA-DERIVED bucket: exact
+    # percentiles of a deterministic 0.5% hash-sample of the sort key,
+    # broadcast, applied as a pure column function. Tie values share a
+    # bucket, so (bucket, price, key) order == (price, key) order; NULL
+    # prices bucket before all (NULLS FIRST), NaN after all.
+    n_bk = int(spark.conf.get("spark.sql.shuffle.partitions")) * 2
+    pcts = ",".join(str(i / n_bk) for i in range(1, n_bk))
+    # coalesce to array() at the AGGREGATE: a sample with zero non-NULL
+    # prices yields _bs=NULL, and size(filter(NULL,..)) is -1 under legacy
+    # sizeOfNull — every numeric row would share bucket -1 with NULL
+    # prices (ADVICE r10). Empty bounds degrade to ONE bucket (bucket 0),
+    # which stays order-consistent.
+    bounds = orders.filter(F.xxhash64("o_orderkey") % 200 == 0).agg(
+        F.expr(f"coalesce(percentile(o_totalprice, array({pcts})), "
+               "cast(array() as array<double>))").alias("_bs"))
+    price = F.col("o_totalprice")
+    parts = (
+        orders.join(F.broadcast(bounds))
+        .withColumn("_bk", F.when(price.isNull(), F.lit(-1))
+                    .when(F.isnan(price), F.lit(n_bk))
+                    .otherwise(
+                        F.size(F.filter("_bs", lambda b: b <= price))))
+        .drop("_bs")
+    )
+    w_loc = Window.partitionBy("_bk", "o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey")
+    loc = parts.withColumn("_lrn", F.row_number().over(w_loc))
+    w_opre = (Window.partitionBy("_os").orderBy("_bk2")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    # `_bk2`/`_os` aliases make the self-join condition unambiguous by
+    # construction — joining two branches of ONE lineage on same-named
+    # columns made Spark construct a "trivially true equals predicate"
+    # special case (benign but a plan wart; VERDICT r10 #3).
+    offs = (
+        loc.groupBy(F.col("_bk").alias("_bk2"),
+                    F.col("o_orderstatus").alias("_os"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("_bk2", "_os",
+                F.coalesce(F.sum("_c").over(w_opre), F.lit(0)).alias("_off"),
+                F.sum("_c").over(Window.partitionBy("_os")).alias("_n"))
+    )
+    with_rn = loc.join(
+        F.broadcast(offs),
+        (F.col("_bk") == F.col("_bk2"))
+        & F.col("o_orderstatus").eqNullSafe(F.col("_os")),
+    ).drop("_bk2", "_os")
+    rn, n = F.col("_lrn") + F.col("_off"), F.col("_n")
+    base, rem = (n / 4).cast("long"), n % 4
+    quartile = (
+        F.when(rn <= rem * (base + 1), ((rn - 1) / (base + 1)).cast("long"))
+        .otherwise(rem + ((rn - rem * (base + 1) - 1) / base).cast("long"))
+        + 1
+    ).cast("int")
+    by_cust = (Window.partitionBy("o_custkey")
+               .orderBy("o_orderdate", "o_orderkey")
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))
+    return (
+        with_rn.join(F.broadcast(ranks),
+                     F.col("o_orderstatus").eqNullSafe(F.col("_rs"))
+                     & F.col("o_orderpriority").eqNullSafe(F.col("_rp")))
+        .withColumn("quartile", quartile)
+        .select("o_orderkey", "o_orderstatus", "o_custkey",
+                "rnk", "drnk", "quartile", "prank",
+                F.first("o_totalprice").over(by_cust).alias("first_price"),
+                F.last("o_totalprice").over(by_cust).alias("last_price"),
+                F.nth_value("o_totalprice", 2).over(by_cust)
+                .alias("second_price"))
+    )
