@@ -1,6 +1,6 @@
 """Streaming catalog entries (split out of queries_tail, round-11 #2):
 the four Structured-Streaming drains (windowed / session / stateful /
-join+dedup) plus the shared bounded-stream source and memory-sink drain.
+join+dedup) plus the shared bounded-stream source and parquet-sink drain.
 Registered AFTER queries_tail — the catalog keeps the same 50 keys (the
 driver gates by name, not position).
 
@@ -17,7 +17,10 @@ arrival (round-8 fuzz; same contract as minhash/exact dedup)."""
 
 from __future__ import annotations
 
-import uuid
+import atexit
+import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,25 +90,57 @@ def stream_events(
     return normalize_events_ts(raw, ts_type)
 
 
-def _drain_to_memory(
+#: drain roots created by this process, removed at interpreter exit — the
+#: returned DataFrames lazily read these files, so they must outlive the
+#: drain call itself.
+_DRAIN_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_drain_dirs() -> None:
+    for d in _DRAIN_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain_to_parquet(
     df: DataFrame,
     output_mode: str,
     state_partitions: int = 8,
     require_single_batch: bool = False,
     require_multi_batch: bool = False,
 ) -> DataFrame:
-    """Run the streaming plan to completion into a memory sink; return the
-    result table. Bounded input + processAllAvailable => deterministic.
-    Design notes: docs/DESIGN.md#queries-streaming--drain-to-memory"""
+    """Run the streaming plan to completion through a foreachBatch parquet
+    sink; return a batch read over the written files. Bounded input +
+    processAllAvailable => deterministic. Replaces the round-7 memory sink
+    (round-12 #3): results land on DISK, so a sf10 drain no longer retains
+    a multi-million-row table in the one local driver JVM, and the offload
+    comparator gates streaming output straight from parquet.
+    Design notes: docs/DESIGN.md#queries-streaming--drain-to-parquet"""
     spark = df.sparkSession
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    root = tempfile.mkdtemp(prefix="stream_drain_")
+    _DRAIN_DIRS.append(root)
+    data, ckpt = os.path.join(root, "data"), os.path.join(root, "ckpt")
+
+    if output_mode == "complete":
+        # every trigger emits the FULL aggregate — last overwrite wins,
+        # identical to the memory sink's replaced table
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            batch.write.mode("overwrite").parquet(data)
+    else:
+        # append/update emit per-trigger deltas; one subdir per batch_id so
+        # a RETRIED batch overwrites its own output instead of
+        # double-appending (idempotent sink)
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            batch.write.mode("overwrite").parquet(
+                os.path.join(data, f"b{batch_id:05d}"))
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
-            df.writeStream.format("memory")
-            .queryName(name)
+            df.writeStream.foreachBatch(sink)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .start()
         )
         try:
@@ -138,7 +173,18 @@ def _drain_to_memory(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return df.sparkSession.table(name)
+        # data files must outlive this call (lazy read); the checkpoint
+        # ledger need not
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(data):
+        # zero triggers fired (empty bounded source): materialize an empty
+        # schema-bearing result instead of failing the read
+        spark.createDataFrame([], df.schema).write.parquet(data)
+    reader = spark.read
+    if output_mode != "complete":
+        # per-batch subdirs are plain nesting, not key=value partitions
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.parquet(data)
 
 
 @register(
@@ -166,7 +212,7 @@ def _drain_to_memory(
 )
 def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
-    return _drain_to_memory(windowed_counts(ev), "complete")
+    return _drain_to_parquet(windowed_counts(ev), "complete")
 
 
 @register(
@@ -213,7 +259,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
-    return _drain_to_memory(session_counts(ev), "complete")
+    return _drain_to_parquet(session_counts(ev), "complete")
 
 
 @register(
@@ -235,7 +281,7 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
-    return _drain_to_memory(
+    return _drain_to_parquet(
         running_totals_stateful(ev), "update", require_single_batch=True
     )
 
@@ -296,7 +342,7 @@ def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("num"),
         F.unix_micros(F.col("p_ts")).cast("string").alias("tag"),
     )
-    interval = _drain_to_memory(joined, "append", require_single_batch=True)
+    interval = _drain_to_parquet(joined, "append", require_single_batch=True)
 
     cols = ["event_id", "user_id", "event_type", "ts"]
     # SELF-union: each union leg re-reads the file source, so every event
@@ -319,6 +365,6 @@ def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("tag"),
         )
     )
-    dedup = _drain_to_memory(deduped, "append", require_single_batch=True)
+    dedup = _drain_to_parquet(deduped, "append", require_single_batch=True)
 
     return interval.select(*out_cols).unionByName(dedup.select(*out_cols))

@@ -104,7 +104,7 @@ def test_stateful_ttl_variant_matches_on_bounded_input(spark):
     from pyspark.sql import types as T
 
     from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
-        _drain_to_memory,
+        _drain_to_parquet,
     )
     from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
         running_totals_stateful,
@@ -150,7 +150,7 @@ def test_stateful_ttl_variant_matches_on_bounded_input(spark):
             q.stop()
         want = {
             (r.user_id, r.n_events, r.total_value)
-            for r in _drain_to_memory(
+            for r in _drain_to_parquet(
                 running_totals_stateful(stream()), "update"
             ).collect()
         }
@@ -167,7 +167,7 @@ def test_stateful_totals_with_string_key(spark):
     from pyspark.sql import types as T
 
     from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
-        _drain_to_memory,
+        _drain_to_parquet,
     )
     from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
         running_totals_stateful,
@@ -187,7 +187,7 @@ def test_stateful_totals_with_string_key(spark):
     src = spark.createDataFrame(rows, schema)
     with tempfile.TemporaryDirectory() as d:
         src.write.mode("overwrite").parquet(d)
-        out = _drain_to_memory(
+        out = _drain_to_parquet(
             running_totals_stateful(
                 spark.readStream.schema(schema).parquet(d), key_col="event_type"
             ),
@@ -284,7 +284,7 @@ def test_multibatch_complete_drains_equal_single_batch(spark, tmp_path):
     how the bounded input was sliced into microbatches. The same oracles
     that gate the single-batch catalog entries therefore hold exactly."""
     from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
-        _drain_to_memory,
+        _drain_to_parquet,
         stream_events,
     )
     from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
@@ -298,10 +298,10 @@ def test_multibatch_complete_drains_equal_single_batch(spark, tmp_path):
     # late input in EVERY mode (see session_counts docstring), so its
     # multi-batch leg must run watermark-free.
     for op, multi_kwargs in ((windowed_counts, {}), (session_counts, {"watermark": None})):
-        single = _drain_to_memory(
+        single = _drain_to_parquet(
             op(stream_events(spark, sfm)), "complete", require_single_batch=True
         )
-        multi = _drain_to_memory(
+        multi = _drain_to_parquet(
             op(stream_events(spark, sfm, max_files_per_trigger=1), **multi_kwargs),
             "complete",
             require_multi_batch=True,
@@ -313,7 +313,7 @@ def test_multibatch_complete_drains_equal_single_batch(spark, tmp_path):
     # Pin the divergence that forced the watermark-free leg: a WATERMARKED
     # session drain under incremental delivery is lossy even in complete
     # mode — if Spark ever changes this, the special-casing above should go.
-    lossy = _drain_to_memory(
+    lossy = _drain_to_parquet(
         session_counts(stream_events(spark, sfm, max_files_per_trigger=1)),
         "complete",
         require_multi_batch=True,
@@ -335,7 +335,7 @@ def test_update_mode_multibatch_contract(spark, tmp_path):
     import pytest as _pytest
 
     from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
-        _drain_to_memory,
+        _drain_to_parquet,
         stream_events,
     )
     from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
@@ -344,12 +344,12 @@ def test_update_mode_multibatch_contract(spark, tmp_path):
 
     sfm = _multifile_events(spark, tmp_path)
     with _pytest.raises(AssertionError, match="microbatches"):
-        _drain_to_memory(
+        _drain_to_parquet(
             running_totals_stateful(stream_events(spark, sfm, 1)),
             "update",
             require_single_batch=True,
         )
-    out = _drain_to_memory(
+    out = _drain_to_parquet(
         running_totals_stateful(stream_events(spark, sfm, 1)), "update"
     )
     keys = [r.user_id for r in out.collect()]
