@@ -43,3 +43,43 @@ def test_tag_union_rejects_unknown_kwargs(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="typo_col"):
         catalog.tag_union(df, "v", {"a": "int"}, typo_col=F.lit(1))
+
+
+def test_union_find_offload_oracle_detects_corruption(spark, con, tmp_path):
+    """Round-12 #1: the sf10 offload gate replaces dedup_clusters'
+    recursive-reachability oracle (OOM at sf10) with a streamed union-find.
+    Prove the override (a) agrees with the exact comparator on the true
+    result and (b) actually REJECTS each corruption class — wrong sizes,
+    wrong labels, missing rows, and a duplicate-id row set whose total
+    count still matches."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import _clusters_offloaded
+
+    from pyspark.sql import functions as F
+
+    good = catalog.entries()["dedup_clusters"].spark
+    tmp = str(tmp_path)
+
+    def run(fn, tag):
+        return _clusters_offloaded(spark, con, tag, fn, None, SF_DIR, tmp)
+
+    assert run(good, "g") == []
+    assert "values" in run(
+        lambda s, d: good(s, d).withColumn(
+            "cluster_size", F.col("cluster_size") + 1), "b1")[0]
+    assert "values" in run(
+        lambda s, d: good(s, d).withColumn(
+            "cluster_id",
+            F.col("cluster_id")
+            + F.when(F.col("cluster_size") > 1, 1).otherwise(0)), "b2")[0]
+    assert "rowcount" in run(lambda s, d: good(s, d).limit(100), "b3")[0]
+
+    def dup_and_drop(s, d):
+        df = good(s, d)
+        one = df.limit(1)
+        rest = df.join(one.select("doc_id"), "doc_id", "left_anti")
+        return rest.unionAll(one).unionAll(one).limit(df.count())
+
+    assert "distinct" in run(dup_and_drop, "b4")[0]

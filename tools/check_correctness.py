@@ -69,6 +69,87 @@ def _canon_select(con, rel: str) -> str:
     return ", ".join(parts)
 
 
+def _clusters_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
+    """Offload override for ``dedup_clusters`` (round-12 #1): a streamed
+    union-find over the DuckDB-built MinHash pair set instead of the
+    recursive min-label-reachability CTE, which needed >80 GB at sf10 (a
+    reachability table is O(V * diameter) rows; SCALE_r11.json). Memory
+    here is O(distinct doc_ids) — one parent int per vertex (~5M at sf10);
+    the pair set and the engine output stream through Arrow record
+    batches, never materializing as Python rows. Agreement with the exact
+    recursive oracle is proved wherever both run: the close-time
+    comparator-parity step diffs this gate against the strict sf0.01/sf0.1
+    comparator (which keeps the recursive CTE) over the full catalog."""
+    from nursing_home_data_etl_pipeline_spark.plans.queries_northstar import (
+        _minhash_pairs_cte,
+    )
+
+    sdf = fn(spark, sf_dir)
+    path = os.path.join(tmp, name)
+    sdf.write.mode("overwrite").parquet(path)
+    scols = sorted(sdf.columns)
+    if scols != ["cluster_id", "cluster_size", "doc_id"]:
+        return [f"schema: spark={scols} "
+                "oracle=['cluster_id', 'cluster_size', 'doc_id']"]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    def stream(sql: str):
+        reader = con.execute(sql).fetch_record_batch(1 << 20)
+        for batch in reader:
+            yield batch
+
+    for batch in stream(
+        "SELECT doc_id FROM documents WHERE doc_id IS NOT NULL"
+    ):
+        for v in batch.column(0).to_pylist():
+            parent[v] = v
+    n_vertices = len(parent)
+    for batch in stream(
+        f"WITH {_minhash_pairs_cte()} SELECT id_a, id_b FROM mh_pairs"
+    ):
+        for a, b in zip(batch.column(0).to_pylist(),
+                        batch.column(1).to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    # engine contract: cluster_id = MIN doc_id in the component. Union by
+    # min above makes every root the component minimum already; sizes in a
+    # second pass once the forest is final.
+    size: dict[int, int] = {}
+    for v in list(parent):
+        r = find(v)
+        size[r] = size.get(r, 0) + 1
+
+    # duplicate/missing vertices checked in DuckDB (no Python seen-set)
+    ns, nd = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT doc_id) FROM '{path}/*.parquet'"
+    ).fetchone()
+    if ns != n_vertices or nd != ns:
+        return [f"rowcount: spark={ns} ({nd} distinct) oracle={n_vertices}"]
+    bad = 0
+    for batch in stream(
+        f"SELECT doc_id, cluster_id, cluster_size FROM '{path}/*.parquet'"
+    ):
+        for d, c, n in zip(*(batch.column(i).to_pylist() for i in range(3))):
+            r = parent.get(d) is not None and find(d)
+            if r is False or c != r or n != size[r]:
+                bad += 1
+    return [f"values: {bad} rows differ (union-find oracle)"] if bad else []
+
+
+#: per-query offload oracle overrides — same signature as compare_offloaded
+OFFLOAD_OVERRIDES = {"dedup_clusters": _clusters_offloaded}
+
+
 def compare_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
     sdf = fn(spark, sf_dir)
     path = os.path.join(tmp, name)
@@ -130,7 +211,8 @@ def main() -> int:
             t0 = time.time()
             try:
                 if offload and name in oracles:
-                    problems = compare_offloaded(
+                    cmp_fn = OFFLOAD_OVERRIDES.get(name, compare_offloaded)
+                    problems = cmp_fn(
                         spark, con, name, fn, oracles[name], sf_dir, tmp)
                 else:
                     problems = compare_query(
