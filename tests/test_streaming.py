@@ -326,8 +326,8 @@ def test_multibatch_complete_drains_equal_single_batch(spark, tmp_path):
 
 def test_update_mode_multibatch_contract(spark, tmp_path):
     """Why the update-mode entry ASSERTS single-batch delivery and cannot
-    join the multi-batch contract: the memory sink appends one row per key
-    per trigger, so a key spanning batches emits multiple rows — and the
+    join the multi-batch contract: update mode emits one row per key per
+    trigger, so a key spanning batches emits multiple rows — and the
     append-mode watermark drains (interval join, dedup) drop rows the
     advancing watermark passed between batches, a delivery-order-dependent
     outcome no batching-independent SQL oracle can express. Pinned two ways:

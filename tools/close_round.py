@@ -8,6 +8,12 @@ Refuses a dirty tree (the stamp must name the exact tree the runs saw).
 Steps, each a subprocess so one crash fails that step only:
   matrix -> MATRIX_r{N}.json      full robustness matrix, all axes
   bench  -> BENCH_warm_r{N}.json  bench.py --warm W at $SPARK_GRAFT_SF_DIR
+  parity -> (inline)              exact AND --offload comparators over the
+                                  full catalog at $SPARK_GRAFT_SF_DIR; the
+                                  sf10 gate's rounded EXCEPT-ALL compare is
+                                  a second, looser correctness definition —
+                                  prove the two gates agree wherever both
+                                  can run, every close (round-12 #4)
   ledger -> (inline)              tools/loc_ledger.py counts
   audit  -> docs/EXPLAIN_AUDIT.md regenerated, commit line injected
 Writes CLOSE_r{N}.json {commit, steps, all_green}; exit 0 iff every step
@@ -32,7 +38,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _run(cmd: list[str], timeout: int = 7200) -> tuple[int, str]:
     try:
         p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
-                           timeout=timeout)
+                           timeout=timeout,
+                           env={**os.environ, "TZ": "UTC"})
         return p.returncode, p.stdout
     except subprocess.TimeoutExpired:
         return -1, ""
@@ -70,6 +77,28 @@ def close(n: int, warm: int, skip: set[str]) -> int:
         json.dump(rec, open(os.path.join(REPO, out), "w"), indent=1)
         return rc == 0 and rec.get("errors") == 0, f"{out} total={rec['value']}s"
 
+    def parity():
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        verdicts = {}
+        for mode, extra in (("exact", []), ("offload", ["--offload"])):
+            rc, stdout = _run(
+                [sys.executable, "tools/check_correctness.py", sf] + extra)
+            lines = stdout.replace("\r", "\n").splitlines()
+            fails = sorted({ln.split()[1].rstrip(":") for ln in lines
+                            if ln.startswith("FAIL")})
+            # the trailing "N failures" summary proves the gate ran to
+            # completion — a mid-run crash must not read as agreement
+            done = any(ln.strip().endswith("failures")
+                       or " failures:" in ln for ln in lines)
+            verdicts[mode] = {"rc": rc, "fails": fails, "complete": done}
+        ok = all(v["rc"] == 0 and not v["fails"] and v["complete"]
+                 for v in verdicts.values())
+        steps["parity_verdicts"] = verdicts
+        disagree = sorted(set(verdicts["exact"]["fails"])
+                          ^ set(verdicts["offload"]["fails"]))
+        return ok, (f"sf={sf} both gates green" if ok else
+                    f"sf={sf} disagree={disagree} verdicts={verdicts}")
+
     def ledger():
         rc, stdout = _run([sys.executable, "tools/loc_ledger.py"], timeout=120)
         if rc != 0:
@@ -105,7 +134,8 @@ def close(n: int, warm: int, skip: set[str]) -> int:
 
     steps: dict[str, dict] = {}
     for name, fn in (("matrix", matrix), ("bench", bench),
-                     ("ledger", ledger), ("audit", audit)):
+                     ("parity", parity), ("ledger", ledger),
+                     ("audit", audit)):
         if name in skip:
             steps[name] = {"status": "skipped"}
             continue
