@@ -187,6 +187,15 @@ def main() -> int:
 
     spark = get_spark("check_correctness")
     con = duckdb_connection(sf_dir)
+    if offload:
+        # scale-gate oracles (sf10 skew: shingle blowup from the 1000x
+        # doc-length tail) can exceed RAM; cap DuckDB and let it SPILL
+        # instead of drawing the OOM killer (round-12 skew gate was killed
+        # at 85 GB RSS with default limits). Env-tunable for smaller hosts.
+        lim = os.environ.get("SPARK_GRAFT_DUCK_MEM", "60GB")
+        spill = os.path.join(tempfile.gettempdir(), "duck_spill")
+        con.execute(f"SET memory_limit='{lim}'")
+        con.execute(f"SET temp_directory='{spill}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
     unknown = only - set(qs)
