@@ -3,12 +3,11 @@ sf0.1) and print ONE JSON line with per-query wall-clock seconds. Each
 query fully executes via the ``noop`` sink, timed end-to-end including
 planning; a warm-up pass amortizes one-time JVM/codegen/streaming startup.
 
-``--warm N`` (round-9 directive #2) runs N INTERLEAVED passes in one
-session, reporting per-query MIN (headline ``queries``) and MEDIAN
-(``queries_median``). Single-pass totals historically swung 63-235 s;
-min-of-N-warm kills the dominant noise source for ~N x the wall-time, so
-BASELINE.md bands come from a --warm run and the driver's single-pass
-regime is judged against them per-query."""
+``--warm N`` runs N INTERLEAVED passes in one session, reporting
+per-query MIN (headline ``queries``) and MEDIAN (``queries_median``) —
+single-pass totals historically swung 63-235 s, so BASELINE.md bands come
+from a --warm run and the driver's single-pass regime is judged against
+them per-query."""
 
 from __future__ import annotations
 

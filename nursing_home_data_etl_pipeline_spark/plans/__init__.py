@@ -3,20 +3,17 @@ DuckDB oracle twin (the driver-contract surface in ``__spark_entry__.py``).
 Importing this package registers all query modules.
 """
 
-# Import order IS the driver-visible catalog order (CORRECTNESS rows, bench
-# keys): the round-7 module consolidation (16 -> 6 query modules) merged
-# only order-adjacent registration blocks (queries_sampling cascades
-# queries_northstar mid-module for the same reason). The round-12 family
-# split of queries_analytics regrouped ITS 14 entries family-contiguous
-# (analytics -> windows -> temporal); the driver gate compares by NAME over
-# exactly EXPECTED_CATALOG entries, so positions within the block are
-# record-cosmetic only.
+# Import order IS the driver-visible catalog order (CORRECTNESS rows,
+# bench keys). The round-12 family splits regrouped blocks
+# family-contiguous; the driver gate compares by NAME over exactly
+# EXPECTED_CATALOG entries, so positions are record-cosmetic only.
 from . import catalog
 from . import queries_parity  # noqa: F401  (registers on import)
 from . import queries_analytics  # noqa: F401
 from . import queries_windows  # noqa: F401
 from . import queries_temporal  # noqa: F401
 from . import queries_sampling  # noqa: F401
+from . import queries_stats  # noqa: F401
 from . import queries_multijoin  # noqa: F401
 from . import queries_northstar  # noqa: F401
 from . import queries_tail  # noqa: F401

@@ -45,11 +45,8 @@ from .catalog import register
       AND l_discount > 0.05
       AND l_quantity IS NOT NULL
     """,
-    doc="Row predicates (between / isin / comparison / null check) pushed to "
-    "the parquet scan, composed with the schema-level name-predicate "
-    "projection (keep columns whose NAME matches a keyword set, plus the "
-    "PK; sorted output order) — SURVEY §2.2 P9 + P7 in one plan. Full "
-    "contract: docs/CONTRACTS.md#filter_name_projection",
+    doc="Row predicates (between / isin / comparison / null check) pushed to the "
+    "parquet scan. Full contract: docs/CONTRACTS.md#filter_name_projection",
 )
 def filter_name_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
@@ -328,11 +325,8 @@ def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'distinct', concat_ws('/', l_returnflag, l_linestatus), 1
     FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
     """,
-    doc="The set-op family as one tagged union: UNION/INTERSECT/EXCEPT chain "
-    "(SQL distinct semantics), INTERSECT ALL / EXCEPT ALL (duplicate- "
-    "preserving multiset semantics the distinct variants silently change), "
-    "and DISTINCT as aggregate-without-measures. Full contract: "
-    "docs/CONTRACTS.md#set_ops_all",
+    doc="The set-op family as one tagged union: UNION/INTERSECT/EXCEPT chain (SQL "
+    "distinct semantics). Full contract: docs/CONTRACTS.md#set_ops_all",
 )
 def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import tag_union
@@ -443,12 +437,8 @@ _OK_COLS = ("distinct_ok", "p50_ok", "p95_ok",
     GROUP BY user_id
     HAVING COUNT(*) >= {_HH_MIN}
     """,
-    doc="Approximate aggregates (HLL++ distinct, GK percentiles — sublinear "
-    "state, the 100 TB path) verified against exact twins in the same plan: "
-    "within-error-band booleans (HLL within 3x rsd; approx percentile "
-    "inside the exact rank band) that the oracle asserts TRUE — sketch "
-    "accuracy as a hash-checkable signal, not a rows-only smoke check. Full "
-    "contract: docs/CONTRACTS.md#approx_stats_events",
+    doc="Approximate aggregates (HLL++ distinct, GK percentiles — sublinear state. "
+    "Full contract: docs/CONTRACTS.md#approx_stats_events",
 )
 def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)

@@ -151,8 +151,8 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
              c.c_name NULLS FIRST, n.n_name NULLS FIRST
     LIMIT 20
     """,
-    doc="TPC-H Q10 shape: returned-item revenue per customer, 4-table join + "
-    "top-20 — the classic churn-analysis plan. Full contract: "
+    doc="TPC-H Q10 shape: returned-item revenue per customer, 4-table join + top-20 "
+    "— the classic churn-analysis plan. Full contract: "
     "docs/CONTRACTS.md#returned_items_q10",
 )
 def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:

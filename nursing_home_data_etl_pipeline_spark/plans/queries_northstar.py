@@ -113,11 +113,7 @@ def _text_profile_oracle() -> str:
     oracle=_text_profile_oracle(),
     doc="The per-document text-analysis profile in one map-only pass: "
     "char/word/BPE-ish token counts, mean word length, lexical diversity, "
-    "heuristic quality score, stopword ratio (the training-data filter "
-    "stage), language-ID (argmax of per-language stopword hits, 'und' when "
-    "nothing scores) beside the declared lang, and the md5 content "
-    "fingerprint over normalized text (the exact-dedup key). Full contract: "
-    "docs/CONTRACTS.md#text_profile",
+    "heuristic quality score. Full contract: docs/CONTRACTS.md#text_profile",
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import normalize_text, words
@@ -181,8 +177,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- column under duplicated doc rows emitted one oracle row PER COPY)
     SELECT DISTINCT CAST(NULL AS VARCHAR), doc_id FROM corpus WHERE text IS NULL
     """,
-    doc="Exact dedup via content-fingerprint hash aggregation (min-id "
-    "survivor). Full contract: docs/CONTRACTS.md#dedup_exact",
+    doc="Exact dedup via content-fingerprint hash aggregation (min-id survivor). "
+    "Full contract: docs/CONTRACTS.md#dedup_exact",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -563,8 +559,7 @@ def _ann_lsh_oracle() -> str:
     SELECT 'lsh', query_id, neighbor_id, cos_sim, rank
     FROM ({_ann_lsh_oracle()})
     """,
-    doc="Cosine top-k both ways. Full contract: "
-    "docs/CONTRACTS.md#similarity_topk",
+    doc="Cosine top-k both ways. Full contract: docs/CONTRACTS.md#similarity_topk",
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-dim contract: off-dimension vectors are excluded (see
@@ -615,9 +610,9 @@ def _near_dup_oracle() -> str:
 @register(
     "embedding_near_dup",
     oracle=_near_dup_oracle(),
-    doc="Embedding-cosine near-duplicate pairs: RHP bucket collision + cosine "
-    ">= threshold (0.3 fits this corpus's random-vector range; real corpora "
-    "use ~0.95). Full contract: docs/CONTRACTS.md#embedding_near_dup",
+    doc="Embedding-cosine near-duplicate pairs: RHP bucket collision + cosine >= "
+    "threshold (0.3 fits this corpus's random-vector range; real corpora use "
+    "~0.95). Full contract: docs/CONTRACTS.md#embedding_near_dup",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-dim contract (also keeps the derived plane count — a function
@@ -650,11 +645,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST({hex_to_bigint_sql("lower(hex(encode(text)))", 1, 2)} AS INTEGER) AS fake_height
     FROM documents
     """,
-    doc="Multimodal plumbing: BinaryType payload + metadata struct decoded by "
-    "an Arrow-batched mapInArrow fake codec (real image/audio codecs are "
-    "import-gated stubs with this exact signature; ids pass through as "
-    "Arrow int64 — the pandas boundary would double them past 2^53 on NULL- "
-    "bearing batches). Full contract: docs/CONTRACTS.md#multimodal_decode",
+    doc="Multimodal plumbing: BinaryType payload + metadata struct decoded by an "
+    "Arrow- batched mapInArrow fake codec (real. Full contract: "
+    "docs/CONTRACTS.md#multimodal_decode",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")

@@ -70,13 +70,9 @@ def _dense_id_sql(*cols: str) -> str:
                           "account_balance", "market_segment_code")}
     FROM cleaned
     """,
-    doc="The universal-cleaning -> stamp pipeline exactly as the reference "
-    "chains it: dirty CMS headers -> normalized names, semantic rename map, "
-    "all-string ingest parity, whole-row trim (nh-etl-universal- "
-    "cleaning.py:23-52,81-83), then dense row_id + etl_date stamp (nh-etl- "
-    "universal-cleaning.py:84-85; fixes bug B5 with a deterministic dense "
-    "id ordered by the cleaned key). Full contract: "
-    "docs/CONTRACTS.md#cms_clean_project",
+    doc="The universal-cleaning -> stamp pipeline exactly as the reference chains "
+    "it: dirty CMS headers -> normalized names, semantic rename map, all-string "
+    "ingest parity. Full contract: docs/CONTRACTS.md#cms_clean_project",
 )
 def cms_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = read_table(spark, sf_dir, "customer").toDF(*_DIRTY_CUSTOMER_HEADERS)
@@ -116,8 +112,7 @@ def cms_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
     """,
     doc="Left equi-join enrichment against broadcast dimension tables (nh-etl- "
-    "provider-transform.py:84-88); two-hop chain, both sides broadcast so "
-    "the fact side never shuffles. Full contract: "
+    "provider- transform.py:84-88); two-hop chain, both. Full contract: "
     "docs/CONTRACTS.md#left_join_enrich",
 )
 def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,8 +148,7 @@ def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     """,
     doc="Left join against a multi-row-per-key detail table — fan-out plus "
-    "unmatched-left null semantics (nh-etl-provider-transform.py:104-108, "
-    "penalties may repeat per facility). Full contract: "
+    "unmatched- left null semantics. Full contract: "
     "docs/CONTRACTS.md#left_join_fanout",
 )
 def left_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,9 +179,9 @@ def left_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
     )
     """,
-    doc="Incremental-ingest dedup as a relational anti-join: keep rows whose "
-    "key is absent from the ledger (sync-drive-to-s3.py:47-48,109-111). "
-    "Full contract: docs/CONTRACTS.md#manifest_anti_join",
+    doc="Incremental-ingest dedup as a relational anti-join: keep rows whose key is "
+    "absent from the ledger (sync-drive-to-s3.py:47-48,109-111). Full contract: "
+    "docs/CONTRACTS.md#manifest_anti_join",
 )
 def manifest_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = read_table(spark, sf_dir, "lineitem")
@@ -267,14 +261,9 @@ SELECT 'scd2', c_custkey, c_acctbal, valid_from, valid_to, is_current FROM scd2
 @register(
     "scd_merge",
     oracle=_SCD_ORACLE,
-    doc="Both warehouse merge flavors replacing Snowflake SP_MERGE_DIM_* "
-    "(reference README.md:238-269), tagged-unioned: SCD-type-1 upsert "
-    "(source rows win, unmatched target rows survive — anti-join + "
-    "unionByName) and SCD-type-2 history merge (changed keys close their "
-    "current version at the batch date and append a new open one; unchanged "
-    "and absent keys carry forward; the source leaves odd BUILDING keys "
-    "untouched so the null-safe change detection is exercised both ways). "
-    "Full contract: docs/CONTRACTS.md#scd_merge",
+    doc="Both warehouse merge flavors replacing Snowflake SP_MERGE_DIM_* (reference "
+    "README.md:238-269), tagged-unioned: SCD-type-1 upsert (source rows win, "
+    "unmatched target rows survive. Full contract: docs/CONTRACTS.md#scd_merge",
 )
 def scd_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = read_table(spark, sf_dir, "customer")
@@ -329,9 +318,9 @@ _GATE_DOMAINS = ("customer", "nation", "orders", "lineitem")
         f"COUNT(*) > 0 AS non_empty FROM {t}"
         for t in _GATE_DOMAINS
     ),
-    doc="Required-input gate: per-domain non-emptiness "
-    "(validate_staging.py:15-47) expressed as a unioned count query. Full "
-    "contract: docs/CONTRACTS.md#validation_counts",
+    doc="Required-input gate: per-domain non-emptiness (validate_staging.py:15-47) "
+    "expressed as a unioned count query. Full contract: "
+    "docs/CONTRACTS.md#validation_counts",
 )
 def validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
@@ -408,13 +397,8 @@ _DIRTY_PENALTY_HEADERS = [
                           "four_quarter_average_score")}
     FROM d
     """,
-    doc="P5 quality transform over a CMS-shaped staging fixture: quarterly "
-    "measure scores synthesized from a lineitem pivot, given the REAL "
-    "quality-measure header set (nh-etl-quality-transform.py:38-47), then "
-    "run through the actual pipeline path — universal cleaning (dirty "
-    "headers + all-string ingest) -> QUALITY_COLUMNS projection (non- "
-    "strict: absent columns skipped, the dynamic-by-header model) -> etl "
-    "metadata stamp ordered by (PK, measure_code). Full contract: "
+    doc="P5 quality transform over a CMS-shaped staging fixture: quarterly measure "
+    "scores synthesized from a lineitem pivot. Full contract: "
     "docs/CONTRACTS.md#cms_quality_transform",
 )
 def cms_quality_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,10 +450,7 @@ def cms_quality_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p
     """,
     doc="P6 penalty transform over a CMS-shaped staging fixture: per-facility "
-    "fine/denial rollups synthesized from orders, given the REAL penalty "
-    "header set (nh-etl-provider-transform.py:93-102), then the pipeline "
-    "path — universal cleaning -> PENALTY_COLUMNS projection (non-strict) "
-    "-> etl metadata stamp ordered by PK. Full contract: "
+    "fine/denial rollups synthesized from orders. Full contract: "
     "docs/CONTRACTS.md#cms_penalty_transform",
 )
 def cms_penalty_transform(spark: SparkSession, sf_dir: str) -> DataFrame:

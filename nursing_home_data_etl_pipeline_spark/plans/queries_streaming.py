@@ -205,9 +205,8 @@ def _drain_to_parquet(
     WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
-    doc="Streaming tumbling-window aggregation (watermark + complete mode, "
-    "drained over the bounded events table) — must equal the batch window "
-    "query exactly: the batch/stream equivalence contract. Full contract: "
+    doc="Streaming tumbling-window aggregation (watermark + complete mode, drained "
+    "over the bounded events table) — must equal. Full contract: "
     "docs/CONTRACTS.md#streaming_windowed_agg",
 )
 def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,8 +253,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, session_id
     """,
     doc="Streaming session windows (30-min gap): the stream twin of batch "
-    "sessionization. Full contract: "
-    "docs/CONTRACTS.md#streaming_session_counts",
+    "sessionization. Full contract: docs/CONTRACTS.md#streaming_session_counts",
 )
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
@@ -315,8 +313,8 @@ _WINDOW = "INTERVAL 1 HOUR"
     -- event-time contract (1)+(2)+(3), module docstring
     WHERE epoch_us(ts) > 0 AND event_id IS NOT NULL
     """,
-    doc="Watermark-bearing streaming operators, one tagged row set per drain. "
-    "Full contract: docs/CONTRACTS.md#streaming_join_dedup",
+    doc="Watermark-bearing streaming operators, one tagged row set per drain. Full "
+    "contract: docs/CONTRACTS.md#streaming_join_dedup",
 )
 def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_cols = ["variant", "event_id", "user_id", "num", "tag"]

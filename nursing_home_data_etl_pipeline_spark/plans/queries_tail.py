@@ -36,8 +36,7 @@ def _clusters_oracle() -> str:
     "dedup_clusters",
     oracle=_clusters_oracle(),
     doc="Near-dup CLUSTERS from MinHash-LSH pairs via distributed connected "
-    "components (min-label propagation, diameter rounds, two hash joins "
-    "each); keep-one dedup is doc_id == cluster_id. Full contract: "
+    "components (min-label propagation, diameter rounds,. Full contract: "
     "docs/CONTRACTS.md#dedup_clusters",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,9 +73,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tf JOIN df USING (term) CROSS JOIN n_docs
     """,
     doc="TF-IDF: per-doc term frequency x smoothed IDF — explode + two hash "
-    "aggregations + an equi-join on the vocabulary-sized df table (AQE "
-    "sizes the join; a pinned hint would OOM at a billion-term vocabulary); "
-    "no Python. Full contract: docs/CONTRACTS.md#tfidf_terms",
+    "aggregations + an equi-join on the vocabulary-sized df table (AQE sizes "
+    "the join. Full contract: docs/CONTRACTS.md#tfidf_terms",
 )
 def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -167,12 +165,9 @@ def _ivf_oracle() -> str:
 @register(
     "similarity_ann_ivf",
     oracle=_ivf_oracle(),
-    doc="IVF-style ANN: coarse quantizer (first 8 vectors as fixed cells, "
-    "training-free), corpus assigned to nearest cell by L2 (min_by with "
-    "(distance, cell_id) tiebreak), queries probe their nprobe=2 nearest "
-    "cells with exact cosine — the IVF recall/cost knob; near-boundary "
-    "queries recover missed neighbors for 2x work on the bounded query side "
-    "only. Full contract: docs/CONTRACTS.md#similarity_ann_ivf",
+    doc="IVF-style ANN: coarse quantizer (first 8 vectors as fixed cells, training- "
+    "free), corpus assigned to nearest cell by L2 (min_by with (distance, "
+    "cell_id) tiebreak). Full contract: docs/CONTRACTS.md#similarity_ann_ivf",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-dim contract: a ragged vector would NULL out its L2 distance
@@ -312,9 +307,8 @@ def _packing_oracle() -> str:
 @register(
     "pack_training_sequences",
     oracle=_packing_oracle(),
-    doc="GPT-style concat-and-chunk sequence packing: place every document's "
-    "word-token interval into a stream of back-to-back 512-token training "
-    "sequences; long documents straddle boundaries. Full contract: "
+    doc="GPT-style concat-and-chunk sequence packing: place every document's word- "
+    "token interval into a stream of back-to-back. Full contract: "
     "docs/CONTRACTS.md#pack_training_sequences",
 )
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -121,9 +121,9 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.o_orderkey, l.status, r.status IS NOT NULL OR l.status IS NULL AS matched
     FROM l JOIN r ON l.status IS NOT DISTINCT FROM r.status
     """,
-    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match "
-    "each other — the semantics a plain equi-join silently drops. Full "
-    "contract: docs/CONTRACTS.md#null_safe_join",
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match each "
+    "other — the semantics a plain equi-join silently drops. Full contract: "
+    "docs/CONTRACTS.md#null_safe_join",
 )
 def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
@@ -161,8 +161,7 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="Banding rows by exact quantiles (percentile via sort-based exact "
-    "computation here; approx_percentile is the 100 TB variant with the "
-    "same plan shape minus the full sort). Full contract: "
+    "computation here; approx_percentile is the 100 TB. Full contract: "
     "docs/CONTRACTS.md#quantile_bands",
 )
 def quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,10 +42,8 @@ from .catalog import register
       FROM orders
     ) WHERE rank <= 3
     """,
-    doc="Top-k both ways in one query: global top-100 (TakeOrderedAndProject — "
-    "per-partition heaps, no full sort) and top-3 per customer (row_number "
-    "window; Catalyst's WindowGroupLimit pushes the limit below the "
-    "shuffle). Full contract: docs/CONTRACTS.md#topk_global_grouped",
+    doc="Top-k both ways in one query: global top-100 (TakeOrderedAndProject. Full "
+    "contract: docs/CONTRACTS.md#topk_global_grouped",
 )
 def topk_global_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
@@ -124,12 +122,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS k
     FROM events
     """,
-    doc="One pass over events combining three row-level analytics: per-user "
-    "value delta (lag over the user window), time-debounce keep flag (drop "
-    "repeats of the same (user, event_type) within 5 minutes — the time- "
-    "aware twin of dropDuplicates), and JSON field extraction (from_json "
-    "with an explicit schema — never schema inference at scale). Full "
-    "contract: docs/CONTRACTS.md#events_lag_debounce",
+    doc="One pass over events combining three row-level analytics: per-user value "
+    "delta (lag over the user window), time-debounce keep flag (drop repeats of "
+    "the same (user. Full contract: docs/CONTRACTS.md#events_lag_debounce",
 )
 def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
@@ -169,9 +164,7 @@ def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     doc="Ranking family (rank/dense_rank tie-stable by value, ntile and "
-    "percent_rank over a unique total order) plus first/last/nth value over "
-    "a full-partition frame (explicit UNBOUNDED FOLLOWING — the default "
-    "frame makes last_value a footgun). Full contract: "
+    "percent_rank over a unique total order) plus. Full contract: "
     "docs/CONTRACTS.md#window_rank_values",
 )
 def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,39 +1,15 @@
-"""Derive an ADVERSARIAL test fixture from the driver's sf0.001 parquet.
-
-Every latent defect found in rounds 5-6 lived in an input class the driver
-fixture never exercises (NULL keys, blank/unicode text, tied timestamps,
-orphan foreign keys). This tool manufactures that class deliberately: it
-copies each table's original rows untouched (so structural assumptions —
-`vec_id < 20` query batches, required domains, dense key ranges — keep
-holding) and APPENDS edge rows with fresh keys: NULLs in every nullable
-attribute, empty/whitespace-only/unicode/regex-metacharacter text, exact
-and near duplicate documents, duplicate (user, ts) event ties, orphan
-foreign keys, and epoch-boundary timestamps.
-
-Schemas are preserved byte-identically (same arrow types; all fixture
-columns are nullable already), so the DuckDB oracle and the Spark engine
-read the same shapes they read in production.
+"""Derive an ADVERSARIAL test fixture from the driver's sf0.001 parquet:
+original rows untouched + APPENDED edge rows with fresh keys (NULLs,
+blank/unicode/regex-metachar text, exact/near dup docs, tied event
+timestamps, orphan FKs, epoch boundaries) — the input classes rounds 5-6
+proved the driver fixture never exercises. Schemas preserved
+byte-identically. Float values follow the pinned exactly-representable
+policy. Full rationale: docs/TOOLS.md#adversarial-fixture and
+#adversarial-fixture-float-policy.
 
 Usage:
     python tools/adversarial_fixture.py [src_sf_dir] [dest_dir]
-    python tools/check_correctness.py <dest_dir>           # the gate
-
-The sibling robustness axes (empty / single-row / all-duplicates / skew /
-row-order-reversed / cpus3 — builders below; per-axis rationale in each
-derive_* docstring) run through the same gate via tools/robustness_matrix.
-
-Floats in appended rows are exactly-representable values away from the
-6-decimal rounding boundary — POLICY, not accident: decimal-midpoint
-doubles round differently by construction (Spark F.round HALF_UPs the
-shortest decimal repr, DuckDB rounds the binary value: round(0.00015, 4)
-= 0.0002 vs 0.0001, confirmed round 7). Midpoint inputs stay excluded —
-EXCEPT the discounted-revenue sums, exact DECIMAL money since round 8
-(rev_sum_col/rev_sum_sql, test-pinned). Two more unmirrorable classes
-stay excluded by the same policy (round-7 review, execution-confirmed):
-duplicate-key JSON ('{"k":1,"k":2}' — from_json keeps the LAST key,
-json_extract the FIRST) and percentile-interpolation ulp straddles
-(lo+(hi-lo)*f vs lo*(1-f)+hi*f, 1 ulp apart at ROUND boundaries).
-"""
+    python tools/check_correctness.py <dest_dir>           # the gate"""
 
 from __future__ import annotations
 

@@ -2,19 +2,15 @@
 
 Usage: python tools/check_correctness.py [sf_dir] [--offload] [query ...]
 
-``--offload`` (round-11 #1, for the sf10 gate): compare INSIDE DuckDB —
+``--offload`` (round-11 #1, for the sf10+ gates): compare INSIDE DuckDB —
 the Spark result is written to parquet and diffed against the oracle with
-EXCEPT ALL both ways (exact multiset compare, doubles rounded to 6
-decimals via the repo's half-away ``duck_round_sql``, -0.0 normalized)
-instead of collecting both sides into Python rows. At sf10 the largest
-outputs are ~40M rows; collecting them would dominate the gate. Weaker
-than plans.verify only on cross-TYPE confusions (bool-vs-int,
-bytes-vs-hex), which the strict sf0.01 gate already pins, and on exact
-1e-6 rounding midpoints (canon uses Python banker's round; here both
-sides get the identical half-away expression, so the compare itself can
-never split on a midpoint); row count, schema names, and the full value
-multiset are all still exact. ``tools/close_round.py`` proves the two
-gates agree over the whole catalog at sf0.1 each close (round-12 #4).
+EXCEPT ALL both ways (exact multiset compare; doubles rounded to 6
+decimals via the half-away ``duck_round_sql`` on BOTH sides, so the
+compare never splits on a midpoint; -0.0 normalized) instead of
+collecting ~40M-row outputs into Python. Weaker than plans.verify only on
+cross-TYPE confusions, which the strict sf0.01 gate pins;
+``tools/close_round.py`` proves the two gates agree over the whole
+catalog at sf0.1 each close (round-12 #4).
 """
 
 from __future__ import annotations
@@ -40,21 +36,16 @@ from nursing_home_data_etl_pipeline_spark.plans.verify import (  # noqa: E402
 
 
 #: The driver contract pins the catalog at EXACTLY this many queries; a
-#: full gate run that checked any other number is itself a failure — an
-#: empty or shrunken registry (lost decorator in a merge, partial import
-#: refactor) used to print '0 failures' having checked NOTHING
-#: (round-8 tooling review, execution-confirmed).
+#: full gate over any other number is itself a failure — a shrunken
+#: registry once printed '0 failures' having checked NOTHING (round 8).
 EXPECTED_CATALOG = 50
 
 
 def _canon_select(con, rel: str) -> str:
     """Column list for the offloaded compare: sorted by name (the driver
-    hashes column-name-sorted values), doubles rounded to 6 decimals via
-    duck_round_sql (the pinned half-away cross-engine twin — NOT DuckDB
-    round(), so both compare sides share one rounding decision at exact
-    1e-6 midpoints) with -0.0 normalized via +0 (DuckDB groups NaN as
-    equal to itself, matching canon's NaN tag); double arrays
-    element-rounded."""
+    hashes column-name-sorted values); doubles rounded via duck_round_sql
+    (half-away on BOTH sides — one rounding decision at 1e-6 midpoints),
+    -0.0 normalized via +0; double arrays element-rounded."""
     cols = con.execute(f"DESCRIBE {rel}").fetchall()
     parts = []
     for c, t, *_ in sorted(cols):
@@ -71,15 +62,10 @@ def _canon_select(con, rel: str) -> str:
 
 def _clusters_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
     """Offload override for ``dedup_clusters`` (round-12 #1): a streamed
-    union-find over the DuckDB-built MinHash pair set instead of the
-    recursive min-label-reachability CTE, which needed >80 GB at sf10 (a
-    reachability table is O(V * diameter) rows; SCALE_r11.json). Memory
-    here is O(distinct doc_ids) — one parent int per vertex (~5M at sf10);
-    the pair set and the engine output stream through Arrow record
-    batches, never materializing as Python rows. Agreement with the exact
-    recursive oracle is proved wherever both run: the close-time
-    comparator-parity step diffs this gate against the strict sf0.01/sf0.1
-    comparator (which keeps the recursive CTE) over the full catalog."""
+    union-find over the DuckDB-built MinHash pair set — the recursive
+    reachability CTE needed >80 GB at sf10; this is O(distinct doc_ids)
+    memory with Arrow-batch streaming, parity-checked against the exact
+    oracle each close. Rationale: docs/TOOLS.md#check-correctness-union-find"""
     from nursing_home_data_etl_pipeline_spark.plans.queries_northstar import (
         _minhash_pairs_cte,
     )

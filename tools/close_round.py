@@ -1,24 +1,19 @@
 """Atomic round close (round-10 directive #4): ONE command, run on the
-FINAL tree, that re-runs every close artifact and stamps the git commit it
-ran on into each record — round 9's audit doc predated the final tree by
-six hours, and its warm bands straddled a hardening commit, because the
-close was a sequence of hand-run steps.
+FINAL tree (refuses a dirty one), that re-runs every close artifact and
+stamps the git commit into each record — a hand-run close once produced
+an audit doc six hours older than the tree it claimed to describe.
 
-Refuses a dirty tree (the stamp must name the exact tree the runs saw).
 Steps, each a subprocess so one crash fails that step only:
   matrix -> MATRIX_r{N}.json      full robustness matrix, all axes
   bench  -> BENCH_warm_r{N}.json  bench.py --warm W at $SPARK_GRAFT_SF_DIR
   parity -> (inline)              exact AND --offload comparators over the
-                                  full catalog at $SPARK_GRAFT_SF_DIR; the
-                                  sf10 gate's rounded EXCEPT-ALL compare is
-                                  a second, looser correctness definition —
-                                  prove the two gates agree wherever both
-                                  can run, every close (round-12 #4)
+                                  full catalog at $SPARK_GRAFT_SF_DIR must
+                                  AGREE — the offload gate is a second,
+                                  looser correctness definition (r12 #4)
   ledger -> (inline)              tools/loc_ledger.py counts
   audit  -> docs/EXPLAIN_AUDIT.md regenerated, commit line injected
 Writes CLOSE_r{N}.json {commit, steps, all_green}; exit 0 iff every step
-passed. The artifacts land one commit AFTER the stamped tree by
-construction — the stamp names the tree the runs executed on.
+passed. Artifacts land one commit AFTER the stamped tree by construction.
 
 Usage: python tools/close_round.py N [--warm 3] [--skip matrix,bench,...]
 """

@@ -1,43 +1,13 @@
 """Seeded randomized-fixture builder — the FUZZ axes of the robustness
-matrix. Where adversarial_fixture.py appends HAND-PICKED edge rows, this
-derives a random whole-fixture mutation from one seed (shuffles, drops,
-NULL injection, duplicated rows, edge values on the exactly-representable
-.25 grid), then enforces the pinned fixture policies so every generated
-fixture stays inside the documented oracle contracts.
-A separate seeded stream additionally fuzzes the PHYSICAL layout (single
-file vs directory-of-part-files, random cut points and row-group sizes) —
-catching order/partition-count dependence without touching row content.
-``--shape`` (round 9) enables a third stream of SCHEMA-SHAPE mutations:
-all-NULL / single-distinct-value / per-row-unique columns, 10k-char texts,
-and one 0-row table among populated siblings (see ``_shape``).
-``--corr`` (round 10) enables a fourth stream of CROSS-TABLE CORRELATED
-mutations the independent per-table streams can never produce: FK fan-out
-(one parent key owning ~50% of children), verbatim duplicate parents with
-children still attached, and orphan+duplicate combos on the same key (see
-``_correlate``). Its own flag so the pinned --shape seed 2028 fixture
-stays bit-identical.
+matrix: whole-fixture random mutations from one seed, plus a PHYSICAL
+layout stream, ``--shape`` schema mutations, and ``--corr`` cross-table
+correlated mutations, all constrained by the pinned fixture policies so
+every generated fixture stays inside the documented oracle contracts.
+Full rationale + the policy list: docs/TOOLS.md#fuzz-fixture and
+#fuzz-fixture-policies.
 
-Round-8 sweeps with this builder found ~10 real divergence classes (see
-docs/HISTORY.md). The policies below encode the classes that are
-PRECONDITIONS rather than bugs:
-
-- floats stay on the .25 grid; lineitem money columns are never edited
-  (they carry the DECIMAL(8,2) data contract — 2-decimal, < 1e6 — that the
-  revenue queries' exact-decimal arithmetic is built on; an edit past 1e6
-  would be an ANSI decimal overflow, loud by design);
-- event_id / doc_id / c_custkey / vec_id are never re-pointed (id
-  collisions break unique window tiebreakers or chimera-merge signatures);
-- duplicate event rows are dropped entirely ((ts, event_id) must stay a
-  total order: two verbatim copies tie, and a query's independent window
-  sorts can pair tied rows differently across engines);
-- duplicate doc_ids survive only as VERBATIM copies (set-semantics is
-  pinned by tests; conflicting texts per id are an unmirrorable chimera);
-- duplicate BUILDING customers are dropped (scd_merge's source must be
-  unique per key — merge_scd1/2 precondition, resolve upstream).
-
-Usage: python tools/fuzz_fixture.py SEED [src] [dest] [--shape];
-gate with tools/check_correctness.py <dest>.
-"""
+Usage: python tools/fuzz_fixture.py SEED [src] [dest] [--shape] [--corr];
+gate with tools/check_correctness.py <dest>."""
 
 from __future__ import annotations
 

@@ -1,7 +1,6 @@
-"""Generated LoC ledger (round-9 directive #3a) — one JSON line; paste the
-numbers into BASELINE.md, don't type them. product = package + bench.py +
-__spark_entry__.py (what ships); tools = tools/*.py (verification
-machinery, judged separately); total = all non-test lines."""
+"""Generated LoC ledger (round-9 #3a) — one JSON line; paste the numbers,
+don't type them. product = package + bench.py + __spark_entry__.py (what
+ships); tools = tools/*.py (judged separately); total = all non-test."""
 
 from __future__ import annotations
 

@@ -1,29 +1,14 @@
 """One-command robustness matrix: the full 50-query oracle gate on every
-axis, one JSON record out (round-7 VERDICT directive #1 — a hand-run axis
-that silently dropped out of the routine was invisible).
-
-The SIXTEEN-axis set (rounds 8-10):
-  clean-sf0.001 / clean-sf0.01 / clean-sf0.1   driver parquet as-is
-  adversarial-sf0.001 / adversarial-sf0.1      adversarial_fixture phases 1-7
-  skew, empty, single-row, all-duplicates,     derived from sf0.001
-  row-order-reversed                           (builders in adversarial_fixture)
-  cpus3                                        clean sf0.001, SPARK_GRAFT_CPUS=3
-  fuzz-s101 / fuzz-s202 / fuzz-s303            fuzz_fixture seeded mutations
-  fuzz-shape-s2028                             --shape schema mutations (r9:
-                                               found the topk totality class)
-  fuzz-corr-s4102                              --shape --corr (r10: found the
-                                               per-row shingle-window class)
-
-Each axis runs as a SUBPROCESS of tools/check_correctness.py: a JVM crash on
-one axis fails that axis only, and the cpus3 axis needs its own session (the
-partition count is fixed at session creation) — the ~15 s startup per axis
-is the price of isolation.
+axis (clean sfs, adversarial, derived skew/empty/single-row/
+all-duplicates/row-order-reversed, cpus3, seeded fuzz incl. the pinned
+class-discovery seeds), one JSON record out; each axis is a subprocess of
+check_correctness.py so a JVM crash fails that axis only. Axis inventory:
+the AXES table below; rationale: docs/TOOLS.md#robustness-matrix.
 
 Usage:
     python tools/robustness_matrix.py [--out MATRIX.json] [--axes a,b,...]
         [--workdir DIR] [--testdata /root/testdata]
-Exit 0 iff every selected axis passes.
-"""
+Exit 0 iff every selected axis passes."""
 
 from __future__ import annotations
 

@@ -1,43 +1,10 @@
-"""Key-shifted ~10x replication of a testdata dir — the first empirical
-scale point above sf0.1 (round-9 directive #1; record: SCALE_r09.json).
-
-NOT verbatim replication (that would clone every doc/embedding 10x and
-make the pair-enumerating queries measure an artificial O(replicas^2)
-blowup instead of a real corpus's ~linear growth). Each replica r:
-- shifts every id/FK family by r * stride (powers of 10 above each
-  family's max; FKs move with their dimension, so joins stay consistent);
-- substitution-ciphers document text by a per-replica seeded letter
-  permutation (round 11; the round-9 Caesar shift repeated with period 25,
-  capping replicas at 25 — sf10 needs 100): length/whitespace/punctuation/
-  word-structure preserving (n_chars stays truthful, quality_score
-  identical), shingle sets map bijectively — within-replica dup structure
-  exact, cross-replica Jaccard ~0 (lang_id flips to 'und'; fine — corpus
-  queries filter on the stored `lang` column, kept verbatim);
-- circularly rotates each embedding by r % dim AND sign-flips elements by
-  a per-replica 64-bit mask (both orthogonal and IEEE-exact per ELEMENT,
-  so within-replica dot products are preserved up to float summation
-  order — ~1 ulp, same as rotation alone; rotation alone has period
-  dim=64 < 100 replicas): cross-replica cosines decorrelate.
-region/nation stay single-copy dims; timestamps stay verbatim (more users
-over the same time range — window/session state grows in width, not
-history). Each replica is one part file in a `{table}.parquet` directory.
-
-``--skew`` (round-10 directive #1) layers distribution heterogeneity the
-key-shifted replication deliberately lacks — cloned replicas keep sf0.1's
-uniform distributions, so the 100 TB salting/AQE-skew story was untested:
-- Zipfian hot key: ONE global customer owns ~30% of all orders and ONE
-  user ~30% of all events (remapped after the shift, so every replica's
-  hot rows point at the same replica-0 key); ONE source owns ~30% of
-  documents and ONE label ~30% of embeddings.
-- Doc-length long tail: deterministic per base doc_id, text repeated
-  x10 / x100 / x1000 for ~2% / 0.9% / 0.1% of docs (1000x spread);
-  n_chars recomputed so the stored column stays truthful.
-- Growing distinct groups: replica r>0 suffixes ~10% of event_type and
-  document source values with ``_g{r}`` — group cardinality grows with
-  data size instead of staying cloned.
-Vector-space skew (30% near-identical embeddings) is deliberately NOT
-modeled: that is the all-duplicates matrix axis's collapse regime, not a
-realistic corpus shape, and it would turn the near-dup pair set quadratic.
+"""Key-shifted ~Nx replication of a testdata dir — the empirical scale
+points above sf0.1 (SCALE_r09..r12.json). NOT verbatim replication: each
+replica shifts id/FK families, substitution-ciphers text, and
+rotates+sign-flips embeddings so replicas decorrelate while within-replica
+structure stays exact; ``--skew`` layers hot keys, a 1000x doc-length
+tail, and growing group cardinality. Full rationale:
+docs/TOOLS.md#scale-fixture and #scale-fixture-skew.
 
 Usage: python tools/scale_fixture.py [--skew] [replicas] [src] [dest];
 then gate with check_correctness.py and bench with SPARK_GRAFT_SF_DIR."""
@@ -187,12 +154,10 @@ def _trans(r: int) -> dict:
 
 
 def _signs(r: int, n: int) -> list[float]:
-    """±1 mask from the per-replica odd 64-bit hash: element 0 always
-    flips (bit 0 forced). Forcing bit 0 means two r whose products differ
-    only in bit 0 share a mask, so 'distinct' holds for practical replica
-    counts (pairwise-distinct for this run's replicas, asserted in build()), not
-    for every r < 2^64 — enough for replicas sharing a rotation (r, r+64)
-    to decorrelate at any sf this fixture builds."""
+    """±1 mask from the per-replica odd 64-bit hash; element 0 always
+    flips (bit 0 forced). Distinctness is per-run, asserted in build()
+    (bit-0 forcing means it is NOT universal over r < 2^64) — enough for
+    replicas sharing a rotation (r, r+64) to decorrelate."""
     h = (r * 2654435761) | 1
     return [-1.0 if (h >> (j % 64)) & 1 else 1.0 for j in range(n)]
 
