@@ -766,9 +766,9 @@ def test_decimal_to_double_cast_routes_through_varchar(spark):
 
     import inspect
 
-    from nursing_home_data_etl_pipeline_spark.plans import queries_sampling
+    from nursing_home_data_etl_pipeline_spark.plans import queries_stats
 
-    src = inspect.getsource(queries_sampling)
+    src = inspect.getsource(queries_stats)
     assert 'AS VARCHAR) AS DOUBLE)' in src
     # engine side: every decimal moment sum goes .cast("string") first
     direct = src.count('.cast("double").alias("_s')
