@@ -90,6 +90,12 @@ def main() -> int:
             except Exception as ex:
                 samples[name].append(-1.0)
                 print(f"bench error in {name}: {ex!r}", file=sys.stderr)
+            finally:
+                from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (  # noqa: E501
+                    cleanup_drains,
+                )
+
+                cleanup_drains()
 
     def _min(v: list[float]) -> float:
         ok = [t for t in v if t >= 0]

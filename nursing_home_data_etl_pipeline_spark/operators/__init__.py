@@ -66,7 +66,9 @@ from .similarity import (  # noqa: F401
     embedding_near_dup_pairs,
 )
 from .windows import (  # noqa: F401
+    lag_scaled,
     running_agg,
+    running_sum_scaled,
     sessionize,
     top_k_global,
     top_k_per_group,

@@ -89,6 +89,35 @@ def _shard_case_tree(
     return build(0, len(cuts))
 
 
+def order_key_segments(
+    df: DataFrame, order_by: Sequence[str], n_segments: int
+) -> Column:
+    """Deterministic, ORDER-CONSISTENT segment id (0..n_segments-1) for the
+    ``order_by`` key struct: exact cuts from a bounded hash-ordered sample
+    (stable across plan re-evaluations — spark_partition_id over
+    repartitionByRange is NOT; see queries_windows' ntile note), applied
+    as a pure column function via the log-depth case tree. Rows tied on
+    the full key share a segment; NULL-bearing keys route consistently
+    with NULLS FIRST (a NULL comparison falls to the left branch, exactly
+    where NULLS FIRST sorts the key). Shared by the sharded dense-id scan
+    and the segmented window rewrites (round-13 #1)."""
+    cols = [F.col(c) for c in order_by]
+    oversample = 32
+    sample = (
+        df.select(F.struct(*cols).alias("_k"))
+        .orderBy(F.xxhash64(*cols))
+        .limit(n_segments * oversample)
+        .collect()
+    )
+    vals = sorted(
+        tuple(r["_k"]) for r in sample if None not in tuple(r["_k"])
+    )
+    step = max(1, len(vals) // n_segments) if vals else 1
+    cuts = vals[step::step][: n_segments - 1]
+    key = F.struct(*[F.col(c).alias(c) for c in order_by])
+    return _shard_case_tree(key, cuts, order_by)[0]
+
+
 def with_dense_id_sharded(
     df: DataFrame,
     order_by: Sequence[str],
@@ -108,23 +137,7 @@ def with_dense_id_sharded(
     if clash:
         raise ValueError(f"df columns collide with dense-id internals: {clash}")
 
-    oversample = 32
-    sample = (
-        df.select(F.struct(*cols).alias("_k"))
-        .orderBy(F.xxhash64(*cols))
-        .limit(n_shards * oversample)
-        .collect()
-    )
-    vals = sorted(
-        tuple(r["_k"]) for r in sample if None not in tuple(r["_k"])
-    )
-    step = max(1, len(vals) // n_shards) if vals else 1
-    cuts = vals[step::step][: n_shards - 1]
-
-    key = F.struct(*[F.col(c).alias(c) for c in order_by])
-    pid, _ = _shard_case_tree(key, cuts, order_by)
-
-    sharded = df.withColumn("_pid", pid)
+    sharded = df.withColumn("_pid", order_key_segments(df, order_by, n_shards))
     tb = _tiebreak(df, order_by) if tiebreak else []
     w = Window.partitionBy("_pid").orderBy(*cols, *tb)
     intra = sharded.withColumn("_intra", F.row_number().over(w))

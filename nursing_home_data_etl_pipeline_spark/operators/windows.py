@@ -81,6 +81,140 @@ def running_agg(
     return df.withColumn(_fresh(df, out_name, "running_agg"), getattr(F, agg)(agg_col).over(w))
 
 
+#: Above this Catalyst size estimate, the *_scaled helpers switch from one
+#: flat per-key window to the two-level segmented plan (round-13 #1: a flat
+#: window serializes each key's whole history onto ONE task — a dead
+#: executor at 100 TB under a hot key).
+SEGMENT_THRESHOLD_BYTES = 64 * 1024 * 1024
+
+
+def _segmented(df: DataFrame, order_by: Sequence[str],
+               n_segments: int | None, used: Sequence[str]) -> DataFrame:
+    """Attach the order-consistent ``_seg`` column (ids.order_key_segments
+    — deterministic cuts, ties share a segment) after guarding internal
+    column-name collisions."""
+    from .ids import order_key_segments
+
+    if n_segments is None:
+        n_segments = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_segments = max(1, min(n_segments, 1024))
+    clash = ({"_seg", "_seg2", *used}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"df columns collide with segmented-window internals: {clash}")
+    return df.withColumn("_seg", order_key_segments(df, order_by, n_segments))
+
+
+def _seg_join(local: DataFrame, small: DataFrame,
+              partition_by: Sequence[str]) -> DataFrame:
+    """Join a per-(keys, segment) small side back onto the row stream: equi
+    on the segment, NULL-SAFE equi on every partition key (NULL keys are
+    real window groups), small-side names aliased ``_pb_*`` so the
+    self-join condition is unambiguous by construction (the r10 ntile
+    wart)."""
+    cond = F.col("_seg") == F.col("_seg2")
+    for c in partition_by:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_pb_{c}"))
+    return local.join(small, cond, "left").drop(
+        "_seg2", *[f"_pb_{c}" for c in partition_by])
+
+
+def running_sum_scaled(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    agg_col: str,
+    out_name: str = "running",
+    n_segments: int | None = None,
+    threshold_bytes: int = SEGMENT_THRESHOLD_BYTES,
+) -> DataFrame:
+    """Cumulative sum whose worst case never puts one key's history on one
+    task: below ``threshold_bytes`` (Catalyst size estimate, like
+    ids.with_etl_metadata) this is the flat RANGE-frame :func:`running_agg`;
+    above, rows are cut into order-consistent segments — per-(key, segment)
+    local running sums, one aggregate of segment totals, an exclusive scan
+    over the (keys x segments)-row totals table, one join back. Sum-frame
+    semantics preserved exactly: tied rows share a segment (so the local
+    RANGE frame sees all peers) and the result is NULL only when nothing
+    non-NULL precedes. Addition-mergeable aggregates only (sum/count).
+    Design notes: docs/DESIGN.md#windows-running-agg"""
+    from .ids import _estimated_size_bytes
+
+    cols = [F.col(c) for c in order_by]
+    if threshold_bytes > 0 and _estimated_size_bytes(df) <= threshold_bytes:
+        return running_agg(df, partition_by, cols, agg_col, out_name=out_name)
+    dfs = _segmented(df, order_by, n_segments, ("_loc", "_t", "_off", out_name))
+    w_loc = (
+        Window.partitionBy(*partition_by, "_seg").orderBy(*cols)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = dfs.withColumn("_loc", F.sum(agg_col).over(w_loc))
+    pb2 = [f"_pb_{c}" for c in partition_by]
+    tot = dfs.groupBy(
+        *[F.col(c).alias(a) for c, a in zip(partition_by, pb2)],
+        F.col("_seg").alias("_seg2"),
+    ).agg(F.sum(agg_col).alias("_t"))
+    w_pre = (Window.partitionBy(*pb2).orderBy("_seg2")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = tot.select(*pb2, "_seg2", F.sum("_t").over(w_pre).alias("_off"))
+    run = (
+        F.when(F.col("_loc").isNull() & F.col("_off").isNull(), F.lit(None))
+        .otherwise(F.coalesce(F.col("_loc"), F.lit(0))
+                   + F.coalesce(F.col("_off"), F.lit(0)))
+    )
+    return (_seg_join(local, offs, partition_by)
+            .withColumn(out_name, run).drop("_seg", "_loc", "_off"))
+
+
+def lag_scaled(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    out_name: str,
+    n_segments: int | None = None,
+    threshold_bytes: int = SEGMENT_THRESHOLD_BYTES,
+) -> DataFrame:
+    """lag(1) with the same two-level escape hatch: local lag within
+    (keys, segment); each segment's FIRST row takes the previous non-empty
+    segment's LAST value through a boundary exchange of exactly one row
+    per (keys, segment) — never a per-key sequential scan. The boundary
+    value rides a struct so "no previous row" (NULL struct) stays distinct
+    from "previous value is NULL"; the boundary row is the segment's
+    max-_rn row, derived from the SAME window partitioning (the shuffle is
+    reused, no second scan exchange)."""
+    from .ids import _estimated_size_bytes
+
+    cols = [F.col(c) for c in order_by]
+    if threshold_bytes > 0 and _estimated_size_bytes(df) <= threshold_bytes:
+        w = Window.partitionBy(*partition_by).orderBy(*cols)
+        return df.withColumn(_fresh(df, out_name, "lag_scaled"),
+                             F.lag(value_col, 1).over(w))
+    dfs = _segmented(df, order_by, n_segments,
+                     ("_lag", "_rn", "_n", "_last", "_prev", out_name))
+    w_loc = Window.partitionBy(*partition_by, "_seg").orderBy(*cols)
+    local = (
+        dfs.withColumn("_lag", F.lag(value_col, 1).over(w_loc))
+        .withColumn("_rn", F.row_number().over(w_loc))
+        .withColumn("_n", F.count(F.lit(1)).over(
+            Window.partitionBy(*partition_by, "_seg")))
+    )
+    pb2 = [f"_pb_{c}" for c in partition_by]
+    lasts = local.filter(F.col("_rn") == F.col("_n")).select(
+        *[F.col(c).alias(a) for c, a in zip(partition_by, pb2)],
+        F.col("_seg").alias("_seg2"),
+        F.struct(F.col(value_col).alias("v")).alias("_last"),
+    )
+    w_sg = Window.partitionBy(*pb2).orderBy("_seg2")
+    prevs = lasts.select(
+        *pb2, "_seg2", F.lag("_last", 1).over(w_sg).alias("_prev"))
+    out = F.when(F.col("_rn") == 1, F.col("_prev.v")).otherwise(F.col("_lag"))
+    return (_seg_join(local, prevs, partition_by)
+            .withColumn(out_name, out)
+            .drop("_seg", "_lag", "_rn", "_n", "_prev"))
+
+
 def with_lag_delta(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -646,7 +646,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc="Multimodal plumbing: BinaryType payload + metadata struct decoded by an "
-    "Arrow- batched mapInArrow fake codec (real. Full contract: "
+    "Arrow-batched mapInArrow fake codec. Full contract: "
     "docs/CONTRACTS.md#multimodal_decode",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

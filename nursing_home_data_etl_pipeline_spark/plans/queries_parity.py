@@ -148,7 +148,7 @@ def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     """,
     doc="Left join against a multi-row-per-key detail table — fan-out plus "
-    "unmatched- left null semantics. Full contract: "
+    "unmatched-left null semantics. Full contract: "
     "docs/CONTRACTS.md#left_join_fanout",
 )
 def left_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,6 +102,15 @@ def _cleanup_drain_dirs() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def cleanup_drains() -> None:
+    """Free drain parquet EARLY: gates/bench call this once a streaming
+    query's result is fully consumed (ADVICE r12 — a long session would
+    otherwise hold every drain's multi-million-row parquet at once);
+    atexit above stays as the backstop. Invalidates prior drain frames."""
+    while _DRAIN_DIRS:
+        shutil.rmtree(_DRAIN_DIRS.pop(), ignore_errors=True)
+
+
 def _drain_to_parquet(
     df: DataFrame,
     output_mode: str,

@@ -36,7 +36,7 @@ def _clusters_oracle() -> str:
     "dedup_clusters",
     oracle=_clusters_oracle(),
     doc="Near-dup CLUSTERS from MinHash-LSH pairs via distributed connected "
-    "components (min-label propagation, diameter rounds,. Full contract: "
+    "components (min-label propagation). Full contract: "
     "docs/CONTRACTS.md#dedup_clusters",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.vectors import duck_round_sql, round_half_away
-from ..operators.windows import running_agg, top_k_global, top_k_per_group
+from ..operators.windows import (
+    lag_scaled,
+    running_sum_scaled,
+    top_k_global,
+    top_k_per_group,
+)
 from ..sources.readers import read_table
 from .catalog import register
 
@@ -83,10 +88,12 @@ def topk_global_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    out = running_agg(
+    # two-level above the size threshold: a hot supplier's history must
+    # never land on one task (round-13 #1)
+    out = running_sum_scaled(
         li,
         partition_by=["l_suppkey"],
-        order_by=[F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
         agg_col="l_quantity",
     )
     return out.select(
@@ -123,15 +130,18 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     doc="One pass over events combining three row-level analytics: per-user value "
-    "delta (lag over the user window), time-debounce keep flag (drop repeats of "
-    "the same (user. Full contract: docs/CONTRACTS.md#events_lag_debounce",
+    "delta, time-debounce keep flag, JSON field extraction. Full contract: "
+    "docs/CONTRACTS.md#events_lag_debounce",
 )
 def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_ut = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    gap = us - F.lag(us, 1).over(w_ut)
+    # both lags ride the two-level rewrite above the size threshold: the
+    # skewed fixture puts ~50% of events on ONE user (round-13 #1)
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "_us", F.unix_micros(F.col("ts")))
+    ev = lag_scaled(ev, ["user_id"], ["ts", "event_id"], "value", "_lagv")
+    ev = lag_scaled(
+        ev, ["user_id", "event_type"], ["ts", "event_id"], "_us", "_lagus")
+    gap = F.col("_us") - F.col("_lagus")
     k = F.from_json(
         F.col("props"), T.StructType([T.StructField("k", T.LongType())])
     )["k"]
@@ -139,7 +149,7 @@ def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        round_half_away(F.col("value") - F.lag("value", 1).over(w_user), 6).alias("delta"),
+        round_half_away(F.col("value") - F.col("_lagv"), 6).alias("delta"),
         F.coalesce(gap > 300 * 1_000_000, F.lit(True)).alias("kept"),
         k.alias("k"),
     )

@@ -115,6 +115,9 @@ def compare_query(spark, con, spark_fn, oracle: str | None, sf_dir: str) -> list
     sdf = spark_fn(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    from .queries_streaming import cleanup_drains
+
+    cleanup_drains()  # result fully collected; free any drain parquet now
     if oracle is None:
         # Declared non-SQL-expressible: execute-only smoke coverage, but an
         # empty result is still a failure signal — every such query in this

@@ -179,3 +179,65 @@ def test_window_helpers_raise_on_output_column_collision(spark):
         with_lag_delta(df, ["k"], [F.col("v")], "v")
     with pytest.raises(ValueError, match="'session_id' already exists"):
         sessionize(df, "k", "ts", 60)
+
+
+def test_segmented_windows_match_flat_on_edge_data(spark):
+    """round-13 #1: the two-level segmented rewrites must agree with the
+    flat single-window plans on NULL keys, NULL order values, full-order
+    ties (running sum), NULL values, and a hot key — with threshold 0 so
+    the segmented branch actually runs, and few enough segments that
+    several rows share one while boundaries still cross."""
+    from pyspark.sql import Window
+
+    from nursing_home_data_etl_pipeline_spark.operators.windows import (
+        lag_scaled,
+        running_agg,
+        running_sum_scaled,
+    )
+
+    rows = []
+    for i in range(200):  # hot key 0 owns ~75% of rows
+        rows.append((0 if i % 4 else 7, i % 50, i, float(i) if i % 9 else None))
+    rows += [(None, None, 1000, 1.0), (None, 3, 1001, None), (0, None, 1002, 2.0),
+             (0, 10, 1003, 4.0), (0, 10, 1003, 6.0)]  # full-order tie pair
+    df = spark.createDataFrame(rows, "k int, o int, id int, v double")
+
+    seg = running_sum_scaled(df, ["k"], ["o", "id"], "v",
+                             threshold_bytes=0, n_segments=5)
+    flat = running_agg(df, ["k"], [F.col("o"), F.col("id")], "v")
+    key = lambda r: (r.k, r.o, r.id, r.v, r.running)  # noqa: E731
+    assert sorted(map(key, seg.collect()), key=str) == sorted(
+        map(key, flat.collect()), key=str)
+
+    uniq = df.filter(F.col("id") != 1003)  # lag needs a total order
+    seg_lag = lag_scaled(uniq, ["k"], ["o", "id"], "v", "lg",
+                         threshold_bytes=0, n_segments=5)
+    w = Window.partitionBy("k").orderBy("o", "id")
+    flat_lag = uniq.withColumn("lg", F.lag("v", 1).over(w))
+    key2 = lambda r: (r.k, r.o, r.id, r.v, r.lg)  # noqa: E731
+    assert sorted(map(key2, seg_lag.collect()), key=str) == sorted(
+        map(key2, flat_lag.collect()), key=str)
+
+
+def test_segmented_catalog_windows_match_oracle(spark, monkeypatch):
+    """Force the two window catalog queries down the SEGMENTED path (size
+    estimate patched huge) and gate them against their DuckDB oracles —
+    the same comparison the sf10 gates run where the threshold trips
+    naturally."""
+    from nursing_home_data_etl_pipeline_spark.operators import ids
+    from nursing_home_data_etl_pipeline_spark.plans import catalog
+    from nursing_home_data_etl_pipeline_spark.plans.verify import (
+        compare_query,
+        duckdb_connection,
+    )
+
+    monkeypatch.setattr(ids, "_estimated_size_bytes", lambda df: 1 << 60)
+    sf = "/root/testdata/sf0.001"
+    con = duckdb_connection(sf)
+    try:
+        for name in ("window_running_sum", "events_lag_debounce"):
+            e = catalog.entries()[name]
+            problems = compare_query(spark, con, e.spark, e.oracle, sf)
+            assert not problems, f"{name} (segmented): {problems}"
+    finally:
+        con.close()

@@ -77,9 +77,13 @@ def test_union_find_offload_oracle_detects_corruption(spark, con, tmp_path):
     assert "rowcount" in run(lambda s, d: good(s, d).limit(100), "b3")[0]
 
     def dup_and_drop(s, d):
+        # deterministic by construction (ADVICE r12: limit()'s row choice
+        # is unspecified — it could drop one of the duplicated copies and
+        # yield the GOOD result): drop the min-id row, duplicate the max-id
+        # row, so the total count matches but distinct ids are one short.
         df = good(s, d)
-        one = df.limit(1)
-        rest = df.join(one.select("doc_id"), "doc_id", "left_anti")
-        return rest.unionAll(one).unionAll(one).limit(df.count())
+        lo, hi = df.agg(F.min("doc_id"), F.max("doc_id")).first()
+        return df.filter(F.col("doc_id") != lo).unionAll(
+            df.filter(F.col("doc_id") == hi))
 
     assert "distinct" in run(dup_and_drop, "b4")[0]

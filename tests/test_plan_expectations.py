@@ -167,3 +167,24 @@ def test_q5_scans_are_column_pruned(spark, sf_dir):
     ]
     assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in schemas
     assert "struct<o_orderkey:bigint,o_custkey:bigint>" in schemas
+
+
+def test_segmented_windows_have_no_per_key_flat_window(spark, sf_dir, monkeypatch):
+    """round-13 #1: above the size threshold, the window-family queries'
+    per-key sequential windows are rewritten two-level — every window over
+    the hot key must also partition by the segment column, so no single
+    task ever holds one key's whole history. (The _pb_*-partitioned
+    windows scan only the keys x segments totals table.)"""
+    import re
+
+    from nursing_home_data_etl_pipeline_spark.operators import ids
+
+    monkeypatch.setattr(ids, "_estimated_size_bytes", lambda df: 1 << 60)
+    p = _full_plan_of(catalog.entries()["window_running_sum"].spark(spark, sf_dir))
+    assert "_seg" in p
+    assert not re.findall(r"windowspecdefinition\(l_suppkey#\d+L?, (?!_seg)", p)
+    p = _full_plan_of(catalog.entries()["events_lag_debounce"].spark(spark, sf_dir))
+    assert not re.findall(
+        r"windowspecdefinition\(user_id#\d+L?, (?!event_type#\d+, _seg|_seg)", p
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

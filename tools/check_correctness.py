@@ -221,6 +221,11 @@ def main() -> int:
                 # (sf10-sized) parquet before the next query runs
                 if tmp:
                     shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+                from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (  # noqa: E501
+                    cleanup_drains,
+                )
+
+                cleanup_drains()
             dt = time.time() - t0
             if problems:
                 failures.append(name)
