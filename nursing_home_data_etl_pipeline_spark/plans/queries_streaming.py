@@ -114,7 +114,7 @@ def cleanup_drains() -> None:
 def _drain_to_parquet(
     df: DataFrame,
     output_mode: str,
-    state_partitions: int = 8,
+    state_partitions: int | None = None,
     require_single_batch: bool = False,
     require_multi_batch: bool = False,
 ) -> DataFrame:
@@ -143,8 +143,14 @@ def _drain_to_parquet(
             batch.write.mode("overwrite").parquet(
                 os.path.join(data, f"b{batch_id:05d}"))
 
+    # State partitioning scales with the session's shuffle-partition count
+    # (= SPARK_GRAFT_CPUS) by default — the old fixed 8 bounded the
+    # round-7 MEMORY sink's state tables; with parquet drains that bound
+    # is stale and capped every streaming stage to 8 of 32 cores
+    # (VERDICT r12 #2). The knob remains for state-store-heavy callers.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(state_partitions) if state_partitions else prev)
     try:
         q = (
             df.writeStream.foreachBatch(sink)
