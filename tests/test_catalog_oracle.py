@@ -87,3 +87,53 @@ def test_union_find_offload_oracle_detects_corruption(spark, con, tmp_path):
             df.filter(F.col("doc_id") == hi))
 
     assert "distinct" in run(dup_and_drop, "b4")[0]
+
+
+def test_streamed_offload_oracles_detect_corruption(spark, con, tmp_path):
+    """Round-13 #3 twins of the union-find test: the streamed
+    chunker/shingler overrides must (a) pass the true result, (b) build an
+    ``_o`` that equals the SQL oracle's multiset EXACTLY at this sf
+    (parity), and (c) reject a value edit, dropped rows, and a
+    duplicate+drop whose total count still matches."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import _chunks_offloaded, _near_pairs_offloaded
+
+    from pyspark.sql import functions as F
+
+    tmp = str(tmp_path)
+    cases = (("chunk_documents", _chunks_offloaded, "n_words"),
+             ("dedup_near_pairs", _near_pairs_offloaded, "n"))
+    for name, ovr, valcol in cases:
+        e = catalog.entries()[name]
+        assert ovr(spark, con, f"{name}_g", e.spark, None, SF_DIR, tmp) == []
+        ndiff, = con.execute(
+            f"SELECT COUNT(*) FROM ("
+            f"(SELECT * FROM _o EXCEPT ALL SELECT * FROM ({e.oracle}))"
+            f" UNION ALL "
+            f"(SELECT * FROM ({e.oracle}) EXCEPT ALL SELECT * FROM _o))"
+        ).fetchone()
+        assert ndiff == 0, f"{name}: override _o diverges from SQL oracle"
+        bad = ovr(spark, con, f"{name}_b1",
+                  lambda s, d, q=e.spark, v=valcol:
+                  q(s, d).withColumn(v, F.col(v) + 1),
+                  None, SF_DIR, tmp)
+        assert bad and "values" in bad[0], name
+        bad = ovr(spark, con, f"{name}_b2",
+                  lambda s, d, q=e.spark: q(s, d).limit(5),
+                  None, SF_DIR, tmp)
+        assert bad and "rowcount" in bad[0], name
+
+    e = catalog.entries()["chunk_documents"]
+
+    def dup_and_drop(s, d):
+        df = e.spark(s, d)
+        lo, hi = df.agg(F.min("doc_id"), F.max("doc_id")).first()
+        gone = (F.col("doc_id") == lo) & (F.col("chunk_id") == 0)
+        twice = (F.col("doc_id") == hi) & (F.col("chunk_id") == 0)
+        return df.filter(~gone).unionAll(df.filter(twice))
+
+    bad = _chunks_offloaded(
+        spark, con, "chunk_b4", dup_and_drop, None, SF_DIR, tmp)
+    assert bad and "values" in bad[0]

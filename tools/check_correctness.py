@@ -16,6 +16,7 @@ catalog at sf0.1 each close (round-12 #4).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -132,18 +133,136 @@ def _clusters_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
     return [f"values: {bad} rows differ (union-find oracle)"] if bad else []
 
 
+_PY_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _py_norm(t: str | None) -> str | None:
+    """Python twin of normalize_text / duck_norm_sql: lower, collapse each
+    Java-\\s run to one space, SPACE-only trim (NBSP/U+3000 kept)."""
+    return t if t is None else _PY_WS.sub(" ", t.lower()).strip(" ")
+
+
+def _stream_docs(con):
+    for batch in con.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetch_record_batch(1 << 14):
+        yield from zip(batch.column(0).to_pylist(), batch.column(1).to_pylist())
+
+
+def _chunks_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
+    """Offload override for ``chunk_documents`` (round-13 #3): the SQL
+    oracle's unnest-join copies the word array once PER CHUNK ROW
+    (~quadratic in max doc length — 831 s at the round-12 skewed sf10)
+    while the engine is linear; this streams documents through a linear
+    Python chunker into an Arrow table and reuses the EXCEPT-ALL tail.
+    Parity vs the SQL oracle and corruption rejection are pinned in
+    tests/test_catalog_oracle.py."""
+    import pyarrow as pa
+
+    scols, path = _spark_to_parquet(spark, fn, sf_dir, tmp, name)
+    cols = {"doc_id": [], "chunk_id": [], "chunk_text": [], "n_words": []}
+    for d, t in _stream_docs(con):
+        norm = _py_norm(t)
+        if not norm:  # NULL/blank docs yield NO chunks (chunk_table)
+            continue
+        w = norm.split(" ")
+        for i in range(max(-(-(len(w) - 10) // 40), 1)):
+            c = w[i * 40:i * 40 + 50]
+            cols["doc_id"].append(d)
+            cols["chunk_id"].append(i)
+            cols["chunk_text"].append(" ".join(c))
+            cols["n_words"].append(len(c))
+    con.register("_py_o", pa.table(cols, schema=pa.schema(
+        [("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+         ("chunk_text", pa.large_string()), ("n_words", pa.int64())])))
+    con.execute("CREATE OR REPLACE TEMP TABLE _o AS SELECT * FROM _py_o")
+    con.unregister("_py_o")
+    return _diff_vs_o(con, scols, path)
+
+
+def _near_pairs_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
+    """Offload override for ``dedup_near_pairs`` (round-13 #3): replaces
+    the jaccard side's shingle CTE (per-doc LEAD window + string DISTINCT
+    over ~word-count rows; 580 s at the round-12 skewed sf10) with a
+    streamed Python shingler — per-doc DISTINCT 5-word tuples at C speed
+    (zip/set), identity = hash(tuple) (process-salted 64-bit ids are fine
+    for an identity join: a collision merges two shingles and can only
+    perturb counts toward a loud FAIL, never fabricate agreement with a
+    wrong engine result). The simhash side and the pair join / cap /
+    threshold stay in SQL, verbatim from the catalog oracle generators.
+    Parity + corruption rejection pinned in tests/test_catalog_oracle.py."""
+    import pyarrow as pa
+
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+        HOT_SHINGLE_CAP,
+    )
+    from nursing_home_data_etl_pipeline_spark.plans.queries_northstar import (
+        _JACCARD_THRESHOLD,
+        _simhash_pairs_oracle,
+    )
+
+    scols, path = _spark_to_parquet(spark, fn, sf_dir, tmp, name)
+    ids: list[int] = []
+    hs: list[int] = []
+    for d, t in _stream_docs(con):
+        norm = _py_norm(t)
+        if not norm:
+            continue
+        w = norm.split(" ")
+        sh = (set(zip(w, w[1:], w[2:], w[3:], w[4:]))
+              if len(w) >= 5 else {tuple(w)})  # whole text when short
+        ids.extend([d] * len(sh))
+        hs.extend(map(hash, sh))
+    con.register("_py_sh", pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "s": pa.array(hs, pa.int64())}))
+    j = "CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)"
+    con.execute(f"""
+    CREATE OR REPLACE TEMP TABLE _o AS
+    SELECT 'simhash' AS variant, id_a, id_b,
+           CAST(hamming AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS score
+    FROM ({_simhash_pairs_oracle()})
+    UNION ALL
+    SELECT 'jaccard', id_a, id_b, CAST(n_common AS BIGINT), {duck_round_sql(j)}
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM _py_sh a
+      JOIN (SELECT s FROM _py_sh GROUP BY s
+            HAVING COUNT(*) <= {HOT_SHINGLE_CAP}) cold ON cold.s = a.s
+      JOIN _py_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    JOIN (SELECT doc_id, COUNT(*) AS n FROM _py_sh GROUP BY doc_id) sa
+      ON sa.doc_id = id_a
+    JOIN (SELECT doc_id, COUNT(*) AS n FROM _py_sh GROUP BY doc_id) sb
+      ON sb.doc_id = id_b
+    WHERE {duck_round_sql(j)} >= {_JACCARD_THRESHOLD}
+    """)
+    con.unregister("_py_sh")
+    return _diff_vs_o(con, scols, path)
+
+
 #: per-query offload oracle overrides — same signature as compare_offloaded
-OFFLOAD_OVERRIDES = {"dedup_clusters": _clusters_offloaded}
+OFFLOAD_OVERRIDES = {
+    "dedup_clusters": _clusters_offloaded,
+    "chunk_documents": _chunks_offloaded,
+    "dedup_near_pairs": _near_pairs_offloaded,
+}
 
 
-def compare_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
+def _spark_to_parquet(spark, fn, sf_dir, tmp, name) -> tuple[list[str], str]:
     sdf = fn(spark, sf_dir)
     path = os.path.join(tmp, name)
     sdf.write.mode("overwrite").parquet(path)
+    return sdf.columns, path
+
+
+def _diff_vs_o(con, scols: list[str], path: str) -> list[str]:
+    """EXCEPT-ALL both-ways diff of the Spark parquet at ``path`` against a
+    prepared ``_o`` relation — the shared tail of the plain offloaded
+    compare and the streamed-oracle overrides."""
     con.execute(f"CREATE OR REPLACE TEMP VIEW _s AS "
                 f"SELECT * FROM '{path}/*.parquet'")
-    con.execute(f"CREATE OR REPLACE TEMP TABLE _o AS {oracle}")
-    scols = sorted(sdf.columns)
+    scols = sorted(scols)
     ocols = sorted(r[0] for r in con.execute("DESCRIBE _o").fetchall())
     if scols != ocols:
         return [f"schema: spark={scols} oracle={ocols}"]
@@ -160,6 +279,12 @@ def compare_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
         f"(SELECT {sel_o} FROM _o EXCEPT ALL SELECT {sel_s} FROM _s))"
     ).fetchone()[0]
     return [f"values: {diff} rows differ (multiset, both directions)"] if diff else []
+
+
+def compare_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
+    scols, path = _spark_to_parquet(spark, fn, sf_dir, tmp, name)
+    con.execute(f"CREATE OR REPLACE TEMP TABLE _o AS {oracle}")
+    return _diff_vs_o(con, scols, path)
 
 
 def main() -> int:

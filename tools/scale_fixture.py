@@ -47,6 +47,10 @@ HOT_PCT = 30
 GROW_PCT = (30, 40)
 LEN_TAIL = ((1, 1000), (10, 100), (30, 10))
 
+#: ``--skew2`` (round-13 #4): the harsher point — HALF of all child rows on
+#: one hot key, and a 10^4x doc-length tail.
+SKEW2 = {"HOT_PCT": 50, "LEN_TAIL": ((1, 10_000), (10, 100), (30, 10))}
+
 
 def _bucket(val: int, mod: int) -> int:
     """Deterministic pseudo-bucket from an id (odd-constant mix, stable
@@ -227,11 +231,15 @@ def build(src: str, dest: str, replicas: int, skew: bool = False) -> None:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--skew"]
-    skew = "--skew" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if a not in ("--skew", "--skew2")]
+    skew2 = "--skew2" in sys.argv[1:]
+    skew = skew2 or "--skew" in sys.argv[1:]
+    if skew2:
+        globals().update(SKEW2)
     replicas = int(argv[0]) if len(argv) > 0 else 10
     src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
-    dest = argv[2] if len(argv) > 2 else ("/tmp/sf1skew" if skew else "/tmp/sf1")
+    dest = argv[2] if len(argv) > 2 else (
+        "/tmp/sf1skew2" if skew2 else "/tmp/sf1skew" if skew else "/tmp/sf1")
     build(src, dest, replicas, skew=skew)
     print(f"scale fixture ({replicas}x {src}{', skewed' if skew else ''}) at {dest}")
     return 0
