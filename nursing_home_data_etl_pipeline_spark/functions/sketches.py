@@ -1,19 +1,10 @@
-"""Count-Min Sketch over a DataFrame column — distributed heavy-hitter
-frequency estimation with sublinear state.
-
-At 100 TB an exact token-frequency table is itself huge (vocabulary grows
-with corpus size); a CMS bounds the state at d x w counters while
-guaranteeing ``estimate >= true count`` (overestimate-only) with error
-``<= eN / w`` at confidence ``1 - (1/2)^d``. The sketch here is a tiny
-(d*w)-row DataFrame, built with ONE hash aggregate over the exploded
-items — no UDF, no driver-side counting — and two sketches merge by
-summing counters (the standard CMS property), so per-partition /
-per-day sketches roll up without touching raw data again.
-
-Hashing: md5-derived (row-seeded) bucket index via the JVM conv()
-intrinsic — portable, deterministic, no murmur3 (Spark ``hash()``) so any
-external system can reproduce bucket assignment from the spec alone.
-"""
+"""Count-Min Sketch and friends — mergeable sublinear-state sketches: a
+d x w counter table built with ONE hash aggregate (no UDF, no driver
+counting), ``estimate >= true count`` with error <= eN/w at confidence
+1-(1/2)^d; sketches merge by summing counters, so per-partition/per-day
+sketches roll up without re-reading raw data. Bucket hashing is
+md5-derived via conv(), never murmur3 — reproducible from the spec alone.
+Full module rationale: docs/DESIGN.md#sketches-module."""
 
 from __future__ import annotations
 
@@ -54,12 +45,9 @@ def cms_build(
     df: DataFrame, item_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:
     """Build a CMS over ``df[item_col]`` (one occurrence per input row;
-    pre-weight by exploding or repeating upstream if needed).
-
-    Output: (row int, bucket int, cnt long) — at most depth*width rows.
-    Plan: one Expand (depth copies) + one hash aggregate; the partial
-    aggregate collapses each executor's counts before the single shuffle.
-    """
+    pre-weight upstream). Output (row, bucket, cnt), at most depth*width
+    rows; plan = one Expand (depth copies) + one hash aggregate with
+    map-side partials before the single shuffle."""
     item = F.col(item_col).cast("string")
     rows = F.explode(
         F.array(
@@ -91,12 +79,11 @@ def _pair_params(
     frame: DataFrame, col: str, names: tuple, given: tuple, defaults: tuple,
     caller: str, hazard: str,
 ) -> tuple:
-    """Reconcile embedded parameter-pair metadata with caller parameters.
-    Metadata is authoritative when present: omitted (None) parameters
-    resolve from it, an explicit conflict raises, and a PARTIAL pair (a
-    hand-sliced metadata dict) raises instead of half-skipping the check
-    (round-9 ADVICE). A metadata-less sketch uses the parameters, falling
-    back to the build defaults."""
+    """Reconcile embedded parameter-pair metadata with caller parameters:
+    metadata is authoritative when present — omitted params resolve from
+    it, explicit conflicts raise, a PARTIAL pair raises rather than
+    half-skipping (round-9 ADVICE); metadata-less sketches use the
+    parameters / build defaults."""
     meta = frame.schema[col].metadata if col in frame.columns else {}
     vals = tuple(meta.get(n) for n in names)
     if (vals[0] is None) != (vals[1] is None):
@@ -161,13 +148,10 @@ def cms_estimate(
     depth: int | None = None,
     width: int | None = None,
 ) -> DataFrame:
-    """Point-query the sketch for each DISTINCT row of ``items`` (rows are
-    grouped by all items columns — duplicate probe rows collapse to one
-    output row): the estimate is the MIN over the d hash rows of the
-    addressed counter (absent counter = 0). The sketch side is depth*width
-    rows — always broadcast; the items side streams, so estimating a
-    10^9-row candidate list is a map-side join + small aggregate, never a
-    shuffle of the corpus.
+    """Point-query each DISTINCT probe row: estimate = MIN over the d hash
+    rows of the addressed counter (absent = 0). The depth*width sketch
+    side always broadcasts; the items side streams — a 10^9-row candidate
+    list is a map-side join + small aggregate, never a corpus shuffle.
     Design notes: docs/DESIGN.md#sketches-cms-estimate"""
     depth, width = _cms_params(cms, depth, width, "cms_estimate")
     clash = {"row", "bucket", "cnt", "rb", "est"} & set(items.columns)
@@ -424,14 +408,12 @@ def bloom_might_contain(
     k: int | None = None,
     out_col: str = "might_contain",
 ) -> DataFrame:
-    """Append boolean ``out_col``: true iff every probe bit of
-    ``df[item_col]`` is set in ``bloom``. No false negatives; false
-    positives at the filter's FPP. ``n_bits``/``k`` normally resolve from
-    the metadata :func:`bloom_build` embeds on ``bits``; explicit values
-    that conflict with it raise (a mismatched probe produces false
-    negatives); a metadata-less bitmap (rebuilt from collected rows) uses
-    the parameters, defaulting to the build defaults (1<<23, 5). Design
-    notes: docs/DESIGN.md#sketches-bloom-might-contain"""
+    """Append boolean ``out_col``: true iff every probe bit of the item is
+    set in ``bloom``. No false negatives; FPs at the filter's FPP.
+    ``n_bits``/``k`` resolve from bloom_build's embedded metadata;
+    conflicting explicit values raise (a mismatched probe makes false
+    NEGATIVES); metadata-less bitmaps use the parameters / defaults.
+    Design notes: docs/DESIGN.md#sketches-bloom-might-contain"""
     n_bits, k = _pair_params(
         bloom, "bits", ("bloom_n_bits", "bloom_k"), (n_bits, k),
         (1 << 23, 5), "bloom_might_contain",

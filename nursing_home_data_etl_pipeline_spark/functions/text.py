@@ -1,30 +1,13 @@
-"""Text-analysis functions for large-scale training-data pipelines.
-
-All of these are column expressions over built-in ``pyspark.sql.functions``
-— JVM-side, whole-stage-codegen'd, zero Python in the hot path. That is the
-difference between "works" and "works on 100 TB of text": a row-at-a-time
-Python UDF here would be 10-100x slower and pin the pipeline on Python
-worker serde.
-
-The reference pipeline has no row-level text functions (SURVEY.md §2.6 —
-its string work is driver-side column-NAME normalization), so this module is
-pure capability-gap surface for the north star.
-
-Case-folding contract: ``lower()`` here is Java's full Unicode folding,
-which differs from DuckDB's utf8proc on a handful of special-cased code
-points (Java lower('İ') = 'i' + combining dot U+0307, DuckDB = 'i'; Java
-upper('ß') = 'SS', DuckDB = 'ẞ'). A SQL oracle cannot mirror Java's
-tables, so those code points (İ U+0130, ß/ẞ, ſ U+017F, the Dž-class
-digraphs, the ﬁ/ﬀ-family ligatures U+FB00-FB06, ΐ U+0390 / ΰ U+03B0, and
-ŉ U+0149 — every code point whose Java FULL case mapping expands or
-differs from utf8proc's SIMPLE mapping) are excluded from oracle-gated
-fixtures BY POLICY — the engine's behavior on them is Java's, which is
-the behavior Spark users get. The same policy covers Java's
-CONTEXT-SENSITIVE rules: capital sigma Σ U+03A3 lowercases to FINAL
-sigma ς at word end in Java ('ΣΊΣΥΦΟΣ' -> 'σίσυφος') where utf8proc
-always simple-maps to σ ('σίσυφοσ') — confirmed by execution, round 8;
-no RE2 mirror exists (the Final_Sigma condition needs lookahead).
-"""
+"""Text-analysis functions — all column expressions over built-in
+``pyspark.sql.functions``: JVM-side, whole-stage-codegen'd, zero Python in
+the hot path (a per-row UDF here would be 10-100x slower at 100 TB). The
+reference has no row-level text functions (SURVEY.md §2.6) — pure
+capability-gap surface. Case-folding contract: ``lower()`` is Java's FULL
+Unicode folding; the code points where that diverges from DuckDB's
+utf8proc (İ, ß/ẞ, ſ, Dž-class digraphs, U+FB00-FB06 ligatures, ΐ/ΰ, ŉ,
+and Final_Sigma context) are excluded from oracle-gated fixtures BY
+POLICY — the engine ships Java's behavior, which is what Spark users get.
+Full policy + probe notes: docs/DESIGN.md#text-case-folding."""
 
 from __future__ import annotations
 
@@ -46,14 +29,11 @@ STOPWORDS = {
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokenization -> array<string>; NULL text -> NULL.
-
-    Well-defined on dirty input: BOTH ends are trimmed of ALL whitespace
-    (regexp, not ``F.trim``, which strips ASCII spaces only), and text that
-    is empty after that trim — including tab/newline-only documents —
-    yields the EMPTY array, never empty-string tokens. So ``size(words(x))``
-    is a real word count for any input. The DuckDB twin is
-    :func:`duck_words_sql`; keep the two in lockstep."""
+    """Whitespace tokenization -> array<string>; NULL text -> NULL. BOTH
+    ends trimmed of ALL whitespace (regexp, not space-only ``F.trim``);
+    text blank after the trim — tab/newline-only included — yields the
+    EMPTY array, never ''-tokens, so ``size(words(x))`` is a real word
+    count. DuckDB twin: :func:`duck_words_sql`, keep in lockstep."""
     trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
@@ -61,14 +41,10 @@ def words(text: Column) -> Column:
 
 
 def duck_trim_sql(expr: str) -> str:
-    """DuckDB SQL twin of Spark's ``F.trim``: strip ASCII SPACE (0x20) ONLY.
-
-    DuckDB's bare ``trim()`` strips the whole Unicode Zs category (NBSP
-    U+00A0, IDEOGRAPHIC SPACE U+3000, ...) while Spark's ``trim`` strips
-    the single space character — an NBSP-padded document fingerprinted to
-    different md5s on the two sides (round-8 probe, confirmed by
-    execution). Every oracle that mirrors ``F.trim`` must use this helper,
-    never bare ``trim()``."""
+    """DuckDB twin of Spark's ``F.trim``: strip ASCII SPACE (0x20) ONLY.
+    Bare ``trim()`` strips all of Unicode Zs (NBSP, U+3000, ...) and
+    fingerprinted an NBSP-padded doc differently (round-8 probe). Every
+    F.trim oracle twin must use this helper, never bare ``trim()``."""
     return f"regexp_replace({expr}, '^ +| +$', '', 'g')"
 
 
@@ -107,13 +83,11 @@ def char_count(text: Column) -> Column:
 
 
 def avg_word_len(text: Column, w: Column | None = None) -> Column:
-    """Mean word length, rounded to 6 (deterministic across engines).
-
-    Pass a pre-materialized word array ``w`` when computing many stats over
-    the same text: referencing ``words(text)`` inside HOF lambdas inlines
-    the tokenizer per element (measured 2x slower at sf0.1); a bound
-    attribute evaluates once per row. Same contract on every stat below.
-    """
+    """Mean word length, rounded to 6. Pass a pre-materialized word array
+    ``w`` for multi-stat queries: ``words(text)`` inside HOF lambdas
+    inlines the tokenizer per element (measured 2x slower at sf0.1); a
+    bound attribute evaluates once per row. Same contract on every stat
+    below."""
     w = words(text) if w is None else w
     total = F.aggregate(
         F.transform(w, lambda x: F.length(x).cast("double")),
@@ -246,15 +220,11 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 
 
 def redact_pii(text: Column) -> Column:
-    """Mask common PII shapes (emails, card/SSN-like numbers, phones, IPv4)
-    with typed placeholder tokens — the scrubbing pass a training-data
-    pipeline runs before tokenization. A chain of JVM ``regexp_replace``
-    calls: map-only, codegen'd, no Python, no shuffle — linear at 100 TB.
-
-    Heuristic by design (regex PII detection always is): favors recall on
-    the common shapes over precision on exotic ones; layer a model-based
-    detector behind ``mapInPandas`` where higher fidelity is required.
-    """
+    """Mask common PII shapes (emails, card/SSN-like numbers, phones,
+    IPv4) with typed placeholders — chained JVM ``regexp_replace``:
+    map-only, codegen'd, linear at 100 TB. Heuristic by design (favors
+    recall on common shapes); layer a model-based detector behind
+    ``mapInPandas`` where higher fidelity is required."""
     out = text
     for pattern, token in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, token)

@@ -1,16 +1,10 @@
-"""Aggregation operators (SURVEY.md §2.4 / §2.8).
-
-The reference contains zero aggregations — its CMS input arrives
-pre-aggregated (SURVEY.md §2.4) — so this module is the engine's
-capability-gap fill. Everything is built-in Spark: hash aggregation with
-map-side partial aggregation and AQE shuffle coalescing come for free from
-Catalyst; nothing here should ever be a UDF.
-
-Scale notes: ``groupBy().agg()`` on a high-cardinality key is a single
-shuffle with partial aggregation — the canonical 100 TB-safe pattern. Skewed
-group keys are handled by AQE; for pathological skew pre-salt with
-:func:`salted_group_agg`.
-"""
+"""Aggregation operators (SURVEY.md §2.4 / §2.8) — pure capability-gap
+fill (the reference's CMS input arrives pre-aggregated). All built-in
+Spark: hash aggregation with map-side partials and AQE coalescing come
+free from Catalyst; never a UDF. groupBy().agg() on a high-cardinality
+key = one shuffle with partial aggregation, the canonical 100 TB-safe
+pattern; AQE handles skewed keys, :func:`salted_group_agg` the
+pathological ones."""
 
 from __future__ import annotations
 

@@ -1,17 +1,11 @@
-"""As-of (time-travel) join — an operator Spark lacks natively.
-
-Semantics: for each left row (key, ts), attach the right row with the same
-key and the greatest right-ts <= left-ts (backward as-of; ties inclusive).
-
-Implementation is the union+window trick — NOT a per-group pandas
-merge_asof: tag both sides, union, carry the latest right ROW forward
-with ``last(struct, ignorenulls=True)`` over a per-key (ts, side) window;
-right sorts before left at equal ts (inclusive <=). Values travel as ONE
-struct so the matched row attaches together — independent columns would
-tear across right rows on legitimate NULLs (ADVICE round 1). Cost: ONE
-shuffle on the key, no Python — the formulation that survives 100 TB
-where applyInPandas + merge_asof OOMs on hot keys.
-"""
+"""As-of (time-travel) join — Spark lacks it natively. For each left row
+(key, ts): the right row with the greatest right-ts <= left-ts (backward;
+ties inclusive). Union+window trick, NOT per-group merge_asof: tag sides,
+union, carry the latest right ROW forward as ONE struct via
+``last(struct, ignorenulls=True)`` (independent columns would tear on
+legitimate NULLs — ADVICE r1); right sorts before left at equal ts. ONE
+shuffle, no Python — survives 100 TB where applyInPandas OOMs on hot
+keys."""
 
 from __future__ import annotations
 

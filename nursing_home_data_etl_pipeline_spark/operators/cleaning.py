@@ -1,16 +1,9 @@
-"""Universal cleaning operators (SURVEY.md §2.2 P1-P3, §2.6 F1-F3).
-
-Reference behavior: ``script/nh-etl-universal-cleaning.py`` normalizes column
-names (:35-39), applies a case-insensitive semantic rename map (:23-30,46-52),
-and trims every (string) column (:41-44).
-
-Engine design difference (deliberate — reference bug B7): the reference loops
-``withColumnRenamed``/``withColumn`` per column, building O(columns) nested
-plan nodes which blows up analysis time on wide frames (the CMS provider file
-is ~100 columns). Every operator here emits a SINGLE ``select`` / ``toDF``:
-one Project node regardless of width. Same semantics, constant-depth plan —
-this is what survives a 100x-wider schema.
-"""
+"""Universal cleaning operators (SURVEY.md §2.2 P1-P3, §2.6 F1-F3):
+column-name normalization (``nh-etl-universal-cleaning.py:35-39``),
+case-insensitive semantic rename map (:23-30,46-52), whole-row trim
+(:41-44). Deliberate difference (reference bug B7): the reference loops
+withColumnRenamed per column — O(columns) nested plan nodes; every
+operator here emits ONE select/toDF — constant-depth plan at any width."""
 
 from __future__ import annotations
 
@@ -35,12 +28,9 @@ DEFAULT_RENAME_MAP: dict[str, str] = {
 
 
 def normalize_name(name: str) -> str:
-    """Normalize one column name: strip, lower, specials -> ``_``.
-
-    Exact reference semantics (nh-etl-universal-cleaning.py:37): whitespace
-    stripped, lowercased, ``" " / - .`` each become ``_``, and parentheses
-    are *removed* (not replaced).
-    """
+    """Normalize one column name — exact reference semantics
+    (nh-etl-universal-cleaning.py:37): strip, lower, ``" " / - .`` each
+    become ``_``, parentheses are REMOVED (not replaced)."""
     out = name.strip().lower()
     out = out.replace("(", "").replace(")", "")
     for ch in (" ", "/", "-", "."):
@@ -85,15 +75,11 @@ def rename_columns(df: DataFrame, rename_map: dict[str, str] | None = None) -> D
 
 
 def trim_all(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """P3/F1: trim whitespace on every (or the given) string column.
-
-    Reference trims *all* columns because its ingest is all-string
-    (nh-etl-universal-cleaning.py:41-44); the engine only touches StringType
-    columns so the operator is safe on typed frames too — including with an
-    EXPLICIT list: non-string names in ``columns`` are left untouched
-    (F.trim would silently cast them to string), and names absent from the
-    frame raise instead of silently trimming nothing. One Project node.
-    """
+    """P3/F1: trim whitespace on every (or the given) string column —
+    StringType ONLY (the reference's all-string ingest trims everything,
+    nh-etl-universal-cleaning.py:41-44; F.trim would cast typed columns).
+    Explicit non-string names are left untouched; absent names RAISE
+    instead of silently trimming nothing. One Project node."""
     string_cols = {
         f.name for f in df.schema.fields if f.dataType.typeName() == "string"
     }
@@ -121,15 +107,10 @@ def cast_all_to_string(df: DataFrame) -> DataFrame:
 
 
 def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
-    """F3: typed-cast escape hatch (column -> Spark SQL type name).
-
-    The reference has only two typed columns (row_id long, etl_date date);
-    real deployments promote string staging columns to proper types here so
-    downstream aggregation/pushdown operates on native types. Cast keys
-    absent from the frame RAISE (same contract as trim_all's explicit
-    list): a typo'd name silently leaving the column a string would
-    surface far downstream as string aggregation, not here at the cause.
-    """
+    """F3: typed-cast escape hatch (column -> Spark SQL type name) —
+    promotes string staging columns to native types for aggregation and
+    pushdown. Absent cast keys RAISE (trim_all's contract): a typo'd name
+    must fail here at the cause, not downstream as string aggregation."""
     missing = set(casts) - set(df.columns)
     if missing:
         raise ValueError(f"cast_columns: columns not in frame: {sorted(missing)}")

@@ -1,17 +1,9 @@
-"""Connected components over a pair graph — the step that turns near-dup
-candidate PAIRS into duplicate CLUSTERS (keep one representative per
-component, drop the rest).
-
-Algorithm: min-label propagation. Every vertex starts labeled with itself;
-each round every vertex takes the min label among itself and its neighbors;
-stop when a round changes nothing. Rounds = graph diameter, and near-dup
-graphs are shallow (stars/cliques), so 3-5 rounds is typical. Each round is
-two hash joins + an aggregate — all shuffle-partitioned by vertex, nothing
-driver-side except the convergence counter.
-
-This is inherently iterative (not expressible as one SQL query in Spark);
-the oracle twin uses DuckDB's recursive CTE for the same fixpoint.
-"""
+"""Connected components over a pair graph (near-dup pairs -> clusters):
+min-label propagation — rounds = graph diameter (shallow for near-dup
+stars/cliques, 3-5 typical), each round two hash joins + an aggregate,
+all shuffle-partitioned by vertex; inherently iterative, so the oracle
+twin is DuckDB's recursive CTE. Full notes:
+docs/DESIGN.md#components-connected-components."""
 
 from __future__ import annotations
 

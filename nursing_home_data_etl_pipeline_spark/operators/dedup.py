@@ -1,26 +1,10 @@
-"""Deduplication operators for training-data pipelines (north star).
-
-Five strategies, each with a different cost/recall point:
-
-- :func:`exact_dedup` — hash-groupBy on a content fingerprint. One shuffle,
-  exact, the default first pass at any scale.
-- :func:`minhash_signatures` + :func:`lsh_candidate_pairs` — MinHash + LSH
-  banding: near-dup candidate generation WITHOUT the O(n^2) pair join. Cost
-  is O(docs x shingles) + a band-bucket self-join that only materializes
-  colliding pairs. This is the 100 TB near-dup path.
-- :func:`simhash_signatures` + :func:`simhash_near_pairs` — 60-bit SimHash
-  with banded Hamming search.
-- :func:`ngram_jaccard_pairs` — exact Jaccard over shingle sets, computed
-  only for pairs that share at least one shingle (inverted-index join), with
-  a hot-shingle cap to bound worst-case blowup.
-- embedding near-dup: see :mod:`.similarity` (cosine >= threshold pairs).
-
-Portability: every hash is md5-derived (bit-identical in any engine —
-what makes the oracle twins possible), never Spark's murmur3. MinHash is
-Kirsch-Mitzenmacher double hashing: ONE md5 split into 48-bit (h1, h2),
-hash s = (h1 + s*h2) mod P — one digest vs num_hashes (2x faster at
-sf0.1), all intermediates < 2^53 so the arithmetic is exact anywhere.
-"""
+"""Deduplication operators (north star), five cost/recall points: exact
+hash-groupBy; MinHash+LSH banding (the 100 TB near-dup path — no O(n^2)
+pair join); 60-bit SimHash with banded Hamming search; exact Jaccard over
+an inverted-index join with a hot-shingle cap; embedding near-dup in
+:mod:`.similarity`. Every hash is md5-derived (bit-identical anywhere),
+never murmur3; MinHash is Kirsch-Mitzenmacher double hashing with exact
+<2^53 arithmetic. Full module rationale: docs/DESIGN.md#dedup-module."""
 
 from __future__ import annotations
 

@@ -1,15 +1,9 @@
-"""Synthetic identifier / ETL-metadata operators (SURVEY.md §2.5 W1, §2.6 F2).
-
-The reference stamps every output row with ``row_id`` from
-``monotonically_increasing_id()`` and ``etl_date`` from ``current_date()``
-(``nh-etl-universal-cleaning.py:84-85``; ``nh-etl-quality-transform.py:50-51``;
-``nh-etl-provider-transform.py:121-122``).
-
-Reference bug B5: ``monotonically_increasing_id`` is not dense and not
-stable across partitioning or reruns — unusable as a durable key. Kept as
-the *fast* id (zero-shuffle, lineage tags); the *dense* variant is
-deterministic given an ordering.
-"""
+"""Synthetic identifier / ETL-metadata operators (SURVEY.md §2.5 W1,
+§2.6 F2): the reference stamps row_id via monotonically_increasing_id()
+and etl_date via current_date() (nh-etl-universal-cleaning.py:84-85;
+nh-etl-quality-transform.py:50-51; nh-etl-provider-transform.py:121-122).
+Bug B5: that id is neither dense nor rerun-stable — kept only as the
+FAST id; the dense variant is deterministic given an ordering."""
 
 from __future__ import annotations
 

@@ -1,16 +1,11 @@
-"""Join operators (SURVEY.md §2.3 J1-J4).
-
-The reference uses only left equi-joins on ``facility_number``
-(``nh-etl-provider-transform.py:84-88,104-108``) plus a driver-side manifest
-anti-join (``sync-drive-to-s3.py:47-48,109-111``) and Snowflake ``MERGE``
-procedures (``README.md:238-269``). The engine exposes all of those as
-DataFrame compositions and adds the general join surface.
-
-Scale notes: ``left_enrich`` broadcasts the enrich side when told it is
-dimension-sized (the fact side never shuffles; an explicit hint survives
-stale statistics). ``merge_scd1`` is one full-shuffle PK join + overwrite
-— plain-Parquet MERGE; bucket both sides by PK to co-locate it.
-"""
+"""Join operators (SURVEY.md §2.3 J1-J4). Reference surface: left
+equi-joins on facility_number (nh-etl-provider-transform.py:84-88,
+104-108), a driver-side manifest anti-join (sync-drive-to-s3.py:47-48,
+109-111), Snowflake MERGE procedures (README.md:238-269) — all here as
+DataFrame compositions plus the general join surface. left_enrich
+broadcasts a declared-dimension side (fact side never shuffles);
+merge_scd1 is one full-shuffle PK join + overwrite — bucket both sides
+by PK to co-locate it."""
 
 from __future__ import annotations
 

@@ -1,25 +1,12 @@
-"""Multimodal (binary) column operators (north star).
-
-Design: image/audio/video payloads are opaque ``BinaryType`` columns with a
-typed metadata struct alongside. All per-item processing (decode, feature
-extraction, resize, frame sampling) runs as Arrow-batched functions over
-``mapInArrow`` — bytes never leave Arrow buffers, and each task processes a
-whole Arrow batch at a time. That is the Spark plumbing that matters at
-100 TB; the codec itself is pluggable.
-
-``mapInArrow``, NOT ``mapInPandas`` (round-8 review, execution-confirmed):
-the Arrow->pandas conversion turns a nullable int64 batch into float64 —
-one NULL ``doc_id`` anywhere in the batch and every id in it rides a
-double, silently corrupting ids above 2^53 (9007199254740993 came back
-...992) and conflating NULL with NaN. The id columns here pass through as
-Arrow int64 arrays UNTOUCHED, so they are exact at any magnitude; the same
-boundary is why pandas workers abort on timestamps outside the int64-ns
-range, a hazard mapInArrow simply does not have.
-
-This container ships no image/audio libraries: the real codecs are
-import-gated stubs and a deterministic fake decoder exercises the full
-plumbing (schema, partitioning, signature, batch shape) end to end.
-"""
+"""Multimodal (binary) column operators (north star): payloads are opaque
+``BinaryType`` columns + a typed metadata struct; all per-item processing
+runs Arrow-batched over ``mapInArrow`` — bytes never leave Arrow buffers.
+``mapInArrow``, NOT ``mapInPandas`` (round-8, execution-confirmed): the
+pandas boundary turns one NULL doc_id into a float64 batch, corrupting
+ids above 2^53 and conflating NULL with NaN — Arrow int64 passes through
+exact. No image libs in this container: real codecs are import-gated
+stubs; a deterministic fake decoder exercises the full plumbing. Full
+notes: docs/DESIGN.md#multimodal-module."""
 
 from __future__ import annotations
 

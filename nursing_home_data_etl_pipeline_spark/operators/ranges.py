@@ -1,24 +1,11 @@
-"""Range (interval) join — points-in-interval without the nested loop.
-
-Spark plans a raw theta join (``p.x >= i.lo AND p.x < i.hi``) as a
-BroadcastNestedLoopJoin (or a cartesian product when neither side fits in
-memory) — O(|points| x |intervals|) comparisons, a scale-killer the moment
-the interval side outgrows a broadcast. This operator is the standard
-bucketization rewrite: pick a bucket width, assign each point to the single
-bucket ``floor(x / width)``, explode each interval to every bucket it
-overlaps, and equi-join on (keys..., bucket) with the exact range predicate
-folded into the same join condition as a refine filter.
-
-Cost model: the equi-join shuffles on (keys, bucket) like any hash join;
-per-interval fan-out is ``ceil(span / width) + 1`` rows, so width should be
-on the order of the median interval span (fan-out ~2) — a constant-factor
-blow-up of the interval side instead of the quadratic pair grid. Each point
-lands in exactly ONE bucket, so no post-join dedup is needed and left-outer
-semantics fall out of the join itself.
-
-The same rewrite underlies Databricks' RANGE_JOIN hint and Flink's
-interval join; open-source Spark has no native operator (SURVEY §2.8).
-"""
+"""Range (interval) join — points-in-interval without the nested loop
+Spark would plan for a raw theta join. The standard bucketization
+rewrite: point -> bucket floor(x/width), interval -> every bucket it
+overlaps, equi-join on (keys..., bucket) with the exact range predicate
+folded in as a refine filter. One point = ONE bucket, so no post-join
+dedup and left-outer falls out of the join. Same rewrite as Databricks'
+RANGE_JOIN hint / Flink's interval join; open-source Spark has no native
+operator (SURVEY §2.8). Cost model: docs/DESIGN.md#ranges-module."""
 
 from __future__ import annotations
 

@@ -1,21 +1,10 @@
-"""Similarity search over embedding columns (north star).
-
-Two paths:
-
-- :func:`cosine_topk_bruteforce` — exact top-k by cosine: cross-join of the
-  (small) query set against the corpus. Correctness baseline; cost is
-  O(|queries| x |corpus|), fine when the query side is bounded and
-  broadcastable, unusable for all-pairs at scale.
-- :func:`rhp_bucket` + :func:`cosine_topk_lsh` — random-hyperplane LSH:
-  bucket every vector by the sign pattern of ``n_planes`` fixed hyperplane
-  dot products; candidates = bucket collisions, then exact cosine within
-  the bucket. Sublinear candidate set; recall traded via n_planes. The
-  hyperplanes are generated from a fixed seed so results are deterministic
-  and reproducible across engines.
-
-All vector math is built-in higher-order functions (see functions/vectors)
-— no Python in the row path.
-"""
+"""Similarity search over embedding columns (north star):
+:func:`cosine_topk_bruteforce` (exact baseline — bounded broadcast query
+set x corpus) and :func:`rhp_bucket` + :func:`cosine_topk_lsh`
+(random-hyperplane LSH: sign-pattern buckets, exact cosine within
+collisions, fixed-seed planes so results reproduce across engines). All
+vector math is built-in higher-order functions — no Python in the row
+path. Full module rationale: docs/DESIGN.md#similarity-module."""
 
 from __future__ import annotations
 
@@ -44,14 +33,11 @@ def derive_n_planes(
     lo: int = 4,
     hi: int = RHP_MAX_PLANES,
 ) -> int:
-    """Plane count such that expected bucket occupancy (n / 2^planes) stays
-    <= ``target``. A FIXED plane count makes within-bucket all-pairs work
-    ~n^2 / 2^planes — quadratic again at 100x corpus (VERDICT round 1);
-    deriving planes from corpus size keeps bucket count proportional to n,
-    so pair work is O(n * target): linear. The formula is pure integer/log
-    math so any engine (and any oracle SQL) reproduces it exactly from the
-    corpus count alone.
-    """
+    """Plane count keeping expected bucket occupancy n / 2^planes <=
+    ``target``: a FIXED count makes within-bucket pair work ~n^2/2^planes
+    — quadratic again at 100x corpus (VERDICT r1); deriving from corpus
+    size keeps it O(n * target). Pure integer/log math — reproducible
+    exactly from the corpus count alone, by any engine or oracle."""
     if n_rows <= target:
         return lo
     return max(lo, min(hi, math.ceil(math.log2(n_rows / target))))
@@ -67,14 +53,12 @@ def hyperplanes(n_planes: int, dim: int, seed: int = RHP_SEED) -> list[list[floa
 def _side(
     df: DataFrame, id_col: str, vec_col: str, tag: str, dim: int | None
 ) -> DataFrame:
-    """One similarity side: id/vector/hoisted-norm under ``tag`` aliases
-    (``q``->query_id/_qv/_qn, ``c``->neighbor_id/_cv/_cn), with the shared
-    dirty-input contract applied — NULL and zero-norm vectors are EXCLUDED
-    (a zero vector has no direction, so its cosine is undefined, and under
-    ANSI mode the division would abort the whole job on one dirty row), and
-    when ``dim`` is given, off-dim vectors too (round-8 hunt: a wrong-length
-    vector NULLs every plane dot — when(NULL > 0) silently sent ALL such
-    vectors to bucket 0, one degenerate bucket doing O(n^2) pair work)."""
+    """One similarity side: id/vector/hoisted-norm under ``tag`` aliases,
+    with the shared dirty-input contract — NULL and zero-norm vectors
+    EXCLUDED (no direction; ANSI division would abort the job), off-dim
+    too when ``dim`` is given (round-8 hunt: a wrong-length vector NULLed
+    every plane dot and when(NULL > 0) sent ALL such vectors to one
+    degenerate bucket 0 doing O(n^2) pair work)."""
     out_id = "query_id" if tag == "q" else "neighbor_id"
     side = df.select(
         F.col(id_col).alias(out_id),
@@ -103,13 +87,9 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     include_self: bool = False,
 ) -> DataFrame:
-    """Exact top-k neighbors per query vector.
-
-    The query side is broadcast — the corpus NEVER shuffles, so this scales
-    to an arbitrarily large corpus as long as the query set fits in memory
-    (the standard "probe a small batch" shape). Dirty-input contract: see
-    :func:`_side`.
-    """
+    """Exact top-k neighbors per query vector. The query side broadcasts —
+    the corpus NEVER shuffles, so any corpus size works while the query
+    batch fits in memory. Dirty-input contract: :func:`_side`."""
     q = _side(queries, id_col, vec_col, "q", dim=None)
     c = _side(corpus, id_col, vec_col, "c", dim=None)
     pairs = c.join(F.broadcast(q), F.lit(True), "inner")
@@ -157,12 +137,10 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: exact cosine restricted to same-RHP-bucket candidates.
-
-    The bucket equi-join replaces the cross join — candidate count drops by
-    ~2^n_planes. Recall < 1 by construction (neighbors split across a
-    hyperplane are missed); raise recall with multi-probe or fewer planes.
-    """
+    """ANN top-k: exact cosine restricted to same-RHP-bucket candidates —
+    the bucket equi-join replaces the cross join (~2^n_planes fewer
+    candidates). Recall < 1 by construction (neighbors split across a
+    hyperplane are missed); raise via multi-probe or fewer planes."""
     planes = hyperplanes(n_planes, dim)
     q = rhp_bucket(_side(queries, id_col, vec_col, "q", dim), planes, "_qv")
     c = rhp_bucket(_side(corpus, id_col, vec_col, "c", dim), planes, "_cv")
@@ -187,15 +165,10 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via RHP bucketing: pairs in the
-    same bucket with cosine >= threshold. Same recall caveat as any LSH.
-
-    ``n_planes=None`` (default) derives the plane count from the corpus
-    size via :func:`derive_n_planes` so bucket count scales with n and the
-    within-bucket all-pairs stage stays linear. The count is one
-    metadata-sized driver job (parquet footers answer COUNT(*) without a
-    data scan).
-    """
+    """Embedding-cosine near-dup pairs via RHP bucketing (same recall
+    caveat as any LSH). ``n_planes=None`` derives the plane count from the
+    corpus size (:func:`derive_n_planes`) so within-bucket all-pairs stays
+    linear; the COUNT(*) is one footer-metadata driver job."""
     if n_planes is None:
         n_planes = derive_n_planes(df.count())
     planes = hyperplanes(n_planes, dim)

@@ -1,23 +1,13 @@
-"""The pipeline DAG as a Python driver (SURVEY.md §3.1).
-
-Replaces the reference's EventBridge -> Step Function -> {Lambda, Glue job}
-orchestration (cloudformation/04_stepfunction-pipeline.yml:47-190) with one
-driver function over a single SparkSession:
-
-    sync -> universal cleaning -> archive -> validate -> [provider ∥ quality]
-         -> warehouse merge -> run log
-
-The parallel stage uses a thread pool: two concurrent *actions* on one
-session — Spark's scheduler interleaves both DAGs across the executors,
-which is the engine-native version of the reference's two parallel Glue
-clusters (and cheaper: no second cluster spin-up, shared broadcast state).
-
-Fail-fast semantics match the state machine's Catch->FailAll, with two
-deliberate fixes: the validation gate *raises* (the reference's Lambda
-returned an error status that the state machine ignored — SURVEY §3.1.5),
-and there is no fixed 10s sleep (WaitForCleaning) because sequencing within
-one driver is already consistent.
-"""
+"""The pipeline DAG as a Python driver (SURVEY.md §3.1) — replaces the
+reference's EventBridge -> Step Function -> {Lambda, Glue} orchestration
+(cloudformation/04_stepfunction-pipeline.yml:47-190): sync -> cleaning ->
+archive -> validate -> [provider ∥ quality] -> warehouse merge -> run log.
+The parallel stage is a thread pool over ONE session (Spark interleaves
+both DAGs — the engine-native twin of the reference's two Glue clusters).
+Fail-fast matches Catch->FailAll with two deliberate fixes: the validation
+gate RAISES (the reference ignored its Lambda's error status — SURVEY
+§3.1.5) and the fixed 10s WaitForCleaning sleep is dropped.
+Full notes: docs/DESIGN.md#pipeline-module."""
 
 from __future__ import annotations
 

@@ -16,6 +16,7 @@ from . import queries_sampling  # noqa: F401
 from . import queries_stats  # noqa: F401
 from . import queries_multijoin  # noqa: F401
 from . import queries_northstar  # noqa: F401
+from . import queries_similarity  # noqa: F401
 from . import queries_tail  # noqa: F401
 from . import queries_streaming  # noqa: F401
 

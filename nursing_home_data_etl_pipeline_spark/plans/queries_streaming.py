@@ -1,8 +1,6 @@
-"""Streaming catalog entries (split out of queries_tail, round-11 #2):
-the four Structured-Streaming drains (windowed / session / stateful /
-join+dedup) plus the shared bounded-stream source and parquet-sink drain.
-Registered AFTER queries_tail — the catalog keeps the same 50 keys (the
-driver gates by name, not position).
+"""Streaming catalog entries: the four Structured-Streaming drains
+(windowed / session / stateful / join+dedup) plus the shared bounded
+stream source and parquet-sink drain; registered after queries_tail.
 
 THE EVENT-TIME CONTRACT (canonical statement; every watermark-bearing
 oracle in this file points here): (1) a NULL event time belongs to no

@@ -123,9 +123,9 @@ _N_PROBE = 2  # query probes its 2 nearest cells — the IVF recall/cost knob
 #: top-k sizes, and the cand->dots->scored/top-k SQL tails: ONE definition
 #: each, imported from queries_northstar — a contract change there reaches
 #: the IVF oracle automatically instead of via a hand-kept copy.
-from .queries_northstar import _DIM_CONTRACT, _N_QUERIES, _TOP_K  # noqa: E402
-from .queries_northstar import _DUCK_COSINE_BASE as _DUCK_EX  # noqa: E402
-from .queries_northstar import _TOPK_TAIL, _cand_scored_sql  # noqa: E402
+from .queries_similarity import _DIM_CONTRACT, _N_QUERIES, _TOP_K  # noqa: E402
+from .queries_similarity import _DUCK_COSINE_BASE as _DUCK_EX  # noqa: E402
+from .queries_similarity import _TOPK_TAIL, _cand_scored_sql  # noqa: E402
 
 
 def _ivf_oracle() -> str:

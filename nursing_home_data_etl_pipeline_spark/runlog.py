@@ -1,13 +1,8 @@
-"""Append-only pipeline run log — the engine analog of the reference's
-``dim_etl_log`` warehouse table (reference README.md:225-231, populated by
-every ``SP_MERGE_DIM_*`` call at :254-266).
-
-Stored as JSON-lines next to the zone root: human-readable, append-only,
-and trivially loadable for ops queries (``spark.read.json(log.path)``).
-
-All writes go through :func:`pipeline.run_stage`, which owns the
-status/retry semantics; this module is just the durable record.
-"""
+"""Append-only pipeline run log — the analog of the reference's
+``dim_etl_log`` table (README.md:225-231, populated by SP_MERGE_DIM_* at
+:254-266); JSON-lines next to the zone root, loadable via
+``spark.read.json(log.path)``. pipeline.run_stage owns status/retry
+semantics; this module is just the durable record."""
 
 from __future__ import annotations
 

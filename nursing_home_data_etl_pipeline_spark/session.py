@@ -1,18 +1,9 @@
-"""SparkSession factory with a scale-aware default configuration.
-
-The reference delegates all execution tuning to Glue 3.0 defaults
-(``/root/reference/cloudformation/03_glue-jobs.yml:31-37``). Here we own the
-session and opt into the settings that matter at 100 TB:
-
-- AQE (runtime shuffle coalescing, skew-join splitting) — replaces hand-tuned
-  partition counts with runtime re-planning.
-- UTC session timezone — deterministic timestamp semantics (and required for
-  byte-identical comparison against UTC-naive engines like DuckDB).
-- Arrow for any Python<->JVM exchange (pandas UDFs).
-
-Local test runs use ``local[N]``; on a real cluster only the master/memory
-lines change — the SQL conf below is cluster-appropriate as-is.
-"""
+"""SparkSession factory, scale-aware defaults. The reference delegates
+tuning to Glue 3.0 defaults (cloudformation/03_glue-jobs.yml:31-37); here
+we own the session: AQE (runtime coalescing + skew-join splitting), UTC
+session timezone (deterministic timestamps; required against UTC-naive
+oracles), Arrow for any Python<->JVM exchange. Local runs use local[N];
+on a cluster only the master/memory lines change."""
 
 from __future__ import annotations
 

@@ -1,22 +1,11 @@
-"""Ingest layer: manifest-dedup incremental ingest, filename routing, and
-raw-file archival (SURVEY.md §2.1 S5-S9).
-
-Reference behavior re-expressed:
-
-- S5 (Google Drive source, ``sync-drive-to-s3.py:97-104``) is out of engine
-  scope; the engine model is a *landing directory* files get dropped into.
-- S7 (manifest dedup, ``sync-drive-to-s3.py:47-48,108-131``): the reference
-  keeps a JSON manifest of ``{file_id, file_name, s3_key, synced_at}`` and
-  skips files already present. Engine: the ledger is a little Parquet table
-  and "new files" is a LEFT ANTI join — same semantics, arbitrarily scalable,
-  and the natural stepping stone to the Structured Streaming file source
-  (which maintains exactly this ledger internally; see streaming module).
-- S8 (filename router, ``sync-drive-to-s3.py:40-45`` + ``script/config.json``):
-  normalize the filename (drop ``NH_``/underscores, lowercase), substring
-  match against a pattern->domain table, ``_DEFAULT`` fallback.
-- S9 (archival move, ``move_sources_files.py:19-42``): known domains ->
-  processed zone, unknown -> error zone, then remove from source.
-"""
+"""Ingest layer (SURVEY.md §2.1 S5-S9), reference behavior re-expressed:
+S5 landing-dir model for the out-of-scope Drive source
+(``sync-drive-to-s3.py:97-104``); S7 manifest dedup as a Parquet ledger +
+LEFT ANTI join (``sync-drive-to-s3.py:47-48,108-131``); S8 filename router
+(``sync-drive-to-s3.py:40-45`` + ``script/config.json``): normalize, then
+substring-match a pattern->domain table with ``_DEFAULT`` fallback; S9
+archival move (``move_sources_files.py:19-42``): known -> processed,
+unknown -> error, then remove. Full notes: docs/DESIGN.md#ingest-module."""
 
 from __future__ import annotations
 
@@ -62,13 +51,11 @@ def _file_md5(path: str) -> str:
 
 
 def _require_local_root(path: str, what: str) -> None:
-    """The landing-sync/archive file installs are os/shutil-based and see a
-    URI-scheme root (``file://``, ``s3a://`` — shapes zones.py advertises
-    for the SPARK-side readers) as a literal relative directory name: files
-    copied into a phantom local dir while the Spark-written ledger records
-    them as synced — permanent silent loss (round-8 IO hunt,
-    execution-confirmed). Fail loudly instead: object-store zones take the
-    Spark-side ingest path or a fuse mount."""
+    """The os/shutil file installs see a URI-scheme root (``file://``,
+    ``s3a://``) as a literal relative dir: files land in a phantom local
+    dir while the ledger records them synced — permanent silent loss
+    (round-8 IO hunt). Fail loudly; object-store zones take the Spark-side
+    ingest path or a fuse mount."""
     if "://" in str(path):
         raise ValueError(
             f"{what} requires a LOCAL-filesystem zone root (os/shutil file "
@@ -78,13 +65,10 @@ def _require_local_root(path: str, what: str) -> None:
 
 
 def _sweep_stale_tmps(dest_dir: str) -> None:
-    """Remove dot-prefixed ``.*.__tmp<pid>`` install leftovers from crashed
-    sync runs. Tmps whose pid is still ALIVE are spared — a concurrent
-    sync's in-flight tmp must not be unlinked out from under its rename
-    (that is the whole point of the pid suffix). Leftovers in the OLD
-    non-dot ``<name>.__tmp`` format (pre-dot-prefix versions) are NOT
-    auto-deleted: such a name can also be a legitimate synced landing
-    file, so distinguishing them is a manual migration step."""
+    """Remove dot-prefixed ``.*.__tmp<pid>`` leftovers from crashed syncs;
+    tmps whose pid is still ALIVE are spared (a concurrent sync's tmp must
+    not vanish under its rename). OLD non-dot ``<name>.__tmp`` names can
+    be legitimate landing files — manual migration, never auto-deleted."""
     for stale in Path(dest_dir).glob(".*.__tmp*"):
         suffix = stale.name.rsplit("__tmp", 1)[-1]
         # isdecimal, not isdigit: isdigit() accepts unicode digit classes
@@ -185,12 +169,10 @@ class IngestLedger:
 
 
 def list_landing_files(spark: SparkSession, landing_dir: str) -> DataFrame:
-    """Enumerate the landing directory as a listing DataFrame. file_id is the
-    content-addressed identity (RELATIVE path + size + mtime — basename
-    alone collided for same-named files in different subdirectories, so
-    one could shadow the other in the ledger) — the engine analog of the
-    reference's Drive file_id. file_name stays the basename: routing
-    patterns match on it.
+    """Landing-dir listing DataFrame. file_id = RELATIVE path + size +
+    mtime (basename alone collided across subdirs and shadowed ledger
+    entries) — the analog of the reference's Drive file_id; file_name
+    stays the basename for routing.
     Design notes: docs/DESIGN.md#ingest-list-landing-files"""
     rows = []
     base = Path(landing_dir)

@@ -1,17 +1,10 @@
-"""Sink operators (SURVEY.md §2.1 S3, S4).
-
-Reference writes: full-refresh Parquet overwrite per domain
-(``nh-etl-universal-cleaning.py:89``; ``nh-etl-provider-transform.py:62,123``)
-and an error-zone dump on failure (``nh-etl-universal-cleaning.py:95-102``).
-
-Reference bugs fixed here:
-- B1: the reference's error sink writes the *transformed* frame (or raises
-  ``NameError`` when the read itself failed). The engine's error sink takes
-  the frame explicitly and tolerates ``None`` (read-failed case) by writing a
-  diagnostics record instead.
-- The ``.option("header", True)`` on a parquet write (cleaning:89) is a no-op
-  and is dropped.
-"""
+"""Sink operators (SURVEY.md §2.1 S3, S4): full-refresh Parquet overwrite
+per domain (``nh-etl-universal-cleaning.py:89``;
+``nh-etl-provider-transform.py:62,123``) and the error-zone dump
+(``nh-etl-universal-cleaning.py:95-102``). Fixes reference bug B1 (error
+sink wrote the TRANSFORMED frame, or raised NameError when the read
+failed — here it takes the frame explicitly and tolerates None) and drops
+the no-op parquet header option (cleaning:89)."""
 
 from __future__ import annotations
 
@@ -64,14 +57,10 @@ def write_sorted(
     mode: str = "overwrite",
     partition_by: Sequence[str] = (),
 ) -> None:
-    """Parquet sink with rows sorted WITHIN each output file.
-
-    Sorting within partitions (no global shuffle) tightens parquet
-    row-group min/max statistics on ``sort_cols``, so downstream range
-    predicates skip whole row groups at scan time — the poor man's
-    clustering/Z-order for plain parquet. Pair with repartition_by_range on
-    the same columns when cross-file pruning matters too.
-    """
+    """Parquet sink with rows sorted WITHIN each output file: tightens
+    row-group min/max stats on ``sort_cols`` so range predicates skip row
+    groups (no global shuffle) — poor man's clustering for plain parquet.
+    Pair with repartition_by_range when cross-file pruning matters too."""
     _writer(df.sortWithinPartitions(*sort_cols), mode, partition_by).parquet(path)
 
 
@@ -83,12 +72,10 @@ def write_bucketed(
     sort_cols: Sequence[str] = (),
     mode: str = "overwrite",
 ) -> None:
-    """Bucketed managed table: co-locates later joins/aggregations on the
-    bucket key WITHOUT a shuffle (both sides bucketed the same way -> sort-
-    merge join reads buckets pairwise). The pre-shuffle you pay once at
-    write time instead of per query — the core 100 TB lever for repeated
-    joins on a stable key (e.g. the facility PK, or doc_id for dedup).
-    """
+    """Bucketed managed table: later joins/aggs on the bucket key skip
+    their shuffle (both sides bucketed -> sort-merge reads buckets
+    pairwise) — the pre-shuffle paid once at write time; the core 100 TB
+    lever for repeated joins on a stable key (facility PK, doc_id)."""
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
@@ -96,13 +83,10 @@ def write_bucketed(
 
 
 def replace_dir(df: DataFrame, target_path: str, meta: dict | None = None) -> None:
-    """Overwrite ``target_path`` with ``df`` when the plan READS the target
-    (self-referential merge): materialize to a staging suffix, then swap
-    via Hadoop FS renames. Rename is atomic on HDFS/local filesystems, so
-    the not-there window is a metadata operation instead of a full
-    rewrite. On rename-less object stores (S3) this degrades to copy
-    semantics — front a table format (Delta/Iceberg) there instead. Design
-    notes: docs/DESIGN.md#writers-replace-dir"""
+    """Overwrite ``target_path`` with ``df`` when the plan READS the
+    target (self-referential merge): stage, then swap via atomic Hadoop FS
+    renames. On rename-less object stores this degrades to copy — front a
+    table format there. Design notes: docs/DESIGN.md#writers-replace-dir"""
     spark = df.sparkSession
     staging = target_path + "__staging"
     df.write.mode("overwrite").parquet(staging)
@@ -189,15 +173,10 @@ def write_error(
     exc: BaseException | None = None,
 ) -> None:
     """S4: quarantine the failing input frame (if any) plus a diagnostics
-    sidecar. Unlike the reference (bug B1) this never references an
-    unbound frame and records the actual exception — format_exception(exc)
-    renders THAT exception's traceback (format_exc() rendered whatever
-    happened to be mid-flight, which is wrong outside an except block or
-    in cleanup code handling a different error). The sidecar goes through
-    the Hadoop FileSystem API so it lands next to the quarantined parquet
-    on ANY scheme (hdfs://, s3a://) — driver-local open() would write a
-    garbage local path on a cluster.
-    Design notes: docs/DESIGN.md#writers-write-error"""
+    sidecar; never references an unbound frame (reference bug B1), renders
+    THE passed exception (format_exception(exc), not ambient format_exc()),
+    and writes the sidecar via the Hadoop FS API so it lands next to the
+    parquet on ANY scheme. Design notes: docs/DESIGN.md#writers-write-error"""
     diag = {
         "context": context,
         "error": repr(exc) if exc else None,
@@ -244,12 +223,10 @@ def write_jsonl(
     partition_by: Sequence[str] = (),
     compression: str | None = "gzip",
 ) -> None:
-    """JSON-lines sink — one JSON object per line, the lingua franca for
-    handing a corpus to tokenizer/training jobs outside the warehouse.
-    Compressed by default (JSONL is ~5-10x larger than parquet; gzip keeps
-    the hand-off sane); pass ``compression=None`` for plain text. Column
-    types survive the round-trip only as JSON types — keep parquet as the
-    system of record and treat this as an export format."""
+    """JSON-lines sink — the corpus hand-off format for tokenizer/training
+    jobs; gzip by default (JSONL is ~5-10x parquet), ``compression=None``
+    for plain text. Types survive only as JSON types — parquet stays the
+    system of record; this is an export format."""
     _writer(df, mode, partition_by, compression).json(path)
 
 
@@ -309,13 +286,11 @@ def write_zordered(
     n_files: int,
     mode: str = "overwrite",
 ) -> None:
-    """Parquet sink clustered by a Morton (Z-order) key over ``zorder_cols``:
-    range-partition on the interleaved key (globally ordered files), sort
-    within each file, drop the key before writing. Selective filters on ANY
-    of the z-ordered columns then skip most files/row-groups via parquet
-    min/max stats — :func:`write_sorted` only achieves that for its leading
-    sort column. Cost: one range shuffle at write time, same as any global
-    sort."""
+    """Parquet sink clustered by a Morton (Z-order) key over
+    ``zorder_cols``: range-partition on the interleaved key, sort within
+    files, drop the key. Filters on ANY z-ordered column then skip
+    files/row-groups (:func:`write_sorted` only does its leading column).
+    Cost: one range shuffle at write time."""
     from ..operators.partitioning import zorder_key
 
     keyed = zorder_key(df, zorder_cols)

@@ -28,24 +28,15 @@ def windowed_counts(
     key_col: str = "event_type",
     value_col: str = "value",
 ) -> DataFrame:
-    """Tumbling-window count+sum with a watermark. In append mode only
-    finalized (watermark-passed) windows emit; in complete mode all windows
-    are maintained — used by the batch-equivalence check.
-
-    ``watermark=None`` (legal only for complete-mode sinks): no late-row
-    cutoff at all. Plain streaming aggregation never filters late input in
-    complete mode, so the default watermark is already exact under
-    multi-microbatch delivery here — the None escape hatch exists for
-    symmetry with ``session_counts``, where it is load-bearing.
-
-    APPEND-mode multi-batch contract (round-11 #5, execution-probed): with
-    a pinned delivery order the emission set is exact — Spark's late-events
-    filter runs one batch BEHIND the eviction watermark (a row at-or-below
-    the current watermark still merges while its window state is live), a
-    window emits exactly when the eviction watermark reaches its end
-    (inclusive), and the final no-data microbatch flushes the last advance.
-    Replayed oracle-exactly in
-    tests/test_streaming.py::test_append_mode_multibatch_windowed_counts."""
+    """Tumbling-window count+sum with a watermark: append emits only
+    finalized windows; complete maintains all (the batch-equivalence
+    check). ``watermark=None`` (complete-only) = no late cutoff — exists
+    for symmetry with ``session_counts`` where it is load-bearing.
+    APPEND multi-batch contract (round-11 #5, execution-probed): the
+    late filter runs one batch BEHIND the eviction watermark, a window
+    emits when the eviction watermark reaches its end (inclusive), the
+    final no-data microbatch flushes the last advance — replayed exactly
+    in tests/test_streaming.py::test_append_mode_multibatch_windowed_counts."""
     return (
         (events.withWatermark(ts_col, watermark)
          if watermark is not None else events)

@@ -1,14 +1,8 @@
 """Streaming ingest: the reference's manifest-dedup incremental ingest
-(``sync-drive-to-s3.py:108-131``) is exactly what Spark's file stream source
-does natively — it tracks seen files in checkpointed state and processes
-each file exactly once. This module is the engine's "streaming mode" for the
-landing->staging hop.
-
-Batch-equivalence: with ``Trigger.AvailableNow`` the stream drains all
-pending files and stops — a batch run with streaming's exactly-once ledger,
-which is how the scheduled daily pipeline can adopt it without running a
-24/7 driver.
-"""
+(``sync-drive-to-s3.py:108-131``) is natively Spark's file stream source
+(checkpointed seen-file state, exactly-once). ``Trigger.AvailableNow``
+drains pending files and stops — a batch run with streaming's ledger, so
+the daily pipeline adopts it without a 24/7 driver."""
 
 from __future__ import annotations
 

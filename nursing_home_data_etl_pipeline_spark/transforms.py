@@ -1,16 +1,10 @@
-"""Domain transforms — the reference's three Glue jobs as library functions.
-
-- :func:`universal_cleaning` <- ``script/nh-etl-universal-cleaning.py``
-- :func:`provider_transform` <- ``script/nh-etl-provider-transform.py``
-- :func:`quality_transform`  <- ``script/nh-etl-quality-transform.py``
-
-Engine design deltas from the reference (SURVEY.md §2.9 bugs):
-- error sink receives the actual failing frame + exception (B1/B2 fixed);
-- no no-op renames (B3) or dead drops (B4);
-- the provider scan is CACHED before the five-output fan-out — the
-  reference re-reads the staging parquet once per output (§3.3 step 5);
-- single-select cleaning (B7) via operators.cleaning.
-"""
+"""Domain transforms — the reference's three Glue jobs as library
+functions: universal_cleaning <- nh-etl-universal-cleaning.py,
+provider_transform <- nh-etl-provider-transform.py, quality_transform <-
+nh-etl-quality-transform.py. Deltas (SURVEY.md §2.9): error sink gets the
+real frame + exception (B1/B2), no no-op renames (B3) or dead drops (B4),
+the provider scan is CACHED before the five-output fan-out (the reference
+re-read staging per output, §3.3), single-select cleaning (B7)."""
 
 from __future__ import annotations
 

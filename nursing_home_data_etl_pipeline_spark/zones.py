@@ -1,13 +1,8 @@
-"""Five-zone (medallion) table layout.
-
-The reference models table lifecycle as five S3 buckets — source (raw CSV),
-staging (cleaned Parquet), transform (dimension-shaped Parquet), processed
-(archived raw), error (quarantine) — declared at
-``/root/reference/cloudformation/00_glue-iam-buckets.yml:13-36``. The engine
-keeps the same zone semantics as a path convention ``{root}/{zone}/{domain}/``
-over any Hadoop-compatible filesystem (local, S3A, HDFS); nothing below is
-S3-specific.
-"""
+"""Five-zone (medallion) layout: the reference's five S3 buckets —
+source/staging/transform/processed/error
+(cloudformation/00_glue-iam-buckets.yml:13-36) — kept as a path
+convention ``{root}/{zone}/{domain}/`` over any Hadoop-compatible
+filesystem; nothing here is S3-specific."""
 
 from __future__ import annotations
 

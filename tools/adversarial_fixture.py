@@ -60,24 +60,19 @@ def build(src: str, dest: str) -> dict[str, int]:
         # phase 2: punctuation-only, windows newlines, non-breaking space
         {"doc_id": base + 11, "text": "!!! ??? ... ;;; ###", "lang": "en", "source": "adv", "n_chars": 19},
         {"doc_id": base + 12, "text": "line one\r\nline two\r\n", "lang": "en", "source": "adv", "n_chars": 20},
-        # vertical tab: Java \\s matches it, RE2's does not — the class the
-        # oracle twins spell out explicitly
+        # vertical tab: Java \\s matches it, RE2's does not
         {"doc_id": base + 14, "text": "vert\x0btab words here", "lang": "en", "source": "adv", "n_chars": 19},
         {"doc_id": base + 15, "text": "\x0b\x0c", "lang": "en", "source": "adv", "n_chars": 2},
-        # leading MULTIBYTE char: byte-wise vs char-wise header/height
-        # reads diverge (ascii('é')=233 vs first UTF-8 byte 195)
+        # leading MULTIBYTE char: byte-wise header read vs ascii() diverge
         {"doc_id": base + 16, "text": "été warm words here now", "lang": "fr", "source": "adv", "n_chars": 23},
         {"doc_id": base + 13, "text": "nb\xa0space word", "lang": "en", "source": "adv", "n_chars": 13},
-        # phase 9 (round-8 probe): Unicode-Zs whitespace — DuckDB bare
-        # trim() strips NBSP/U+3000, F.trim strips 0x20 only; every F.trim
-        # oracle twin must space-trim (duck_trim_sql)
+        # phase 9: Unicode-Zs whitespace — F.trim strips 0x20 only, so
+        # every F.trim oracle twin must space-trim (duck_trim_sql)
         {"doc_id": base + 21, "text": "\u00a0\u00a0", "lang": "en", "source": "adv", "n_chars": 2},
         {"doc_id": base + 22, "text": "\u3000ideographic\u3000space\u3000", "lang": "ja", "source": "adv", "n_chars": 19},
-        # phase 9: NUL byte inside text (valid in both engines' strings;
-        # a C-string truncation on either side would change every count)
+        # phase 9: NUL byte inside text (a C-string truncation would show)
         {"doc_id": base + 23, "text": "a\x00b c words", "lang": "en", "source": "adv", "n_chars": 12},
-        # phase 9: astral emoji + ZWJ flag sequence — code-point lengths
-        # and regex classes must agree beyond the BMP
+        # phase 9: astral emoji + ZWJ — lengths/regex beyond the BMP
         {"doc_id": base + 24, "text": "grin \U0001F600 faces \U0001F3F3\uFE0F\u200D\U0001F308 flag", "lang": "en", "source": "adv", "n_chars": None},
     ]
     pq.write_table(_append(docs, doc_rows), f"{dest}/documents.parquet")
@@ -98,39 +93,29 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"event_id": ebase + 7, "ts": FAR_FUTURE, "user_id": 999998, "event_type": "future", "value": -7.5, "props": "{}"},
         # phase 2: pre-epoch event time (below Spark's initial watermark 0)
         {"event_id": ebase + 8, "ts": dt.datetime(1969, 12, 31, 23, 0, 0), "user_id": 999997, "event_type": "preepoch", "value": 2.25, "props": "{}"},
-        # phase 4 (review-confirmed gate escapes): NULL event_type in a
-        # NON-lonely position (event_id % 5 == 0 reaches the sketch-band
-        # join), compact and negative props JSON (the engine's from_json
-        # parses them; a naive oracle regexp did not)
+        # phase 4: NULL event_type reaching the sketch-band join; compact
+        # and negative props JSON (from_json parses, naive regexps did not)
         {"event_id": ebase + 11, "ts": some_ts, "user_id": 2, "event_type": None, "value": 6.25, "props": '{"k":7}'},
         {"event_id": ebase + 12, "ts": some_ts, "user_id": 2, "event_type": "click", "value": 7.25, "props": '{"k": -4}'},
-        # phase 5 (ADVICE r6): numeric-CONTENT JSON string — from_json with
-        # a LongType field nulls it; an oracle regexing the quote-stripped
-        # json_extract_string would wrongly admit it as 7
+        # phase 5 (ADVICE r6): numeric-CONTENT JSON string — from_json
+        # NULLs it for a LongType field; quote-stripping oracles admit 7
         {"event_id": ebase + 13, "ts": some_ts, "user_id": 2, "event_type": "click", "value": 8.25, "props": '{"k": "7"}'},
         # phase 3: non-finite doubles
         {"event_id": ebase + 9, "ts": some_ts, "user_id": 999996, "event_type": "nan", "value": float("nan"), "props": "{}"},
         {"event_id": ebase + 10, "ts": some_ts, "user_id": 999996, "event_type": "inf", "value": float("inf"), "props": "{}"},
-        # phase 6 (round-7 review): an event_type whose value column is
-        # ENTIRELY NULL — percentile-of-nothing is NULL, so sketch-band
-        # booleans must be vacuously TRUE, not NULL (event_id % 5 == 0
-        # rows so the group reaches the bands CTE)
+        # phase 6: event_type with ENTIRELY NULL values — sketch-band
+        # booleans must be vacuously TRUE, not NULL
         {"event_id": ((ebase // 5) + 10) * 5, "ts": some_ts, "user_id": 999995, "event_type": "allnull", "value": None, "props": "{}"},
         {"event_id": ((ebase // 5) + 11) * 5, "ts": some_ts, "user_id": 999995, "event_type": "allnull", "value": None, "props": "{}"},
-        # phase 6: duplicate (user_id, ts) PURCHASES with distinct values —
-        # DuckDB's native ASOF picks an input-order-dependent tied row; the
-        # oracle must pre-aggregate to the engine's max-value tie rule
+        # phase 6: tied purchases — native ASOF picks order-dependently;
+        # oracles must pre-aggregate to the engine's max-value tie rule
         {"event_id": ebase + 14, "ts": some_ts, "user_id": 999994, "event_type": "purchase", "value": 3.25, "props": "{}"},
         {"event_id": ebase + 15, "ts": some_ts, "user_id": 999994, "event_type": "purchase", "value": 4.25, "props": "{}"},
         {"event_id": ebase + 16, "ts": some_ts + dt.timedelta(minutes=5), "user_id": 999994, "event_type": "click", "value": 1.25, "props": "{}"},
-        # phase 6: timestamp beyond the int64-NANOSECOND range (2262-04-11)
-        # — oracles must do epoch_us arithmetic; epoch_ns hard-errors here
+        # phase 6: ts beyond int64-NANOS range — epoch_us only in oracles
         {"event_id": ebase + 17, "ts": dt.datetime(2500, 1, 1, 12, 0, 0), "user_id": 999993, "event_type": "farfuture_ns", "value": 5.25, "props": "{}"},
-        # phase 9 (round-8 second-pass hunt): gaps of EXACTLY the 30-min
-        # session gap — session_window MERGES an event at last+gap (the
-        # boundary is inclusive), so this 3-chain is ONE session; the
-        # fourth event lands 1 us past the gap and starts a new one. The
-        # oracle splits on strictly-greater only.
+        # phase 9: gaps of EXACTLY the session gap — session_window's
+        # boundary is INCLUSIVE (3-chain = one session); 1 us past splits
         {"event_id": ebase + 18, "ts": dt.datetime(2024, 6, 1, 9, 0, 0), "user_id": 999992, "event_type": "click", "value": 1.25, "props": "{}"},
         {"event_id": ebase + 19, "ts": dt.datetime(2024, 6, 1, 9, 30, 0), "user_id": 999992, "event_type": "click", "value": 2.25, "props": "{}"},
         {"event_id": ebase + 20, "ts": dt.datetime(2024, 6, 1, 10, 0, 0), "user_id": 999992, "event_type": "click", "value": 3.25, "props": "{}"},
@@ -170,23 +155,17 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"o_orderkey": obase + 2, "o_custkey": 999999999, "o_orderstatus": None, "o_totalprice": None, "o_orderdate": None, "o_orderpriority": None},
         {"o_orderkey": obase + 3, "o_custkey": 1, "o_orderstatus": "F", "o_totalprice": 0.0, "o_orderdate": EPOCH, "o_orderpriority": ""},
         {"o_orderkey": obase + 4, "o_custkey": 1, "o_orderstatus": "Ø", "o_totalprice": -50.5, "o_orderdate": FAR_FUTURE, "o_orderpriority": "5-LOW"},
-        # phase 4: NULL sort keys inside POPULATED window partitions
-        # (status 'O' has many peers; custkey 1 already has rows above) —
-        # rank/percent_rank/first_value diverge unless the oracle pins
-        # NULLS FIRST
+        # phase 4: NULL sort keys inside POPULATED window partitions —
+        # ranks/first_value diverge unless the oracle pins NULLS FIRST
         {"o_orderkey": obase + 5, "o_custkey": 2, "o_orderstatus": "O", "o_totalprice": 77.25, "o_orderdate": odate, "o_orderpriority": None},
         {"o_orderkey": obase + 6, "o_custkey": 1, "o_orderstatus": "F", "o_totalprice": 88.25, "o_orderdate": None, "o_orderpriority": "2-HIGH"},
-        # NULL priority on a key the scalar query's % 50 filter keeps:
-        # concat-vs-concat_ws NULL handling reaches the output
+        # NULL priority on a % 50-kept key: concat-vs-concat_ws NULLs show
         {"o_orderkey": ((obase // 50) + 2) * 50, "o_custkey": 3, "o_orderstatus": "O", "o_totalprice": 55.25, "o_orderdate": odate, "o_orderpriority": None},
-        # phase 5 (skew-axis finding): a fine total >= 1e7 — Spark casts
-        # such a double to '6.18E8'-style scientific notation where DuckDB
-        # keeps decimal digits; the penalty transform must stringify via
-        # DECIMAL so both engines agree
+        # phase 5: fine total >= 1e7 — Spark stringifies the double as
+        # scientific notation; transforms must render money via DECIMAL
         {"o_orderkey": obase + 7, "o_custkey": 4, "o_orderstatus": "F", "o_totalprice": 987654321.25, "o_orderdate": odate, "o_orderpriority": "3-MEDIUM"},
-        # phase 6 (round-7 review): NULL o_orderkey TIED with obase+5 on
-        # (o_custkey, o_orderdate, o_totalprice) — secondary tiebreakers
-        # must pin NULLS FIRST or first/last/nth_value flip sides
+        # phase 6: NULL o_orderkey TIED with obase+5 — secondary
+        # tiebreakers must pin NULLS FIRST or nth_value flips sides
         {"o_orderkey": None, "o_custkey": 2, "o_orderstatus": "O", "o_totalprice": 77.25, "o_orderdate": odate, "o_orderpriority": "1-URGENT"},
     ]
     pq.write_table(_append(orders, order_rows), f"{dest}/orders.parquet")
@@ -199,18 +178,13 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"l_orderkey": obase + 1, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1, "l_quantity": None, "l_extendedprice": 10.25, "l_discount": None, "l_tax": None, "l_returnflag": None, "l_linestatus": None, "l_shipdate": None},
         {"l_orderkey": 999999901, "l_partkey": None, "l_suppkey": None, "l_linenumber": 1, "l_quantity": -5.0, "l_extendedprice": 0.0, "l_discount": 0.5, "l_tax": 0.0, "l_returnflag": "R", "l_linestatus": "F", "l_shipdate": sdate},  # orphan order
         {"l_orderkey": obase + 3, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 2, "l_quantity": 1.0, "l_extendedprice": 1.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "", "l_linestatus": "", "l_shipdate": EPOCH},
-        # phase 5: a quarterly quantity sum >= 1e7 (exactly-representable)
-        # — the quality transform's score strings must render via DECIMAL
+        # phase 5: quarterly quantity sum >= 1e7 — DECIMAL render again
         {"l_orderkey": obase + 3, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 3, "l_quantity": 25000000.0, "l_extendedprice": 2.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "A", "l_linestatus": "F", "l_shipdate": sdate},
-        # phase 7: padded return flag — groups separately from 'R' on the
-        # RAW value but the quality transform's cleaned display is trimmed,
-        # so its dense id must order by the TRIMMED key on both sides
+        # phase 7: padded return flag — raw grouping vs trimmed display;
+        # the dense id must order by the TRIMMED key on both sides
         {"l_orderkey": obase + 3, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 4, "l_quantity": 3.0, "l_extendedprice": 3.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": " R", "l_linestatus": "F", "l_shipdate": sdate},
-        # phase 8 (round-8 core-operator hunt): a ZERO-VARIANCE group —
-        # constant l_quantity across the group made F.corr's internal
-        # division raise ANSI DIVIDE_BY_ZERO (whole stats_aggregates job
-        # aborted) where DuckDB corr returns NULL; the guarded
-        # covar/(sx*sy) form must emit NULL for this group on both sides
+        # phase 8: ZERO-VARIANCE group — bare F.corr raised ANSI
+        # DIVIDE_BY_ZERO; the guarded covar/(sx*sy) must emit NULL
         {"l_orderkey": 888888811, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1, "l_quantity": 5.0, "l_extendedprice": 100.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "CQ", "l_linestatus": "O", "l_shipdate": sdate},
         {"l_orderkey": 888888812, "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1, "l_quantity": 5.0, "l_extendedprice": 200.25, "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "CQ", "l_linestatus": "O", "l_shipdate": sdate},
     ]
@@ -223,70 +197,39 @@ def build(src: str, dest: str) -> dict[str, int]:
     cust_rows = [
         {"c_custkey": cbase + 1, "c_name": None, "c_nationkey": None, "c_acctbal": None, "c_mktsegment": None},
         {"c_custkey": cbase + 2, "c_name": "Ünïcode Çustomer 顧客", "c_nationkey": 999, "c_acctbal": -10.5, "c_mktsegment": ""},  # orphan nation
-        # phase 5: balance >= 1e7 — double->string scientific-notation
-        # divergence unless the clean-project renders via DECIMAL
+        # phase 5: balance >= 1e7 — DECIMAL render in the clean-project
         {"c_custkey": cbase + 3, "c_name": "Big Balance", "c_nationkey": 0, "c_acctbal": 98765432.25, "c_mktsegment": "MACHINERY"},
-        # phase 7 (round-7 parity hunt): source-padded strings — the oracle
-        # must mirror clean_table's whole-row TRIM, not rely on the
-        # engine's self-inflicted padding cancelling out
+        # phase 7: source-padded strings — oracles mirror the whole-row TRIM
         {"c_custkey": cbase + 4, "c_name": "  Padded Name  ", "c_nationkey": 0, "c_acctbal": 5.25, "c_mktsegment": " BUILDING "},
-        # phase 7: NaN money under the DECIMAL render — Spark ANSI casts
-        # NaN->DECIMAL as NULL where DuckDB's plain CAST hard-errors
+        # phase 7: NaN money — ANSI NaN->DECIMAL is NULL; plain CAST errors
         {"c_custkey": cbase + 5, "c_name": "NaN Balance", "c_nationkey": 0, "c_acctbal": float("nan"), "c_mktsegment": "MACHINERY"},
-        # phase 7: DUPLICATE key (a re-registered CCN with a new name) —
-        # dense row_ids must follow the ids._tiebreak contract on both
-        # sides, and top-N orderings must be total over their group keys
+        # phase 7: DUPLICATE key — dense row_ids follow ids._tiebreak;
+        # top-N orderings must be total over their group keys
         {"c_custkey": cbase + 6, "c_name": "ZZZ First Registration", "c_nationkey": 1, "c_acctbal": 6.25, "c_mktsegment": "AUTOMOBILE"},
         {"c_custkey": cbase + 6, "c_name": "AAA Re-Registration", "c_nationkey": 1, "c_acctbal": 7.25, "c_mktsegment": "AUTOMOBILE"},
-        # phase 9 (round-8 probe): NBSP-padded name — F.trim keeps the
-        # padding, DuckDB's bare TRIM stripped it (Unicode-Zs class); the
-        # clean-project oracle must space-trim only
+        # phase 9: NBSP-padded name — the clean-project oracle space-trims
         {"c_custkey": cbase + 7, "c_name": " NBSP Padded ", "c_nationkey": 0, "c_acctbal": 8.25, "c_mktsegment": " BUILDING "},
-        # phase 9 (round-8 second-pass hunt): duplicate-key target where
-        # ONE copy changes and the other matches the SCD2 source exactly --
-        # merge_scd2 classifies per joined ROW (one source row may match
-        # many target rows, legal in SQL MERGE), so the BUILDING copy
-        # closes+reopens while the MACHINERY copy carries forward; the
-        # oracle's former key-level NOT EXISTS dropped the carry. Even key
-        # so src2 shifts the BUILDING balance by +1000 onto the twin's.
+        # phase 9: duplicate-key SCD2 target, ONE copy changed —
+        # merge_scd2 classifies per joined ROW, so one twin closes+reopens
+        # while the other carries forward (even key: src2 shifts BUILDING)
         {"c_custkey": cbase + 8 + (cbase % 2), "c_name": "SCD Twin A", "c_nationkey": 1, "c_acctbal": 100.25, "c_mktsegment": "BUILDING"},
         {"c_custkey": cbase + 8 + (cbase % 2), "c_name": "SCD Twin B", "c_nationkey": 1, "c_acctbal": 1100.25, "c_mktsegment": "MACHINERY"},
     ]
     pq.write_table(_append(cust, cust_rows), f"{dest}/customer.parquet")
     added["customer"] = len(cust_rows)
 
-    # -- supplier / part / nation / region --------------------------------
-    sup = _read(src, "supplier")
-    sbase = max(x for x in sup.column("s_suppkey").to_pylist() if x is not None)
-    pq.write_table(
-        _append(sup, [{"s_suppkey": sbase + 1, "s_name": None, "s_nationkey": None, "s_acctbal": None}]),
-        f"{dest}/supplier.parquet",
-    )
-    added["supplier"] = 1
-
-    part = _read(src, "part")
-    pbase = max(x for x in part.column("p_partkey").to_pylist() if x is not None)
-    pq.write_table(
-        _append(part, [{"p_partkey": pbase + 1, "p_name": None, "p_brand": "", "p_type": None, "p_size": None, "p_retailprice": None}]),
-        f"{dest}/part.parquet",
-    )
-    added["part"] = 1
-
-    nat = _read(src, "nation")
-    nbase = max(x for x in nat.column("n_nationkey").to_pylist() if x is not None)
-    pq.write_table(
-        _append(nat, [{"n_nationkey": nbase + 1, "n_name": None, "n_regionkey": None}]),
-        f"{dest}/nation.parquet",
-    )
-    added["nation"] = 1
-
-    reg = _read(src, "region")
-    rbase = max(x for x in reg.column("r_regionkey").to_pylist() if x is not None)
-    pq.write_table(
-        _append(reg, [{"r_regionkey": rbase + 1, "r_name": None}]),
-        f"{dest}/region.parquet",
-    )
-    added["region"] = 1
+    # -- supplier / part / nation / region: one all-NULL fresh-key row ----
+    for name, key, row in (
+        ("supplier", "s_suppkey", {"s_name": None, "s_nationkey": None, "s_acctbal": None}),
+        ("part", "p_partkey", {"p_name": None, "p_brand": "", "p_type": None, "p_size": None, "p_retailprice": None}),
+        ("nation", "n_nationkey", {"n_name": None, "n_regionkey": None}),
+        ("region", "r_regionkey", {"r_name": None}),
+    ):
+        tbl = _read(src, name)
+        base = max(x for x in tbl.column(key).to_pylist() if x is not None)
+        pq.write_table(_append(tbl, [{key: base + 1, **row}]),
+                       f"{dest}/{name}.parquet")
+        added[name] = 1
 
     return added
 

@@ -3,15 +3,11 @@
 Usage: python tools/check_correctness.py [sf_dir] [--offload] [query ...]
 
 ``--offload`` (round-11 #1, for the sf10+ gates): compare INSIDE DuckDB —
-the Spark result is written to parquet and diffed against the oracle with
-EXCEPT ALL both ways (exact multiset compare; doubles rounded to 6
-decimals via the half-away ``duck_round_sql`` on BOTH sides, so the
-compare never splits on a midpoint; -0.0 normalized) instead of
-collecting ~40M-row outputs into Python. Weaker than plans.verify only on
-cross-TYPE confusions, which the strict sf0.01 gate pins;
-``tools/close_round.py`` proves the two gates agree over the whole
-catalog at sf0.1 each close (round-12 #4).
-"""
+Spark result to parquet, EXCEPT ALL both ways (exact multiset; doubles
+half-away-rounded to 6 on BOTH sides, -0.0 normalized) instead of
+collecting ~40M rows into Python. Weaker than plans.verify only on
+cross-TYPE confusions (pinned by the strict sf0.01 gate);
+close_round.py proves the two gates agree at sf0.1 each close."""
 
 from __future__ import annotations
 
@@ -62,11 +58,10 @@ def _canon_select(con, rel: str) -> str:
 
 
 def _clusters_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
-    """Offload override for ``dedup_clusters`` (round-12 #1): a streamed
-    union-find over the DuckDB-built MinHash pair set — the recursive
-    reachability CTE needed >80 GB at sf10; this is O(distinct doc_ids)
-    memory with Arrow-batch streaming, parity-checked against the exact
-    oracle each close. Rationale: docs/TOOLS.md#check-correctness-union-find"""
+    """Offload override for ``dedup_clusters`` (round-12 #1): streamed
+    union-find over the DuckDB-built MinHash pairs — O(distinct doc_ids)
+    memory where the recursive CTE needed >80 GB at sf10; parity-checked
+    each close. Rationale: docs/TOOLS.md#check-correctness-union-find"""
     from nursing_home_data_etl_pipeline_spark.plans.queries_northstar import (
         _minhash_pairs_cte,
     )
@@ -150,13 +145,10 @@ def _stream_docs(con):
 
 
 def _chunks_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
-    """Offload override for ``chunk_documents`` (round-13 #3): the SQL
-    oracle's unnest-join copies the word array once PER CHUNK ROW
-    (~quadratic in max doc length — 831 s at the round-12 skewed sf10)
-    while the engine is linear; this streams documents through a linear
-    Python chunker into an Arrow table and reuses the EXCEPT-ALL tail.
-    Parity vs the SQL oracle and corruption rejection are pinned in
-    tests/test_catalog_oracle.py."""
+    """Offload override for ``chunk_documents`` (round-13 #3): linear
+    streamed Python chunker replacing the ~quadratic unnest-join oracle;
+    same EXCEPT-ALL tail. Parity + corruption rejection pinned in
+    tests/test_catalog_oracle.py. Rationale: docs/TOOLS.md#streamed-oracles"""
     import pyarrow as pa
 
     scols, path = _spark_to_parquet(spark, fn, sf_dir, tmp, name)
@@ -181,16 +173,12 @@ def _chunks_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
 
 
 def _near_pairs_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
-    """Offload override for ``dedup_near_pairs`` (round-13 #3): replaces
-    the jaccard side's shingle CTE (per-doc LEAD window + string DISTINCT
-    over ~word-count rows; 580 s at the round-12 skewed sf10) with a
-    streamed Python shingler — per-doc DISTINCT 5-word tuples at C speed
-    (zip/set), identity = hash(tuple) (process-salted 64-bit ids are fine
-    for an identity join: a collision merges two shingles and can only
-    perturb counts toward a loud FAIL, never fabricate agreement with a
-    wrong engine result). The simhash side and the pair join / cap /
-    threshold stay in SQL, verbatim from the catalog oracle generators.
-    Parity + corruption rejection pinned in tests/test_catalog_oracle.py."""
+    """Offload override for ``dedup_near_pairs`` (round-13 #3): streamed
+    Python shingler (per-doc DISTINCT 5-word tuples, identity =
+    hash(tuple) — a collision can only perturb toward a loud FAIL) feeding
+    the UNCHANGED SQL pair join / cap / threshold; simhash side stays SQL.
+    Parity + corruption rejection pinned in tests/test_catalog_oracle.py.
+    Rationale: docs/TOOLS.md#streamed-oracles"""
     import pyarrow as pa
 
     from nursing_home_data_etl_pipeline_spark.operators.dedup import (

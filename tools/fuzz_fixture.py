@@ -55,12 +55,9 @@ NO_EDIT_COLS = {
     ("lineitem", "l_extendedprice"), ("lineitem", "l_discount"),
     ("lineitem", "l_tax"),
 }
-#: nullify must also skip these: several NULL event_id/o_orderkey cells can
-#: tie on the remaining sort keys (ts_edge can pin the same SAFE_TS), and
-#: two NULL-id rows tied on every prior key break the pinned "(ts, event_id)
-#: stays a total order" invariant — first/last/nth_value picks then become
-#: engine-order-dependent in a way NULLS-FIRST pinning cannot resolve
-#: (round-9 ADVICE; mirrors the duplicate-event drop policy).
+#: nullify also skips these: two NULL-id rows tied on every prior sort
+#: key would break the pinned "(ts, event_id) is a total order" invariant
+#: and nth_value picks turn engine-order-dependent (round-9 ADVICE).
 NO_NULL_COLS = NO_EDIT_COLS | {("orders", "o_orderkey")}
 
 

@@ -3,10 +3,11 @@ points above sf0.1 (SCALE_r09..r12.json). NOT verbatim replication: each
 replica shifts id/FK families, substitution-ciphers text, and
 rotates+sign-flips embeddings so replicas decorrelate while within-replica
 structure stays exact; ``--skew`` layers hot keys, a 1000x doc-length
-tail, and growing group cardinality. Full rationale:
+tail, and growing group cardinality; ``--skew2`` is the harsher point
+(50% hot keys, 10^4x tail). Full rationale:
 docs/TOOLS.md#scale-fixture and #scale-fixture-skew.
 
-Usage: python tools/scale_fixture.py [--skew] [replicas] [src] [dest];
+Usage: python tools/scale_fixture.py [--skew|--skew2] [replicas] [src] [dest];
 then gate with check_correctness.py and bench with SPARK_GRAFT_SF_DIR."""
 
 from __future__ import annotations
@@ -90,12 +91,10 @@ def _skew_replica(name: str, tbl: pa.Table, base_ids: list, r: int,
                    [hot["cust"] if b < HOT_PCT else v for b, v in zip(bk, cur)])
     elif name == "events":
         users = tbl.column("user_id").to_pylist()
-        # purchase rows keep their original user: a hot user in BOTH
-        # interval-join inputs makes the JOIN OUTPUT itself ~quadratic
-        # (measured 4.9M rows at sf1) — a semantics-level blowup every
-        # engine reproduces, infeasible for the row-collecting checker and
-        # not the state/shuffle stress this fixture exists to create. The
-        # hot user still owns ~30% of all non-purchase events.
+        # purchase rows keep their user: a hot user in BOTH interval-join
+        # inputs makes the JOIN OUTPUT itself ~quadratic (4.9M rows at
+        # sf1) — a semantics-level blowup, not the shuffle stress this
+        # fixture creates; the hot user still owns the non-purchase share.
         types = tbl.column("event_type").to_pylist()
         tbl = _set(tbl, "user_id",
                    [hot["user"] if b < HOT_PCT and v is not None
