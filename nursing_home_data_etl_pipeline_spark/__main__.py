@@ -1,12 +1,6 @@
-"""CLI entry point.
-
-    python -m nursing_home_data_etl_pipeline_spark list
-    python -m nursing_home_data_etl_pipeline_spark query <name> [--sf-dir DIR] [-n ROWS]
-    python -m nursing_home_data_etl_pipeline_spark pipeline --root DIR [--landing DIR]
-
-`query` runs any catalog query and shows the first rows; `pipeline` runs the
-full zoned ETL DAG once.
-"""
+"""CLI entry point: ``list`` | ``query <name> [--sf-dir DIR] [-n ROWS]``
+(run any catalog query, show first rows) | ``pipeline --root DIR
+[--landing DIR]`` (run the full zoned ETL DAG once)."""
 
 from __future__ import annotations
 

@@ -20,18 +20,12 @@ def with_fast_id(df: DataFrame, name: str = "row_id") -> DataFrame:
 
 
 def _tiebreak(df: DataFrame, order_by: Sequence[str]) -> list[Column]:
-    """Deterministic tie contract for dense ids: ``order_by`` SHOULD be a
-    unique key, but nothing upstream enforces it, and ``row_number`` over
-    a tied ordering is nondeterministic across reruns/partitionings.
-    Appending the remaining columns' ordering struct
-    (``joins.ordering_struct`` — the same canonicalization the merge
-    tiebreak uses: orderable columns as-is, eligible maps as sorted entry
-    arrays, the rest excluded) to the sort makes the output multiset
-    deterministic whenever tied rows differ anywhere the struct can see
-    (rows identical everywhere orderable are interchangeable, so any
-    assignment yields the same output). Costs nothing when keys are unique
-    — the struct is only compared on a tie. Design notes:
-    docs/DESIGN.md#ids--tiebreak"""
+    """Deterministic tie contract for dense ids: row_number over a tied
+    ordering is rerun-nondeterministic, so the remaining columns'
+    ``joins.ordering_struct`` is appended to the sort — the output
+    multiset is then deterministic whenever tied rows differ anywhere the
+    struct can see (fully-orderable-identical rows are interchangeable).
+    Free when keys are unique. Design notes: docs/DESIGN.md#ids--tiebreak"""
     from .joins import ordering_struct
 
     rest = [c for c in df.columns if c not in order_by]

@@ -77,15 +77,10 @@ def merge_scd1(
 
 
 def ordering_struct(df: DataFrame, cols: Sequence[str]):
-    """Deterministic tiebreak struct over ``cols``: orderable columns enter
-    as-is; top-level map columns whose keys AND values are themselves
-    orderable enter canonicalized as sorted entry arrays (maps cannot be
-    sort keys, but excluding them would make rows distinguishable ONLY by
-    map values pick engine-arbitrarily — a merge fed by that would flap
-    across replays); any other non-orderable shape (maps nested deeper,
-    maps of maps) is excluded from the tiebreak — array_sort over its
-    entries would fail analysis, so those ties stay documented-arbitrary.
-    Shared by latest_per_key's ordered and unordered modes so the two
+    """Deterministic tiebreak struct over ``cols``: orderable columns
+    as-is; top-level orderable-entry maps canonicalized as sorted entry
+    arrays; deeper non-orderable shapes excluded (those ties stay
+    documented-arbitrary). Shared by latest_per_key's two modes so they
     cannot drift. Design notes: docs/DESIGN.md#joins-ordering-struct"""
     from pyspark.sql import types as T
 

@@ -1,16 +1,10 @@
-"""Sequence packing — the batch-assembly op of an LLM training pipeline:
-concatenate documents in a deterministic order and cut the token stream
-into fixed-budget training sequences (GPT-style concat-and-chunk packing).
-
-The hard part at scale is the global exclusive prefix sum: a naive
-unpartitioned ``Window.orderBy`` funnels the corpus through ONE task.
-Here it is the classic two-level scan: (1) shard deterministically by
-content hash, (2) per-shard windowed cumsum in parallel, (3) cumsum the
-one-row-per-shard aggregate on a single tiny partition and broadcast the
-offsets back. Every corpus-sized stage is hash-partitioned; the global
-order (shard, order_key) is arbitrary but total and engine-reproducible
-(the oracle replays it with one flat window, fine at oracle scale).
-"""
+"""Sequence packing (GPT-style concat-and-chunk): deterministic global
+order, fixed-budget cuts. The scale hazard is the global exclusive prefix
+sum — a naive Window.orderBy funnels the corpus through ONE task; here it
+is the classic two-level scan (content-hash shards -> per-shard windowed
+cumsum -> tiny shard-total cumsum broadcast back), every corpus-sized
+stage hash-partitioned; the (shard, order_key) order is arbitrary but
+total and engine-reproducible."""
 
 from __future__ import annotations
 

@@ -1,12 +1,8 @@
-"""Projection operators (SURVEY.md §2.2 P4-P8).
-
-The reference's most distinctive operator is the *name-predicate projection*
-(P7): keep the columns whose NAME matches a keyword set — how
-``nh-etl-provider-transform.py:68-82`` splits the wide provider frame into
-staffing / rating / survey dimension frames. Schema inspection runs
-driver-side on ``df.columns`` (cheap metadata), the result is still a single
-Catalyst Project that prunes the parquet scan down to the selected columns.
-"""
+"""Projection operators (SURVEY.md §2.2 P4-P8), incl. the reference's
+name-predicate projection (P7: keep columns whose NAME matches keywords —
+how ``nh-etl-provider-transform.py:68-82`` splits the provider frame).
+Name inspection is driver-side metadata; the result is one Catalyst
+Project that prunes the parquet scan."""
 
 from __future__ import annotations
 

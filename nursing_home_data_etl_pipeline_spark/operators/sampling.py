@@ -1,11 +1,7 @@
-"""Deterministic sampling / splitting for training-data pipelines.
-
-``df.sample()`` is seed-stable only per partitioning — rerun the pipeline
-with different file splits and the sample changes. These operators derive
-membership from a CONTENT hash instead: the same row lands in the same
-split on any cluster, any partitioning, any engine (md5 is portable, so
-splits are reproducible in the oracle and in any downstream system).
-"""
+"""Deterministic sampling / splitting: ``df.sample()`` is seed-stable
+only per partitioning, so membership derives from a CONTENT hash instead
+— the same row lands in the same split on any cluster, partitioning, or
+engine (md5, reproducible in the oracle and downstream)."""
 
 from __future__ import annotations
 

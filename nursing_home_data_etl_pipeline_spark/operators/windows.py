@@ -1,15 +1,9 @@
 """Window operators (SURVEY.md §2.5 / §2.8 — absent from the reference).
-
-Every helper takes an explicit deterministic ordering (callers must include a
-unique tiebreaker column) so results are stable across partitionings — the
-lesson of reference bug B5.
-
-Scale notes: all windows here are PARTITIONED (per-key) — state stays
-bounded per group and Spark distributes groups across executors. Global
-(unpartitioned) windows funnel everything through one task; the only one we
-expose is inside :func:`top_k_global` via orderBy+limit, which Spark executes
-as a distributed TakeOrdered (per-partition top-k + merge), not a full sort.
-"""
+Every helper takes an explicit deterministic ordering (callers include a
+unique tiebreaker — the bug-B5 lesson). All windows are PARTITIONED; the
+only global one hides inside :func:`top_k_global` as TakeOrdered. The
+*_scaled variants add the two-level segmented escape hatch for hot keys
+(round-13 #1)."""
 
 from __future__ import annotations
 

@@ -1,13 +1,8 @@
 """Registry mapping query names -> (Spark callable, DuckDB oracle SQL).
-
-Contract (driver's verify, see repo ``__spark_entry__.py``): the Spark
-callable takes ``(spark, sf_dir)`` and returns a DataFrame; the oracle is
-ANSI SQL DuckDB runs over the same parquet tables registered as views. The
-driver compares row count + schema + an order-insensitive value hash, sorting
-columns by name — so every computed column is aliased identically on both
-sides, and floating aggregates are rounded identically on both sides to keep
-the hash deterministic across summation orders.
-"""
+Driver contract (``__spark_entry__.py``): callable(spark, sf_dir) ->
+DataFrame; oracle = ANSI SQL over the same parquet views. The driver
+hashes column-name-sorted values, so computed columns are aliased and
+float aggregates rounded IDENTICALLY on both sides."""
 
 from __future__ import annotations
 

@@ -95,18 +95,32 @@ def rev_sum_col(tax: bool = False):
     return F.round(F.sum(expr), 2).cast("double")
 
 
+# Money/cent-valued SUMs ride exact DECIMAL like rev_sum (round-13: at
+# skew2-sf10 the double sum of l_extendedprice landed a few ULPs on
+# DIFFERENT sides of a .xx5 boundary in the two engines — order-dependent
+# float summation, unfixable by any rounding convention; DECIMAL(12,2)
+# covers the adversarial >=1e7 money rows).
+def dec_sum_sql(col: str) -> str:
+    return f"CAST(ROUND(SUM(CAST({col} AS DECIMAL(12,2))), 2) AS DOUBLE)"
+
+
+def dec_sum_col(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(12,2)")), 2).cast("double")
+
+
 @register(
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag,
            l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
+           {dec_sum_sql("l_quantity")}                                     AS sum_qty,
+           {dec_sum_sql("l_extendedprice")}                                AS sum_base_price,
            {rev_sum_sql()}                                                 AS sum_disc_price,
            {rev_sum_sql(tax=True)}                                         AS sum_charge,
-           {duck_round_sql("ROUND(SUM(l_quantity), 2) / COUNT(*)")}        AS avg_qty,
-           {duck_round_sql("ROUND(SUM(l_extendedprice), 2) / COUNT(*)")}   AS avg_price,
-           {duck_round_sql("ROUND(SUM(l_discount), 2) / COUNT(*)")}        AS avg_disc,
+           {duck_round_sql(dec_sum_sql("l_quantity") + " / COUNT(*)")}     AS avg_qty,
+           {duck_round_sql(dec_sum_sql("l_extendedprice") + " / COUNT(*)")} AS avg_price,
+           {duck_round_sql(dec_sum_sql("l_discount") + " / COUNT(*)")}     AS avg_disc,
            COUNT(*)                                                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -124,13 +138,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         ["l_returnflag", "l_linestatus"],
         [
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dec_sum_col("l_quantity").alias("sum_qty"),
+            dec_sum_col("l_extendedprice").alias("sum_base_price"),
             rev_sum_col().alias("sum_disc_price"),
             rev_sum_col(tax=True).alias("sum_charge"),
-            round_half_away(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
-            round_half_away(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6).alias("avg_price"),
-            round_half_away(F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6).alias("avg_disc"),
+            round_half_away(dec_sum_col("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            round_half_away(dec_sum_col("l_extendedprice") / F.count(F.lit(1)), 6).alias("avg_price"),
+            round_half_away(dec_sum_col("l_discount") / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         ],
     )
@@ -141,11 +155,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_custkey,
            COUNT(*)                                         AS n_orders,
-           {duck_round_sql("ROUND(SUM(o_totalprice), 2) / COUNT(*)")} AS avg_price,
+           {duck_round_sql(dec_sum_sql("o_totalprice") + " / COUNT(*)")} AS avg_price,
            COUNT(*) FILTER (WHERE o_orderstatus = 'F')      AS n_finished,
            COUNT(*) FILTER (WHERE o_orderstatus = 'O')      AS n_open,
-           ROUND(SUM(CASE WHEN o_orderpriority LIKE '1%'
-                          THEN o_totalprice ELSE 0 END), 2) AS urgent_revenue
+           {dec_sum_sql("CASE WHEN o_orderpriority LIKE '1%' "
+                        "THEN o_totalprice ELSE 0 END")}    AS urgent_revenue
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) FILTER (WHERE o_orderstatus = 'F') >= 5
@@ -161,21 +175,16 @@ def group_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            # avg via round(sum,2)/count: a raw ROUND(AVG(x),2) can land on
-            # a .xx5 boundary and flip the last cent between engines
-            round_half_away(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 6).alias(
+            # avg via dec_sum/count: money sums ride exact DECIMAL (see
+            # dec_sum_col — a double sum's last cent is order-dependent)
+            round_half_away(dec_sum_col("o_totalprice") / F.count(F.lit(1)), 6).alias(
                 "avg_price"
             ),
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
             F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("o_orderpriority").startswith("1"),
-                        F.col("o_totalprice"),
-                    ).otherwise(0.0)
-                ),
-                2,
+            dec_sum_col(
+                F.when(F.col("o_orderpriority").startswith("1"),
+                       F.col("o_totalprice")).otherwise(0.0)
             ).alias("urgent_revenue"),
         )
         .filter(F.col("n_finished") >= 5)

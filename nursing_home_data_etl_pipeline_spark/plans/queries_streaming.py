@@ -44,12 +44,10 @@ _EVENTS_RAW_SCHEMA = T.StructType([
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Bounded file stream over the events table, with ``ts`` normalized to
-    TimestampType (LTZ, UTC session tz) — the streaming twin of
-    ``sources.readers.read_table``. The on-disk encoding has varied across
-    testdata generations (TIMESTAMP(NANOS) vs plain micros / NTZ), so
-    probe the batch-inferred type once (footer-only) and build the
-    matching streaming schema.
+    """Bounded file stream over events, ``ts`` normalized to TimestampType
+    — the streaming twin of readers.read_table. On-disk ts encodings vary
+    by generation, so probe the batch-inferred type once (footer-only) and
+    build the matching streaming schema.
     Design notes: docs/DESIGN.md#queries-streaming-stream-events"""
     from ..sources.readers import (
         normalize_events_ts,
@@ -117,11 +115,9 @@ def _drain_to_parquet(
     require_multi_batch: bool = False,
 ) -> DataFrame:
     """Run the streaming plan to completion through a foreachBatch parquet
-    sink; return a batch read over the written files. Bounded input +
-    processAllAvailable => deterministic. Replaces the round-7 memory sink
-    (round-12 #3): results land on DISK, so a sf10 drain no longer retains
-    a multi-million-row table in the one local driver JVM, and the offload
-    comparator gates streaming output straight from parquet.
+    sink; return a batch read over the files. Bounded input +
+    processAllAvailable => deterministic; results land on DISK (round-12
+    #3 — the memory sink retained every table in the one driver JVM).
     Design notes: docs/DESIGN.md#queries-streaming--drain-to-parquet"""
     spark = df.sparkSession
     root = tempfile.mkdtemp(prefix="stream_drain_")

@@ -1,12 +1,8 @@
-"""Validation gate (SURVEY.md §2.4 A2, §5).
-
-The reference gates its transform stage on all four staging prefixes being
-non-empty (``validate_staging.py:15-47``), but a ``"status": "error"``
-*return value* doesn't actually fail the Step Function state (SURVEY.md §3.1
-step 5 — only thrown errors trigger Catch). The engine fixes that semantics:
-:func:`require_staged` RAISES on a missing/empty domain, so the pipeline
-driver's control flow is the gate.
-"""
+"""Validation gate (SURVEY.md §2.4 A2, §5): the reference checks all four
+staging prefixes non-empty (``validate_staging.py:15-47``) but its error
+RETURN never failed the Step Function (§3.1 step 5 — only thrown errors
+trigger Catch); :func:`require_staged` RAISES instead, making driver
+control flow the gate."""
 
 from __future__ import annotations
 

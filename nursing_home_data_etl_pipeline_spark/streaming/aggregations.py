@@ -1,11 +1,8 @@
-"""Streaming event-time aggregation: watermarked tumbling windows, session
-windows, and a custom stateful operator via applyInPandasWithState.
-
-Late data policy (the capability the reference handles only operationally,
-SURVEY.md §2.7): a watermark bounds how late events may arrive; windows
-older than the watermark finalize and their state is dropped — bounded
-state at unbounded input, the streaming analog of "design for 100 TB".
-"""
+"""Streaming event-time aggregation: watermarked tumbling windows,
+session windows, a custom stateful op via applyInPandasWithState. Late
+data (SURVEY.md §2.7): the watermark bounds lateness; older windows
+finalize and their state drops — bounded state at unbounded input, the
+streaming analog of "design for 100 TB"."""
 
 from __future__ import annotations
 

@@ -1,11 +1,7 @@
-"""Streaming upsert sink: maintain an SCD1 dimension from a stream.
-
-``foreachBatch`` hands each micro-batch to ordinary batch code — here the
-same :func:`operators.joins.merge_scd1` the batch pipeline uses — giving a
-continuously-maintained warehouse dim with the stream source's exactly-once
-file ledger. Batch and streaming therefore share ONE merge implementation
-(no drift between the two paths).
-"""
+"""Streaming upsert sink: ``foreachBatch`` hands each micro-batch to the
+SAME :func:`operators.joins.merge_scd1` the batch pipeline uses — a
+continuously-maintained SCD1 dim with the file source's exactly-once
+ledger, one merge implementation for both paths."""
 
 from __future__ import annotations
 

@@ -98,13 +98,18 @@ def test_streamed_offload_oracles_detect_corruption(spark, con, tmp_path):
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
-    from check_correctness import _chunks_offloaded, _near_pairs_offloaded
+    from check_correctness import (
+        _chunks_offloaded,
+        _near_pairs_offloaded,
+        _training_offloaded,
+    )
 
     from pyspark.sql import functions as F
 
     tmp = str(tmp_path)
     cases = (("chunk_documents", _chunks_offloaded, "n_words"),
-             ("dedup_near_pairs", _near_pairs_offloaded, "n"))
+             ("dedup_near_pairs", _near_pairs_offloaded, "n"),
+             ("training_corpus", _training_offloaded, "n_words"))
     for name, ovr, valcol in cases:
         e = catalog.entries()[name]
         assert ovr(spark, con, f"{name}_g", e.spark, None, SF_DIR, tmp) == []

@@ -1,15 +1,10 @@
-"""Derive an ADVERSARIAL test fixture from the driver's sf0.001 parquet:
-original rows untouched + APPENDED edge rows with fresh keys (NULLs,
-blank/unicode/regex-metachar text, exact/near dup docs, tied event
-timestamps, orphan FKs, epoch boundaries) — the input classes rounds 5-6
-proved the driver fixture never exercises. Schemas preserved
-byte-identically. Float values follow the pinned exactly-representable
-policy. Full rationale: docs/TOOLS.md#adversarial-fixture and
-#adversarial-fixture-float-policy.
-
-Usage:
-    python tools/adversarial_fixture.py [src_sf_dir] [dest_dir]
-    python tools/check_correctness.py <dest_dir>           # the gate"""
+"""Derive an ADVERSARIAL fixture: original rows + APPENDED fresh-key edge
+rows (NULLs, blank/unicode/regex text, dup docs, tied timestamps, orphan
+FKs, epoch boundaries) — the classes the driver fixture never exercises;
+schemas byte-identical, floats exactly-representable by policy. Full
+rationale: docs/TOOLS.md#adversarial-fixture. Usage:
+python tools/adversarial_fixture.py [src_sf_dir] [dest_dir], then gate
+with check_correctness.py."""
 
 from __future__ import annotations
 
@@ -299,11 +294,9 @@ def derive_skew(src: str, dest: str) -> None:
 
 
 def derive_all_duplicates(src: str, dest: str) -> None:
-    """ALL-DUPLICATES axis: identical text in every document and an
-    identical embedding in every row — the quadratic-pair stressor
-    (C(500,2) = 124,750 LSH pair edges at sf0.001 push connected
-    components past the 100k-edge threshold into the distributed
-    min-label branch)."""
+    """ALL-DUPLICATES axis: identical text/embedding everywhere — the
+    quadratic-pair stressor (124,750 LSH edges at sf0.001 push connected
+    components into the distributed min-label branch)."""
 
     def mutate(name, tbl):
         dup_col = {"documents": "text", "embeddings": "embedding"}.get(name)

@@ -18,9 +18,8 @@ import sys
 import tempfile
 import time
 
-# Repo root by FILE location, not cwd: robustness_matrix imports this
-# module for EXPECTED_CATALOG, and a '.' insertion would break the package
-# import whenever the caller's cwd is not the repo root.
+# Repo root by FILE location, not cwd (robustness_matrix imports this
+# module from arbitrary cwds).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nursing_home_data_etl_pipeline_spark.functions.vectors import (  # noqa: E402
@@ -32,9 +31,8 @@ from nursing_home_data_etl_pipeline_spark.plans.verify import (  # noqa: E402
 )
 
 
-#: The driver contract pins the catalog at EXACTLY this many queries; a
-#: full gate over any other number is itself a failure — a shrunken
-#: registry once printed '0 failures' having checked NOTHING (round 8).
+#: The driver contract pins the catalog at EXACTLY this many queries — a
+#: shrunken registry once printed '0 failures' having checked NOTHING.
 EXPECTED_CATALOG = 50
 
 
@@ -57,23 +55,14 @@ def _canon_select(con, rel: str) -> str:
     return ", ".join(parts)
 
 
-def _clusters_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
-    """Offload override for ``dedup_clusters`` (round-12 #1): streamed
-    union-find over the DuckDB-built MinHash pairs — O(distinct doc_ids)
-    memory where the recursive CTE needed >80 GB at sf10; parity-checked
-    each close. Rationale: docs/TOOLS.md#check-correctness-union-find"""
-    from nursing_home_data_etl_pipeline_spark.plans.queries_northstar import (
-        _minhash_pairs_cte,
-    )
+def _stream(con, sql: str):
+    yield from con.execute(sql).fetch_record_batch(1 << 20)
 
-    sdf = fn(spark, sf_dir)
-    path = os.path.join(tmp, name)
-    sdf.write.mode("overwrite").parquet(path)
-    scols = sorted(sdf.columns)
-    if scols != ["cluster_id", "cluster_size", "doc_id"]:
-        return [f"schema: spark={scols} "
-                "oracle=['cluster_id', 'cluster_size', 'doc_id']"]
 
+def _union_find(con, vertex_sql: str, pair_sql: str):
+    """Streamed union-find (round-12 #1 pattern): O(distinct vertices)
+    memory; union by MIN so every root IS its component's minimum label.
+    Rationale: docs/TOOLS.md#check-correctness-union-find"""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -84,28 +73,89 @@ def _clusters_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
             parent[x], x = r, parent[x]
         return r
 
-    def stream(sql: str):
-        reader = con.execute(sql).fetch_record_batch(1 << 20)
-        for batch in reader:
-            yield batch
-
-    for batch in stream(
-        "SELECT doc_id FROM documents WHERE doc_id IS NOT NULL"
-    ):
+    for batch in _stream(con, vertex_sql):
         for v in batch.column(0).to_pylist():
             parent[v] = v
-    n_vertices = len(parent)
-    for batch in stream(
-        f"WITH {_minhash_pairs_cte()} SELECT id_a, id_b FROM mh_pairs"
-    ):
+    for batch in _stream(con, pair_sql):
         for a, b in zip(batch.column(0).to_pylist(),
                         batch.column(1).to_pylist()):
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-    # engine contract: cluster_id = MIN doc_id in the component. Union by
-    # min above makes every root the component minimum already; sizes in a
-    # second pass once the forest is final.
+    return parent, find
+
+
+def _register_sig_pairs(con, src_sql: str) -> None:
+    """Register Python-built MinHash sigs as ``_py_sig`` + a ``_mh_pairs``
+    band-join view (round-13: the DuckDB shingle chain's spill exceeded
+    the DISK at the skew2 tail; sigs are O(1) state per doc here). Spec
+    twin of _duck_minhash_sig_cte — md5 per DISTINCT shingle, 48-bit
+    halves, MIN((h1+s*h2)%P); duplicate doc_id rows merge by min."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+        MINHASH_P as P,
+    )
+    from nursing_home_data_etl_pipeline_spark.plans.queries_northstar import (
+        _NUM_HASHES,
+        _band_selects_sql,
+    )
+
+    S = np.arange(_NUM_HASHES, dtype=np.uint64)
+    sigs: dict[int, np.ndarray] = {}
+    for batch in _stream(con, src_sql):
+        for d, t in zip(batch.column(0).to_pylist(),
+                        batch.column(1).to_pylist()):
+            norm = _py_norm(t)
+            if not norm:
+                continue
+            w = norm.split(" ")
+            sh = (set(zip(w, w[1:], w[2:], w[3:], w[4:]))
+                  if len(w) >= 5 else {tuple(w)})
+            h = np.empty((len(sh), 2), dtype=np.uint64)
+            for i, tup in enumerate(sh):
+                dg = hashlib.md5(" ".join(tup).encode()).digest()
+                h[i, 0] = int.from_bytes(dg[:6], "big")
+                h[i, 1] = int.from_bytes(dg[6:12], "big")
+            # h1 + s*h2 < 2^53: exact in uint64
+            m = ((h[:, :1] + S[None, :] * h[:, 1:2]) % P).min(axis=0)
+            prev = sigs.get(d)
+            sigs[d] = m if prev is None else np.minimum(prev, m)
+    ids = list(sigs)
+    cols = {"doc_id": pa.array(ids, pa.int64())}
+    for s in range(_NUM_HASHES):
+        cols[f"mh_{s}"] = pa.array(
+            [int(sigs[d][s]) for d in ids], pa.int64())
+    con.register("_py_sig", pa.table(cols))
+    con.execute(f"""CREATE OR REPLACE TEMP VIEW _mh_pairs AS
+      WITH bands AS ({_band_selects_sql("_py_sig")})
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""")
+
+
+def _clusters_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
+    """Offload override for ``dedup_clusters`` (round-12 #1 + round-13
+    py-sig rewrite): Python MinHash sigs -> SQL band join -> streamed
+    union-find; parity-checked each close.
+    Rationale: docs/TOOLS.md#check-correctness-union-find"""
+    sdf = fn(spark, sf_dir)
+    path = os.path.join(tmp, name)
+    sdf.write.mode("overwrite").parquet(path)
+    scols = sorted(sdf.columns)
+    if scols != ["cluster_id", "cluster_size", "doc_id"]:
+        return [f"schema: spark={scols} "
+                "oracle=['cluster_id', 'cluster_size', 'doc_id']"]
+
+    _register_sig_pairs(
+        con, "SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL")
+    parent, find = _union_find(
+        con, "SELECT doc_id FROM documents WHERE doc_id IS NOT NULL",
+        "SELECT id_a, id_b FROM _mh_pairs")
+    n_vertices = len(parent)
     size: dict[int, int] = {}
     for v in list(parent):
         r = find(v)
@@ -118,14 +168,53 @@ def _clusters_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
     if ns != n_vertices or nd != ns:
         return [f"rowcount: spark={ns} ({nd} distinct) oracle={n_vertices}"]
     bad = 0
-    for batch in stream(
-        f"SELECT doc_id, cluster_id, cluster_size FROM '{path}/*.parquet'"
+    for batch in _stream(
+        con, f"SELECT doc_id, cluster_id, cluster_size FROM '{path}/*.parquet'"
     ):
         for d, c, n in zip(*(batch.column(i).to_pylist() for i in range(3))):
             r = parent.get(d) is not None and find(d)
             if r is False or c != r or n != size[r]:
                 bad += 1
     return [f"values: {bad} rows differ (union-find oracle)"] if bad else []
+
+
+def _training_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
+    """Offload override for ``training_corpus`` (round-13: its SQL oracle
+    carried BOTH the disk-filling shingle chain AND the r11-OOM recursive
+    CC): quality gate + final projection stay SQL (linear), MinHash sigs
+    in Python, band join over the per-doc sig table, clusters via the
+    streamed union-find. Parity + corruption pinned in tests."""
+    import pyarrow as pa
+
+    from nursing_home_data_etl_pipeline_spark.functions.text import (
+        duck_norm_sql,
+        duck_words_sql,
+    )
+    from nursing_home_data_etl_pipeline_spark.plans.queries_sampling import (
+        _DUCK_QUALITY,
+        _QUALITY_MIN,
+    )
+
+    scols, path = _spark_to_parquet(spark, fn, sf_dir, tmp, name)
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE _kept AS "
+        f"SELECT doc_id, text, lang FROM documents "
+        f"WHERE {_DUCK_QUALITY} >= {_QUALITY_MIN} "
+        f"AND lang IN ('en', 'de', 'es', 'fr')")
+    _register_sig_pairs(
+        con, "SELECT doc_id, text FROM _kept WHERE doc_id IS NOT NULL")
+    parent, find = _union_find(
+        con, "SELECT doc_id FROM _kept WHERE doc_id IS NOT NULL",
+        "SELECT id_a, id_b FROM _mh_pairs")
+    reps = [v for v in parent if find(v) == v]
+    con.register("_py_reps", pa.table({"doc_id": pa.array(reps, pa.int64())}))
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE _o AS "
+        f"SELECT k.doc_id, k.lang, md5({duck_norm_sql('k.text')}) AS fp, "
+        f"CAST(len({duck_words_sql('k.text')}) AS BIGINT) AS n_words "
+        f"FROM _kept k JOIN _py_reps USING (doc_id)")
+    con.unregister("_py_reps")
+    return _diff_vs_o(con, scols, path)
 
 
 _PY_WS = re.compile("[ \t\n\x0b\f\r]+")
@@ -138,10 +227,8 @@ def _py_norm(t: str | None) -> str | None:
 
 
 def _stream_docs(con):
-    for batch in con.execute(
-        "SELECT doc_id, text FROM documents"
-    ).fetch_record_batch(1 << 14):
-        yield from zip(batch.column(0).to_pylist(), batch.column(1).to_pylist())
+    for b in _stream(con, "SELECT doc_id, text FROM documents"):
+        yield from zip(b.column(0).to_pylist(), b.column(1).to_pylist())
 
 
 def _chunks_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
@@ -174,11 +261,10 @@ def _chunks_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
 
 def _near_pairs_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
     """Offload override for ``dedup_near_pairs`` (round-13 #3): streamed
-    Python shingler (per-doc DISTINCT 5-word tuples, identity =
-    hash(tuple) — a collision can only perturb toward a loud FAIL) feeding
-    the UNCHANGED SQL pair join / cap / threshold; simhash side stays SQL.
-    Parity + corruption rejection pinned in tests/test_catalog_oracle.py.
-    Rationale: docs/TOOLS.md#streamed-oracles"""
+    Python shingler (identity = hash(tuple); a collision can only perturb
+    toward a loud FAIL) feeding the UNCHANGED SQL pair join/cap/threshold;
+    simhash stays SQL. Parity + corruption pinned in
+    tests/test_catalog_oracle.py; docs/TOOLS.md#streamed-oracles"""
     import pyarrow as pa
 
     from nursing_home_data_etl_pipeline_spark.operators.dedup import (
@@ -234,6 +320,7 @@ OFFLOAD_OVERRIDES = {
     "dedup_clusters": _clusters_offloaded,
     "chunk_documents": _chunks_offloaded,
     "dedup_near_pairs": _near_pairs_offloaded,
+    "training_corpus": _training_offloaded,
 }
 
 

@@ -1,22 +1,11 @@
-"""Atomic round close (round-10 directive #4): ONE command, run on the
-FINAL tree (refuses a dirty one), that re-runs every close artifact and
-stamps the git commit into each record — a hand-run close once produced
-an audit doc six hours older than the tree it claimed to describe.
-
-Steps, each a subprocess so one crash fails that step only:
-  matrix -> MATRIX_r{N}.json      full robustness matrix, all axes
-  bench  -> BENCH_warm_r{N}.json  bench.py --warm W at $SPARK_GRAFT_SF_DIR
-  parity -> (inline)              exact AND --offload comparators over the
-                                  full catalog at $SPARK_GRAFT_SF_DIR must
-                                  AGREE — the offload gate is a second,
-                                  looser correctness definition (r12 #4)
-  ledger -> (inline)              tools/loc_ledger.py counts
-  audit  -> docs/EXPLAIN_AUDIT.md regenerated, commit line injected
-Writes CLOSE_r{N}.json {commit, steps, all_green}; exit 0 iff every step
-passed. Artifacts land one commit AFTER the stamped tree by construction.
-
-Usage: python tools/close_round.py N [--warm 3] [--skip matrix,bench,...]
-"""
+"""Atomic round close (round-10 #4): ONE command on the FINAL tree
+(refuses dirty), re-running every close artifact with the commit stamped
+into each record. Steps (each a subprocess): matrix -> MATRIX_r{N}.json;
+bench -> BENCH_warm_r{N}.json; parity (exact and --offload comparators
+must AGREE over the full catalog at $SPARK_GRAFT_SF_DIR, r12 #4); ledger;
+audit -> docs/EXPLAIN_AUDIT.md regenerated. Writes CLOSE_r{N}.json; exit
+0 iff all green. Usage: python tools/close_round.py N [--warm 3]
+[--skip matrix,bench,...]"""
 
 from __future__ import annotations
 

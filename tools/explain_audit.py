@@ -1,9 +1,6 @@
-"""Generate docs/EXPLAIN_AUDIT.md: formatted physical plans for the
-representative query of each family, with the scale property each plan is
-expected to exhibit. Re-run after plan-affecting changes:
-
-    python tools/explain_audit.py [sf_dir]
-"""
+"""Generate docs/EXPLAIN_AUDIT.md: formatted physical plans per family +
+the scale property each must exhibit. Re-run after plan-affecting
+changes: python tools/explain_audit.py [sf_dir]"""
 
 from __future__ import annotations
 
@@ -21,7 +18,7 @@ AUDITED = {
     "dedup_near_pairs": "simhash branch: signature build is one explode + one 60-column hash aggregate (conv()-based token hash); band self-join reuses the signature exchange; bit_count verify is row-local. jaccard branch: shingle explode is map-side; the only wide ops are the inverted-index self-join (hot-shingle capped) and the pair aggregate.",
     "similarity_topk": "brute branch: query batch broadcast (BroadcastNestedLoopJoin); corpus side never shuffles. lsh branch: bucket equi-join replaces the cross join.",
     "shipping_priority_q3": "Selective dim filters pushed to scans; filtered customer side broadcast; TakeOrderedAndProject for the top-10.",
-    "events_lag_debounce": "Both window specs hash-partition by the user key; the (user_id, event_type) spec reuses the user_id shuffle family — no third pass for the JSON extraction (row-local).",
+    "events_lag_debounce": "At audit scale (below the size threshold) both lag windows hash-partition by the user key; JSON extraction is row-local. Above the threshold (round-13 #1) every window also partitions by the order-consistent _seg column — boundary rows exchange via a keys-x-segments table — pinned in test_segmented_windows_have_no_per_key_flat_window.",
     "chunk_documents": "Map-only: project + generate (explode) with no Exchange anywhere.",
     "asof_join_events": "asof variant: ONE key-shuffle (window over the tagged union); range variant: interval side exploded per bucket then SortMergeJoin/ShuffledHashJoin on (user_id, bucket) — no BroadcastNestedLoopJoin anywhere despite the range predicate.",
     "similarity_ann_ivf": "The only BroadcastNestedLoopJoins are the deliberate 8-row centroid cross products (corpus x cells / queries x cells); the corpus is touched by one hash aggregate (cell assignment) and one BroadcastHashJoin against the nprobe-ranked query batch — never a corpus self-shuffle or corpus-sized nested loop.",
@@ -39,7 +36,7 @@ AUDITED = {
     "dedup_clusters": "Pair generation is the banded LSH self-join (only colliding buckets materialize); min-label propagation is a bounded sequence of hash joins over the edge set — no CartesianProduct, no corpus x corpus.",
     "embedding_near_dup": "RHP-LSH: plane count derived from an occupancy aggregate (broadcast), candidate pairs come from the bucket equi-join — the corpus is never nested-loop joined with itself.",
     "stats_aggregates": "Two branches (round-11 split of the sf10 super-linear scaler): the 12 exact-decimal moment sums run as codegen HashAggregate pairs with NO percentile riding along; the exact percentiles run frequency-weighted over a (flag, col, value) HISTOGRAM aggregate — ObjectHashAggregate ingests distinct grid values, not 60M rows — and rejoin via one BroadcastHashJoin.",
-    "window_running_sum": "The running-sum window hash-partitions by its key (no global single-partition Window over the fact table).",
+    "window_running_sum": "At audit scale: one hash-partitioned running-sum window. Above the size threshold (round-13 #1) the two-level segmented plan runs — local RANGE sums per (key, _seg) plus an exclusive scan of segment totals — so no task ever holds one key's whole history (pinned in test_segmented_windows_have_no_per_key_flat_window).",
     "training_corpus": "End-to-end pipeline keeps each stage's own bound: quality gate is map-only on the scan, LSH dedup is the banded self-join, the representative re-join is key-hashed — no stage shuffles the corpus more than once.",
     # streaming queries are excluded: entries() drains them, so the returned
     # frame is the memory sink's LocalTableScan, not the streaming plan.

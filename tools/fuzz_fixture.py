@@ -20,10 +20,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-# ONE source for the table list among the fixture builders (a missed edit
-# in a duplicated copy would silently omit a table from one axis's
-# fixture). plans/verify.py keeps its own copy deliberately: the package
-# must not depend on tools/, and the builders stay pyspark-import-free.
+# ONE table-list source for the fixture builders; plans/verify.py keeps
+# its own copy deliberately (package must not depend on tools/).
 from adversarial_fixture import TABLES  # noqa: E402
 
 SAFE_FLOATS = [0.0, -1.25, 0.25, 1.5, 100.25, 987654321.25, -50.5,
@@ -211,13 +209,10 @@ FK_PAIRS = (
 
 
 def _correlate(tabs: dict[str, pa.Table], crng: random.Random) -> None:
-    """CROSS-TABLE correlated mutations (round-10 directive #5): the value/
-    shape streams mutate each table independently, so referential shapes —
-    a parent key owning half its children, a duplicated parent fanning out
-    every child join, an orphaned key that ALSO has duplicate children —
-    were never generated. Parent duplication is VERBATIM (the chimera
-    policy); table policies re-run after this, so e.g. duplicate BUILDING
-    customers still get resolved."""
+    """CROSS-TABLE correlated mutations (round-10 #5): referential shapes
+    the independent streams never generate (hot parent, duplicated parent
+    fan-out, orphan-with-duplicate-children). Parent duplication is
+    VERBATIM (chimera policy); table policies re-run after this."""
     for _ in range(crng.randint(1, 2)):
         parent, pk, child, fk = crng.choice(FK_PAIRS)
         ptab, ctab = tabs[parent], tabs[child]
@@ -286,13 +281,10 @@ _POLICIES = {
 
 
 def _write_layout(tbl: pa.Table, path: str, lrng: random.Random) -> None:
-    """Physical-layout fuzz: identical rows, randomized file split and
-    row-group sizes. Half the tables stay a single file; the rest become a
-    DIRECTORY named ``*.parquet`` holding 2-4 part files (the shape Spark
-    sinks produce — both ``spark.read.parquet`` and the oracle's
-    ``{path}/*.parquet`` glob dispatch on it), with random cut points that
-    can yield 0-row schema-only parts. Queries must be invariant to this:
-    a failure here is an order/partition-count dependence bug."""
+    """Physical-layout fuzz: identical rows, randomized file split /
+    row-group sizes; half the tables become ``*.parquet`` DIRECTORIES of
+    2-4 parts (Spark-sink shape), cut points may yield 0-row parts. A
+    failure here is an order/partition-count dependence bug."""
     if lrng.random() < 0.5:
         pq.write_table(tbl, path)
         return

@@ -1,14 +1,10 @@
 """One-command robustness matrix: the full 50-query oracle gate on every
-axis (clean sfs, adversarial, derived skew/empty/single-row/
-all-duplicates/row-order-reversed, cpus3, seeded fuzz incl. the pinned
-class-discovery seeds), one JSON record out; each axis is a subprocess of
-check_correctness.py so a JVM crash fails that axis only. Axis inventory:
-the AXES table below; rationale: docs/TOOLS.md#robustness-matrix.
-
-Usage:
-    python tools/robustness_matrix.py [--out MATRIX.json] [--axes a,b,...]
-        [--workdir DIR] [--testdata /root/testdata]
-Exit 0 iff every selected axis passes."""
+axis (clean sfs, adversarial, derived skew/empty/single-row/all-dup/
+reversed, cpus3, seeded fuzz incl. pinned class-discovery seeds); each
+axis a subprocess so a JVM crash fails that axis only. Inventory: AXES
+below; rationale: docs/TOOLS.md#robustness-matrix. Usage:
+python tools/robustness_matrix.py [--out F] [--axes a,b] [--workdir D]
+[--testdata D]; exit 0 iff every selected axis passes."""
 
 from __future__ import annotations
 
@@ -21,7 +17,6 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
 import adversarial_fixture as af  # noqa: E402
 import fuzz_fixture as ff  # noqa: E402
 from check_correctness import EXPECTED_CATALOG  # noqa: E402

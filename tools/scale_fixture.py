@@ -1,14 +1,10 @@
-"""Key-shifted ~Nx replication of a testdata dir — the empirical scale
-points above sf0.1 (SCALE_r09..r12.json). NOT verbatim replication: each
-replica shifts id/FK families, substitution-ciphers text, and
-rotates+sign-flips embeddings so replicas decorrelate while within-replica
-structure stays exact; ``--skew`` layers hot keys, a 1000x doc-length
-tail, and growing group cardinality; ``--skew2`` is the harsher point
-(50% hot keys, 10^4x tail). Full rationale:
-docs/TOOLS.md#scale-fixture and #scale-fixture-skew.
-
-Usage: python tools/scale_fixture.py [--skew|--skew2] [replicas] [src] [dest];
-then gate with check_correctness.py and bench with SPARK_GRAFT_SF_DIR."""
+"""Key-shifted ~Nx replication of a testdata dir (the empirical scale
+points above sf0.1): replicas shift id/FK families, substitution-cipher
+text and rotate+sign-flip embeddings so they decorrelate; ``--skew``
+layers hot keys / 1000x doc-length tail / growing group cardinality;
+``--skew2`` = 50% hot keys, 10^4x tail. Rationale:
+docs/TOOLS.md#scale-fixture. Usage: python tools/scale_fixture.py
+[--skew|--skew2] [replicas] [src] [dest]."""
 
 from __future__ import annotations
 
