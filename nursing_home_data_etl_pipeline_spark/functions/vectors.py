@@ -36,6 +36,42 @@ def duck_round_sql(expr: str, decimals: int = 6) -> str:
     )
 
 
+def val_sum_col(col: Column | str = "value", scale: int = 4) -> Column:
+    """EXACT decimal SUM of a grid-valued double column (events.value: a
+    ≤4-decimal grid by fixture policy, docs/TOOLS.md#fuzz-fixture-policies)
+    with double-SUM's IEEE non-finite semantics preserved: any NaN — or
+    +Inf meeting -Inf — poisons the group to NaN, else a lone infinity
+    wins, else the order-independent DECIMAL(18,{scale}) sum (round-13:
+    order-dependent double summation straddled a .xx5 boundary between
+    engines; round-14 #2 closes the residual value-sum members). Spark
+    casts NaN/Inf→DECIMAL to NULL, so the decimal branch skips them."""
+    c = F.col(col) if isinstance(col, str) else col
+    flag = lambda cond: F.max(F.when(cond, 1).otherwise(0)) == 1  # noqa: E731
+    nan, pinf, ninf = (flag(F.isnan(c)), flag(c == float("inf")),
+                       flag(c == float("-inf")))
+    # string-routed DECIMAL->DOUBLE: bit-identical across engines even
+    # when the unscaled sum exceeds 2^53 (queries_stats._dsum rationale)
+    dec = (F.sum(c.cast(f"decimal(18,{scale})"))
+           .cast("string").cast("double"))
+    return (F.when(nan | (pinf & ninf), F.lit(float("nan")))
+            .when(pinf, F.lit(float("inf")))
+            .when(ninf, F.lit(float("-inf")))
+            .otherwise(dec))
+
+
+def val_sum_sql(col: str = "value", scale: int = 4) -> str:
+    """DuckDB oracle twin of :func:`val_sum_col` (isfinite guard: DuckDB's
+    NaN/Inf→DECIMAL cast hard-errors — even TRY_CAST — where Spark's
+    yields NULL)."""
+    pinf, ninf = f"BOOL_OR({col} = 'inf'::DOUBLE)", f"BOOL_OR({col} = '-inf'::DOUBLE)"
+    dec = f"CASE WHEN isfinite({col}) THEN CAST({col} AS DECIMAL(18,{scale})) END"
+    return (
+        f"(CASE WHEN BOOL_OR(isnan({col})) OR ({pinf} AND {ninf}) THEN 'nan'::DOUBLE"
+        f" WHEN {pinf} THEN 'inf'::DOUBLE WHEN {ninf} THEN '-inf'::DOUBLE"
+        f" ELSE CAST(CAST(SUM({dec}) AS VARCHAR) AS DOUBLE) END)"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product in double precision (left-to-right fold — deterministic
     summation order, unlike a shuffle-order-dependent SUM)."""

@@ -82,11 +82,36 @@ def running_agg(
 SEGMENT_THRESHOLD_BYTES = 64 * 1024 * 1024
 
 
+def plan_segments(
+    df: DataFrame,
+    order_by: Sequence[str],
+    n_segments: int | None = None,
+    threshold_bytes: int = SEGMENT_THRESHOLD_BYTES,
+) -> Column | None:
+    """Precompute ONE order-consistent segment column for several
+    consecutive ``*_scaled`` calls over the same ordering — each call's
+    own sample job would otherwise replay the previous call's whole
+    segmented-join lineage (ADVICE r13). Returns None below the size
+    threshold; pass the result straight to ``segments=`` (the flat path
+    then applies in each call)."""
+    from .ids import _estimated_size_bytes, order_key_segments
+
+    if threshold_bytes > 0 and _estimated_size_bytes(df) <= threshold_bytes:
+        return None
+    if n_segments is None:
+        n_segments = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return order_key_segments(df, order_by, max(1, min(n_segments, 1024)))
+
+
 def _segmented(df: DataFrame, order_by: Sequence[str],
-               n_segments: int | None, used: Sequence[str]) -> DataFrame:
+               n_segments: int | None, used: Sequence[str],
+               seg_col: Column | None = None) -> DataFrame:
     """Attach the order-consistent ``_seg`` column (ids.order_key_segments
     — deterministic cuts, ties share a segment) after guarding internal
-    column-name collisions."""
+    column-name collisions; callers include their ``_pb_*`` join aliases
+    in ``used`` so a colliding input fails loudly, not with an ambiguous-
+    column AnalysisException (ADVICE r13)."""
     from .ids import order_key_segments
 
     if n_segments is None:
@@ -97,7 +122,9 @@ def _segmented(df: DataFrame, order_by: Sequence[str],
     if clash:
         raise ValueError(
             f"df columns collide with segmented-window internals: {clash}")
-    return df.withColumn("_seg", order_key_segments(df, order_by, n_segments))
+    if seg_col is None:
+        seg_col = order_key_segments(df, order_by, n_segments)
+    return df.withColumn("_seg", seg_col)
 
 
 def _seg_join(local: DataFrame, small: DataFrame,
@@ -122,6 +149,7 @@ def running_sum_scaled(
     out_name: str = "running",
     n_segments: int | None = None,
     threshold_bytes: int = SEGMENT_THRESHOLD_BYTES,
+    segments: Column | None = None,
 ) -> DataFrame:
     """Cumulative sum whose worst case never puts one key's history on one
     task: below ``threshold_bytes`` (Catalyst size estimate, like
@@ -136,9 +164,12 @@ def running_sum_scaled(
     from .ids import _estimated_size_bytes
 
     cols = [F.col(c) for c in order_by]
-    if threshold_bytes > 0 and _estimated_size_bytes(df) <= threshold_bytes:
+    if segments is None and (
+            threshold_bytes > 0 and _estimated_size_bytes(df) <= threshold_bytes):
         return running_agg(df, partition_by, cols, agg_col, out_name=out_name)
-    dfs = _segmented(df, order_by, n_segments, ("_loc", "_t", "_off", out_name))
+    dfs = _segmented(df, order_by, n_segments,
+                     ("_loc", "_t", "_off", out_name,
+                      *(f"_pb_{c}" for c in partition_by)), segments)
     w_loc = (
         Window.partitionBy(*partition_by, "_seg").orderBy(*cols)
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -169,6 +200,7 @@ def lag_scaled(
     out_name: str,
     n_segments: int | None = None,
     threshold_bytes: int = SEGMENT_THRESHOLD_BYTES,
+    segments: Column | None = None,
 ) -> DataFrame:
     """lag(1) with the same two-level escape hatch: local lag within
     (keys, segment); each segment's FIRST row takes the previous non-empty
@@ -181,12 +213,14 @@ def lag_scaled(
     from .ids import _estimated_size_bytes
 
     cols = [F.col(c) for c in order_by]
-    if threshold_bytes > 0 and _estimated_size_bytes(df) <= threshold_bytes:
+    if segments is None and (
+            threshold_bytes > 0 and _estimated_size_bytes(df) <= threshold_bytes):
         w = Window.partitionBy(*partition_by).orderBy(*cols)
         return df.withColumn(_fresh(df, out_name, "lag_scaled"),
                              F.lag(value_col, 1).over(w))
     dfs = _segmented(df, order_by, n_segments,
-                     ("_lag", "_rn", "_n", "_last", "_prev", out_name))
+                     ("_lag", "_rn", "_n", "_last", "_prev", out_name,
+                      *(f"_pb_{c}" for c in partition_by)), segments)
     w_loc = Window.partitionBy(*partition_by, "_seg").orderBy(*cols)
     local = (
         dfs.withColumn("_lag", F.lag(value_col, 1).over(w_loc))

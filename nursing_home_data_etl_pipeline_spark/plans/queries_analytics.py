@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import duck_round_sql, round_half_away
+from ..functions.vectors import (
+    duck_round_sql,
+    round_half_away,
+    val_sum_col,
+    val_sum_sql,
+)
 from ..operators.aggregates import (
     cube_agg,
     group_agg,
@@ -98,15 +103,16 @@ def rev_sum_col(tax: bool = False):
 # Money/cent-valued SUMs ride exact DECIMAL like rev_sum (round-13: at
 # skew2-sf10 the double sum of l_extendedprice landed a few ULPs on
 # DIFFERENT sides of a .xx5 boundary in the two engines — order-dependent
-# float summation, unfixable by any rounding convention; DECIMAL(12,2)
-# covers the adversarial >=1e7 money rows).
+# float summation, unfixable by any rounding convention). DECIMAL(18,2)
+# leaves 16 integer digits of per-value headroom (ADVICE r13: 12,2 aborted
+# under ANSI at one value >= 1e10); SUM widens to (28,2), exact.
 def dec_sum_sql(col: str) -> str:
-    return f"CAST(ROUND(SUM(CAST({col} AS DECIMAL(12,2))), 2) AS DOUBLE)"
+    return f"CAST(ROUND(SUM(CAST({col} AS DECIMAL(18,2))), 2) AS DOUBLE)"
 
 
 def dec_sum_col(col):
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast("decimal(12,2)")), 2).cast("double")
+    return F.round(F.sum(c.cast("decimal(18,2)")), 2).cast("double")
 
 
 @register(
@@ -201,7 +207,7 @@ def _time_rollup_oracle_branch() -> str:
            strftime(date_trunc('{lv}', ts), '%Y-%m-%d %H:%M:%S'),
            event_type,
            0,
-           ROUND(SUM(value), 4),
+           {val_sum_sql("value")},
            COUNT(*)
     FROM events
     GROUP BY 2, 3"""
@@ -285,7 +291,8 @@ def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         [
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_val"),
+            # exact decimal sum with IEEE poison semantics (round-14 #2)
+            val_sum_col("value").alias("sum_val"),
         ],
         levels=_TIME_LEVELS,
         extra_keys=("event_type",),

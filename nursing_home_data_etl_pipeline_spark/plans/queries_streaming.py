@@ -29,6 +29,7 @@ from ..streaming.aggregations import (
     session_counts,
     windowed_counts,
 )
+from ..functions.vectors import val_sum_sql
 from .catalog import register
 
 # ts nanos-as-long here; stream_events substitutes the probed ts type.
@@ -212,7 +213,7 @@ def _drain_to_parquet(
 
 @register(
     "streaming_windowed_agg",
-    oracle="""
+    oracle=f"""
     -- FLOORED division to the window start: DuckDB's // truncates toward
     -- zero, which would snap a pre-epoch (negative-us) event to window 0
     -- instead of its true 1969 window; Spark's window() floors.
@@ -221,8 +222,8 @@ def _drain_to_parquet(
                - (((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000)
            ) AS window_start,
            event_type,
-           COUNT(*)              AS n_events,
-           ROUND(SUM(value), 4)  AS sum_value
+           COUNT(*)                 AS n_events,
+           {val_sum_sql("value")}   AS sum_value
     FROM events
     -- event-time contract (1), module docstring
     WHERE ts IS NOT NULL
@@ -287,15 +288,15 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_stateful_totals",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            COUNT(*)             AS n_events,
            -- NaN totals emit as NULL: the Arrow pandas-worker boundary
            -- uses NaN as its null sentinel, so the Python-side stateful
            -- operator cannot represent a NaN result (documented in
            -- streaming/aggregations._accumulate); Inf round-trips fine
-           CASE WHEN isnan(SUM(value)) THEN NULL
-                ELSE ROUND(SUM(value), 4) END AS total_value
+           CASE WHEN isnan({val_sum_sql("value")}) THEN NULL
+                ELSE {val_sum_sql("value")} END AS total_value
     FROM events
     GROUP BY user_id
     """,

@@ -16,6 +16,7 @@ from pyspark.sql import types as T
 from ..functions.vectors import duck_round_sql, round_half_away
 from ..operators.windows import (
     lag_scaled,
+    plan_segments,
     running_sum_scaled,
     top_k_global,
     top_k_per_group,
@@ -135,12 +136,16 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both lags ride the two-level rewrite above the size threshold: the
-    # skewed fixture puts ~50% of events on ONE user (round-13 #1)
+    # skewed fixture puts ~50% of events on ONE user (round-13 #1); ONE
+    # shared segment sample from the base frame — the second call's own
+    # sample would replay the first segmented join's lineage (ADVICE r13)
     ev = read_table(spark, sf_dir, "events").withColumn(
         "_us", F.unix_micros(F.col("ts")))
-    ev = lag_scaled(ev, ["user_id"], ["ts", "event_id"], "value", "_lagv")
-    ev = lag_scaled(
-        ev, ["user_id", "event_type"], ["ts", "event_id"], "_us", "_lagus")
+    seg = plan_segments(ev, ["ts", "event_id"])
+    ev = lag_scaled(ev, ["user_id"], ["ts", "event_id"], "value", "_lagv",
+                    segments=seg)
+    ev = lag_scaled(ev, ["user_id", "event_type"], ["ts", "event_id"],
+                    "_us", "_lagus", segments=seg)
     gap = F.col("_us") - F.col("_lagus")
     k = F.from_json(
         F.col("props"), T.StructType([T.StructField("k", T.LongType())])
@@ -174,7 +179,7 @@ def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     doc="Ranking family (rank/dense_rank tie-stable by value, ntile and "
-    "percent_rank over a unique total order) plus. Full contract: "
+    "percent_rank over a unique total order). Full contract: "
     "docs/CONTRACTS.md#window_rank_values",
 )
 def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:

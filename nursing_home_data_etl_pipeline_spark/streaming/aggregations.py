@@ -8,13 +8,16 @@ from __future__ import annotations
 
 import math
 from collections.abc import Iterable
-from decimal import ROUND_HALF_UP, Decimal
+from decimal import Decimal
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
+
+from ..functions.vectors import val_sum_col
 
 
 def windowed_counts(
@@ -40,7 +43,8 @@ def windowed_counts(
         .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 4).alias("sum_value"),
+            # exact decimal sum with IEEE poison semantics (round-14 #2)
+            val_sum_col(value_col).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -79,29 +83,25 @@ def session_counts(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        # finite total in EXACT integer micro-units (value x 10^4 — the
+        # fixture 4-decimal grid): order-independent integer addition,
+        # where a double accumulator's last decimal was arrival-order-
+        # dependent across a .xxx5 boundary (round-14 #2; the state store
+        # can't carry DECIMAL — scale on egress). Exact while |total| <
+        # 2^63 micro-units ~ 9.2e14 value units.
+        T.StructField("micro", T.LongType()),
         # whether any NON-NULL value was ever seen: SQL SUM over an
         # all-NULL group is NULL, and inside the Arrow worker a SQL NULL
         # and a genuine NaN both arrive as float NaN — only the upstream
         # _vnull flag can tell them apart.
         T.StructField("has_val", T.BooleanType()),
+        # IEEE non-finite poison flags, kept OUT of the integer total:
+        # NaN (or +Inf meeting -Inf) emits NULL, a lone infinity wins.
+        T.StructField("has_nan", T.BooleanType()),
+        T.StructField("has_pinf", T.BooleanType()),
+        T.StructField("has_ninf", T.BooleanType()),
     ]
 )
-
-
-def _round4_half_up(x: float) -> float:
-    """HALF_UP on the shortest decimal representation — matches Spark's
-    F.round and the DuckDB oracle's ROUND. Python's built-in round() is
-    banker's rounding on the binary double and can differ by one ulp of
-    the 4th decimal at midpoints, failing the batch-equivalence check.
-
-    Non-finite totals pass through unchanged: rounding NaN/Inf is the
-    identity in both engines, and Decimal.quantize raises
-    InvalidOperation on them — one NaN-valued event must not abort the
-    whole stateful stream."""
-    if not math.isfinite(x):
-        return x
-    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
 
 
 def _running_totals_schema(events: DataFrame, key_col: str) -> T.StructType:
@@ -129,26 +129,41 @@ def _accumulate(
     count/total/rounding logic so the TTL twin can't drift. Design notes:
     docs/DESIGN.md#aggregations--accumulate"""
     if state.exists:
-        n, total, has_val = state.get
+        n, micro, has_val, has_nan, has_pinf, has_ninf = state.get
     else:
-        n, total, has_val = 0, 0.0, False
+        n, micro, has_val, has_nan, has_pinf, has_ninf = (
+            0, 0, False, False, False, False)
     for pdf in pdfs:
         n += len(pdf)
         genuine = pdf.loc[~pdf["_vnull"].astype(bool), value_col]
         if len(genuine):
-            total += float(genuine.sum(skipna=False))
             has_val = True
-    state.update((n, total, has_val))
+            v = genuine.to_numpy()
+            fin = np.isfinite(v)
+            has_nan = has_nan or bool(np.isnan(v).any())
+            has_pinf = has_pinf or bool((v == np.inf).any())
+            has_ninf = has_ninf or bool((v == -np.inf).any())
+            # v*1e4 is within half an ulp of its integer (grid values,
+            # |v| <= 1e9 < 2^53/1e4): rint recovers it exactly
+            micro += int(np.rint(v[fin] * 1e4).astype(np.int64).sum())
+    state.update((n, micro, has_val, has_nan, has_pinf, has_ninf))
     # Emission contract: an all-NULL key totals NULL (SQL SUM), and a NaN
     # total ALSO emits NULL — the Arrow pandas-worker boundary uses NaN as
     # its null sentinel, so a Python-side stateful operator cannot
     # represent NaN in a float column at all (verified empirically: both
-    # object-dtype and float64 NaN arrive JVM-side as NULL). The state
-    # keeps the true NaN so later batches stay poisoned correctly;
-    # +/-Infinity round-trips fine.
-    out_total = (
-        _round4_half_up(total) if has_val and not math.isnan(total) else None
-    )
+    # object-dtype and float64 NaN arrive JVM-side as NULL). The poison
+    # flags keep later batches poisoned; +/-Infinity round-trips fine.
+    # float(Decimal(micro)x10^-4) is the CORRECTLY-ROUNDED double of the
+    # exact total (micro/1e4 would double-round above 2^53 micro-units) —
+    # identical to the oracle's string-routed DECIMAL->DOUBLE render.
+    if not has_val or has_nan or (has_pinf and has_ninf):
+        out_total = None
+    elif has_pinf:
+        out_total = math.inf
+    elif has_ninf:
+        out_total = -math.inf
+    else:
+        out_total = float(Decimal(micro).scaleb(-4))
     return pd.DataFrame(
         {
             key_col: [key[0]],

@@ -202,19 +202,16 @@ def test_accumulate_sql_sum_semantics_on_dirty_values():
     NULLs ignored (via the _vnull flag — in-worker they're NaN-conflated),
     genuine NaN poisons the total but EMITS as NULL (the Arrow boundary
     uses NaN as its null sentinel, so a Python stateful op cannot emit
-    NaN), Infinity round-trips, and an all-NULL key totals NULL."""
+    NaN), Infinity round-trips, and an all-NULL key totals NULL. The
+    total rides EXACT integer micro-units (round-14 #2): the sum of
+    grid values is order-independent and immune to double drift."""
     import math
 
     import pandas as pd
 
     from nursing_home_data_etl_pipeline_spark.streaming.aggregations import (
         _accumulate,
-        _round4_half_up,
     )
-
-    assert math.isnan(_round4_half_up(float("nan")))
-    assert _round4_half_up(float("inf")) == float("inf")
-    assert _round4_half_up(1.00005) == 1.0001  # HALF_UP, not banker's
 
     class FakeState:
         def __init__(self):
@@ -249,16 +246,33 @@ def test_accumulate_sql_sum_semantics_on_dirty_values():
     assert out["total_value"].iloc[0] == 5.0
 
     # NaN poisons (pandas default skipna would emit 2.0) but emits NULL;
-    # state keeps the true NaN for later batches
+    # the state's has_nan flag keeps later batches poisoned
     st3 = FakeState()
     out = _accumulate((7,), [batch([2.0, float("nan")])], st3, "user_id", "value")
     assert pd.isna(out["total_value"].iloc[0])
-    assert math.isnan(st3.get[1])
+    assert st3.get[3] is True  # has_nan
+    out = _accumulate((7,), [batch([1.0])], st3, "user_id", "value")
+    assert pd.isna(out["total_value"].iloc[0])  # still poisoned
 
-    # Infinity survives
+    # Infinity survives; +Inf meeting -Inf is NaN -> NULL
     st4 = FakeState()
     out = _accumulate((7,), [batch([1.0, float("inf")])], st4, "user_id", "value")
     assert out["total_value"].iloc[0] == float("inf")
+    out = _accumulate((7,), [batch([float("-inf")])], st4, "user_id", "value")
+    assert pd.isna(out["total_value"].iloc[0])
+
+    # exact micro-unit arithmetic: 0.1+0.1+0.1 is 0.3 exactly (a double
+    # accumulator would carry 0.30000000000000004), and values an 8.6e9
+    # magnitude would swallow entirely in double survive exactly
+    st5 = FakeState()
+    out = _accumulate((7,), [batch([0.1, 0.1, 0.1])], st5, "user_id", "value")
+    assert out["total_value"].iloc[0] == 0.3 and st5.get[1] == 3000
+    st6 = FakeState()
+    big = 8589934592.0  # 2^33: ulp 1.9e-6, so double adds of 1e-4 vanish
+    out = _accumulate(
+        (7,), [batch([big, 0.0001, 0.0001, 0.0001, -big])], st6, "user_id", "value")
+    assert out["total_value"].iloc[0] == 0.0003
+    assert math.isfinite(out["total_value"].iloc[0])
 
 
 
@@ -467,3 +481,22 @@ def test_append_mode_multibatch_windowed_counts(spark, tmp_path):
     assert all(ws.hour != 13 for ws, *_ in want)  # open window never emits
     # row 9 fully dropped: no duplicate [10,11) row, value 100 nowhere
     assert len([x for x in got if x[0] == t(10)]) == 1
+
+
+def test_state_parts_compact_below_64mb(tmp_path):
+    """Size-aware state-partition default (round-14 #1 pin): a ≤64 MB
+    events table keeps the compact 8-way state (fixed per-partition store
+    setup dominated tiny inputs — the r13 warm-band breach); larger or
+    unstat-able inputs defer to the session parallelism (None)."""
+    from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
+        _state_parts,
+    )
+    from conftest import SF_SMOKE
+
+    assert _state_parts(SF_SMOKE) == 8
+    big = tmp_path / "big" / "events.parquet"
+    big.mkdir(parents=True)
+    with open(big / "part-0.parquet", "wb") as fh:
+        fh.truncate(65 * 1024 * 1024)  # sparse: _state_parts only stats
+    assert _state_parts(str(tmp_path / "big")) is None
+    assert _state_parts(str(tmp_path / "missing")) is None

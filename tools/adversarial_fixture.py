@@ -115,6 +115,16 @@ def build(src: str, dest: str) -> dict[str, int]:
         {"event_id": ebase + 19, "ts": dt.datetime(2024, 6, 1, 9, 30, 0), "user_id": 999992, "event_type": "click", "value": 2.25, "props": "{}"},
         {"event_id": ebase + 20, "ts": dt.datetime(2024, 6, 1, 10, 0, 0), "user_id": 999992, "event_type": "click", "value": 3.25, "props": "{}"},
         {"event_id": ebase + 21, "ts": dt.datetime(2024, 6, 1, 10, 30, 0, 1), "user_id": 999992, "event_type": "click", "value": 4.25, "props": "{}"},
+        # phase 10 (round-14 #2): catastrophic-cancellation group — at
+        # 2^33 magnitude a double accumulator's ulp is 1.9e-6, so the
+        # 1e-4 grid values vanish from a float sum IN ANY ORDER (0.0)
+        # while the exact decimal/micro-unit sum keeps 0.0003; pins the
+        # value-sum entries to exact arithmetic.
+        {"event_id": ebase + 22, "ts": some_ts, "user_id": 999991, "event_type": "strad", "value": 8589934592.0, "props": "{}"},
+        {"event_id": ebase + 23, "ts": some_ts, "user_id": 999991, "event_type": "strad", "value": 0.0001, "props": "{}"},
+        {"event_id": ebase + 24, "ts": some_ts, "user_id": 999991, "event_type": "strad", "value": 0.0001, "props": "{}"},
+        {"event_id": ebase + 25, "ts": some_ts, "user_id": 999991, "event_type": "strad", "value": 0.0001, "props": "{}"},
+        {"event_id": ebase + 26, "ts": some_ts, "user_id": 999991, "event_type": "strad", "value": -8589934592.0, "props": "{}"},
     ]
     pq.write_table(_append(ev, ev_rows), f"{dest}/events.parquet")
     added["events"] = len(ev_rows)

@@ -286,7 +286,14 @@ def _near_pairs_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str
         sh = (set(zip(w, w[1:], w[2:], w[3:], w[4:]))
               if len(w) >= 5 else {tuple(w)})  # whole text when short
         ids.extend([d] * len(sh))
-        hs.extend(map(hash, sh))
+        # Stable 64-bit digest (NOT Python's salted hash(): PYTHONHASHSEED
+        # made a red gate non-reproducible across processes — ADVICE r13).
+        hs.extend(
+            int.from_bytes(
+                hashlib.md5(" ".join(tup).encode()).digest()[:8], "big"
+            ) - (1 << 63)
+            for tup in sh
+        )
     con.register("_py_sh", pa.table(
         {"doc_id": pa.array(ids, pa.int64()), "s": pa.array(hs, pa.int64())}))
     j = "CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)"

@@ -76,7 +76,8 @@ def _set(tbl: pa.Table, col: str, vals: list, typ=None) -> pa.Table:
 
 
 def _skew_replica(name: str, tbl: pa.Table, base_ids: list, r: int,
-                  hot: dict) -> pa.Table:
+                  hot: dict, hot_pct: int = HOT_PCT,
+                  len_tail: tuple = LEN_TAIL) -> pa.Table:
     """Apply skew AFTER the id shift: hot-key remaps write the absolute
     replica-0 key; selections bucket on the BASE id so the same logical
     rows are chosen in every replica."""
@@ -84,7 +85,7 @@ def _skew_replica(name: str, tbl: pa.Table, base_ids: list, r: int,
     if name == "orders":
         cur = tbl.column("o_custkey").to_pylist()
         tbl = _set(tbl, "o_custkey",
-                   [hot["cust"] if b < HOT_PCT else v for b, v in zip(bk, cur)])
+                   [hot["cust"] if b < hot_pct else v for b, v in zip(bk, cur)])
     elif name == "events":
         users = tbl.column("user_id").to_pylist()
         # purchase rows keep their user: a hot user in BOTH interval-join
@@ -93,7 +94,7 @@ def _skew_replica(name: str, tbl: pa.Table, base_ids: list, r: int,
         # fixture creates; the hot user still owns the non-purchase share.
         types = tbl.column("event_type").to_pylist()
         tbl = _set(tbl, "user_id",
-                   [hot["user"] if b < HOT_PCT and v is not None
+                   [hot["user"] if b < hot_pct and v is not None
                     and t != "purchase" else v
                     for b, v, t in zip(bk, users, types)])
         if r:
@@ -103,16 +104,16 @@ def _skew_replica(name: str, tbl: pa.Table, base_ids: list, r: int,
                         and v is not None else v for b, v in zip(bk, et)])
     elif name == "documents":
         srcs = tbl.column("source").to_pylist()
-        srcs = [hot["source"] if b < HOT_PCT and v is not None else v
+        srcs = [hot["source"] if b < hot_pct and v is not None else v
                 for b, v in zip(bk, srcs)]
         if r:
             srcs = [f"{v}_g{r}" if GROW_PCT[0] <= b < GROW_PCT[1]
                     and v is not None else v for b, v in zip(bk, srcs)]
         tbl = _set(tbl, "source", srcs)
         texts = tbl.column("text").to_pylist()
-        mult = {i: next(m for lim, m in LEN_TAIL if b < lim)
+        mult = {i: next(m for lim, m in len_tail if b < lim)
                 for i, b in enumerate(_bucket(x, 1000) for x in base_ids)
-                if b < LEN_TAIL[-1][0]}
+                if b < len_tail[-1][0]}
         texts = [((t + " ") * mult[i]).rstrip() if i in mult and t else t
                  for i, t in enumerate(texts)]
         tbl = _set(tbl, "text", texts)
@@ -123,7 +124,7 @@ def _skew_replica(name: str, tbl: pa.Table, base_ids: list, r: int,
     elif name == "embeddings":
         lab = tbl.column("label").to_pylist()
         tbl = _set(tbl, "label",
-                   [hot["label"] if b < HOT_PCT and v is not None else v
+                   [hot["label"] if b < hot_pct and v is not None else v
                     for b, v in zip(bk, lab)])
     return tbl
 
@@ -192,7 +193,8 @@ SKEW_ID = {"orders": "o_orderkey", "events": "event_id",
            "documents": "doc_id", "embeddings": "vec_id"}
 
 
-def build(src: str, dest: str, replicas: int, skew: bool = False) -> None:
+def build(src: str, dest: str, replicas: int, skew: bool = False,
+          hot_pct: int = HOT_PCT, len_tail: tuple = LEN_TAIL) -> None:
     # Two replicas with the same letter permutation would get identical
     # text, silently breaking the cross-replica Jaccard ~0 property
     # (ADVICE r9, when Caesar repeated every 25) — the 26! substitution
@@ -219,7 +221,8 @@ def build(src: str, dest: str, replicas: int, skew: bool = False) -> None:
         for r in range(replicas):
             rep = _replica(name, srct, r)
             if base_ids is not None:
-                rep = _skew_replica(name, rep, base_ids, r, hot)
+                rep = _skew_replica(name, rep, base_ids, r, hot,
+                                    hot_pct, len_tail)
             pq.write_table(rep, f"{out}/part-{r:02d}.parquet")
         print(f"{name}: {srct.num_rows} x {replicas} rows"
               + (" [skewed]" if base_ids is not None else ""), flush=True)
@@ -229,13 +232,15 @@ def main() -> int:
     argv = [a for a in sys.argv[1:] if a not in ("--skew", "--skew2")]
     skew2 = "--skew2" in sys.argv[1:]
     skew = skew2 or "--skew" in sys.argv[1:]
-    if skew2:
-        globals().update(SKEW2)
     replicas = int(argv[0]) if len(argv) > 0 else 10
     src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     dest = argv[2] if len(argv) > 2 else (
         "/tmp/sf1skew2" if skew2 else "/tmp/sf1skew" if skew else "/tmp/sf1")
-    build(src, dest, replicas, skew=skew)
+    # --skew2 threads its constants as ARGUMENTS (ADVICE r13:
+    # globals().update leaked skew2 into later library build() calls)
+    kw = ({"hot_pct": SKEW2["HOT_PCT"], "len_tail": SKEW2["LEN_TAIL"]}
+          if skew2 else {})
+    build(src, dest, replicas, skew=skew, **kw)
     print(f"scale fixture ({replicas}x {src}{', skewed' if skew else ''}) at {dest}")
     return 0
 
