@@ -31,7 +31,6 @@ from ..operators.aggregates import (
     unpivot_stack,
 )
 from ..operators.projections import select_columns_matching
-from ..operators.setops import except_, except_all, intersect, intersect_all, union_distinct
 from ..sources.readers import read_table
 from .catalog import register
 
@@ -345,6 +344,12 @@ def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct semantics). Full contract: docs/CONTRACTS.md#set_ops_all",
 )
 def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GROUP-COUNT-COMPARE rewrite (round-14 #7): the literal operator
+    # chains scanned customer 4x / orders 3x with repeated multiset-sized
+    # exchanges (EXPLAIN_AUDIT set_ops_all); each branch is now ONE scan
+    # per table and ONE key shuffle. Set-op NULL semantics (NULL keys
+    # compare equal) fall out of GROUP BY; the thin operator wrappers in
+    # operators/setops.py stay the API surface (pytest test_set_ops).
     from .catalog import tag_union
 
     cust = read_table(spark, sf_dir, "customer")
@@ -352,26 +357,43 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     types = {"key": "string", "n": "long"}
 
-    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    rich = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
-    with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
-    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    # chain = ((building UNION rich) INTERSECT with_orders) EXCEPT
+    # machinery — per-key membership flags, max-merged in one aggregate
+    # over the tagged union of both scans.
+    def _flags(df, key, in_a, in_m, in_o):
+        return df.select(F.col(key).alias("key"), in_a.alias("in_a"),
+                         in_m.alias("in_m"), in_o.alias("in_o"))
+
+    member = _flags(
+        cust, "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING") | (F.col("c_acctbal") > 9000),
+        F.col("c_mktsegment") == "MACHINERY", F.lit(False),
+    ).unionByName(_flags(orders, "o_custkey",
+                         F.lit(False), F.lit(False), F.lit(True)))
     chain = tag_union(
-        except_(intersect(union_distinct(building, rich), with_orders), machinery),
+        member.groupBy("key")
+        .agg(*[F.max(c).alias(c) for c in ("in_a", "in_m", "in_o")])
+        .filter(F.col("in_a") & F.col("in_o") & ~F.coalesce("in_m", F.lit(False))),
         "chain", types,
-        key=F.col("c_custkey").cast("string"), n=F.lit(1).cast("long"),
+        key=F.col("key").cast("string"), n=F.lit(1).cast("long"),
     )
 
-    def status(mod: int) -> DataFrame:
-        return orders.filter(F.col("o_orderkey") % mod == 0).select(
-            F.col("o_orderstatus").alias("status")
-        )
+    # multiset = (key%3 INTERSECT ALL key%2) EXCEPT ALL key%12 over
+    # o_orderstatus: per-status counts compare as
+    # greatest(least(n3, n2) - n12, 0) — INTERSECT ALL keeps min copies,
+    # EXCEPT ALL subtracts clamped at zero.
+    def n_mod(mod: int):
+        return F.sum(
+            F.when(F.col("o_orderkey") % mod == 0, 1).otherwise(0)
+        ).alias(f"n{mod}")
 
     multiset = tag_union(
-        except_all(intersect_all(status(3), status(2)), status(12))
-        .groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n")),
-        "multiset", types, key=F.col("status"), n=F.col("n"),
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(n_mod(3), n_mod(2), n_mod(12))
+        .select("status", F.greatest(
+            F.least("n3", "n2") - F.col("n12"), F.lit(0)).alias("n"))
+        .filter(F.col("n") > 0),
+        "multiset", types, key=F.col("status"), n=F.col("n").cast("long"),
     )
 
     dv = tag_union(

@@ -343,23 +343,44 @@ _WINDOW = "INTERVAL 1 HOUR"
     doc="Watermark-bearing streaming operators, one tagged row set per drain. Full "
     "contract: docs/CONTRACTS.md#streaming_join_dedup",
 )
+def _stream_salt() -> int:
+    """Salt-N knob for the stream-stream interval join (round-14 #4): at
+    skew2 one hot user owns ~half the clicks and its join state serializes
+    onto ONE state partition (1.86x wall, SCALE_r13 ratio_attribution).
+    With salt N the click side takes a deterministic per-row salt and the
+    purchase side is EXPLODED to all N salts, splitting the hot key's
+    state N ways while every (click, purchase) pair still matches exactly
+    once — the click holds exactly one salt, so no double-emit (pinned in
+    tests/test_streaming.py). Default 1: xN purchase state is a bad trade
+    on uniform data; set SPARK_GRAFT_STREAM_SALT for skewed deployments."""
+    return max(1, int(os.environ.get("SPARK_GRAFT_STREAM_SALT", "1")))
+
+
 def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_cols = ["variant", "event_id", "user_id", "num", "tag"]
 
     ev = stream_events(spark, sf_dir)
+    n_salt = _stream_salt()
+    # xxhash64 never returns NULL, so a salted row can't silently drop
     clicks = (
         ev.filter(F.col("event_type") == "click")
-        .select("event_id", F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .select("event_id", F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).alias("c_salt"))
         .withWatermark("c_ts", "1 hour")
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                "value",
+                F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+                .alias("p_salt"))
         .withWatermark("p_ts", "1 hour")
     )
     joined = clicks.join(
         purchases,
-        F.expr(f"c_user = p_user AND p_ts >= c_ts AND p_ts < c_ts + {_WINDOW}"),
+        F.expr(f"c_user = p_user AND c_salt = p_salt"
+               f" AND p_ts >= c_ts AND p_ts < c_ts + {_WINDOW}"),
     ).select(
         F.lit("interval_join").alias("variant"),
         "event_id",

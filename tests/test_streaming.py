@@ -500,3 +500,23 @@ def test_state_parts_compact_below_64mb(tmp_path):
         fh.truncate(65 * 1024 * 1024)  # sparse: _state_parts only stats
     assert _state_parts(str(tmp_path / "big")) is None
     assert _state_parts(str(tmp_path / "missing")) is None
+
+
+def test_stream_join_salting_no_double_emit(spark, monkeypatch):
+    """SPARK_GRAFT_STREAM_SALT=4 must emit exactly the salt=1 multiset:
+    each click holds ONE salt and the exploded purchase side meets it in
+    exactly one bucket, so salting can never double-emit (round-14 #4)."""
+    from collections import Counter
+
+    from conftest import SF_SMOKE
+
+    from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
+        streaming_join_dedup,
+    )
+
+    def rows():
+        return Counter(map(tuple, streaming_join_dedup(spark, SF_SMOKE).collect()))
+
+    base = rows()
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SALT", "4")
+    assert rows() == base and sum(base.values()) > 0

@@ -38,6 +38,7 @@ AUDITED = {
     "stats_aggregates": "Two branches (round-11 split of the sf10 super-linear scaler): the 12 exact-decimal moment sums run as codegen HashAggregate pairs with NO percentile riding along; the exact percentiles run frequency-weighted over a (flag, col, value) HISTOGRAM aggregate — ObjectHashAggregate ingests distinct grid values, not 60M rows — and rejoin via one BroadcastHashJoin.",
     "window_running_sum": "At audit scale: one hash-partitioned running-sum window. Above the size threshold (round-13 #1) the two-level segmented plan runs — local RANGE sums per (key, _seg) plus an exclusive scan of segment totals — so no task ever holds one key's whole history (pinned in test_segmented_windows_have_no_per_key_flat_window).",
     "training_corpus": "End-to-end pipeline keeps each stage's own bound: quality gate is map-only on the scan, LSH dedup is the banded self-join, the representative re-join is key-hashed — no stage shuffles the corpus more than once.",
+    "set_ops_all": "Group-count-compare form (round-14 #7): each branch is ONE scan per table and ONE partial/final HashAggregate pair around a single key Exchange — no Generate row replication, no semi/anti chain re-scanning customer 4x and orders 3x, no multiset-sized repeated exchanges like the literal INTERSECT ALL/EXCEPT ALL operators plan.",
     # streaming queries are excluded: entries() drains them, so the returned
     # frame is the memory sink's LocalTableScan, not the streaming plan.
 }
