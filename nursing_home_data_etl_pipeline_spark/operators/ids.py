@@ -7,6 +7,7 @@ FAST id; the dense variant is deterministic given an ordering."""
 
 from __future__ import annotations
 
+from collections import Counter
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -78,8 +79,9 @@ def _shard_case_tree(
 
 
 def order_key_segments(
-    df: DataFrame, order_by: Sequence[str], n_segments: int
-) -> Column:
+    df: DataFrame, order_by: Sequence[str], n_segments: int,
+    hot_share_of: Sequence[str] | None = None,
+) -> Column | tuple[Column, float]:
     """Deterministic, ORDER-CONSISTENT segment id (0..n_segments-1) for the
     ``order_by`` key struct: exact cuts from a bounded hash-ordered sample
     (stable across plan re-evaluations — spark_partition_id over
@@ -88,13 +90,21 @@ def order_key_segments(
     the full key share a segment; NULL-bearing keys route consistently
     with NULLS FIRST (a NULL comparison falls to the left branch, exactly
     where NULLS FIRST sorts the key). Shared by the sharded dense-id scan
-    and the segmented window rewrites (round-13 #1)."""
+    and the segmented window rewrites (round-13 #1).
+
+    With ``hot_share_of`` (round-14 #3) the SAME sample job also returns
+    the observed top-key share of those columns — rows are hash-ordered
+    by the near-unique order key, so the sample is ~uniform over rows —
+    at a larger floor (64k rows, a bounded driver-side collect) so shares
+    down to ~1e-4 resolve; callers gate segmentation on share x size."""
     cols = [F.col(c) for c in order_by]
-    oversample = 32
+    n = n_segments * 32 if hot_share_of is None else max(n_segments * 32, 65536)
+    extra = ([F.struct(*[F.col(c) for c in hot_share_of]).alias("_p")]
+             if hot_share_of else [])
     sample = (
-        df.select(F.struct(*cols).alias("_k"))
+        df.select(F.struct(*cols).alias("_k"), *extra)
         .orderBy(F.xxhash64(*cols))
-        .limit(n_segments * oversample)
+        .limit(n)
         .collect()
     )
     vals = sorted(
@@ -103,7 +113,12 @@ def order_key_segments(
     step = max(1, len(vals) // n_segments) if vals else 1
     cuts = vals[step::step][: n_segments - 1]
     key = F.struct(*[F.col(c).alias(c) for c in order_by])
-    return _shard_case_tree(key, cuts, order_by)[0]
+    col = _shard_case_tree(key, cuts, order_by)[0]
+    if hot_share_of is None:
+        return col
+    counts = Counter(tuple(r["_p"]) for r in sample)
+    share = max(counts.values()) / len(sample) if sample else 0.0
+    return col, share
 
 
 def with_dense_id_sharded(

@@ -82,26 +82,49 @@ def running_agg(
 SEGMENT_THRESHOLD_BYTES = 64 * 1024 * 1024
 
 
+#: Above this size the hot-share sample can no longer resolve a
+#: threshold-sized key (share floor ~3/65536), so segmentation is forced
+#: rather than trusting an under-resolved "uniform" verdict.
+_HOT_RESOLVABLE_BYTES = SEGMENT_THRESHOLD_BYTES * (65536 // 8)
+
+#: sentinel: "caller made no segmentation decision" (None means FLAT —
+#: a plan_segments verdict the caller passes through).
+_UNSET = object()
+
+
 def plan_segments(
     df: DataFrame,
     order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
     n_segments: int | None = None,
     threshold_bytes: int = SEGMENT_THRESHOLD_BYTES,
 ) -> Column | None:
-    """Precompute ONE order-consistent segment column for several
-    consecutive ``*_scaled`` calls over the same ordering — each call's
-    own sample job would otherwise replay the previous call's whole
-    segmented-join lineage (ADVICE r13). Returns None below the size
-    threshold; pass the result straight to ``segments=`` (the flat path
-    then applies in each call)."""
+    """ONE segmentation decision + segment column for (possibly several)
+    ``*_scaled`` calls over the same ordering — each call's own sample job
+    would otherwise replay the previous call's whole segmented-join
+    lineage (ADVICE r13). Returns None — the flat path — below the size
+    threshold, and ALSO (round-14 #3: segmentation costs ~2x on uniform
+    lag) when ``partition_by`` is given and the observed hot-key share
+    says no key's history can exceed the per-task threshold
+    (share x size, resolvable only up to _HOT_RESOLVABLE_BYTES). With
+    several partition keys, gate on the COARSEST (hottest) one. Pass the
+    result straight to ``segments=``."""
     from .ids import _estimated_size_bytes, order_key_segments
 
-    if threshold_bytes > 0 and _estimated_size_bytes(df) <= threshold_bytes:
+    size = _estimated_size_bytes(df)
+    if threshold_bytes > 0 and size <= threshold_bytes:
         return None
     if n_segments is None:
         n_segments = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    return order_key_segments(df, order_by, max(1, min(n_segments, 1024)))
+    n_segments = max(1, min(n_segments, 1024))
+    if partition_by is None or threshold_bytes <= 0:
+        return order_key_segments(df, order_by, n_segments)
+    col, share = order_key_segments(df, order_by, n_segments,
+                                    hot_share_of=partition_by)
+    if share * size <= threshold_bytes and size <= _HOT_RESOLVABLE_BYTES:
+        return None
+    return col
 
 
 def _segmented(df: DataFrame, order_by: Sequence[str],
@@ -149,7 +172,7 @@ def running_sum_scaled(
     out_name: str = "running",
     n_segments: int | None = None,
     threshold_bytes: int = SEGMENT_THRESHOLD_BYTES,
-    segments: Column | None = None,
+    segments: Column | None | object = _UNSET,
 ) -> DataFrame:
     """Cumulative sum whose worst case never puts one key's history on one
     task: below ``threshold_bytes`` (Catalyst size estimate, like
@@ -161,11 +184,11 @@ def running_sum_scaled(
     RANGE frame sees all peers) and the result is NULL only when nothing
     non-NULL precedes. Addition-mergeable aggregates only (sum/count).
     Design notes: docs/DESIGN.md#windows-running-agg"""
-    from .ids import _estimated_size_bytes
-
     cols = [F.col(c) for c in order_by]
-    if segments is None and (
-            threshold_bytes > 0 and _estimated_size_bytes(df) <= threshold_bytes):
+    if segments is _UNSET:
+        segments = plan_segments(df, order_by, partition_by,
+                                 n_segments, threshold_bytes)
+    if segments is None:
         return running_agg(df, partition_by, cols, agg_col, out_name=out_name)
     dfs = _segmented(df, order_by, n_segments,
                      ("_loc", "_t", "_off", out_name,
@@ -200,7 +223,7 @@ def lag_scaled(
     out_name: str,
     n_segments: int | None = None,
     threshold_bytes: int = SEGMENT_THRESHOLD_BYTES,
-    segments: Column | None = None,
+    segments: Column | None | object = _UNSET,
 ) -> DataFrame:
     """lag(1) with the same two-level escape hatch: local lag within
     (keys, segment); each segment's FIRST row takes the previous non-empty
@@ -210,11 +233,11 @@ def lag_scaled(
     from "previous value is NULL"; the boundary row is the segment's
     max-_rn row, derived from the SAME window partitioning (the shuffle is
     reused, no second scan exchange)."""
-    from .ids import _estimated_size_bytes
-
     cols = [F.col(c) for c in order_by]
-    if segments is None and (
-            threshold_bytes > 0 and _estimated_size_bytes(df) <= threshold_bytes):
+    if segments is _UNSET:
+        segments = plan_segments(df, order_by, partition_by,
+                                 n_segments, threshold_bytes)
+    if segments is None:
         w = Window.partitionBy(*partition_by).orderBy(*cols)
         return df.withColumn(_fresh(df, out_name, "lag_scaled"),
                              F.lag(value_col, 1).over(w))

@@ -141,7 +141,9 @@ def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sample would replay the first segmented join's lineage (ADVICE r13)
     ev = read_table(spark, sf_dir, "events").withColumn(
         "_us", F.unix_micros(F.col("ts")))
-    seg = plan_segments(ev, ["ts", "event_id"])
+    # gate on the COARSEST partition key: if user_id isn't hot, neither
+    # refinement (user_id, event_type) can be (round-14 #3)
+    seg = plan_segments(ev, ["ts", "event_id"], partition_by=["user_id"])
     ev = lag_scaled(ev, ["user_id"], ["ts", "event_id"], "value", "_lagv",
                     segments=seg)
     ev = lag_scaled(ev, ["user_id", "event_type"], ["ts", "event_id"],

@@ -241,3 +241,38 @@ def test_segmented_catalog_windows_match_oracle(spark, monkeypatch):
             assert not problems, f"{name} (segmented): {problems}"
     finally:
         con.close()
+
+
+def test_hot_share_gating_switch_boundary(spark):
+    """round-14 #3: above the size threshold, segmentation engages only
+    when the sampled hot-key share says some key's history can exceed one
+    task's threshold — uniform keys take the FLAT plan (segmentation cost
+    ~2x uniform lag at sf10), a hot key takes the segmented one, and the
+    segmented result still equals the flat window at the switch point."""
+    from pyspark.sql import Window
+
+    from nursing_home_data_etl_pipeline_spark.operators.ids import (
+        _estimated_size_bytes,
+    )
+    from nursing_home_data_etl_pipeline_spark.operators.windows import (
+        lag_scaled,
+        plan_segments,
+    )
+
+    uniform = spark.range(2000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("o"),
+        (F.col("id") % 7).cast("double").alias("v"))
+    hot = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("o"), (F.col("id") % 7).cast("double").alias("v"))
+    thr = _estimated_size_bytes(uniform) // 10  # share .002 flat, .5 hot
+    assert plan_segments(uniform, ["o"], ["k"], threshold_bytes=thr) is None
+    seg_col = plan_segments(hot, ["o"], ["k"], threshold_bytes=thr)
+    assert seg_col is not None
+
+    got = lag_scaled(hot, ["k"], ["o"], "v", "lg", threshold_bytes=thr,
+                     n_segments=5)
+    flat = hot.withColumn("lg", F.lag("v", 1).over(
+        Window.partitionBy("k").orderBy("o")))
+    key = lambda r: (r.k, r.o, r.v, r.lg)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, flat.collect()))

@@ -261,10 +261,12 @@ def _chunks_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
 
 def _near_pairs_offloaded(spark, con, name, fn, oracle, sf_dir, tmp) -> list[str]:
     """Offload override for ``dedup_near_pairs`` (round-13 #3): streamed
-    Python shingler (identity = hash(tuple); a collision can only perturb
-    toward a loud FAIL) feeding the UNCHANGED SQL pair join/cap/threshold;
-    simhash stays SQL. Parity + corruption pinned in
-    tests/test_catalog_oracle.py; docs/TOOLS.md#streamed-oracles"""
+    Python shingler (identity = stable md5 digest — ADVICE r13; a
+    collision can only perturb toward a loud FAIL) feeding the UNCHANGED
+    SQL pair join/cap/threshold; simhash stays SQL. Parity + corruption
+    pinned in tests/test_catalog_oracle.py; docs/TOOLS.md#streamed-oracles"""
+    import hashlib
+
     import pyarrow as pa
 
     from nursing_home_data_etl_pipeline_spark.operators.dedup import (
