@@ -361,20 +361,22 @@ def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = stream_events(spark, sf_dir)
     n_salt = _stream_salt()
-    # xxhash64 never returns NULL, so a salted row can't silently drop
+    # xxhash64 never returns NULL, so a salted row can't silently drop;
+    # salt off (1) keeps literal-zero keys — no hash, no Generate node
+    c_salt = (F.pmod(F.xxhash64("event_id"), F.lit(n_salt))
+              if n_salt > 1 else F.lit(0))
+    p_salt = (F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+              if n_salt > 1 else F.lit(0))
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select("event_id", F.col("user_id").alias("c_user"),
-                F.col("ts").alias("c_ts"),
-                F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).alias("c_salt"))
+                F.col("ts").alias("c_ts"), c_salt.alias("c_salt"))
         .withWatermark("c_ts", "1 hour")
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
-                "value",
-                F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-                .alias("p_salt"))
+                "value", p_salt.alias("p_salt"))
         .withWatermark("p_ts", "1 hour")
     )
     joined = clicks.join(
