@@ -185,16 +185,11 @@ def cms_estimate(
 # Mergeable Datasketches state (HLL / KLL / theta) — Spark 4.x built-ins
 # ---------------------------------------------------------------------------
 #
-# The 100 TB pattern these wrap: sketch each shard/day/partition ONCE into a
-# few-KB binary column, persist those partials, and answer rollup questions
-# (distinct counts, quantiles, set algebra between cohorts) by merging
-# partial sketches — never re-reading raw data. All three families are
-# TypedImperativeAggregates that combine map-side, so a partial build is one
-# shuffle of sketch bytes, not rows; a rollup merge shuffles only
-# #groups x sketch_size. Fills the capability the reference's pre-aggregated
-# CMS inputs imply (SURVEY.md par 2.4: aggregates arrive precomputed --
-# e.g. four_quarter_average_score, nh-etl-quality-transform.py:44): here the
-# precomputation itself is distributed, incremental, and re-mergeable.
+# The 100 TB pattern: sketch each shard/day ONCE into a few-KB binary
+# column, answer rollups by MERGING partials — never re-reading raw data.
+# All three are map-side-combining TypedImperativeAggregates (one shuffle
+# of sketch bytes, not rows). Fills SURVEY §2.4's precomputed-aggregate
+# capability; full rationale: docs/DESIGN.md#sketches-module.
 
 
 def _fold_binary(sketch_col: str, merge_fn: str) -> Column:

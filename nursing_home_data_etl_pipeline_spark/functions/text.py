@@ -200,16 +200,10 @@ def word_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
-#: PII patterns applied in order (order matters: emails before bare
-#: hostnames; SSN and IP before CARD — the card pattern tolerates single
-#: space/dash separators, so left unchecked it would span an SSN plus an
-#: adjacent 4-digit token ('123-45-6789 2024' -> one <CARD>) or an IP's
-#: digit runs; CARD before PHONE so 13+-digit spaced numbers read as cards
-#: (genuinely ambiguous — heuristic by design). Dashes sit at the START of
-#: character classes ([- .]) — mid-class they form ranges like 0x20-0x2E
-#: that silently admit !#$%&'()*+, as separators.
-#: RE2-compatible (no backrefs/lookaround) so a DuckDB oracle can reproduce
-#: them verbatim with regexp_replace(..., 'g').
+#: PII patterns applied in order — ORDER IS LOAD-BEARING (email before
+#: hostname, SSN/IP before CARD, CARD before PHONE; dashes FIRST in
+#: character classes) and RE2-compatible so the DuckDB oracle reproduces
+#: them verbatim: docs/DESIGN.md#text-pii-order.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),

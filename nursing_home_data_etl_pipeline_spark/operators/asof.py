@@ -69,15 +69,11 @@ def asof_join(
             "rename the left columns or pass a different suffix"
         )
 
-    # SQL join semantics for NULLs: a right row with a NULL key or NULL
-    # timestamp can never satisfy `l.key = r.key AND r.ts <= l.ts`, so it
-    # must never be carried — drop such rows up front. (The union+window
-    # trick would otherwise group NULL keys together and sort NULL
-    # timestamps FIRST, attaching them to every left row in the partition
-    # — matches an equality join / DuckDB ASOF would never produce.)
-    # NULL-key or NULL-ts LEFT rows need no special handling: after this
-    # filter their partitions hold no right rows before them, so they emit
-    # with a null match, exactly the SQL answer.
+    # SQL NULL semantics: NULL-key / NULL-ts RIGHT rows can never satisfy
+    # the asof predicate, so drop them up front (the union+window trick
+    # would otherwise attach them to whole NULL-key partitions); NULL
+    # LEFT rows then emit with a null match naturally —
+    # docs/DESIGN.md#asof-null-and-ties.
     for k in keys:
         right = right.filter(F.col(k).isNotNull())
     right = right.filter(F.col(right_ts).isNotNull())
@@ -111,17 +107,10 @@ def asof_join(
         ).alias("_rrow"),
     )
     unioned = lhs.unionByName(rhs)
-    # _rord is the deterministic tiebreaker for duplicate (key, ts) right
-    # rows (struct comparison is lexicographic): without it, last() picks
-    # whichever duplicate the shuffle delivered last — flaky across runs.
-    # Only ORDERABLE value columns participate (maps — and structs/arrays
-    # containing them — cannot be sort keys; ordering by the full _rrow
-    # failed analysis for such payloads): among duplicates that tie on
-    # every orderable column too, the carry is arbitrary but the tied
-    # columns are equal, so the choice is only observable through the
-    # non-orderable payload columns themselves. Left rows all carry
-    # _rrow=NULL, so their relative order stays irrelevant (none of them
-    # contributes to the carry).
+    # _rord: deterministic tiebreaker for duplicate (key, ts) right rows,
+    # built from the ORDERABLE value columns only (maps can't sort; full
+    # ties differ only in non-orderable payloads) —
+    # docs/DESIGN.md#asof-null-and-ties.
     rrow_fields = {f.name: f.dataType for f in rrow_type.fields}
     ord_cols = [
         F.col("_rrow").getField(c)

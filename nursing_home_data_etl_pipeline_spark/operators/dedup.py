@@ -294,17 +294,10 @@ def simhash_signatures(
     df = df.filter(
         norm.isNotNull() & (norm != "") & F.col(id_col).isNotNull()
     )
-    # Tokenize with words() — the blank-safe whitespace-hardened
-    # tokenizer: the previous F.trim+split form injected a phantom
-    # ''-token for text with leading/trailing tab/newline whitespace,
-    # and md5('') then voted in all 60 bit sums, inflating hamming
-    # distances for such documents (missed near-dups). The DuckDB twin
-    # (queries_northstar) and the bit-exact Python property model moved
-    # in lockstep.
-    # Same 60-bit value token_hash_sql computes, but via the JVM conv()
-    # intrinsic instead of 15 instr() digit lookups (2x faster measured at
-    # sf0.1; DuckDB lacks conv(), so the ORACLE keeps the digit-arithmetic
-    # form — equality of the two is pinned by a unit test).
+    # words(): blank-safe tokenizer (trim+split injected a phantom ''
+    # token whose md5 voted in all 60 bit sums — docs/DESIGN.md#dedup-
+    # module). Hash via the JVM conv() intrinsic, 2x the instr() digit
+    # form the oracle keeps (DuckDB lacks conv; equality unit-pinned).
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -390,20 +383,11 @@ def ngram_jaccard_pairs(
     """Exact Jaccard similarity over word-k-gram shingle sets, computed only
     for pairs sharing >= 1 shingle (inverted-index self-join). Design
     notes: docs/DESIGN.md#dedup-ngram-jaccard-pairs"""
-    # The shingle table feeds four consumers (sizes, doc-freq, both join
-    # sides); without a persist each one re-tokenizes the corpus. At cluster
-    # scale use persist(StorageLevel.DISK_ONLY) or a checkpoint instead of
-    # memory cache. The cache backs the RETURNED plan, so cleanup is
-    # deliberately left to LRU storage eviction.
-    #
-    # distinct(): a document's shingle SET, union'd across its physical
-    # rows. shingle_table dedups within a row (array_distinct) but a
-    # duplicated doc row re-emits every shingle — doubling sizes, doc_freq,
-    # and every intersection count, so Jaccard reached 2i/(2a+b-2i) ~ 1.95
-    # (round-8 fuzz) where the oracle's DISTINCT shingles said 0.99.
-    # Min-hashing is naturally idempotent to duplicate shingle rows (min()
-    # per id) and SimHash's weight doubling never flips a sign bit — exact
-    # Jaccard is the one counting path, so it pays the one dedup exchange.
+    # cache: the shingle table feeds four consumers (sizes, doc-freq, both
+    # join sides) — DISK_ONLY/checkpoint at cluster scale. distinct():
+    # exact Jaccard is the one COUNTING path, so duplicated doc rows must
+    # pay the one set-dedup exchange (minhash/simhash are naturally
+    # idempotent) — round-8 fuzz details: docs/DESIGN.md#dedup-ngram-jaccard-pairs.
     sh = (
         shingle_table(df, text_col, id_col, shingle_k)
         .withColumnRenamed("_shingle", "s")

@@ -52,14 +52,11 @@ def pack_sequences(
     )
     intra = base.withColumn("_intra", F.coalesce(F.sum("_tok").over(w), F.lit(0)))
 
-    # 3) one row per shard -> exclusive cumsum of shard totals on a
-    # single partition of n_shards rows -> broadcast back. Totals derive
-    # from the WINDOW OUTPUT, not from base: aggregating base built a
-    # second independent scan+shuffle branch over the whole corpus (the
-    # window's exchange and the aggregate's partial-agg exchange are not
-    # canonically equal, so exchange reuse never deduped them); the
-    # window output is already partitioned by _shard, so this aggregate
-    # is map-side only on top of the shared scan.
+    # 3) exclusive cumsum of per-shard totals (n_shards rows, single
+    # partition) -> broadcast back. Totals derive from the WINDOW OUTPUT
+    # (already _shard-partitioned: map-side only) — aggregating base
+    # would build a second corpus scan+shuffle branch that exchange reuse
+    # never dedupes (docs/DESIGN.md#packing-prefix-sum).
     totals = intra.groupBy("_shard").agg(F.sum("_tok").alias("_shard_tok"))
     w_sh = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(

@@ -58,30 +58,11 @@ def range_join_points(
     # source table (a self-join), and plan-id disambiguation via df[col]
     # fails on shared lineage.
     p = points.withColumn("_rj_bucket", _bucket(F.col(point_col))).alias("_rj_p")
-    # Explode each interval to the buckets its [lo, hi) span overlaps. hi is
-    # exclusive, but sequence() is inclusive on both ends — the refine
-    # predicate discards any overshoot row. The fan-out guard fails the job
-    # FAST with an actionable message when one interval would explode past
-    # max_buckets_per_interval rows (an open-ended sentinel like
-    # hi=9999-12-31 in epoch micros means tens of millions of rows per
-    # interval, and past 2^31 buckets sequence() dies with an opaque 'Too
-    # long sequence' after burning the cluster).
-    #
-    # The span is measured in DOUBLE, never long: long bucket arithmetic
-    # overflowed (opaque ANSI ARITHMETIC_OVERFLOW) before the guard could
-    # fire when a bound was ±inf — floor(±inf / width) saturates to
-    # ±Long.{Max,Min}Value — or when both bucket ids sat near opposite
-    # long extremes. A saturated infinite bound now lands in the guard's
-    # actionable raise like any other open-ended sentinel. Degenerate
-    # intervals match the theta-join semantics (x >= lo AND x < hi)
-    # instead of crashing: a NaN bound satisfies neither comparison and an
-    # inverted interval (hi < lo) is unsatisfiable, so both explode to the
-    # EMPTY bucket array (no candidate rows) — previously an inverted span
-    # made n_buckets negative, bypassed the guard entirely, and
-    # sequence(hi_bucket, lo_bucket) fanned out a DESCENDING |span|+1 rows
-    # (COLLECTION_SIZE_LIMIT_EXCEEDED at scale). NULL bounds keep their
-    # NULL-propagation drop (sequence -> NULL -> explode emits nothing).
-    # Both failure modes were execution-confirmed by the round-8 review.
+    # Explode each interval to the buckets its [lo, hi) span overlaps
+    # (sequence() is inclusive; the refine predicate discards overshoot).
+    # The DOUBLE-measured span + fan-out guard fails fast on open-ended /
+    # ±inf / inverted / NaN bounds instead of overflowing or fanning out
+    # a descending sequence — full rationale: docs/DESIGN.md#ranges-guard.
     lo_b, hi_b = _bucket(F.col(lo_col)), _bucket(F.col(hi_col))
     span = hi_b.cast("double") - lo_b.cast("double")
     empty = F.array().cast("array<long>")

@@ -212,29 +212,15 @@ def kmeans_fit(
     """Lloyd k-means over an embedding column — the trained coarse quantizer
     for IVF ANN (vs. the training-free fixed cells in the catalog query).
     Design notes: docs/DESIGN.md#similarity-kmeans-fit"""
-    # Farthest-point init (deterministic k-means++ variant), BATCHED: one
-    # job collects a deterministic hash-ordered candidate sample (>= 8k
-    # vectors, uniform over the corpus because the order key is md5(id),
-    # reproducible across partitionings), then the greedy farthest-first
-    # selection — seed with the sample's min-id vector, repeatedly add the
-    # candidate farthest from its nearest chosen centroid (ties -> lowest
-    # id) — runs driver-local in numpy over that sample. The previous
-    # formulation ran one Spark aggregate per added centroid: k-1 SERIAL
-    # driver round-trips, which at IVF scale (k=1024) meant 1023 sequential
-    # jobs before the first Lloyd sweep. Sampled init is one job at any k,
-    # so a whole fit launches O(iters) jobs; first-k-ids init (zero jobs)
-    # stays rejected because it can seed several centroids inside one
-    # cluster and the empty-cell rule never splits them apart.
+    # BATCHED farthest-point init: ONE hash-ordered sample job + driver
+    # numpy greedy selection — one job at ANY k, where per-centroid
+    # aggregates meant k-1 serial jobs at IVF scale; first-k-ids (zero
+    # jobs) stays rejected. Full init rationale:
+    # docs/DESIGN.md#similarity-kmeans-fit.
     n_cand = max(8 * k, 256)
-    # Dirty-input contract shared with every similarity op: NULL embeddings
-    # (or arrays containing a NULL element) are excluded from training —
-    # one such row in the sample crashed the driver-side float() conversion,
-    # and in the Lloyd SWEEP a NULL element NULLs the distance to every
-    # centroid, which struct-min ties to cell 0 (round-8 hunt: the filter
-    # applied only to the init sample, so dirty rows were force-assigned to
-    # cell 0 and dragged its centroid while the docstring claimed they were
-    # excluded). Zero vectors STAY: they are valid L2 points (only cosine
-    # is undefined on them).
+    # Shared dirty-input contract: NULL embeddings / NULL elements are
+    # excluded from TRAINING too (round-8 hunt: init-only filtering force-
+    # assigned dirty rows to cell 0); zero vectors stay — valid L2 points.
     clean = df.filter(
         F.col(vec_col).isNotNull()
         & ~F.exists(F.col(vec_col), lambda x: x.isNull())

@@ -137,17 +137,11 @@ def run_stage(
             fut = pool.submit(worker)
             return succeed(fut.result(timeout=policy.timeout_s))
         except FutureTimeout:
-            # Python >= 3.11 aliases concurrent.futures.TimeoutError to the
-            # BUILTIN TimeoutError, so a TimeoutError raised INSIDE the
-            # stage (e.g. socket.timeout from transient IO) lands here too.
-            # Only a future that is still running is a wall-clock stage
-            # timeout; a completed future means the stage finished in the
-            # race window between the wait expiring and this check. If it
-            # finished SUCCESSFULLY it must be reported as SUCCESS — its
-            # side effects committed, and re-running a committed stage is
-            # the exact hazard timeouts-are-terminal exists to prevent. If
-            # it raised, that's an ordinary, retryable failure (and the
-            # worker's own exception, not the timeout, is the cause).
+            # py>=3.11 aliases FutureTimeout to builtin TimeoutError, so an
+            # in-stage TimeoutError lands here too: only a STILL-RUNNING
+            # future is a wall-clock timeout; a completed one reports its
+            # own outcome (a committed stage must never re-run) — see
+            # docs/DESIGN.md#pipeline-module.
             if fut.done():
                 worker_exc = fut.exception()
                 if worker_exc is None:
@@ -193,15 +187,10 @@ def merge_warehouse(
             continue
         keys = [PK, "measure_code"] if output == "quality" else [PK]
         source = read_parquet(spark, outputs[output])
-        # A multi-drop cycle (pipeline down a month, two drops staged in
-        # one run) yields several rows per facility; merge_scd1 would
-        # install them ALL. ONE-ROW-PER-KEY dims resolve to the NEWEST
-        # DROP via the per-file recency stamp (transforms.RECENCY_COL;
-        # struct-tiebreak alone could install the stale month — ADVICE r6),
-        # falling back to the struct survivor for pre-upgrade outputs.
-        # FAN-OUT dims (penalties, surveys) keep whole key GROUPS, but
-        # only the newest drop's group (ADVICE r7 — same stale-drop
-        # hazard, duplicated fan-out rows).
+        # Multi-drop cycles resolve to the NEWEST DROP via the per-file
+        # recency stamp: one-row-per-key dims keep the newest row, fan-out
+        # dims the newest drop's whole key GROUP (ADVICE r6/r7 —
+        # docs/DESIGN.md#pipeline-module).
         if output in UNIQUE_KEY_OUTPUTS:
             order_col = RECENCY_COL if RECENCY_COL in source.columns else None
             source = latest_per_key(source, keys, order_col)

@@ -72,14 +72,10 @@ def filter_name_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Aggregations
 # ---------------------------------------------------------------------------
 
-# Exact-decimal money arithmetic for every SUM over a discount/tax PRODUCT:
-# the money columns are 2-decimal by data contract and < 1e6, so DECIMAL(8,2)
-# casts, products, and sums are exact and identical in both engines, and
-# ROUND(., 2) is the same half-away decision everywhere. A DOUBLE product's
-# SUM lands on a 2-dec midpoint ~1/1000 per group (round-8 fuzz: q5/q10/q14),
-# where Spark's repr-based HALF_UP and DuckDB's binary rounding disagree —
-# exact decimals close the one class fixture policy used to exclude. The
-# rounded result casts back to DOUBLE for a stable output schema.
+# Exact-decimal money arithmetic for every SUM over a discount/tax
+# PRODUCT: DECIMAL(8,2) casts/products/sums are exact and identical in
+# both engines where a DOUBLE product's SUM lands on a 2-dec midpoint
+# ~1/1000 per group — docs/CONTRACTS.md#revenue-decimal.
 
 
 def rev_sum_sql(prefix: str = "", tax: bool = False) -> str:

@@ -121,16 +121,12 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_away(F.min("l_extendedprice"), 2).alias("min_price"),
         round_half_away(F.max("l_extendedprice"), 2).alias("max_price"),
     )
-    # SCALE-FIRST percentiles (round 11, the one super-linear sf10 scaler):
-    # exact percentile() inside the moments aggregate forced the WHOLE
-    # thing into ObjectHashAggregate — per-row count-map ingestion for 60M
-    # rows x 3 columns, full-map merges on the 3 returnflag reducer tasks,
-    # and zero whole-stage codegen for the 12 decimal sums riding along
-    # (sf2->sf10 grew 6.4x at 5x data). Split: a codegen'd histogram
-    # aggregate shuffles only DISTINCT (flag, col, value) rows across all
-    # reducers (grid-valued money: histogram ~= sf0.1's distinct values,
-    # not row count), then the SAME exact percentile runs frequency-
-    # weighted over the tiny histogram and rejoins by broadcast.
+    # SCALE-FIRST percentiles (round 11, the super-linear sf10 scaler):
+    # a codegen'd histogram aggregate shuffles only DISTINCT (flag, col,
+    # value) rows, the SAME exact percentile runs frequency-weighted over
+    # that tiny histogram and rejoins by broadcast — keeping percentile()
+    # inline forced the whole aggregate into ObjectHashAggregate
+    # (docs/DESIGN.md#stats-histogram-percentiles).
     hist = (
         li.selectExpr(
             "l_returnflag",

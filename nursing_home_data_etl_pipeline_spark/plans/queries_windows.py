@@ -206,17 +206,12 @@ def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rnk") - 1)
             / F.greatest(F.col("_n_st") - 1, F.lit(1)).cast("double"), 6))
     )
-    # Two-level ntile. The shard column must assign IDENTICALLY in the row
-    # branch and the offset branch (two evaluations of one lineage) —
-    # spark_partition_id over repartitionByRange cannot: range-boundary
-    # SAMPLING is nondeterministic across evaluations (probed at sf1-skew:
-    # all 66 (pid, status) group counts differed between back-to-back runs;
-    # implicit N lost 80% of rows to AQE coalescing, explicit N still
-    # mis-bucketed 41k). So the shard is a DATA-DERIVED bucket: exact
-    # percentiles of a deterministic 0.5% hash-sample of the sort key,
-    # broadcast, applied as a pure column function. Tie values share a
-    # bucket, so (bucket, price, key) order == (price, key) order; NULL
-    # prices bucket before all (NULLS FIRST), NaN after all.
+    # Two-level ntile over a DATA-DERIVED bucket (broadcast percentile
+    # bounds of a 0.5% hash-sample, a pure column function): the shard
+    # must assign IDENTICALLY across the two evaluations of one lineage,
+    # which spark_partition_id over repartitionByRange cannot (probed —
+    # docs/DESIGN.md#windows-ntile-bucket). Ties share a bucket; NULLs
+    # bucket first, NaN last.
     n_bk = int(spark.conf.get("spark.sql.shuffle.partitions")) * 2
     pcts = ",".join(str(i / n_bk) for i in range(1, n_bk))
     # coalesce to array() at the AGGREGATE: a sample with zero non-NULL

@@ -225,18 +225,10 @@ def sync_landing_to_source(
     rows = new.collect()  # listing-sized, driver-side by design (file ops)
     if dry_run or not rows:  # no-op poll: skip the claims build entirely
         return len(rows)
-    # Flatten the RELATIVE landing path into the destination name:
-    # same-named files in different landing subdirectories (feb/x.csv,
-    # mar/x.csv) previously both copied to {domain}/x.csv — the second
-    # silently overwrote the first while the ledger recorded both as
-    # synced, losing one file unrecoverably. The flattening is not
-    # injective (feb/x.csv vs a literal feb__x.csv), so collisions are
-    # checked BY PROVENANCE: the same relative path re-syncing (an updated
-    # or retried file) overwrites its own stale copy as before, while two
-    # DIFFERENT relative paths claiming one destination raise. Prior
-    # claims come from the ledger (ledger-sized, already driver-side);
-    # realpath on both sides keeps claims valid when the landing dir is
-    # reached through a different (symlinked) spelling across runs.
+    # Flatten the RELATIVE landing path into the destination name, with
+    # destination collisions checked BY PROVENANCE (same relative path
+    # re-syncs over its own copy; two different paths claiming one
+    # destination raise) — rationale: docs/DESIGN.md#ingest-module.
     base = os.path.realpath(landing_dir)
 
     def _rel(path: str) -> str | None:
@@ -287,14 +279,10 @@ def sync_landing_to_source(
                     "overwrite an unknown-origin file"
                 )
         claimed[(r.domain, dest_name)] = rel
-        # Atomic install: a crash mid-copy must never leave a partial file
-        # at the destination (it would poison the orphan check above AND
-        # read as corrupt data downstream). The tmp name is DOT-prefixed —
-        # outside the data namespace (Spark/Hadoop readers and
-        # data_files_exist skip dotfiles, and no flattened landing name
-        # can equal it) — and pid-suffixed so concurrent syncs can't
-        # interleave. Stale crash leftovers are swept once per domain dir
-        # (see _sweep_stale_tmps; live-process tmps are spared).
+        # Atomic install via dot-prefixed pid-suffixed tmp + os.replace:
+        # no partial file can land in the data namespace; stale crash
+        # leftovers swept per domain dir (_sweep_stale_tmps) —
+        # docs/DESIGN.md#ingest-module.
         tmp = os.path.join(dest_dir, f".{dest_name}.__tmp{os.getpid()}")
         shutil.copy2(r.path, tmp)
         os.replace(tmp, dest)
@@ -327,15 +315,10 @@ def archive_source_files(
             # (round-8 IO hunt, execution-confirmed).
             if not f.is_file() or f.name.startswith((".", "_")):
                 continue
-            # The processed zone exists for raw RETENTION: a re-dropped
-            # monthly file with a stable name must not silently destroy
-            # last month's archived copy — uniquify with a counter suffix
-            # instead (sync raises on its collisions; archive must make
-            # progress, so it versions).
-            # Counter goes BEFORE the extension (data.1.parquet, not
-            # data.parquet.1): an appended counter drops the archived
-            # version out of every '*.parquet'/'*.csv' glob a downstream
-            # reader would run on the zone (round-9 ADVICE).
+            # RETENTION: re-dropped stable names version with a counter
+            # BEFORE the extension (data.1.parquet keeps matching zone
+            # globs — round-9 ADVICE; sync raises on collisions, archive
+            # must make progress so it versions).
             target = dest / f.name
             n = 1
             while target.exists():

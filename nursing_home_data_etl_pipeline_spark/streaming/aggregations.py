@@ -147,15 +147,12 @@ def _accumulate(
             # |v| <= 1e9 < 2^53/1e4): rint recovers it exactly
             micro += int(np.rint(v[fin] * 1e4).astype(np.int64).sum())
     state.update((n, micro, has_val, has_nan, has_pinf, has_ninf))
-    # Emission contract: an all-NULL key totals NULL (SQL SUM), and a NaN
-    # total ALSO emits NULL — the Arrow pandas-worker boundary uses NaN as
-    # its null sentinel, so a Python-side stateful operator cannot
-    # represent NaN in a float column at all (verified empirically: both
-    # object-dtype and float64 NaN arrive JVM-side as NULL). The poison
-    # flags keep later batches poisoned; +/-Infinity round-trips fine.
-    # float(Decimal(micro)x10^-4) is the CORRECTLY-ROUNDED double of the
-    # exact total (micro/1e4 would double-round above 2^53 micro-units) —
-    # identical to the oracle's string-routed DECIMAL->DOUBLE render.
+    # Emission: all-NULL and NaN-poisoned keys emit NULL (the Arrow
+    # boundary uses NaN as its null sentinel — a Python stateful op cannot
+    # emit NaN at all); Inf round-trips. float(Decimal(micro).scaleb(-4))
+    # is the CORRECTLY-ROUNDED double (micro/1e4 double-rounds past 2^53),
+    # matching the oracle's string-routed DECIMAL->DOUBLE render
+    # (docs/DESIGN.md#aggregations--accumulate).
     if not has_val or has_nan or (has_pinf and has_ninf):
         out_total = None
     elif has_pinf:

@@ -60,14 +60,10 @@ def start_upsert_sink(
         if path_exists(spark, target_path):
             target = read_parquet(spark, target_path)
             if order_col:
-                # Version-aware merge: out-of-order batches cannot regress a
-                # key — max(order_col) wins across target AND source, not
-                # arrival order. Without order_col, SCD1 arrival-order wins.
-                # On an order_col TIE the SOURCE row wins (prefer_col): a
-                # correction re-emitted with an unchanged version must
-                # replace the stale row, matching the no-version path where
-                # source always wins — the attribute tiebreak alone could
-                # deterministically keep the old row.
+                # Version-aware merge: max(order_col) wins across target
+                # AND source (out-of-order batches can't regress a key);
+                # on a version TIE the SOURCE row wins, matching the
+                # no-version path — docs/DESIGN.md#upsert-start-upsert-sink.
                 result = latest_per_key(
                     target.withColumn("_prio", F.lit(0)).unionByName(
                         source.select(*target.columns).withColumn(
@@ -109,14 +105,10 @@ def start_incremental_agg(
             F.max(value_col).alias("vmax"),
         )
 
-    # Lineage identity: local-path spellings resolve to a canonical
-    # absolute form via realpath on BOTH sides — at stamp time AND compare
-    # time — so trailing slashes, relative spellings, and symlinked
-    # respellings of one dir resume cleanly, while the same RELATIVE
-    # string from a different cwd resolves to a different absolute path
-    # and fails loudly (never a silent epoch skip). Stored metas are
-    # always stamped RESOLVED, so no ambiguous relative spelling ever
-    # persists. URI checkpoints (s3a://...) compare verbatim.
+    # Lineage identity: local paths canonicalize via realpath on BOTH
+    # sides (stamp + compare) so respellings of one dir resume cleanly
+    # and different dirs fail loudly; URIs compare verbatim —
+    # docs/DESIGN.md#upsert-start-incremental-agg.
     def _ckpt_id(p: str | None) -> str | None:
         if p is None or "://" in p:
             return p
