@@ -37,14 +37,11 @@ def duck_round_sql(expr: str, decimals: int = 6) -> str:
 
 
 def val_sum_col(col: Column | str = "value", scale: int = 4) -> Column:
-    """EXACT decimal SUM of a grid-valued double column (events.value: a
-    ≤4-decimal grid by fixture policy, docs/TOOLS.md#fuzz-fixture-policies)
-    with double-SUM's IEEE non-finite semantics preserved: any NaN — or
-    +Inf meeting -Inf — poisons the group to NaN, else a lone infinity
-    wins, else the order-independent DECIMAL(18,{scale}) sum (round-13:
-    order-dependent double summation straddled a .xx5 boundary between
-    engines; round-14 #2 closes the residual value-sum members). Spark
-    casts NaN/Inf→DECIMAL to NULL, so the decimal branch skips them."""
+    """EXACT decimal SUM of a grid-valued double column with double-SUM's
+    IEEE non-finite semantics preserved (NaN or +Inf&-Inf -> NaN, lone
+    infinity wins, else the order-independent DECIMAL(18,scale) sum;
+    Spark casts NaN/Inf->DECIMAL to NULL so the decimal branch skips
+    them). Round-14 #2 — rationale: docs/CONTRACTS.md#revenue-decimal."""
     c = F.col(col) if isinstance(col, str) else col
     flag = lambda cond: F.max(F.when(cond, 1).otherwise(0)) == 1  # noqa: E731
     nan, pinf, ninf = (flag(F.isnan(c)), flag(c == float("inf")),

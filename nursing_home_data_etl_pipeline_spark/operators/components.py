@@ -39,13 +39,11 @@ def _driver_union_find(
     # and only on THIS path, so success depended on which side of
     # driver_edge_threshold the edge count landed (round-9 review).
     vtype = vertices.schema[id_col].dataType.simpleString()
-    # The component label must be a VERTEX id (dup_clusters' keep-one rule
-    # is ``filter(doc_id == cluster_id)`` — a conduct-only endpoint's id as
-    # the label would make that filter match NOTHING in the cluster and
-    # delete every copy). Probe which endpoints actually are vertices (one
-    # bounded broadcast semi-join: <= #endpoints rows back) and label each
-    # root-group by its min VERTEX member; a group with no vertex member
-    # keeps its min endpoint — those labels never join a vertex row anyway.
+    # The label must be a VERTEX id (a conduct-only endpoint's id would
+    # make dup_clusters' keep-one filter delete every copy): probe which
+    # endpoints are vertices (bounded broadcast semi-join), label each
+    # root-group by its min VERTEX member —
+    # docs/DESIGN.md#components-conduct-only.
     nodes_df = spark.createDataFrame([(n,) for n in nodes], schema=f"_cc_v {vtype}")
     members = {
         r[0]
@@ -108,13 +106,10 @@ def connected_components(
         cached.append(frame.cache())
         return frame
 
-    # Components are defined over a SET of vertex identities: a duplicated
-    # vertex row (re-ingested doc, doubled upstream join) must not emit two
-    # labeled rows — dup_clusters' cluster_size would count rows, not
-    # members, and its keep-one filter would keep BOTH copies (round-8
-    # fuzz). Cached: both paths consume the distinct'd plan twice (members
-    # probe + returned join / extras anti-join + label seed) and the first
-    # probe fills the cache; left to LRU on success, like `extras`.
+    # Components are over a SET of vertex identities — duplicated vertex
+    # rows must not emit two labeled rows (round-8 fuzz); cached because
+    # both paths consume the distinct'd plan twice
+    # (docs/DESIGN.md#components-conduct-only).
     vertices = _cache(vertices.select(id_col).distinct())
     # The edge set is consumed twice (size probe, then collect or symmetric
     # expansion) and upstream it is typically a full LSH candidate pipeline
@@ -136,12 +131,10 @@ def connected_components(
             )
             .distinct()
         )
-        # Edge endpoints absent from `vertices` still CONDUCT connectivity
-        # (the driver union-find connects through them transitively); the
-        # label set must therefore include them or the distributed answer
-        # would silently depend on which side of driver_edge_threshold the
-        # edge count landed. The endpoint set is edge-bounded (small), so
-        # the probe and the final filter-back are broadcast-sized.
+        # Endpoints absent from `vertices` still CONDUCT connectivity,
+        # so the label set must include them (else the answer depends on
+        # the driver/distributed path taken); endpoint set is
+        # edge-bounded — docs/DESIGN.md#components-conduct-only.
         v_ids = vertices.select(F.col(id_col).alias("v"))
         extras = _cache(
             sym.select(F.col("src").alias("v"))
@@ -188,14 +181,11 @@ def connected_components(
                     # edge pipeline the caches existed to avoid.
                     extras.count()
                     out = labels.join(F.broadcast(extras), "v", "left_anti")
-                    # Propagation may have labeled a component with a
-                    # conduct-only endpoint's id (it can be the min). The
-                    # contract — and dup_clusters' keep-one rule
-                    # ``filter(doc_id == cluster_id)`` — needs the min
-                    # VERTEX id, so remap exactly the extra-labeled
-                    # components: both probe frames are bounded by #extras
-                    # (edge-sized), so every added join broadcasts and the
-                    # vertex set never reshuffles.
+                    # Remap components propagation labeled with a
+                    # conduct-only (possibly min) endpoint id to their min
+                    # VERTEX id; all probe frames are edge-bounded, so
+                    # every added join broadcasts
+                    # (docs/DESIGN.md#components-conduct-only).
                     extra_labels = extras.select(F.col("v").alias("label"))
                     rep = (
                         out.join(F.broadcast(extra_labels), "label", "left_semi")

@@ -61,12 +61,9 @@ def exact_dedup(
             )
         ).cast(df.schema[id_col].dataType)
     )
-    # ONE scan, ONE shuffle: NULL-text rows take a PER-ROW sentinel group
-    # key (chr(0)-prefixed id — cannot collide with an md5 hex
-    # fingerprint), so they ride the same aggregate as singleton groups
-    # instead of a second full-corpus scan through a union branch (the
-    # previous two-branch plan re-read and re-fingerprinted the corpus
-    # once per branch).
+    # ONE scan, ONE shuffle: NULL-text rows take a per-row sentinel
+    # group key (chr(0)-prefixed id, uncollidable with md5 hex) and ride
+    # the same aggregate — the old union branch re-read the corpus.
     group_key = F.coalesce(
         F.col("_fp"), F.concat(F.lit("\x00row\x00"), checked_id.cast("string"))
     )

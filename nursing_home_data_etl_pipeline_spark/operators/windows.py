@@ -99,16 +99,13 @@ def plan_segments(
     n_segments: int | None = None,
     threshold_bytes: int = SEGMENT_THRESHOLD_BYTES,
 ) -> Column | None:
-    """ONE segmentation decision + segment column for (possibly several)
-    ``*_scaled`` calls over the same ordering — each call's own sample job
-    would otherwise replay the previous call's whole segmented-join
-    lineage (ADVICE r13). Returns None — the flat path — below the size
-    threshold, and ALSO (round-14 #3: segmentation costs ~2x on uniform
-    lag) when ``partition_by`` is given and the observed hot-key share
-    says no key's history can exceed the per-task threshold
-    (share x size, resolvable only up to _HOT_RESOLVABLE_BYTES). With
-    several partition keys, gate on the COARSEST (hottest) one. Pass the
-    result straight to ``segments=``."""
+    """ONE segmentation decision + segment column for several ``*_scaled``
+    calls over the same ordering (ADVICE r13: per-call samples replayed
+    the prior call's lineage). None — flat — below the size threshold and
+    ALSO when the observed hot-key share of ``partition_by`` (gate on the
+    COARSEST keys) says no key's history can exceed the per-task
+    threshold (round-14 #3: segmentation cost ~2x on uniform lag);
+    share x size resolves only up to _HOT_RESOLVABLE_BYTES."""
     from .ids import _estimated_size_bytes, order_key_segments
 
     size = _estimated_size_bytes(df)

@@ -95,12 +95,10 @@ def rev_sum_col(tax: bool = False):
     return F.round(F.sum(expr), 2).cast("double")
 
 
-# Money/cent-valued SUMs ride exact DECIMAL like rev_sum (round-13: at
-# skew2-sf10 the double sum of l_extendedprice landed a few ULPs on
-# DIFFERENT sides of a .xx5 boundary in the two engines — order-dependent
-# float summation, unfixable by any rounding convention). DECIMAL(18,2)
-# leaves 16 integer digits of per-value headroom (ADVICE r13: 12,2 aborted
-# under ANSI at one value >= 1e10); SUM widens to (28,2), exact.
+# Money/cent SUMs ride exact DECIMAL(18,2) like rev_sum — order-
+# dependent double summation straddled a .xx5 boundary at skew2-sf10
+# (round 13); 16 integer digits of ANSI headroom (ADVICE r13) —
+# docs/CONTRACTS.md#revenue-decimal.
 def dec_sum_sql(col: str) -> str:
     return f"CAST(ROUND(SUM(CAST({col} AS DECIMAL(18,2))), 2) AS DOUBLE)"
 
@@ -340,12 +338,10 @@ def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct semantics). Full contract: docs/CONTRACTS.md#set_ops_all",
 )
 def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # GROUP-COUNT-COMPARE rewrite (round-14 #7): the literal operator
-    # chains scanned customer 4x / orders 3x with repeated multiset-sized
-    # exchanges (EXPLAIN_AUDIT set_ops_all); each branch is now ONE scan
-    # per table and ONE key shuffle. Set-op NULL semantics (NULL keys
-    # compare equal) fall out of GROUP BY; the thin operator wrappers in
-    # operators/setops.py stay the API surface (pytest test_set_ops).
+    # GROUP-COUNT-COMPARE rewrite (round-14 #7): ONE scan per table and
+    # ONE key shuffle per branch where the literal chains scanned
+    # customer 4x / orders 3x — docs/CONTRACTS.md#set_ops_all; the
+    # operators/setops.py wrappers stay the API surface.
     from .catalog import tag_union
 
     cust = read_table(spark, sf_dir, "customer")

@@ -312,15 +312,11 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_salt() -> int:
-    """Salt-N knob for the stream-stream interval join (round-14 #4): at
-    skew2 one hot user owns ~half the clicks and its join state serializes
-    onto ONE state partition (1.86x wall, SCALE_r13 ratio_attribution).
-    With salt N the click side takes a deterministic per-row salt and the
-    purchase side is EXPLODED to all N salts, splitting the hot key's
-    state N ways while every (click, purchase) pair still matches exactly
-    once — the click holds exactly one salt, so no double-emit (pinned in
-    tests/test_streaming.py). Default 1: xN purchase state is a bad trade
-    on uniform data; set SPARK_GRAFT_STREAM_SALT for skewed deployments."""
+    """Salt-N knob for the stream-stream interval join (round-14 #4): a
+    deterministic click-side salt + exploded purchase side splits a hot
+    user's join state N ways; each pair still matches exactly once (no
+    double-emit, test-pinned). Default 1 — xN purchase state is a bad
+    trade on uniform data. docs/CONTRACTS.md#streaming_join_dedup."""
     return max(1, int(os.environ.get("SPARK_GRAFT_STREAM_SALT", "1")))
 
 

@@ -86,12 +86,10 @@ def canon(v):
     if isinstance(v, bytes):
         return (_BYTES, v.hex())
     if isinstance(v, Row):
-        # Spark structs: Row is a TUPLE subclass — without this branch it
-        # fell through to `return v`, so identical structs spuriously
-        # FAILED against DuckDB's dict form, struct-vs-array results
-        # false-PASSED positionally, and nested floats/NaN/bytes bypassed
-        # canonicalization entirely (round-8 comparator review). Keyed
-        # like the dict branch so Spark struct == DuckDB STRUCT.
+        # Row is a TUPLE subclass: without this branch structs fell
+        # through to `return v` (spurious FAILs, positional false-PASSes,
+        # uncanonicalized nested floats — round-8 comparator review);
+        # keyed like the dict branch so Spark struct == DuckDB STRUCT.
         return tuple(sorted((k, canon(x)) for k, x in v.asDict().items()))
     if isinstance(v, list):
         return tuple(canon(x) for x in v)

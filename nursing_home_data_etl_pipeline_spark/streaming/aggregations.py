@@ -83,12 +83,10 @@ def session_counts(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        # finite total in EXACT integer micro-units (value x 10^4 — the
-        # fixture 4-decimal grid): order-independent integer addition,
-        # where a double accumulator's last decimal was arrival-order-
-        # dependent across a .xxx5 boundary (round-14 #2; the state store
-        # can't carry DECIMAL — scale on egress). Exact while |total| <
-        # 2^63 micro-units ~ 9.2e14 value units.
+        # finite total in EXACT integer micro-units (value x 10^4): a
+        # double accumulator's last decimal was arrival-order-dependent
+        # (round-14 #2; state can't carry DECIMAL — scale on egress).
+        # Exact while |total| < 2^63 micro-units ~ 9.2e14 value units.
         T.StructField("micro", T.LongType()),
         # whether any NON-NULL value was ever seen: SQL SUM over an
         # all-NULL group is NULL, and inside the Arrow worker a SQL NULL

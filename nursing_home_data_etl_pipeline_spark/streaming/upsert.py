@@ -51,12 +51,10 @@ def start_upsert_sink(
         # target missing; restore it BEFORE the bootstrap probe, or this
         # batch would re-bootstrap over the accumulated dim.
         recover_dir(spark, target_path)
-        # Bootstrap ONLY when the target verifiably does not exist: inside
-        # foreachBatch a broad except would treat any transient merge error
-        # on a later micro-batch as "first batch" and silently wipe the
-        # maintained dim down to that batch's rows (ADVICE round 1). By
-        # re-raising instead, the streaming query fails and the checkpoint
-        # replays the batch safely.
+        # Bootstrap ONLY when the target verifiably does not exist: a
+        # broad except would treat a transient merge error as "first
+        # batch" and wipe the dim (ADVICE r1); re-raise and let the
+        # checkpoint replay the batch.
         if path_exists(spark, target_path):
             target = read_parquet(spark, target_path)
             if order_col:

@@ -113,23 +113,19 @@ def universal_cleaning(
     for domain in domains or zones.list_domains("source", spark):
         df = None
         try:
-            # Probe BEFORE the read: schema inference on an existing-but-
-            # empty domain dir raises UNABLE_TO_INFER_SCHEMA long before
-            # is_empty() could run, wedging every later run on a dir a
-            # crashed/collided sync legitimately leaves behind (round-8
-            # IO hunt, execution-confirmed). Missing-vs-broken probing via
-            # the same helper the ledger and staging_status use.
+            # Probe BEFORE the read: inference on an existing-but-empty
+            # dir raises UNABLE_TO_INFER_SCHEMA and would wedge every
+            # later run (round-8 IO hunt) — same missing-vs-broken
+            # helper the ledger uses.
             if not data_files_exist(spark, zones.source(domain)):
                 continue
             df = read_csv_untyped(spark, zones.source(domain))
             if is_empty(df):
                 continue
-            # Per-file recency from the scan's _metadata pseudo-column (the
-            # landing file's mtime IS its sync time); added pre-clean so a
-            # source header that would normalize onto it collides loudly in
-            # clean_table. An EXACT (case-insensitive) 'synced_at' header
-            # would instead be silently replaced by withColumn, so that one
-            # is refused here.
+            # Per-file recency from _metadata (file mtime IS sync time);
+            # added pre-clean so normalizing headers collide loudly; an
+            # exact 'synced_at' header is refused (withColumn would
+            # silently replace it).
             clash = [c for c in df.columns if c.lower() == RECENCY_COL]
             if clash:
                 raise ValueError(
@@ -171,12 +167,10 @@ def provider_transform(spark: SparkSession, zones: ZoneLayout) -> dict[str, str]
     outputs["rating"] = select_columns_matching(
         trimmed, RATING_KEYWORDS, always_include=(PK, RECENCY_COL)
     )
-    # The two enrich sides are OPTIONAL inputs (the reference's dynamic-
-    # schema model): absence — including a created-but-never-committed
-    # empty dir — is probed explicitly via the filesystem, so a
-    # present-but-broken input (corrupt footer, schema clash, join bug)
-    # fails loudly instead of silently dropping the enrich — a bare
-    # except around the read swallowed real errors until round 6.
+    # OPTIONAL enrich inputs: absence (incl. empty dirs) probed via the
+    # filesystem so a present-but-broken input fails loudly instead of
+    # silently dropping the enrich (a bare except swallowed real errors
+    # until round 6).
     surveys = select_columns_matching(
         trimmed, SURVEY_KEYWORDS, always_include=(PK, RECENCY_COL)
     )
