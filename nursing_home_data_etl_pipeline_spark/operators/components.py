@@ -173,12 +173,10 @@ def connected_components(
             if changed == 0:
                 out = labels
                 if has_extras:  # conduct-only vertices drop out of the result
-                    # The RETURNED lazy plan anti-joins through `extras`:
-                    # fully materialize its (edge-bounded, small) cache
-                    # while sym/edges are still cached, then leave it to
-                    # LRU eviction — unpersisting it here made the
-                    # caller's first action recompute the whole upstream
-                    # edge pipeline the caches existed to avoid.
+                    # Materialize the (edge-bounded) `extras` cache while
+                    # sym/edges are still cached — unpersisting here made
+                    # the caller's first action recompute the whole
+                    # upstream edge pipeline; leave it to LRU.
                     extras.count()
                     out = labels.join(F.broadcast(extras), "v", "left_anti")
                     # Remap components propagation labeled with a

@@ -179,12 +179,10 @@ def list_landing_files(spark: SparkSession, landing_dir: str) -> DataFrame:
     if base.exists():
         for p in sorted(base.rglob("*")):
             if p.is_file():
-                # HIDDEN files (any '.'- or '_'-prefixed path component,
-                # the Hadoop convention) are ignored entirely — syncing
-                # one would ledger-record it yet flatten it to a dotfile
-                # destination every downstream reader skips: data loss
-                # that LOOKS ingested. Skipping here also keeps landing
-                # names out of _sweep_stale_tmps' '.*.__tmp*' namespace.
+                # HIDDEN path components ('.'/'_' prefix, the Hadoop
+                # convention) are skipped entirely: syncing one would
+                # ledger-record data every reader skips (loss that LOOKS
+                # ingested) and collide with the __tmp namespace.
                 rel_parts = p.relative_to(base).parts
                 if any(part.startswith((".", "_")) for part in rel_parts):
                     continue
@@ -266,12 +264,10 @@ def sync_landing_to_source(
                 f"files {prior!r} and {rel!r} both flatten to {dest_name!r}"
             )
         if prior is None and os.path.exists(dest):
-            # Destination exists but the ledger never claimed it: an orphan
-            # from a crashed copy-then-record run. A retry of the SAME file
-            # (identical content — compared by hash, immune to filesystems
-            # that round mtimes) may proceed; anything else refuses — the
-            # orphan may be the only copy of a file since deleted from
-            # landing.
+            # Ledger-unclaimed orphan from a crashed copy-then-record
+            # run: a hash-identical retry may proceed; anything else
+            # refuses (the orphan may be the only copy of a file since
+            # deleted from landing).
             if _file_md5(r.path) != _file_md5(dest):
                 raise FileExistsError(
                     f"sync destination {dest!r} exists with no ledger claim "
