@@ -227,9 +227,9 @@ def lag_scaled(
     segment's LAST value through a boundary exchange of exactly one row
     per (keys, segment) — never a per-key sequential scan. The boundary
     value rides a struct so "no previous row" (NULL struct) stays distinct
-    from "previous value is NULL"; the boundary row is the segment's
-    max-_rn row, derived from the SAME window partitioning (the shuffle is
-    reused, no second scan exchange)."""
+    from "previous value is NULL"; the boundary row is the one with no
+    successor (a lead flag on the SAME ordered window — the shuffle is
+    reused, no second scan exchange and no extra window pass)."""
     cols = [F.col(c) for c in order_by]
     if segments is _UNSET:
         segments = plan_segments(df, order_by, partition_by,
@@ -239,17 +239,19 @@ def lag_scaled(
         return df.withColumn(_fresh(df, out_name, "lag_scaled"),
                              F.lag(value_col, 1).over(w))
     dfs = _segmented(df, order_by, n_segments,
-                     ("_lag", "_rn", "_n", "_last", "_prev", out_name,
+                     ("_lag", "_rn", "_nxt", "_last", "_prev", out_name,
                       *(f"_pb_{c}" for c in partition_by)), segments)
     w_loc = Window.partitionBy(*partition_by, "_seg").orderBy(*cols)
     local = (
         dfs.withColumn("_lag", F.lag(value_col, 1).over(w_loc))
         .withColumn("_rn", F.row_number().over(w_loc))
-        .withColumn("_n", F.count(F.lit(1)).over(
-            Window.partitionBy(*partition_by, "_seg")))
+        # last row of (keys, segment) = no successor: a lead flag on the
+        # SAME ordered window (the old count() was a second, unbounded-
+        # frame window pass over the whole frame — round-14 trim)
+        .withColumn("_nxt", F.lead(F.lit(1), 1).over(w_loc))
     )
     pb2 = [f"_pb_{c}" for c in partition_by]
-    lasts = local.filter(F.col("_rn") == F.col("_n")).select(
+    lasts = local.filter(F.col("_nxt").isNull()).select(
         *[F.col(c).alias(a) for c, a in zip(partition_by, pb2)],
         F.col("_seg").alias("_seg2"),
         F.struct(F.col(value_col).alias("v")).alias("_last"),
@@ -260,7 +262,7 @@ def lag_scaled(
     out = F.when(F.col("_rn") == 1, F.col("_prev.v")).otherwise(F.col("_lag"))
     return (_seg_join(local, prevs, partition_by)
             .withColumn(out_name, out)
-            .drop("_seg", "_lag", "_rn", "_n", "_prev"))
+            .drop("_seg", "_lag", "_rn", "_nxt", "_prev"))
 
 
 def with_lag_delta(
