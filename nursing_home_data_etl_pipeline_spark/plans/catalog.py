@@ -31,6 +31,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
     def wrap(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:
             raise ValueError(f"duplicate catalog entry {name!r}")
+        if fn.__name__ != name:  # r14: a helper def between decorator and
+            # query def silently became the entry — make that impossible
+            raise ValueError(
+                f"catalog entry {name!r} must register a function of the "
+                f"same name, got {fn.__name__!r}")
         _REGISTRY[name] = CatalogEntry(name, fn, oracle, doc or (fn.__doc__ or ""))
         return fn
 

@@ -36,6 +36,17 @@ def test_entry_smoke(spark):
     assert set(mod.oracle_sql()) <= set(mod.queries())
 
 
+def test_register_rejects_misnamed_function():
+    """VERDICT r14 #2: a helper def inserted between @register and the
+    query def must raise at import time, not silently become the entry."""
+    with pytest.raises(ValueError, match="same name"):
+
+        @catalog.register("some_query", None)
+        def a_helper(spark, sf_dir):  # pragma: no cover - never registered
+            raise AssertionError
+    assert "some_query" not in catalog.entries()
+
+
 def test_tag_union_rejects_unknown_kwargs(spark):
     """ADVICE r9: a typoed column kwarg must raise, not NULL-fill silently."""
     from pyspark.sql import functions as F
