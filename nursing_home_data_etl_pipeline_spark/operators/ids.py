@@ -99,7 +99,10 @@ def order_key_segments(
     down to ~1e-4 resolve; callers gate segmentation on share x size."""
     cols = [F.col(c) for c in order_by]
     n = n_segments * 32 if hot_share_of is None else max(n_segments * 32, 65536)
-    extra = ([F.struct(*[F.col(c) for c in hot_share_of]).alias("_p")]
+    # 8-byte key HASH, not the struct: a wide partition_by would multiply
+    # the bounded driver collect (ADVICE r14); a collision only merges
+    # two keys, overstating the share — conservative toward segmenting
+    extra = ([F.xxhash64(*[F.col(c) for c in hot_share_of]).alias("_p")]
              if hot_share_of else [])
     sample = (
         df.select(F.struct(*cols).alias("_k"), *extra)
@@ -116,7 +119,7 @@ def order_key_segments(
     col = _shard_case_tree(key, cuts, order_by)[0]
     if hot_share_of is None:
         return col
-    counts = Counter(tuple(r["_p"]) for r in sample)
+    counts = Counter(r["_p"] for r in sample)
     share = max(counts.values()) / len(sample) if sample else 0.0
     return col, share
 

@@ -82,10 +82,28 @@ def running_agg(
 SEGMENT_THRESHOLD_BYTES = 64 * 1024 * 1024
 
 
-#: Above this size the hot-share sample can no longer resolve a
-#: threshold-sized key (share floor ~3/65536), so segmentation is forced
-#: rather than trusting an under-resolved "uniform" verdict.
+#: Above this size the 64k-row hot-share sample can no longer resolve a
+#: threshold-sized key (share floor ~8/65536), so plan_segments switches
+#: to the EXACT distributed probe instead of trusting an under-resolved
+#: "uniform" verdict (round-15 #1; r14 forced segmentation here, paying
+#: the measured ~2x uniform-lag cost at exactly the design's target
+#: scale). Resolution bounds: docs/DESIGN.md#windows-hot-share.
 _HOT_RESOLVABLE_BYTES = SEGMENT_THRESHOLD_BYTES * (65536 // 8)
+
+
+def _exact_hot_share(df: DataFrame, partition_by: Sequence[str]) -> float:
+    """Exact top-key row share for frames beyond sample resolution: one
+    column-pruned pass — count per key HASH (map-side combine; the
+    shuffle is one row per distinct key), then max/total. Hashing keeps
+    shuffle rows 8 bytes wide; a 64-bit collision only MERGES two keys,
+    overstating the share — conservative toward segmenting."""
+    row = (
+        df.groupBy(F.xxhash64(*[F.col(c) for c in partition_by]).alias("_p"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c").alias("m"), F.sum("_c").alias("t"))
+        .first()
+    )
+    return row["m"] / row["t"] if row and row["t"] else 0.0
 
 #: sentinel: "caller made no segmentation decision" (None means FLAT —
 #: a plan_segments verdict the caller passes through).
@@ -104,8 +122,10 @@ def plan_segments(
     the prior call's lineage). None — flat — below the size threshold and
     ALSO when the observed hot-key share of ``partition_by`` (gate on the
     COARSEST keys) says no key's history can exceed the per-task
-    threshold (round-14 #3: segmentation cost ~2x on uniform lag);
-    share x size resolves only up to _HOT_RESOLVABLE_BYTES."""
+    threshold (round-14 #3: segmentation cost ~2x on uniform lag). The
+    share estimator scales with frame size: the free 64k sample up to
+    _HOT_RESOLVABLE_BYTES, the exact probe above it (round-15 #1) — a
+    flat verdict stays reachable at ANY size."""
     from .ids import _estimated_size_bytes, order_key_segments
 
     size = _estimated_size_bytes(df)
@@ -117,9 +137,13 @@ def plan_segments(
     n_segments = max(1, min(n_segments, 1024))
     if partition_by is None or threshold_bytes <= 0:
         return order_key_segments(df, order_by, n_segments)
+    if size > _HOT_RESOLVABLE_BYTES:
+        if _exact_hot_share(df, partition_by) * size <= threshold_bytes:
+            return None
+        return order_key_segments(df, order_by, n_segments)
     col, share = order_key_segments(df, order_by, n_segments,
                                     hot_share_of=partition_by)
-    if share * size <= threshold_bytes and size <= _HOT_RESOLVABLE_BYTES:
+    if share * size <= threshold_bytes:
         return None
     return col
 

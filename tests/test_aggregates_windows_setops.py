@@ -243,6 +243,27 @@ def test_segmented_catalog_windows_match_oracle(spark, monkeypatch):
         con.close()
 
 
+def test_hot_share_resolves_beyond_sample_ceiling(spark, monkeypatch):
+    """round-15 #1: above _HOT_RESOLVABLE_BYTES the 64k sample bottoms out;
+    the exact distributed probe must still return a FLAT verdict for
+    uniform keys (r14 force-segmented here, ~2x on uniform lag at exactly
+    the 100 TB design point) and a segmented one for a hot key."""
+    from nursing_home_data_etl_pipeline_spark.operators import ids, windows
+
+    mocked = 4 * windows._HOT_RESOLVABLE_BYTES  # ~2 TiB estimate
+    monkeypatch.setattr(ids, "_estimated_size_bytes", lambda df: mocked)
+    # uniform: every key unique -> exact share 1/50000; share*size ~46 MiB
+    # <= 64 MiB threshold -> flat, deterministically
+    uniform = spark.range(50_000).select(
+        F.col("id").alias("k"), F.col("id").alias("o"))
+    assert windows.plan_segments(uniform, ["o"], ["k"]) is None
+    # hot: one key holds 1% of rows -> share*size ~22 GiB -> segmented
+    hot = spark.range(50_000).select(
+        F.when(F.col("id") % 100 == 0, F.lit(-1)).otherwise(F.col("id"))
+        .alias("k"), F.col("id").alias("o"))
+    assert windows.plan_segments(hot, ["o"], ["k"]) is not None
+
+
 def test_hot_share_gating_switch_boundary(spark):
     """round-14 #3: above the size threshold, segmentation engages only
     when the sampled hot-key share says some key's history can exceed one
