@@ -16,6 +16,7 @@ arrival (round-8 fuzz; same contract as minhash/exact dedup)."""
 from __future__ import annotations
 
 import atexit
+import logging
 import os
 import shutil
 import tempfile
@@ -320,6 +321,40 @@ def _stream_salt() -> int:
     return max(1, int(os.environ.get("SPARK_GRAFT_STREAM_SALT", "1")))
 
 
+#: Unsalted stream-join state with one key above this row share warns
+#: (round-15 #3): the salt knob is proven (skew2 warm 1.93x -> 1.15x,
+#: r14) but default-off — without a signal, a skewed stream silently
+#: runs ~1.9x. docs/CONTRACTS.md#streaming_join_dedup.
+STATE_SKEW_WARN_SHARE = 0.2
+
+
+def _warn_if_state_skewed(spark: SparkSession, sf_dir: str, n_salt: int) -> None:
+    """One column-pruned batch aggregate over the same files the stream
+    reads: exact top-key row share of the purchase-side state keys
+    (map-side combine; shuffle one row per distinct user). Logged
+    warning, not auto-salt: salting multiplies purchase state xN, a
+    trade the operator must size driver/state memory for (r14: salt8
+    OOM'd a 16 GB driver at sf10)."""
+    if n_salt > 1:
+        return
+    from ..sources.readers import read_table
+
+    row = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c").alias("m"), F.sum("_c").alias("t")).first()
+    )
+    share = row["m"] / row["t"] if row and row["t"] else 0.0
+    if share > STATE_SKEW_WARN_SHARE:
+        logging.getLogger(__name__).warning(
+            "streaming_join_dedup: one join key holds %.0f%% of the "
+            "purchase-side stream state (warn threshold %.0f%%) — set "
+            "SPARK_GRAFT_STREAM_SALT=4 to split it (r14 skew2 warm "
+            "1.93x -> 1.15x; purchase state grows xN).",
+            share * 100, STATE_SKEW_WARN_SHARE * 100)
+
+
 _WINDOW = "INTERVAL 1 HOUR"
 
 
@@ -357,6 +392,7 @@ def streaming_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = stream_events(spark, sf_dir)
     n_salt = _stream_salt()
+    _warn_if_state_skewed(spark, sf_dir, n_salt)
     # xxhash64 never returns NULL, so a salted row can't silently drop;
     # salt off (1) keeps literal-zero keys — no hash, no Generate node
     c_salt = (F.pmod(F.xxhash64("event_id"), F.lit(n_salt))

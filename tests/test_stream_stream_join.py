@@ -50,3 +50,46 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # click1@1000s matches buy10@1500s (same user, within 10 min);
     # click2@5000s too late for buy10; click3 user 200 buy@9999 too late
     assert rows == {(1, 10)}
+
+
+def _events_fixture(spark, path, hot_share):
+    n = 400
+    rows = [
+        (i,
+         1000 + i,
+         0 if (t == "purchase" and i % 100 < hot_share * 100) else i,
+         t,
+         1.0,
+         None)
+        for i in range(n)
+        for t in (("purchase",) if i % 2 else ("click",))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long, event_type string, "
+              "value double, props string"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"), "user_id",
+             "event_type", "value", "props")
+    df.write.parquet(str(path / "events.parquet"))
+    return str(path)
+
+
+def test_state_skew_warning_fires_on_skew_not_uniform(spark, tmp_path, caplog):
+    """round-15 #3: unsalted stream-join state with one key above the
+    share threshold logs a warning; uniform keys stay silent; salted
+    runs stay silent regardless."""
+    import logging
+
+    from nursing_home_data_etl_pipeline_spark.plans.queries_streaming import (
+        _warn_if_state_skewed,
+    )
+
+    skew = _events_fixture(spark, tmp_path / "skew", hot_share=0.5)
+    uni = _events_fixture(spark, tmp_path / "uni", hot_share=0.0)
+    logger = "nursing_home_data_etl_pipeline_spark.plans.queries_streaming"
+    with caplog.at_level(logging.WARNING, logger=logger):
+        _warn_if_state_skewed(spark, uni, n_salt=1)
+        assert not caplog.records
+        _warn_if_state_skewed(spark, skew, n_salt=4)
+        assert not caplog.records  # salted: state already split
+        _warn_if_state_skewed(spark, skew, n_salt=1)
+    assert any("SPARK_GRAFT_STREAM_SALT" in r.message for r in caplog.records)
