@@ -142,8 +142,20 @@ def _accumulate(
             has_pinf = has_pinf or bool((v == np.inf).any())
             has_ninf = has_ninf or bool((v == -np.inf).any())
             # v*1e4 is within half an ulp of its integer (grid values,
-            # |v| <= 1e9 < 2^53/1e4): rint recovers it exactly
-            micro += int(np.rint(v[fin] * 1e4).astype(np.int64).sum())
+            # |v| <= 1e9 < 2^53/1e4): rint recovers it exactly. Loud
+            # preconditions (ADVICE r14): an OFF-grid midpoint would
+            # split rint's half-EVEN from the batch cast's HALF_UP
+            # (0.01 clears on-grid ulp noise, ~1e-3 at |micro|=1e13),
+            # and the int64 sum must not wrap silently.
+            scaled = v[fin] * 1e4
+            r = np.rint(scaled)
+            if len(r) and np.abs(r - scaled).max() > 0.01:
+                raise ValueError(
+                    "stateful total: value off the 1e-4 grid — half-even "
+                    "vs HALF_UP rounding would silently diverge")
+            micro += int(r.astype(np.int64).sum(dtype=object))
+    if abs(micro) > 2**62:
+        raise OverflowError("stateful total exceeds int64 micro-units")
     state.update((n, micro, has_val, has_nan, has_pinf, has_ninf))
     # Emission: all-NULL and NaN-poisoned keys emit NULL (the Arrow
     # boundary uses NaN as its null sentinel — a Python stateful op cannot

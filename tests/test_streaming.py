@@ -274,6 +274,20 @@ def test_accumulate_sql_sum_semantics_on_dirty_values():
     assert out["total_value"].iloc[0] == 0.0003
     assert math.isfinite(out["total_value"].iloc[0])
 
+    # loud preconditions (ADVICE r14): an off-grid midpoint (0.03125 is
+    # exactly representable, so *1e4 lands on 312.5 — where rint's
+    # half-even and the batch cast's HALF_UP would silently diverge)
+    # raises instead of corrupting; so does an int64 micro overflow
+    import pytest
+
+    with pytest.raises(ValueError, match="off the 1e-4 grid"):
+        _accumulate((7,), [batch([0.03125])], FakeState(), "user_id", "value")
+    st7 = FakeState()
+    st7._v = (1, 2**62, True, False, False, False)
+    st7.exists = True
+    with pytest.raises(OverflowError, match="micro-units"):
+        _accumulate((7,), [batch([1.0])], st7, "user_id", "value")
+
 
 
 
