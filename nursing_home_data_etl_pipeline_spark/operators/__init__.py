@@ -67,6 +67,7 @@ from .similarity import (  # noqa: F401
 )
 from .windows import (  # noqa: F401
     lag_scaled,
+    lags_scaled,
     running_agg,
     running_sum_scaled,
     sessionize,

@@ -82,21 +82,16 @@ def running_agg(
 SEGMENT_THRESHOLD_BYTES = 64 * 1024 * 1024
 
 
-#: Above this size the 64k-row hot-share sample can no longer resolve a
-#: threshold-sized key (share floor ~8/65536), so plan_segments switches
-#: to the EXACT distributed probe instead of trusting an under-resolved
-#: "uniform" verdict (round-15 #1; r14 forced segmentation here, paying
-#: the measured ~2x uniform-lag cost at exactly the design's target
-#: scale). Resolution bounds: docs/DESIGN.md#windows-hot-share.
+#: Above this size the 64k-row hot-share sample bottoms out (share floor
+#: ~8/65536) and plan_segments switches to the EXACT probe (round-15 #1).
+#: Resolution bounds: docs/DESIGN.md#windows-hot-share.
 _HOT_RESOLVABLE_BYTES = SEGMENT_THRESHOLD_BYTES * (65536 // 8)
 
 
 def _exact_hot_share(df: DataFrame, partition_by: Sequence[str]) -> float:
-    """Exact top-key row share for frames beyond sample resolution: one
-    column-pruned pass — count per key HASH (map-side combine; the
-    shuffle is one row per distinct key), then max/total. Hashing keeps
-    shuffle rows 8 bytes wide; a 64-bit collision only MERGES two keys,
-    overstating the share — conservative toward segmenting."""
+    """Exact top-key row share via one count-per-key-HASH pass (shuffle =
+    one 8-byte row per key; collisions only overstate — conservative).
+    docs/DESIGN.md#windows-hot-share"""
     row = (
         df.groupBy(F.xxhash64(*[F.col(c) for c in partition_by]).alias("_p"))
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -246,47 +241,78 @@ def lag_scaled(
     threshold_bytes: int = SEGMENT_THRESHOLD_BYTES,
     segments: Column | None | object = _UNSET,
 ) -> DataFrame:
-    """lag(1) with the same two-level escape hatch: local lag within
-    (keys, segment); each segment's FIRST row takes the previous non-empty
-    segment's LAST value through a boundary exchange of exactly one row
-    per (keys, segment) — never a per-key sequential scan. The boundary
-    value rides a struct so "no previous row" (NULL struct) stays distinct
-    from "previous value is NULL"; the boundary row is the one with no
-    successor (a lead flag on the SAME ordered window — the shuffle is
-    reused, no second scan exchange and no extra window pass)."""
+    """lag(1) with the two-level escape hatch — the single-spec form of
+    :func:`lags_scaled`."""
+    return lags_scaled(df, partition_by, order_by,
+                       [((), value_col, out_name)],
+                       n_segments, threshold_bytes, segments)
+
+
+def lags_scaled(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    specs: Sequence[tuple[Sequence[str], str, str]],
+    n_segments: int | None = None,
+    threshold_bytes: int = SEGMENT_THRESHOLD_BYTES,
+    segments: Column | None | object = _UNSET,
+) -> DataFrame:
+    """Several lag(1)s over refinements of ONE coarse partitioning —
+    ``specs`` rows are (refine_by, value_col, out_name); each output
+    equals lag(value) over (partition_by + refine_by ORDER BY order_by).
+    Segmented, every spec rides the SAME (keys, segment) exchange
+    (round-15 #5: the second full-frame shuffle was the fusion target): a
+    refined spec sorts (refine, order) INSIDE the coarse partition — its
+    refine-runs are contiguous, so a run-membership-guarded lag is the
+    refined lag — and each segment-first row of a run takes the previous
+    non-empty segment's run-last value through a boundary exchange of one
+    row per (keys, refine, segment), a struct so "no previous row" stays
+    distinct from "previous value is NULL". The run-first/run-last flags
+    generalize the empty-refine rn/lead flags via a lag/lead of the
+    refine struct on the same window. docs/DESIGN.md#windows-lags-scaled"""
     cols = [F.col(c) for c in order_by]
     if segments is _UNSET:
         segments = plan_segments(df, order_by, partition_by,
                                  n_segments, threshold_bytes)
     if segments is None:
-        w = Window.partitionBy(*partition_by).orderBy(*cols)
-        return df.withColumn(_fresh(df, out_name, "lag_scaled"),
-                             F.lag(value_col, 1).over(w))
+        for refine, val, out in specs:
+            w = Window.partitionBy(*partition_by, *refine).orderBy(*cols)
+            df = df.withColumn(_fresh(df, out, "lags_scaled"),
+                               F.lag(val, 1).over(w))
+        return df
+    allkeys = dict.fromkeys(
+        c for refine, _, _ in specs for c in (*partition_by, *refine))
     dfs = _segmented(df, order_by, n_segments,
-                     ("_lag", "_rn", "_nxt", "_last", "_prev", out_name,
-                      *(f"_pb_{c}" for c in partition_by)), segments)
-    w_loc = Window.partitionBy(*partition_by, "_seg").orderBy(*cols)
-    local = (
-        dfs.withColumn("_lag", F.lag(value_col, 1).over(w_loc))
-        .withColumn("_rn", F.row_number().over(w_loc))
-        # last row of (keys, segment) = no successor: a lead flag on the
-        # SAME ordered window (the old count() was a second, unbounded-
-        # frame window pass over the whole frame — round-14 trim)
-        .withColumn("_nxt", F.lead(F.lit(1), 1).over(w_loc))
-    )
-    pb2 = [f"_pb_{c}" for c in partition_by]
-    lasts = local.filter(F.col("_nxt").isNull()).select(
-        *[F.col(c).alias(a) for c, a in zip(partition_by, pb2)],
-        F.col("_seg").alias("_seg2"),
-        F.struct(F.col(value_col).alias("v")).alias("_last"),
-    )
-    w_sg = Window.partitionBy(*pb2).orderBy("_seg2")
-    prevs = lasts.select(
-        *pb2, "_seg2", F.lag("_last", 1).over(w_sg).alias("_prev"))
-    out = F.when(F.col("_rn") == 1, F.col("_prev.v")).otherwise(F.col("_lag"))
-    return (_seg_join(local, prevs, partition_by)
-            .withColumn(out_name, out)
-            .drop("_seg", "_lag", "_rn", "_nxt", "_prev"))
+                     ("_lag", "_first", "_islast", "_last", "_prev",
+                      *(o for _, _, o in specs),
+                      *(f"_pb_{c}" for c in allkeys)), segments)
+    for refine, val, out in specs:
+        rcols = [F.col(c) for c in refine]
+        w = Window.partitionBy(*partition_by, "_seg").orderBy(*rcols, *cols)
+        rstruct = F.struct(*(rcols or [F.lit(1)]))
+        same_run = F.lag(rstruct, 1).over(w).eqNullSafe(rstruct)
+        local = (
+            dfs.withColumn("_lag", F.when(same_run, F.lag(val, 1).over(w)))
+            .withColumn("_first", ~same_run)
+            .withColumn("_islast", ~F.lead(rstruct, 1).over(w)
+                        .eqNullSafe(rstruct))
+        )
+        keys = [*partition_by, *refine]
+        pb2 = [f"_pb_{c}" for c in keys]
+        lasts = local.filter("_islast").select(
+            *[F.col(c).alias(a) for c, a in zip(keys, pb2)],
+            F.col("_seg").alias("_seg2"),
+            F.struct(F.col(val).alias("v")).alias("_last"),
+        )
+        w_sg = Window.partitionBy(*pb2).orderBy("_seg2")
+        prevs = lasts.select(
+            *pb2, "_seg2", F.lag("_last", 1).over(w_sg).alias("_prev"))
+        patched = F.when(F.col("_first"), F.col("_prev.v")).otherwise(
+            F.col("_lag"))
+        dfs = (_seg_join(local, prevs, keys)
+               .withColumn(out, patched)
+               .drop("_lag", "_first", "_islast", "_prev"))
+    return dfs.drop("_seg")
 
 
 def with_lag_delta(

@@ -322,19 +322,14 @@ def _stream_salt() -> int:
 
 
 #: Unsalted stream-join state with one key above this row share warns
-#: (round-15 #3): the salt knob is proven (skew2 warm 1.93x -> 1.15x,
-#: r14) but default-off — without a signal, a skewed stream silently
-#: runs ~1.9x. docs/CONTRACTS.md#streaming_join_dedup.
+#: (round-15 #3). docs/CONTRACTS.md#streaming_join_dedup.
 STATE_SKEW_WARN_SHARE = 0.2
 
 
 def _warn_if_state_skewed(spark: SparkSession, sf_dir: str, n_salt: int) -> None:
-    """One column-pruned batch aggregate over the same files the stream
-    reads: exact top-key row share of the purchase-side state keys
-    (map-side combine; shuffle one row per distinct user). Logged
-    warning, not auto-salt: salting multiplies purchase state xN, a
-    trade the operator must size driver/state memory for (r14: salt8
-    OOM'd a 16 GB driver at sf10)."""
+    """Exact purchase-side top-key share (one column-pruned aggregate);
+    warning, not auto-salt — salt multiplies purchase state xN.
+    docs/CONTRACTS.md#streaming_join_dedup"""
     if n_salt > 1:
         return
     from ..sources.readers import read_table

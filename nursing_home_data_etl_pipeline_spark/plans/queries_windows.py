@@ -15,7 +15,7 @@ from pyspark.sql import types as T
 
 from ..functions.vectors import duck_round_sql, round_half_away
 from ..operators.windows import (
-    lag_scaled,
+    lags_scaled,
     plan_segments,
     running_sum_scaled,
     top_k_global,
@@ -144,10 +144,11 @@ def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate on the COARSEST partition key: if user_id isn't hot, neither
     # refinement (user_id, event_type) can be (round-14 #3)
     seg = plan_segments(ev, ["ts", "event_id"], partition_by=["user_id"])
-    ev = lag_scaled(ev, ["user_id"], ["ts", "event_id"], "value", "_lagv",
-                    segments=seg)
-    ev = lag_scaled(ev, ["user_id", "event_type"], ["ts", "event_id"],
-                    "_us", "_lagus", segments=seg)
+    # fused (round-15 #5): both lags ride ONE (user_id, segment) exchange;
+    # the event_type-refined lag sorts (event_type, ts, event_id) inside it
+    ev = lags_scaled(ev, ["user_id"], ["ts", "event_id"],
+                     [((), "value", "_lagv"),
+                      (("event_type",), "_us", "_lagus")], segments=seg)
     gap = F.col("_us") - F.col("_lagus")
     k = F.from_json(
         F.col("props"), T.StructType([T.StructField("k", T.LongType())])

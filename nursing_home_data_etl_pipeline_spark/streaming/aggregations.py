@@ -143,10 +143,8 @@ def _accumulate(
             has_ninf = has_ninf or bool((v == -np.inf).any())
             # v*1e4 is within half an ulp of its integer (grid values,
             # |v| <= 1e9 < 2^53/1e4): rint recovers it exactly. Loud
-            # preconditions (ADVICE r14): an OFF-grid midpoint would
-            # split rint's half-EVEN from the batch cast's HALF_UP
-            # (0.01 clears on-grid ulp noise, ~1e-3 at |micro|=1e13),
-            # and the int64 sum must not wrap silently.
+            # preconditions (ADVICE r14): off-grid midpoints (half-even
+            # vs HALF_UP) and int64 wrap raise instead of corrupting.
             scaled = v[fin] * 1e4
             r = np.rint(scaled)
             if len(r) and np.abs(r - scaled).max() > 0.01:

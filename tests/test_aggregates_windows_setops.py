@@ -219,6 +219,36 @@ def test_segmented_windows_match_flat_on_edge_data(spark):
         map(key2, flat_lag.collect()), key=str)
 
 
+def test_fused_refined_lags_match_flat(spark):
+    """round-15 #5: lags_scaled computes several refinement lags in ONE
+    segmented (keys, segment) pass — each output must equal the flat lag
+    over (partition+refine), including NULL refine keys, NULL values,
+    runs crossing segment boundaries, and single-row runs."""
+    from pyspark.sql import Window
+
+    from nursing_home_data_etl_pipeline_spark.operators.windows import (
+        lags_scaled,
+    )
+
+    rows = [(0 if i % 4 else 7,
+             None if i % 11 == 0 else ["a", "b", "c"][i % 3],
+             i, float(i) if i % 9 else None) for i in range(200)]
+    rows += [(None, None, 1000, 1.0), (None, "a", 1001, None),
+             (0, None, 1002, 2.0), (7, "z", 1003, 4.0)]  # single-row run
+    df = spark.createDataFrame(rows, "k int, t string, o int, v double")
+
+    got = lags_scaled(df, ["k"], ["o"],
+                      [((), "v", "lg0"), (("t",), "v", "lgt")],
+                      threshold_bytes=0, n_segments=5)
+    flat = df.withColumn(
+        "lg0", F.lag("v", 1).over(Window.partitionBy("k").orderBy("o"))
+    ).withColumn(
+        "lgt", F.lag("v", 1).over(Window.partitionBy("k", "t").orderBy("o")))
+    key = lambda r: (r.k, r.t, r.o, r.v, r.lg0, r.lgt)  # noqa: E731
+    assert sorted(map(key, got.collect()), key=str) == sorted(
+        map(key, flat.collect()), key=str)
+
+
 def test_segmented_catalog_windows_match_oracle(spark, monkeypatch):
     """Force the two window catalog queries down the SEGMENTED path (size
     estimate patched huge) and gate them against their DuckDB oracles —
