@@ -62,11 +62,9 @@ def cms_build(
     return (
         df.select(rows)
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-        # (depth, width) ride along as column metadata so estimate/merge can
-        # detect a parameter mismatch (round-8 hunt: probing with the wrong
-        # width addresses counters the item never incremented — the min can
-        # then UNDER-estimate, silently breaking the overestimate-only
-        # guarantee). Schema metadata survives select/parquet round-trips.
+        # (depth, width) ride as column metadata so estimate/merge detect a
+        # parameter mismatch (wrong-width probes can UNDER-estimate, round-8
+        # hunt); metadata survives select/parquet round-trips.
         .agg(
             F.count(F.lit(1)).alias(
                 "cnt", metadata={"cms_depth": depth, "cms_width": width}
@@ -182,14 +180,10 @@ def cms_estimate(
 
 
 # ---------------------------------------------------------------------------
-# Mergeable Datasketches state (HLL / KLL / theta) — Spark 4.x built-ins
+# Mergeable Datasketches state (HLL / KLL / theta) — Spark 4.x built-ins:
+# sketch each shard/day ONCE, answer rollups by MERGING partials (one
+# shuffle of sketch bytes, not rows) — docs/DESIGN.md#sketches-module.
 # ---------------------------------------------------------------------------
-#
-# The 100 TB pattern: sketch each shard/day ONCE into a few-KB binary
-# column, answer rollups by MERGING partials — never re-reading raw data.
-# All three are map-side-combining TypedImperativeAggregates (one shuffle
-# of sketch bytes, not rows). Fills SURVEY §2.4's precomputed-aggregate
-# capability; full rationale: docs/DESIGN.md#sketches-module.
 
 
 def _fold_binary(sketch_col: str, merge_fn: str) -> Column:

@@ -69,11 +69,9 @@ def asof_join(
             "rename the left columns or pass a different suffix"
         )
 
-    # SQL NULL semantics: NULL-key / NULL-ts RIGHT rows can never satisfy
-    # the asof predicate, so drop them up front (the union+window trick
-    # would otherwise attach them to whole NULL-key partitions); NULL
-    # LEFT rows then emit with a null match naturally —
-    # docs/DESIGN.md#asof-null-and-ties.
+    # NULL-key/NULL-ts RIGHT rows can never satisfy the asof predicate —
+    # drop up front; NULL LEFT rows emit with a null match naturally
+    # (docs/DESIGN.md#asof-null-and-ties).
     for k in keys:
         right = right.filter(F.col(k).isNotNull())
     right = right.filter(F.col(right_ts).isNotNull())

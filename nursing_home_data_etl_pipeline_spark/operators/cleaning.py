@@ -167,11 +167,9 @@ def promote_types(
                 # qualify; datetime strings fall through to timestamp.
                 ok = ok & col.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
             if t == "timestamp":
-                # Mirror guard: try_cast FABRICATES the day for partial
-                # dates ('2023-01'); full dates qualify with or without a
-                # time part (date -> midnight is the lossless widening
-                # for MIXED date/datetime columns), try_cast validates
-                # whatever follows the separator.
+                # Guard: try_cast FABRICATES the day for partial dates
+                # ('2023-01'); require a full y-m-d, optional time part
+                # (date -> midnight is the lossless MIXED-column widening).
                 ok = ok & col.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}([ T].*)?$")
             aggs.append(
                 F.sum(F.when(non_null & ok, 1).otherwise(0)).alias(f"{c}__{t}")

@@ -39,11 +39,8 @@ def _driver_union_find(
     # and only on THIS path, so success depended on which side of
     # driver_edge_threshold the edge count landed (round-9 review).
     vtype = vertices.schema[id_col].dataType.simpleString()
-    # The label must be a VERTEX id (a conduct-only endpoint's id would
-    # make dup_clusters' keep-one filter delete every copy): probe which
-    # endpoints are vertices (bounded broadcast semi-join), label each
-    # root-group by its min VERTEX member —
-    # docs/DESIGN.md#components-conduct-only.
+    # Labels must be VERTEX ids (a conduit-only id would make the keep-one
+    # filter delete every copy) — docs/DESIGN.md#components-conduct-only.
     nodes_df = spark.createDataFrame([(n,) for n in nodes], schema=f"_cc_v {vtype}")
     members = {
         r[0]
@@ -95,11 +92,8 @@ def connected_components(
     edges = edges.filter(
         F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
     )
-    # Every cached frame is registered in `cached` the moment it is cached
-    # and ALL of them release on ANY failure (the except at the bottom):
-    # pre-loop probe/collect errors — and a mid-iteration failure between
-    # caching new_labels and rebinding `labels` — previously escaped with
-    # frames still cached, leaking session cache per failed run.
+    # Register every cached frame immediately; ALL release on ANY failure
+    # (the except below) — mid-iteration errors once leaked session cache.
     cached: list = []
 
     def _cache(frame: DataFrame) -> DataFrame:
@@ -179,10 +173,8 @@ def connected_components(
                     # upstream edge pipeline; leave it to LRU.
                     extras.count()
                     out = labels.join(F.broadcast(extras), "v", "left_anti")
-                    # Remap components propagation labeled with a
-                    # conduct-only (possibly min) endpoint id to their min
-                    # VERTEX id; all probe frames are edge-bounded, so
-                    # every added join broadcasts
+                    # Remap conduit-labeled components to their min VERTEX
+                    # id; probe frames are edge-bounded -> broadcasts
                     # (docs/DESIGN.md#components-conduct-only).
                     extra_labels = extras.select(F.col("v").alias("label"))
                     rep = (

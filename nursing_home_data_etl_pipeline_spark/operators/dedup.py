@@ -282,11 +282,9 @@ def simhash_signatures(
     Plan shape: explode distinct words -> one hash aggregate with 60
     conditional-sum columns -> rebuild the signature in a single project.
     """
-    # NULL/blank texts emit no signature (same contract as shingle_table:
-    # identical blank docs are exact_dedup's job; without the filter n
-    # blank docs simhash-pair into O(n^2) hamming-0 pairs). NULL-id docs
-    # are excluded for the same reason as minhash_signatures: GROUP BY
-    # would chimera-merge them, and their pairs are NULL-false anyway.
+    # NULL/blank texts emit no signature (n blank docs would simhash-pair
+    # O(n^2); blanks are exact_dedup's job), NULL-id docs excluded (GROUP
+    # BY would chimera-merge them) — same contracts as minhash_signatures.
     norm = normalize_text(F.col(text_col))
     df = df.filter(
         norm.isNotNull() & (norm != "") & F.col(id_col).isNotNull()
@@ -380,11 +378,9 @@ def ngram_jaccard_pairs(
     """Exact Jaccard similarity over word-k-gram shingle sets, computed only
     for pairs sharing >= 1 shingle (inverted-index self-join). Design
     notes: docs/DESIGN.md#dedup-ngram-jaccard-pairs"""
-    # cache: the shingle table feeds four consumers (sizes, doc-freq, both
-    # join sides) — DISK_ONLY/checkpoint at cluster scale. distinct():
-    # exact Jaccard is the one COUNTING path, so duplicated doc rows must
-    # pay the one set-dedup exchange (minhash/simhash are naturally
-    # idempotent) — round-8 fuzz details: docs/DESIGN.md#dedup-ngram-jaccard-pairs.
+    # cache: four consumers (sizes, doc-freq, both join sides); distinct()
+    # because exact Jaccard COUNTS — duplicated doc rows must pay the one
+    # set-dedup exchange: docs/DESIGN.md#dedup-ngram-jaccard-pairs.
     sh = (
         shingle_table(df, text_col, id_col, shingle_k)
         .withColumnRenamed("_shingle", "s")

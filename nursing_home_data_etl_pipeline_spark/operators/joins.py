@@ -111,13 +111,10 @@ def latest_per_key(
     window sort needed. Design notes: docs/DESIGN.md#joins-latest-per-key"""
     keys = list(keys)
     others = [c for c in df.columns if c not in keys]
-    # ONE max_by over the whole row struct: per-column max_by calls would
-    # TEAR columns across different tied rows, and f-string F.expr broke on
-    # any name that isn't a bare SQL identifier. The (order?, prefer?,
-    # tiebreak-row) ordering struct makes ties deterministic (highest row
-    # by struct comparison) instead of engine-arbitrary — this feeds
-    # MERGE, so reruns must agree; see :func:`ordering_struct` for how map
-    # columns join the tiebreak.
+    # ONE max_by over the whole row struct (per-column max_by would TEAR
+    # columns across tied rows); the ordering struct makes ties
+    # deterministic — this feeds MERGE, so reruns must agree
+    # (:func:`ordering_struct` covers map columns).
     row = F.struct(*[F.col(c).alias(c) for c in others])
     tiebreak = ordering_struct(df, others)
     # Truthiness, not `is not None`: an empty-string order_col (e.g. an
@@ -197,11 +194,9 @@ def merge_scd2(
             s_row,
         )
     )
-    # Change detection must COMPARE every tracked attribute, but Spark's
-    # comparators reject MapType — canonicalize top-level map columns to
-    # sorted entry arrays (order-insensitive equality, matching map
-    # semantics). Maps nested deeper inside structs still fail analysis
-    # loudly rather than being silently skipped.
+    # Spark comparators reject MapType: canonicalize top-level maps to
+    # sorted entry arrays (order-insensitive equality); struct-nested maps
+    # still fail analysis loudly rather than being silently skipped.
     t_types = {f.name: f.dataType for f in target.schema.fields}
 
     from pyspark.sql import types as T

@@ -52,11 +52,9 @@ def pack_sequences(
     )
     intra = base.withColumn("_intra", F.coalesce(F.sum("_tok").over(w), F.lit(0)))
 
-    # 3) exclusive cumsum of per-shard totals (n_shards rows, single
-    # partition) -> broadcast back. Totals derive from the WINDOW OUTPUT
-    # (already _shard-partitioned: map-side only) — aggregating base
-    # would build a second corpus scan+shuffle branch that exchange reuse
-    # never dedupes (docs/DESIGN.md#packing-prefix-sum).
+    # 3) exclusive cumsum of per-shard totals -> broadcast back; totals
+    # derive from the WINDOW OUTPUT (map-side only), not a second corpus
+    # scan branch (docs/DESIGN.md#packing-prefix-sum).
     totals = intra.groupBy("_shard").agg(F.sum("_tok").alias("_shard_tok"))
     w_sh = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(

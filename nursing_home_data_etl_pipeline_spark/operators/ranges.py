@@ -58,11 +58,9 @@ def range_join_points(
     # source table (a self-join), and plan-id disambiguation via df[col]
     # fails on shared lineage.
     p = points.withColumn("_rj_bucket", _bucket(F.col(point_col))).alias("_rj_p")
-    # Explode each interval to the buckets its [lo, hi) span overlaps
-    # (sequence() is inclusive; the refine predicate discards overshoot).
-    # The DOUBLE-measured span + fan-out guard fails fast on open-ended /
-    # ±inf / inverted / NaN bounds instead of overflowing or fanning out
-    # a descending sequence — full rationale: docs/DESIGN.md#ranges-guard.
+    # Explode each interval to its overlapped buckets; the span + fan-out
+    # guard fails fast on open-ended/±inf/inverted/NaN bounds —
+    # docs/DESIGN.md#ranges-guard.
     lo_b, hi_b = _bucket(F.col(lo_col)), _bucket(F.col(hi_col))
     span = hi_b.cast("double") - lo_b.cast("double")
     empty = F.array().cast("array<long>")

@@ -10,11 +10,9 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: md5-derived uniform value in [0, 10000) — 48 bits (16 bits was
-#: measurably NON-uniform: a "0.8" split kept 81.7%; at 48 bits the mod
-#: bias is ~4e-11). NULL keys hash via a sentinel so both operators treat
-#: them identically (hash_split used to dump every NULL into the LAST
-#: split while deterministic_sample dropped them).
+#: md5-derived uniform value in [0, 10000), 48 bits (16 bits skewed a
+#: "0.8" split to 81.7%; 48-bit mod bias ~4e-11); NULL keys hash via a
+#: sentinel so sample and split treat them identically.
 def _hash_bucket(key: Column, salt: str) -> Column:
     safe = F.coalesce(key.cast("string"), F.lit("\x00<null>"))
     return (

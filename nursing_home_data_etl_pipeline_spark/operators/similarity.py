@@ -212,24 +212,19 @@ def kmeans_fit(
     """Lloyd k-means over an embedding column — the trained coarse quantizer
     for IVF ANN (vs. the training-free fixed cells in the catalog query).
     Design notes: docs/DESIGN.md#similarity-kmeans-fit"""
-    # BATCHED farthest-point init: ONE hash-ordered sample job + driver
-    # numpy greedy selection — one job at ANY k, where per-centroid
-    # aggregates meant k-1 serial jobs at IVF scale; first-k-ids (zero
-    # jobs) stays rejected. Full init rationale:
-    # docs/DESIGN.md#similarity-kmeans-fit.
+    # BATCHED farthest-point init: ONE sample job + driver numpy greedy
+    # selection at any k — docs/DESIGN.md#similarity-kmeans-fit.
     n_cand = max(8 * k, 256)
-    # Shared dirty-input contract: NULL embeddings / NULL elements are
-    # excluded from TRAINING too (round-8 hunt: init-only filtering force-
-    # assigned dirty rows to cell 0); zero vectors stay — valid L2 points.
+    # NULL embeddings/elements are excluded from TRAINING too (round-8
+    # hunt: init-only filtering force-assigned dirty rows to cell 0);
+    # zero vectors stay — valid L2 points.
     clean = df.filter(
         F.col(vec_col).isNotNull()
         & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     )
-    # Candidate SEEDS additionally need a non-NULL id: the hash order puts
-    # NULL ids first (ASC NULLS FIRST), and the position-encoding sort
-    # below cannot compare None to real ids (TypeError — round-8 hunt,
-    # execution-confirmed). NULL-id vectors still train: the Lloyd sweep
-    # assigns cells row-locally without ever reading the id.
+    # Candidate SEEDS also need a non-NULL id (position-encoding sort
+    # can't compare None, round-8 hunt); NULL-id vectors still train —
+    # the Lloyd sweep assigns cells row-locally without reading the id.
     cand_rows = (
         clean.filter(F.col(id_col).isNotNull())
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))

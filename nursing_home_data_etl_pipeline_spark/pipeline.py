@@ -137,11 +137,9 @@ def run_stage(
             fut = pool.submit(worker)
             return succeed(fut.result(timeout=policy.timeout_s))
         except FutureTimeout:
-            # py>=3.11 aliases FutureTimeout to builtin TimeoutError, so an
-            # in-stage TimeoutError lands here too: only a STILL-RUNNING
-            # future is a wall-clock timeout; a completed one reports its
-            # own outcome (a committed stage must never re-run) — see
-            # docs/DESIGN.md#pipeline-module.
+            # py>=3.11 aliases FutureTimeout to TimeoutError: only a
+            # STILL-RUNNING future is a wall-clock timeout; a completed one
+            # reports its own outcome (docs/DESIGN.md#pipeline-module).
             if fut.done():
                 worker_exc = fut.exception()
                 if worker_exc is None:
@@ -261,11 +259,9 @@ def run(
         lambda staged: {"staged": staged},
     )
 
-    # Known = every explicitly ROUTED domain; the _DEFAULT route's target
-    # is excluded by KEY, not by comparing against the literal 'unknown' —
-    # a custom default target (mapping={'_DEFAULT': 'misc'}) is still the
-    # quarantine bucket and must go to the error zone, not be archived as
-    # successfully handled.
+    # Known = explicitly ROUTED domains; _DEFAULT is excluded by KEY so a
+    # custom default target is still the quarantine bucket (error zone),
+    # never archived as successfully handled.
     known = {d for p, d in mapping.items() if p != "_DEFAULT"}
     res.archived = stage(
         "archive", lambda: archive_source_files(zones, known), lambda a: dict(a)

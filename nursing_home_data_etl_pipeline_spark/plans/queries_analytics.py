@@ -72,10 +72,8 @@ def filter_name_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Aggregations
 # ---------------------------------------------------------------------------
 
-# Exact-decimal money arithmetic for every SUM over a discount/tax
-# PRODUCT: DECIMAL(8,2) casts/products/sums are exact and identical in
-# both engines where a DOUBLE product's SUM lands on a 2-dec midpoint
-# ~1/1000 per group — docs/CONTRACTS.md#revenue-decimal.
+# Exact-decimal money sums: a DOUBLE product's SUM lands on a 2-dec
+# midpoint ~1/1000 per group — docs/CONTRACTS.md#revenue-decimal.
 
 
 def rev_sum_sql(prefix: str = "", tax: bool = False) -> str:
@@ -95,10 +93,8 @@ def rev_sum_col(tax: bool = False):
     return F.round(F.sum(expr), 2).cast("double")
 
 
-# Money/cent SUMs ride exact DECIMAL(18,2) like rev_sum — order-
-# dependent double summation straddled a .xx5 boundary at skew2-sf10
-# (round 13); 16 integer digits of ANSI headroom (ADVICE r13) —
-# docs/CONTRACTS.md#revenue-decimal.
+# Cent SUMs ride exact DECIMAL(18,2): double summation straddled a .xx5
+# boundary at skew2-sf10 (r13) — docs/CONTRACTS.md#revenue-decimal.
 def dec_sum_sql(col: str) -> str:
     return f"CAST(ROUND(SUM(CAST({col} AS DECIMAL(18,2))), 2) AS DOUBLE)"
 
@@ -208,11 +204,9 @@ def _time_rollup_oracle_branch() -> str:
     )
 
 
-# HAVING COUNT(*) > 0 on each grouping branch: Spark's rollup/cube/
-# grouping-sets emit NO rows on EMPTY input, while the SQL standard (and
-# DuckDB) still emits the grand-total grouping-set row (COUNT 0); on any
-# non-empty input every group has COUNT >= 1, so the HAVING only mirrors
-# the empty-input behavior.
+# HAVING COUNT(*) > 0 per branch: Spark's grouping sets emit NO rows on
+# EMPTY input where DuckDB still emits the grand-total row; on non-empty
+# input the HAVING is a no-op.
 _GROUPING_BRANCHES = (
     ("rollup", "ROLLUP (l_returnflag, l_linestatus)"),
     ("cube", "CUBE (l_returnflag, l_linestatus)"),
@@ -479,11 +473,9 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("_exact_d"),
     )
-    # Band bounds are DISCRETE data values at the band RANKS, not
-    # interpolated percentiles: approx_percentile/KLL promise rank
-    # accuracy, never value accuracy — on a gapped distribution the approx
-    # answer sits far outside a CONT-interpolated value band (round-8
-    # fuzz). The sorted-values twin is verification-only (dropped at 100 TB).
+    # Band bounds are DISCRETE data values at band RANKS: approx/KLL
+    # promise rank accuracy, never value accuracy (round-8 fuzz); the
+    # sorted-values twin is verification-only (dropped at 100 TB).
     sk = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.05).alias("_approx_d"),
         F.sort_array(F.collect_list(F.col("value").cast("double"))).alias("_vals"),
@@ -523,10 +515,8 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_kll_m")
     )
 
-    # NULL-safe three-way join: GROUP BY keeps the NULL-event_type group on
-    # every side, but an equi-join silently drops it (NULL never equals
-    # NULL) — join on a chr(0)-sentinel key instead, same pattern as the
-    # cms_hh branch's NULL handling below.
+    # NULL-safe three-way join: an equi-join would drop the NULL-
+    # event_type group GROUP BY keeps — join on a chr(0)-sentinel key.
     def _jk(frame: DataFrame) -> DataFrame:
         return frame.withColumn(
             "_jk", F.coalesce(F.col("event_type"), F.lit("\x00null"))
@@ -540,10 +530,8 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3 sigma of the requested 5% relative standard deviation, floored for
     # tiny groups where one-off error dominates the relative bound.
     tol = F.greatest(F.col("_exact_d") * 0.15, F.lit(2.0))
-    # Percentile bands are VACUOUSLY TRUE for a group with zero non-NULL
-    # measures (percentile-of-nothing is NULL, the oracle asserts literal
-    # TRUE); distinct bands need no guard (count distinct of all-NULL is 0
-    # on both sides).
+    # Percentile bands are VACUOUSLY TRUE on zero non-NULL measures (the
+    # oracle asserts literal TRUE); distinct bands need no guard.
     vac = lambda c: F.coalesce(c, F.lit(True))  # noqa: E731
     nv = F.size("_vals")
 
@@ -582,10 +570,9 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = cms_estimate(
         cms, keys, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH
     ).filter(F.col("est") >= _HH_MIN)
-    # No pinned broadcast on the candidate list: its size is data-dependent
-    # (a saturated sketch passes nearly every key, degrading candidates to
-    # ~all distinct user_ids), so AQE must pick the join strategy from the
-    # measured size — a hint here OOMs exactly when the sketch is weakest.
+    # No pinned broadcast: a saturated sketch degrades candidates to ~all
+    # keys, so AQE must pick the strategy from MEASURED size — a hint
+    # OOMs exactly when the sketch is weakest.
     hh = (
         hh_ev.join(candidates.select("user_id"), "user_id", "left_semi")
         .groupBy("user_id")

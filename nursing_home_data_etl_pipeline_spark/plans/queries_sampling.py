@@ -343,11 +343,9 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", fingerprint(F.col("text")).alias("_fp")
     )
     bench_fps = benchmark.select(fingerprint(F.col("text")).alias("_fp")).distinct()
-    # The bitmap feeds k+1 broadcast joins. Materialize it into a local
-    # relation (bounded: <= n_bits/64 = 1024 rows) instead of .cache() — a
-    # cached InMemoryRelation leaked per invocation in long-lived sessions
-    # (bench loops), and a LocalRelation broadcasts just the same. At real
-    # scale (bigger bitmaps) you'd persist + explicitly unpersist instead.
+    # Materialize the bitmap into a LocalRelation (<= 1024 rows) feeding
+    # k+1 broadcast joins — .cache() leaked an InMemoryRelation per
+    # invocation; at real scale persist + unpersist instead.
     bloom_local = spark.createDataFrame(
         bloom_build(bench_fps, "_fp", n_bits=_BLOOM_BITS, k=_BLOOM_K).collect(),
         schema="word long, bits long",

@@ -25,13 +25,10 @@ _MOMENT_DEC = "decimal(18,4)"
 _MOMENT_DEC_WIDE = "decimal(20,4)"
 
 
-#: DECIMAL -> DOUBLE goes THROUGH VARCHAR (round-11 fuzz seed 5284): when
-#: the sum's unscaled integer exceeds 2^53 the direct casts diverge by one
-#: ulp between engines (DuckDB double-rounds via unscaled/10^scale; Java
-#: converts once), and a duplicate-row group whose true variance is 0
-#: turns that ulp into sd=0.0014 vs 0.0. Decimal->string is exact digits
-#: and string->double is correctly rounded in BOTH engines, so the routed
-#: cast is bit-identical. Group-count rows only — free.
+#: DECIMAL -> DOUBLE goes THROUGH VARCHAR (round-11 fuzz seed 5284):
+#: past 2^53 the direct casts diverge one ulp between engines; exact
+#: digits + correctly-rounded strtod is bit-identical in both. Group-
+#: count rows only — free.
 def _dsum(col: str) -> str:
     """Exact-decimal SUM rendered back to DOUBLE (via VARCHAR, see above)."""
     return f"CAST(CAST(SUM(CAST({col} AS {_MOMENT_DEC})) AS VARCHAR) AS DOUBLE)"
@@ -121,11 +118,9 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_away(F.min("l_extendedprice"), 2).alias("min_price"),
         round_half_away(F.max("l_extendedprice"), 2).alias("max_price"),
     )
-    # SCALE-FIRST percentiles (round 11, the super-linear sf10 scaler):
-    # a codegen'd histogram aggregate shuffles only DISTINCT (flag, col,
-    # value) rows, the SAME exact percentile runs frequency-weighted over
-    # that tiny histogram and rejoins by broadcast — keeping percentile()
-    # inline forced the whole aggregate into ObjectHashAggregate
+    # SCALE-FIRST percentiles: a codegen'd histogram aggregate shuffles
+    # only DISTINCT (flag, col, value) rows; the exact percentile runs
+    # frequency-weighted over that tiny histogram and rejoins by broadcast
     # (docs/DESIGN.md#stats-histogram-percentiles).
     hist = (
         li.selectExpr(

@@ -154,10 +154,8 @@ def _drain_to_parquet(
                 os.path.join(data, f"b{batch_id:05d}"))
 
     # State partitioning scales with the session's shuffle-partition count
-    # (= SPARK_GRAFT_CPUS) by default — the old fixed 8 bounded the
-    # round-7 MEMORY sink's state tables; with parquet drains that bound
-    # is stale and capped every streaming stage to 8 of 32 cores
-    # (VERDICT r12 #2). The knob remains for state-store-heavy callers.
+    # by default (a fixed 8 capped every streaming stage to 8 of 32 cores,
+    # VERDICT r12 #2); the knob remains for state-store-heavy callers.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(state_partitions) if state_partitions else prev)
@@ -172,10 +170,8 @@ def _drain_to_parquet(
             q.processAllAvailable()
             if require_single_batch or require_multi_batch:
                 prog = q.recentProgress
-                # recentProgress is a RING BUFFER (default cap 100): a
-                # drain spanning more microbatches than the cap would
-                # silently undercount fed batches (ADVICE r10) — refuse to
-                # trust a possibly-saturated buffer.
+                # recentProgress is a RING BUFFER (cap 100): refuse to
+                # trust a possibly-saturated buffer (ADVICE r10).
                 cap = int(spark.conf.get(
                     "spark.sql.streaming.numRecentProgressUpdates", "100"))
                 if len(prog) >= cap:

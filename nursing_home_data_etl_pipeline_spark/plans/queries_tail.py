@@ -83,16 +83,13 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(words(F.lower(F.col("text")))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
-    # doc_len over tf, not toks: the window input is the (doc, term)-sized
-    # aggregate. (A row-local size(words) carried through the explode would
-    # be cheaper still, but NULL-id docs merge into ONE group here and their
-    # doc_len must SUM across the merged docs — the window is the semantic.)
+    # doc_len over tf (the (doc, term)-sized aggregate): NULL-id docs
+    # merge into ONE group whose doc_len must SUM across them — the
+    # window IS the semantic, not a row-local size(words).
     tf = tf.withColumn("doc_len", F.sum("n").over(Window.partitionBy("doc_id")))
-    # Two-level doc frequency: tf already holds one row per (doc, term), so
-    # df is a cheap count over tf — reusing tf's exchange — instead of a
-    # countDistinct(doc_id) re-aggregation of the token-sized relation
-    # (which Spark plans as Expand + two extra shuffles of toks).
-    # count("doc_id") skips NULL-id docs, matching COUNT(DISTINCT doc_id).
+    # df as a count over tf reuses tf's exchange (countDistinct over toks
+    # would plan Expand + two extra shuffles); count("doc_id") skips
+    # NULL-id docs, matching COUNT(DISTINCT doc_id).
     df = tf.groupBy("term").agg(F.count("doc_id").alias("df"))
     # Corpus size as a broadcast 1-row aggregate instead of a driver-side
     # .count(): the whole query stays one lazy plan, no extra job.
@@ -119,10 +116,8 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_CELLS = 8
 _N_PROBE = 2  # query probes its 2 nearest cells — the IVF recall/cost knob
 
-#: Long-form embeddings + norms, the fixed-dim contract, the query-batch /
-#: top-k sizes, and the cand->dots->scored/top-k SQL tails: ONE definition
-#: each, imported from queries_northstar — a contract change there reaches
-#: the IVF oracle automatically instead of via a hand-kept copy.
+#: Long-form embeddings/norms, dim contract, batch/top-k sizes, and SQL
+#: tails: ONE definition each in queries_northstar — no hand-kept copy.
 from .queries_similarity import _DIM_CONTRACT, _N_QUERIES, _TOP_K  # noqa: E402
 from .queries_similarity import _DUCK_COSINE_BASE as _DUCK_EX  # noqa: E402
 from .queries_similarity import _TOPK_TAIL, _cand_scored_sql  # noqa: E402
@@ -176,11 +171,9 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").filter(
         F.size("embedding") == _DIM_CONTRACT
     )
-    # Seed slots must be VALID vectors (all elements non-NULL, nonzero
-    # norm — vec_norm is NULL on a NULL element, failing > 0): one broken
-    # seed would otherwise NULL every d2 and collapse the whole corpus
-    # into its cell (and the oracle, whose SUM skips NULL addends, would
-    # assign by partial distances instead). Mirrors the cents CTE.
+    # Seed slots must be VALID vectors (non-NULL elements, nonzero norm):
+    # one broken seed would NULL every d2 and collapse the corpus into
+    # its cell. Mirrors the cents CTE.
     cents = (
         emb.filter(
             (F.col("vec_id") < _N_CELLS) & (vec_norm(F.col("embedding")) > 0)

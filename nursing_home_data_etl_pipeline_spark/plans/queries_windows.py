@@ -208,18 +208,14 @@ def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("_n_st") - 1, F.lit(1)).cast("double"), 6))
     )
     # Two-level ntile over a DATA-DERIVED bucket (broadcast percentile
-    # bounds of a 0.5% hash-sample, a pure column function): the shard
-    # must assign IDENTICALLY across the two evaluations of one lineage,
-    # which spark_partition_id over repartitionByRange cannot (probed —
-    # docs/DESIGN.md#windows-ntile-bucket). Ties share a bucket; NULLs
-    # bucket first, NaN last.
+    # bounds, a pure column function): the shard must assign IDENTICALLY
+    # across two evaluations of one lineage, which spark_partition_id
+    # cannot (docs/DESIGN.md#windows-ntile-bucket).
     n_bk = int(spark.conf.get("spark.sql.shuffle.partitions")) * 2
     pcts = ",".join(str(i / n_bk) for i in range(1, n_bk))
-    # coalesce to array() at the AGGREGATE: a sample with zero non-NULL
-    # prices yields _bs=NULL, and size(filter(NULL,..)) is -1 under legacy
-    # sizeOfNull — every numeric row would share bucket -1 with NULL
-    # prices (ADVICE r10). Empty bounds degrade to ONE bucket (bucket 0),
-    # which stays order-consistent.
+    # coalesce to array() at the AGGREGATE: an all-NULL sample yields
+    # _bs=NULL and size(filter(NULL,..)) = -1 (ADVICE r10); empty bounds
+    # degrade to ONE order-consistent bucket.
     bounds = orders.filter(F.xxhash64("o_orderkey") % 200 == 0).agg(
         F.expr(f"coalesce(percentile(o_totalprice, array({pcts})), "
                "cast(array() as array<double>))").alias("_bs"))

@@ -86,20 +86,17 @@ def canon(v):
     if isinstance(v, bytes):
         return (_BYTES, v.hex())
     if isinstance(v, Row):
-        # Row is a TUPLE subclass: without this branch structs fell
-        # through to `return v` (spurious FAILs, positional false-PASSes,
-        # uncanonicalized nested floats — round-8 comparator review);
-        # keyed like the dict branch so Spark struct == DuckDB STRUCT.
+        # Row is a TUPLE subclass — without this branch structs fell
+        # through uncanonicalized (round-8 comparator review); keyed like
+        # dict so Spark struct == DuckDB STRUCT.
         return tuple(sorted((k, canon(x)) for k, x in v.asDict().items()))
     if isinstance(v, list):
         return tuple(canon(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, canon(x)) for k, x in v.items()))
-    # NOTE decimal.Decimal passes through EXACT (no 6-decimal rounding):
-    # the exact-DECIMAL money gates depend on it. An oracle comparing a
-    # DECIMAL against an engine DOUBLE fails loudly (spurious-FAIL is the
-    # safe direction) — follow the CAST(... AS DOUBLE) convention, or emit
-    # DECIMAL on both sides.
+    # decimal.Decimal passes through EXACT (money gates depend on it);
+    # DECIMAL-vs-DOUBLE mismatches fail loudly — emit the same type on
+    # both sides (CAST AS DOUBLE convention).
     return v
 
 

@@ -23,10 +23,9 @@ class RunLogEntry:
 
 class RunLog:
     def __init__(self, path: str) -> None:
-        # Driver-local open(): a URI-scheme path (file://, s3a://) would be
-        # created as a literal relative directory and the durable run record
-        # would silently vanish onto one machine's local disk (round-8 IO
-        # hunt) — fail loudly, like the sync/archive file ops.
+        # Driver-local open(): a URI-scheme path would silently land the
+        # durable run record on one machine's disk (round-8 IO hunt) —
+        # fail loudly, like the sync/archive file ops.
         if "://" in path:
             raise ValueError(
                 f"RunLog requires a local-filesystem path (driver-local "
@@ -38,9 +37,7 @@ class RunLog:
 
     def append(self, entry: RunLogEntry) -> None:
         with open(self.path, "a") as f:
-            # default=repr: a stage detail value json can't serialize must
-            # degrade to its repr, not throw — an append failure after the
-            # stage's side effects committed was reported as a stage
-            # FAILURE and triggered a re-run of committed work (round-8 IO
-            # hunt, execution-confirmed).
+            # default=repr: unserializable detail degrades to repr, never
+            # throws — an append failure after side effects committed once
+            # re-ran committed work (round-8 IO hunt).
             f.write(json.dumps(asdict(entry), default=repr) + "\n")

@@ -134,11 +134,9 @@ class IngestLedger:
     path: str
 
     def read(self) -> DataFrame:
-        # Bootstrap is an explicit filesystem probe (empty/uncommitted dirs
-        # count as missing), not an exception
-        # fallback: a CORRUPT or transiently-unreadable ledger must fail
-        # loudly, not silently read as empty and re-ingest everything
-        # (the missing-vs-broken distinction, ADVICE round 1).
+        # Bootstrap is an explicit filesystem probe, not an exception
+        # fallback: a CORRUPT ledger must fail loudly, not read as empty
+        # and re-ingest everything (missing-vs-broken, ADVICE round 1).
         from .readers import data_files_exist
 
         if not data_files_exist(self.spark, self.path):
@@ -304,17 +302,14 @@ def archive_source_files(
         dest = Path(zones.path(dest_zone, domain))
         dest.mkdir(parents=True, exist_ok=True)
         for f in sorted(src.iterdir()):
-            # Hadoop hidden-file convention, like every other component:
-            # a bare is_file() moved a CONCURRENT sync's live .__tmp<pid>
-            # out from under its os.replace (crashing that sync) and
-            # deposited the half-written dot-file into the archive
-            # (round-8 IO hunt, execution-confirmed).
+            # Hadoop hidden-file convention: a bare is_file() once moved a
+            # CONCURRENT sync's live .__tmp<pid> out from under its
+            # os.replace (round-8 IO hunt).
             if not f.is_file() or f.name.startswith((".", "_")):
                 continue
-            # RETENTION: re-dropped stable names version with a counter
-            # BEFORE the extension (data.1.parquet keeps matching zone
-            # globs — round-9 ADVICE; sync raises on collisions, archive
-            # must make progress so it versions).
+            # Re-dropped stable names version with a counter BEFORE the
+            # extension so they keep matching zone globs (round-9 ADVICE);
+            # archive must make progress, so it versions, never raises.
             target = dest / f.name
             n = 1
             while target.exists():

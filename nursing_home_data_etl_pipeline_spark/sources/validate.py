@@ -41,11 +41,9 @@ def staging_status(
     out = []
     for d in domains:
         path = zones.staging(d)
-        # Absence (including an empty never-committed dir) is a
-        # filesystem probe; a staging dir that HAS data files but
-        # cannot be read (corrupt files, bad permissions) raises instead
-        # of masquerading as "not staged" — the gate should report the
-        # real failure, not a misleading missing-domain message.
+        # Absence is a filesystem probe; a dir that HAS data files but
+        # cannot be read raises instead of masquerading as "not staged" —
+        # report the real failure, not a missing-domain message.
         if not data_files_exist(spark, path):
             out.append(DomainStatus(d, False, False))
             continue

@@ -83,15 +83,12 @@ def session_counts(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        # finite total in EXACT integer micro-units (value x 10^4): a
-        # double accumulator's last decimal was arrival-order-dependent
-        # (round-14 #2; state can't carry DECIMAL — scale on egress).
-        # Exact while |total| < 2^63 micro-units ~ 9.2e14 value units.
+        # finite total in EXACT integer micro-units (value x 10^4; a double
+        # accumulator's last decimal was arrival-order-dependent, r14 #2);
+        # exact while |total| < 2^63 micro-units.
         T.StructField("micro", T.LongType()),
-        # whether any NON-NULL value was ever seen: SQL SUM over an
-        # all-NULL group is NULL, and inside the Arrow worker a SQL NULL
-        # and a genuine NaN both arrive as float NaN — only the upstream
-        # _vnull flag can tell them apart.
+        # any NON-NULL value seen: SUM of all-NULL is NULL, and in Arrow a
+        # SQL NULL and a real NaN both arrive as NaN — only _vnull tells.
         T.StructField("has_val", T.BooleanType()),
         # IEEE non-finite poison flags, kept OUT of the integer total:
         # NaN (or +Inf meeting -Inf) emits NULL, a lone infinity wins.
@@ -155,11 +152,9 @@ def _accumulate(
     if abs(micro) > 2**62:
         raise OverflowError("stateful total exceeds int64 micro-units")
     state.update((n, micro, has_val, has_nan, has_pinf, has_ninf))
-    # Emission: all-NULL and NaN-poisoned keys emit NULL (the Arrow
-    # boundary uses NaN as its null sentinel — a Python stateful op cannot
-    # emit NaN at all); Inf round-trips. float(Decimal(micro).scaleb(-4))
-    # is the CORRECTLY-ROUNDED double (micro/1e4 double-rounds past 2^53),
-    # matching the oracle's string-routed DECIMAL->DOUBLE render
+    # All-NULL and NaN-poisoned keys emit NULL (Arrow's null sentinel IS
+    # NaN); Inf round-trips. float(Decimal(micro).scaleb(-4)) is the
+    # correctly-rounded double, matching the oracle's string-routed render
     # (docs/DESIGN.md#aggregations--accumulate).
     if not has_val or has_nan or (has_pinf and has_ninf):
         out_total = None

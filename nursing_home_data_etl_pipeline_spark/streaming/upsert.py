@@ -51,17 +51,15 @@ def start_upsert_sink(
         # target missing; restore it BEFORE the bootstrap probe, or this
         # batch would re-bootstrap over the accumulated dim.
         recover_dir(spark, target_path)
-        # Bootstrap ONLY when the target verifiably does not exist: a
+        # Bootstrap ONLY when the target verifiably does not exist — a
         # broad except would treat a transient merge error as "first
-        # batch" and wipe the dim (ADVICE r1); re-raise and let the
-        # checkpoint replay the batch.
+        # batch" and wipe the dim (ADVICE r1).
         if path_exists(spark, target_path):
             target = read_parquet(spark, target_path)
             if order_col:
-                # Version-aware merge: max(order_col) wins across target
-                # AND source (out-of-order batches can't regress a key);
-                # on a version TIE the SOURCE row wins, matching the
-                # no-version path — docs/DESIGN.md#upsert-start-upsert-sink.
+                # max(order_col) wins across target AND source; on a tie
+                # the SOURCE row wins, matching the no-version path —
+                # docs/DESIGN.md#upsert-start-upsert-sink.
                 result = latest_per_key(
                     target.withColumn("_prio", F.lit(0)).unionByName(
                         source.select(*target.columns).withColumn(
@@ -137,13 +135,10 @@ def start_incremental_agg(
             None,
             ckpt_id,
         ):
-            # A fresh checkpoint restarts epochs at 0: the bare-number guard
-            # would silently SKIP its first batches (under-counting) while
-            # applying later ones. A lineage change must be an explicit
-            # migration, not a silent resume. (A meta WITHOUT a checkpoint
-            # key — written by a pre-lineage-stamp version — is accepted as
-            # unknown lineage and stamped on the next swap; such targets
-            # keep the documented one-lineage caveat until then.)
+            # A fresh checkpoint restarts epochs at 0, so the bare-number
+            # guard would silently skip its first batches: a lineage change
+            # must be an explicit migration. (Meta without a checkpoint key
+            # = pre-stamp target: accepted, stamped on next swap.)
             raise ValueError(
                 f"target {target_path!r} was maintained from checkpoint "
                 f"{meta.get('checkpoint')!r}, not {ckpt_id!r}; "

@@ -30,11 +30,9 @@ from .zones import ZoneLayout
 
 PK = "facility_number"
 
-#: Per-file recency stamp threaded from staging through every transform
-#: output so the warehouse merge's "latest per key" means NEWEST DROP, not
-#: attribute-struct max: two drops staged in one run previously resolved to
-#: the struct-max row, which could deterministically install the stale
-#: month's attributes (ADVICE round 6).
+#: Per-file recency stamp threaded staging -> transforms so the warehouse
+#: merge's "latest per key" means NEWEST DROP, not attribute-struct max
+#: (two same-run drops once installed the stale month, ADVICE round 6).
 RECENCY_COL = "synced_at"
 
 #: The facility dimension's canonical projection
