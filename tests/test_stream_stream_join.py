@@ -87,9 +87,13 @@ def test_state_skew_warning_fires_on_skew_not_uniform(spark, tmp_path, caplog):
     uni = _events_fixture(spark, tmp_path / "uni", hot_share=0.0)
     logger = "nursing_home_data_etl_pipeline_spark.plans.queries_streaming"
     with caplog.at_level(logging.WARNING, logger=logger):
-        _warn_if_state_skewed(spark, uni, n_salt=1)
+        _warn_if_state_skewed(spark, uni, n_salt=1, min_bytes=0)
         assert not caplog.records
-        _warn_if_state_skewed(spark, skew, n_salt=4)
+        _warn_if_state_skewed(spark, skew, n_salt=4, min_bytes=0)
         assert not caplog.records  # salted: state already split
+        # default size gate: below _SKEW_PROBE_MIN_BYTES even total
+        # concentration fits one task — probe (and warning) skipped
         _warn_if_state_skewed(spark, skew, n_salt=1)
+        assert not caplog.records
+        _warn_if_state_skewed(spark, skew, n_salt=1, min_bytes=0)
     assert any("SPARK_GRAFT_STREAM_SALT" in r.message for r in caplog.records)
