@@ -301,19 +301,20 @@ def simhash_signatures(
     ).withColumn(
         "_h", F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
     )
+    # The 60 bit-sum aggregates and the 60-term signature rebuild are built
+    # as SQL strings, not Column objects: the Column form cost ~1.3 s of
+    # driver-side py4j round trips per plan build (r15 A/B, OPTIMIZATION_
+    # r15.md#dedup_near_pairs); one parse per expression is ~5x cheaper.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{j}")
+        F.expr(f"sum(CASE WHEN (shiftright(_h, {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}")
         for j in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    sig_sql = "CAST(" + " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    ) + " AS BIGINT)"
+    return agg.select(F.col(id_col), F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_near_pairs(
