@@ -111,9 +111,12 @@ def connected_components(
     # once, not twice. Bounded by candidate pairs, not corpus size.
     edges = _cache(edges.select(src_col, dst_col))
     try:
-        n_edges = edges.limit(driver_edge_threshold + 1).count()
-        if n_edges <= driver_edge_threshold:
-            edge_rows = [(r[0], r[1]) for r in edges.collect()]
+        # One job probes AND fetches: if the limit did not truncate, the
+        # collected rows ARE the whole edge set (union-find is order-
+        # insensitive), so the separate count() pass is redundant.
+        probe_rows = edges.limit(driver_edge_threshold + 1).collect()
+        if len(probe_rows) <= driver_edge_threshold:
+            edge_rows = [(r[0], r[1]) for r in probe_rows]
             edges.unpersist()
             return _driver_union_find(vertices, edge_rows, id_col)
         sym = _cache(

@@ -124,8 +124,10 @@ def minhash_signatures(
         F.conv(F.substring(m, 1, 12), 16, 10).cast("long").alias("_h1"),
         F.conv(F.substring(m, 13, 12), 16, 10).cast("long").alias("_h2"),
     )
+    # String-expr construction for the same py4j reason as
+    # simhash_signatures (one parse per aggregate, not ~6 Column calls).
     aggs = [
-        F.min((F.col("_h1") + s * F.col("_h2")) % MINHASH_P).alias(f"mh_{s}")
+        F.expr(f"min((_h1 + {s} * _h2) % {MINHASH_P}) AS mh_{s}")
         for s in range(num_hashes)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
