@@ -79,6 +79,53 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# --- Spark-SQL string twins (guide §7.3: each HOF lambda built through
+# Column calls costs ~15 py4j round trips; one F.expr parse replaces them
+# all with the identical Catalyst tree — bit-identical results, pinned by
+# tests/test_vectors_sql_twins.py) ---
+
+
+def spark_round_sql(expr: str, decimals: int = 6) -> str:
+    """Spark-SQL twin of :func:`round_half_away` (same IEEE ops)."""
+    s = f"{float(10 ** decimals)!r}D"
+    mag = f"(CAST(FLOOR(abs({expr}) * {s} + 0.5D) AS DOUBLE) / {s})"
+    return (
+        f"(CASE WHEN isnan({expr}) OR abs({expr}) * {s} >= {float(2 ** 63)!r}D"
+        f" THEN {expr} WHEN {expr} < 0.0D THEN -{mag} ELSE {mag} END)"
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    """Spark-SQL twin of :func:`dot` (same left-to-right fold)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """Spark-SQL twin of :func:`norm`."""
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def l2_sql(a: str, b: str) -> str:
+    """Squared L2 distance as one SQL fold (IVF cell assignment)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - "
+        f"CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def cosine_prenorm_sql(
+    a: str, b: str, norm_a: str, norm_b: str, decimals: int = 6
+) -> str:
+    """Spark-SQL twin of :func:`cosine_rounded_prenorm`."""
+    return spark_round_sql(
+        f"({dot_sql(a, b)} / ({norm_a} * {norm_b}))", decimals
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

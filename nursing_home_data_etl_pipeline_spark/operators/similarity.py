@@ -14,7 +14,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_rounded_prenorm, dot, norm
+from ..functions.vectors import cosine_prenorm_sql, dot_sql, norm_sql
 
 #: Fixed seed for hyperplane generation — determinism contract.
 RHP_SEED = 42
@@ -63,7 +63,7 @@ def _side(
     side = df.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias(f"_{tag}v"),
-        norm(F.col(vec_col)).alias(f"_{tag}n"),
+        F.expr(norm_sql(f"`{vec_col}`")).alias(f"_{tag}n"),
     ).filter(F.col(f"_{tag}n") > 0)
     return side if dim is None else side.filter(F.size(f"_{tag}v") == dim)
 
@@ -98,9 +98,7 @@ def cosine_topk_bruteforce(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_rounded_prenorm(
-            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
-        ).alias("cos_sim"),
+        F.expr(cosine_prenorm_sql("_qv", "_cv", "_qn", "_cn")).alias("cos_sim"),
     # a query/corpus DIM mismatch NULLs the cosine (zip_with pads the
     # shorter array) — an undefined similarity is not a result, so such
     # pairs are excluded rather than ranked (desc puts NULL last, but they
@@ -116,16 +114,18 @@ def rhp_bucket(
     out_name: str = "bucket",
 ) -> DataFrame:
     """Random-hyperplane signature: bit p = 1 iff dot(vec, plane_p) > 0.
-    Row-local (no shuffle); the fold inside ``dot`` is sequential so the
-    sign decision is order-deterministic.
+    Row-local (no shuffle); the fold inside the dot is sequential so the
+    sign decision is order-deterministic. Built as ONE SQL string — the
+    per-element F.lit planes cost ~75 py4j round trips per plane.
     """
-    sig: Column = F.lit(0).cast("long")
+    terms = ["CAST(0 AS BIGINT)"]
     for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(x) for x in plane])
-        sig = sig + F.when(
-            dot(F.col(vec_col), plane_col) > 0, F.lit(2**p)
-        ).otherwise(F.lit(0))
-    return df.withColumn(out_name, sig)
+        arr = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
+        terms.append(
+            f"(CASE WHEN {dot_sql(f'`{vec_col}`', arr)} > 0"
+            f" THEN {2 ** p} ELSE 0 END)"
+        )
+    return df.withColumn(out_name, F.expr(" + ".join(terms)))
 
 
 def cosine_topk_lsh(
@@ -150,9 +150,7 @@ def cosine_topk_lsh(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_rounded_prenorm(
-            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
-        ).alias("cos_sim"),
+        F.expr(cosine_prenorm_sql("_qv", "_cv", "_qn", "_cn")).alias("cos_sim"),
     )
     return _rank_topk(scored, k)
 
@@ -175,9 +173,9 @@ def embedding_near_dup_pairs(
     # Same dirty-input contract as _side (NULL/zero-norm/off-dim excluded),
     # kept under the caller's column names for the self-join aliases below.
     b = rhp_bucket(
-        df.select(id_col, vec_col, norm(F.col(vec_col)).alias("_n")).filter(
-            (F.col("_n") > 0) & (F.size(vec_col) == dim)
-        ),
+        df.select(
+            id_col, vec_col, F.expr(norm_sql(f"`{vec_col}`")).alias("_n")
+        ).filter((F.col("_n") > 0) & (F.size(vec_col) == dim)),
         planes,
         vec_col,
     )
@@ -191,11 +189,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_rounded_prenorm(
-                F.col(f"a.{vec_col}"),
-                F.col(f"b.{vec_col}"),
-                F.col("a._n"),
-                F.col("b._n"),
+            F.expr(
+                cosine_prenorm_sql(
+                    f"a.`{vec_col}`", f"b.`{vec_col}`", "a._n", "b._n"
+                )
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

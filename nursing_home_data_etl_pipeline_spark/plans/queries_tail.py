@@ -11,8 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import duck_words_sql, words
-from ..functions.vectors import cosine_rounded_prenorm
-from ..functions.vectors import norm as vec_norm
+from ..functions.vectors import cosine_prenorm_sql, l2_sql, norm_sql
 from ..operators.similarity import _rank_topk
 from ..operators.components import dup_clusters
 from ..operators.dedup import hex_to_bigint_sql, minhash_dedup_pairs
@@ -176,23 +175,15 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its cell. Mirrors the cents CTE.
     cents = (
         emb.filter(
-            (F.col("vec_id") < _N_CELLS) & (vec_norm(F.col("embedding")) > 0)
+            (F.col("vec_id") < _N_CELLS)
+            & (F.expr(norm_sql("embedding")) > 0)
         )
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
     )
     # L2 distance via zip_with fold; min_by with deterministic tiebreak.
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cvec"),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     scored_cells = emb.join(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cent_id", d2.alias("d2")
+        "vec_id", "embedding", "cent_id",
+        F.expr(l2_sql("embedding", "cvec")).alias("d2"),
     )
     # Corpus side: ONE cell per vector via a single hash aggregate (never a
     # window over the full corpus). The norm is computed here — once per
@@ -203,7 +194,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("min_by(cent_id, struct(d2, cent_id))").alias("cell"),
             F.first("embedding").alias("embedding"),
         )
-        .withColumn("_nrm", vec_norm(F.col("embedding")))
+        .withColumn("_nrm", F.expr(norm_sql("embedding")))
         # NULL/zero-norm vectors have no cosine — excluded (same contract
         # as operators.similarity; one dirty row must not abort the job).
         .filter(F.col("_nrm") > 0)
@@ -219,7 +210,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("cent_id").alias("cell"),
             F.col("embedding").alias("_qv"),
-            vec_norm(F.col("embedding")).alias("_qn"),
+            F.expr(norm_sql("embedding")).alias("_qn"),
         )
         .filter(F.col("_qn") > 0)
     )
@@ -237,9 +228,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_rounded_prenorm(
-            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
-        ).alias("cos_sim"),
+        F.expr(cosine_prenorm_sql("_qv", "_cv", "_qn", "_cn")).alias("cos_sim"),
     )
     return _rank_topk(scored, _TOP_K)
 
