@@ -389,6 +389,40 @@ def bloom_build(
     )
 
 
+def bloom_probe_local(
+    bits_rows,
+    df: DataFrame,
+    item_col: str,
+    n_bits: int = 1 << 23,
+    k: int = 5,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Row-local Bloom probe against a DRIVER-HELD bitmap (the rows of
+    ``bloom_build(...).collect()``) embedded as ONE literal long array:
+    zero joins and zero exchanges on the probed side, vs. the k chained
+    broadcast joins of :func:`bloom_might_contain`. Only for bitmaps small
+    enough to live in the plan (n_bits/64 longs; ~8 KB at 2^16 bits) —
+    the DataFrame probe remains the scale path for multi-GB filters.
+    Caller owns the (n_bits, k) geometry match (same-constants call site);
+    probe positions and NULL semantics are byte-identical by construction
+    (same ``_bloom_probes``, same isNotNull gate)."""
+    n_words = n_bits // 64
+    words = [0] * n_words
+    for r in bits_rows:
+        words[int(r[0])] = int(r[1])
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+    item = F.col(item_col).cast("string")
+    hit = F.forall(
+        _bloom_probes(item, n_bits, k),
+        lambda p: F.element_at(arr, (p["word"] + 1).cast("int"))
+        .bitwiseAND(p["mask"])
+        != 0,
+    )
+    # NULL items probe to FALSE (never "maybe") — same rationale as
+    # bloom_might_contain's gate.
+    return df.withColumn(out_col, item.isNotNull() & hit)
+
+
 def bloom_might_contain(
     bloom: DataFrame,
     df: DataFrame,

@@ -330,7 +330,7 @@ _DUCK_FP = f"md5({duck_norm_sql()})"
     "docs/CONTRACTS.md#decontaminate_corpus",
 )
 def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.sketches import bloom_build, bloom_might_contain
+    from ..functions.sketches import bloom_build, bloom_probe_local
     from ..operators.dedup import decontaminate
 
     docs = read_table(spark, sf_dir, "documents")
@@ -343,15 +343,13 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", fingerprint(F.col("text")).alias("_fp")
     )
     bench_fps = benchmark.select(fingerprint(F.col("text")).alias("_fp")).distinct()
-    # Materialize the bitmap into a LocalRelation (<= 1024 rows) feeding
-    # k+1 broadcast joins — .cache() leaked an InMemoryRelation per
-    # invocation; at real scale persist + unpersist instead.
-    bloom_local = spark.createDataFrame(
+    # The collected bitmap (<= 1024 (word, bits) rows) embeds as ONE
+    # literal array: a row-local probe with zero probed-side joins, vs.
+    # the k chained broadcast joins of bloom_might_contain (round 15;
+    # that remains the scale path for bitmaps too big for the plan).
+    probed = bloom_probe_local(
         bloom_build(bench_fps, "_fp", n_bits=_BLOOM_BITS, k=_BLOOM_K).collect(),
-        schema="word long, bits long",
-    )
-    probed = bloom_might_contain(
-        bloom_local, corpus, "_fp", n_bits=_BLOOM_BITS, k=_BLOOM_K
+        corpus, "_fp", n_bits=_BLOOM_BITS, k=_BLOOM_K,
     )
     # Exact refine without shuffling the probed side: one more broadcast
     # join marks true benchmark hits; the bloom gate in the filter keeps a

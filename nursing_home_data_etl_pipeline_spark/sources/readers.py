@@ -25,14 +25,37 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: Per-process schema memo for read_table: every bare read.parquet runs a
+#: footer-inference JOB on the driver (~50-100 ms), and one bench pass
+#: issues ~100 such reads over the same ten immutable tables. Keyed by
+#: (application, path, path mtime) so a rewritten path can never serve a
+#: stale schema; metadata only — never rows — so every query still
+#: computes from the parquet inputs (round 15, guide §6 listing/metadata
+#: reuse).
+_SCHEMA_MEMO: dict = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Convenience scan for the driver test tables (TESTDATA.md). Design
     notes: docs/DESIGN.md#readers-read-table"""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         pin_events_time_confs(spark)
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    try:
+        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    schema = _SCHEMA_MEMO.get(key) if key else None
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        if key:
+            _SCHEMA_MEMO[key] = schema
+    df = spark.read.schema(schema).parquet(path)
+    if name == "events":
         return normalize_events_ts(df, dict(df.dtypes).get("ts"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def pin_events_time_confs(spark: SparkSession) -> None:

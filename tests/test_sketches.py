@@ -177,6 +177,31 @@ def test_bloom_null_items_unprobeable(spark):
     assert probed[None] is False  # NULL probe is false, not "maybe"
 
 
+def test_bloom_probe_local_matches_dataframe_probe(spark):
+    """bloom_probe_local (round 15: literal-array row-local probe, zero
+    probed-side joins) must agree with bloom_might_contain on every row —
+    members, non-members, and NULL — for the same collected bitmap."""
+    from nursing_home_data_etl_pipeline_spark.functions.sketches import (
+        bloom_probe_local,
+    )
+
+    members = spark.range(2000).select(F.concat(F.lit("m"), "id").alias("key"))
+    probe_df = (
+        spark.range(3000)
+        .select(F.concat(F.lit("m"), (F.col("id") * 2)).alias("key"))
+        .unionByName(spark.createDataFrame([(None,)], "key string"))
+    )
+    bloom = bloom_build(members, "key", n_bits=1 << 16, k=5)
+    via_df = bloom_might_contain(bloom, probe_df, "key", n_bits=1 << 16, k=5)
+    via_local = bloom_probe_local(
+        bloom.collect(), probe_df, "key", n_bits=1 << 16, k=5
+    )
+    assert via_df.exceptAll(via_local).isEmpty()
+    assert via_local.exceptAll(via_df).isEmpty()
+    # and the local plan really is join-free on the probed side
+    assert "Join" not in via_local._jdf.queryExecution().executedPlan().toString()
+
+
 def test_bloom_prefilter_preserves_anti_join(spark):
     corpus = spark.range(5000).select(F.concat(F.lit("d"), "id").alias("key"))
     bench = spark.range(0, 5000, 7).select(F.concat(F.lit("d"), "id").alias("key"))
