@@ -89,11 +89,11 @@ def avg_word_len(text: Column, w: Column | None = None) -> Column:
     bound attribute evaluates once per row. Same contract on every stat
     below."""
     w = words(text) if w is None else w
-    total = F.aggregate(
-        F.transform(w, lambda x: F.length(x).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Σ length(word) == length(array_join(w, '')): words never contain
+    # NULLs, so the codegen'd join replaces the interpreted transform+
+    # aggregate HOF fold (round 15; 0.40 -> 0.21 s at sf0.1). Integer
+    # totals are exact in double up to 2^53 — same sum the fold produced.
+    total = F.length(F.array_join(w, "")).cast("double")
     # round_half_away, not F.round: count-derived ratios hit 7-decimal
     # repr midpoints where F.round and DuckDB ROUND disagree (round 8)
     return round_half_away(total / F.greatest(F.size(w), F.lit(1)), 6)
@@ -119,14 +119,26 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
+def _stopword_hits(w: Column, lang: str) -> Column:
+    """Occurrences of ``lang``'s stopwords in the word array ``w`` — a
+    codegen'd regex count over the space-rejoined words instead of an
+    interpreted per-element HOF filter (round 15). Words are \\s+-split so
+    none contains a space: the join is unambiguous, and the zero-width
+    lookarounds make whole-token matches that mirror array_contains
+    equality (consecutive hits overlap only at the shared space). NULL w
+    -> NULL join -> size() = -1, exactly the HOF's size(NULL)."""
+    alt = "|".join(STOPWORDS[lang])
+    joined = F.concat(F.lit(" "), F.array_join(w, " "), F.lit(" "))
+    return F.size(F.regexp_extract_all(
+        joined, F.lit(f"(?<= )(?:{alt})(?= )"), 0))
+
+
 def stopword_ratio(text: Column, lang: str = "en", w: Column | None = None) -> Column:
     """Fraction of words that are stopwords of ``lang``. ``w``, if given,
     must be lower-cased words."""
-    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
     w = words(F.lower(text)) if w is None else w
-    n_hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
     return round_half_away(
-        n_hits / F.greatest(F.size(w), F.lit(1)).cast("double"), 6
+        _stopword_hits(w, lang) / F.greatest(F.size(w), F.lit(1)).cast("double"), 6
     )
 
 
@@ -154,13 +166,7 @@ def lang_id(text: Column, w: Column | None = None) -> Column:
     language code order — deterministic. ``w``, if given, must be
     lower-cased words."""
     w = words(F.lower(text)) if w is None else w
-
-    def hit_counter(sws: tuple[str, ...]):
-        sw_arr = F.array(*[F.lit(s) for s in sws])
-        # single-arg lambda: PySpark treats a 2-arg lambda as (value, index)
-        return F.size(F.filter(w, lambda x: F.array_contains(sw_arr, x)))
-
-    scores = [(lang, hit_counter(sws)) for lang, sws in sorted(STOPWORDS.items())]
+    scores = [(lang, _stopword_hits(w, lang)) for lang in sorted(STOPWORDS)]
     best_score = F.greatest(*[s for _, s in scores])
     out = F.lit("und")
     for lang, score in reversed(scores):  # earlier langs win ties
