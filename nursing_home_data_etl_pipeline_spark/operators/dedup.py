@@ -23,17 +23,30 @@ def shingle_table(
 ) -> DataFrame:
     """(id, shingle) long table of distinct word-k-grams. Design notes:
     docs/DESIGN.md#dedup-shingle-table"""
-    # Normalize ONCE into a projected column, filter on that, then split
+    # Normalize ONCE into a projected column, filter on that, then shingle
     # the bound attribute — repeating normalize_text in the filter and the
-    # split would run the regex chain twice per row.
+    # shingler would run the regex chain twice per row.
     base = (
         df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
         .filter(F.col("_norm").isNotNull() & (F.col("_norm") != ""))
-        .select(F.col(id_col), F.split(F.col("_norm"), " ").alias("_w"))
     )
-    idx = F.sequence(F.lit(1), F.greatest(F.size("_w") - (k - 1), F.lit(1)))
-    shingles = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, k)))
+    norm = F.col("_norm")
+    # Word count straight off the single-space-collapsed text (spaces + 1)
+    # — no array materialization.
+    nw = F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + 1
+    # Overlapping k-gram extraction in ONE codegen'd regex pass (round 15;
+    # replaces the interpreted transform+slice+concat HOF, 0.61 -> 0.43 s
+    # at sf0.1): the lookahead captures k space-separated words, the match
+    # consumes exactly one word+space so the scan steps word start to word
+    # start; a mid-word retry can never fire because it only happens where
+    # fewer than k words remain, where the lookahead fails everywhere. The
+    # sentinel trailing space keeps the LAST word consumable (k=1 and the
+    # final shingle's first word otherwise lack a trailing space).
+    pat = rf"(?=((?:\S+ ){{{k - 1}}}\S+))\S+ "
+    shingles = F.when(nw < k, F.array(norm)).otherwise(
+        F.array_distinct(
+            F.regexp_extract_all(F.concat(norm, F.lit(" ")), F.lit(pat), 1)
+        )
     )
     return base.select(F.col(id_col), F.explode(shingles).alias("_shingle"))
 

@@ -738,3 +738,52 @@ def test_jaccard_duplicate_doc_rows_keep_set_semantics(spark):
     assert [(r.id_a, r.id_b, r.n_common, r.jaccard) for r in rows] == [
         (c.id_a, c.id_b, c.n_common, c.jaccard) for c in clean
     ]
+
+
+def test_shingle_table_matches_hof_reference(spark):
+    """The overlapping-regex shingler (round 15) must emit the exact
+    multiset the transform+slice+concat HOF produced — every word-start
+    k-gram, distinct per doc, whole text when shorter than k, last word
+    consumable at k=1 (the sentinel-space case)."""
+    from nursing_home_data_etl_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+    from nursing_home_data_etl_pipeline_spark.operators.dedup import (
+        shingle_table,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "  Mixed   CASE \t and\nruns   of  whitespace  "),
+        (3, "exactly five words right here ok"[:-3]),  # 5 words
+        (4, "short doc"),
+        (5, "one"),
+        (6, "a a a a a a a a"),  # repeated shingles collapse
+        (7, "nb sp stays inside one word token here okay"),
+        (8, None),
+        (9, "   \t\n  "),
+        (10, "naïve café déjà vu überall straße München π"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def reference(df, k):
+        base = (
+            df.select("doc_id", normalize_text(F.col("text")).alias("_n"))
+            .filter(F.col("_n").isNotNull() & (F.col("_n") != ""))
+            .select("doc_id", F.split("_n", " ").alias("_w"))
+        )
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size("_w") - (k - 1), F.lit(1))
+        )
+        sh = F.array_distinct(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, k))
+            )
+        )
+        return base.select("doc_id", F.explode(sh).alias("_shingle"))
+
+    for k in (1, 2, 5):
+        got = shingle_table(df, "text", "doc_id", k)
+        want = reference(df, k)
+        assert got.exceptAll(want).count() == 0, f"k={k}: extra shingles"
+        assert want.exceptAll(got).count() == 0, f"k={k}: missing shingles"
