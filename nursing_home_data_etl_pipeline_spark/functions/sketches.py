@@ -29,16 +29,29 @@ __all__ = [
 ]
 
 
-def _bucket(item: Column, row: int, width: int) -> Column:
-    """Bucket of ``item`` under hash row ``row``: first 12 hex chars of
-    md5(row|item) as an integer, mod width. 48 bits of hash >> any sane
-    width, so the mod bias is negligible. Design notes:
+def _bucket_sql(item_sql: str, row: int, width: int) -> str:
+    """SQL text of the bucket of ``item_sql`` under hash row ``row``:
+    first 12 hex chars of md5(row|item) as an integer, mod width. 48 bits
+    of hash >> any sane width, so the mod bias is negligible. String form,
+    not Column calls: one parse per probe vs ~8 py4j round trips (the
+    r15 plan-construction discipline; chr(0) spells the NUL sentinel the
+    parser can't carry in a literal). Design notes:
     docs/DESIGN.md#sketches--bucket"""
-    safe = F.coalesce(item, F.lit("\x00<null>"))
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{row}|"), safe)), 1, 12), 16, 10
-    ).cast("long")
-    return (h % width).cast("int")
+    safe = f"coalesce({item_sql}, concat(chr(0), '<null>'))"
+    return (
+        f"CAST(CAST(conv(substring(md5(concat('{row}|', {safe})), 1, 12),"
+        f" 16, 10) AS BIGINT) % {width} AS INT)"
+    )
+
+
+def _row_bucket_explode(item_sql: str, depth: int, width: int) -> Column:
+    """``explode(array(struct(row, bucket)...))`` over the ``depth`` hash
+    rows as ONE parsed expression — shared by cms_build and cms_estimate."""
+    structs = ", ".join(
+        f"struct({r} AS row, {_bucket_sql(item_sql, r, width)} AS bucket)"
+        for r in range(depth)
+    )
+    return F.expr(f"explode(array({structs}))")
 
 
 def cms_build(
@@ -48,17 +61,8 @@ def cms_build(
     pre-weight upstream). Output (row, bucket, cnt), at most depth*width
     rows; plan = one Expand (depth copies) + one hash aggregate with
     map-side partials before the single shuffle."""
-    item = F.col(item_col).cast("string")
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(r).alias("row"), _bucket(item, r, width).alias("bucket")
-                )
-                for r in range(depth)
-            ]
-        )
-    ).alias("rb")
+    item_sql = f"CAST(`{item_col.replace('`', '``')}` AS STRING)"
+    rows = _row_bucket_explode(item_sql, depth, width).alias("rb")
     return (
         df.select(rows)
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
@@ -155,20 +159,10 @@ def cms_estimate(
     clash = {"row", "bucket", "cnt", "rb", "est"} & set(items.columns)
     if clash:
         raise ValueError(f"items columns collide with CMS internals: {clash}")
-    item = F.col(item_col).cast("string")
+    item_sql = f"CAST(`{item_col.replace('`', '``')}` AS STRING)"
     probes = items.select(
         "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _bucket(item, r, width).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb"),
+        _row_bucket_explode(item_sql, depth, width).alias("rb"),
     ).select("*", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
     joined = probes.join(F.broadcast(cms), ["row", "bucket"], "left").fillna(
         0, subset=["cnt"]
