@@ -320,13 +320,16 @@ def simhash_signatures(
     # as SQL strings, not Column objects: the Column form cost ~1.3 s of
     # driver-side py4j round trips per plan build (r15 A/B, OPTIMIZATION_
     # r15.md#dedup_near_pairs); one parse per expression is ~5x cheaper.
+    # BRANCH-FREE bit sums (r15): sum of ±1 votes > 0 ⟺ 2*Σbit_j > n, so
+    # each update is a shift+mask add instead of a CASE — 1.6 -> 1.0 s at
+    # sf0.1, bit-identical signatures (exceptAll-pinned).
     bit_sums = [
-        F.expr(f"sum(CASE WHEN (shiftright(_h, {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}")
+        F.expr(f"sum(shiftright(_h, {j}) & 1) AS b{j}")
         for j in range(SIMHASH_BITS)
-    ]
+    ] + [F.expr("count(1) AS n")]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     sig_sql = "CAST(" + " + ".join(
-        f"(CASE WHEN b{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        f"(CASE WHEN 2 * b{j} > n THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for j in range(SIMHASH_BITS)
     ) + " AS BIGINT)"
     return agg.select(F.col(id_col), F.expr(sig_sql).alias("simhash"))
