@@ -55,11 +55,15 @@ def stream_events(
         normalize_events_ts,
         path_is_dir,
         pin_events_time_confs,
+        table_schema,
     )
 
     pin_events_time_confs(spark)  # shared encoding contract (readers.py)
     events_path = f"{sf_dir}/events.parquet"
-    ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts")
+    # memoized footer probe (readers.table_schema) — the bare read.parquet
+    # re-ran footer inference on every streaming entry (round 15)
+    ts_field = {f.name: f for f in table_schema(spark, sf_dir, "events")}.get("ts")
+    ts_type = ts_field.dataType.simpleString() if ts_field else None
     # Directory-shaped tables stream directly; a single file needs the glob
     # filter — but pathGlobFilter matches LEAF names, so applying it to a
     # directory table would silently drain an empty stream.

@@ -35,14 +35,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 _SCHEMA_MEMO: dict = {}
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Convenience scan for the driver test tables (TESTDATA.md). Design
-    notes: docs/DESIGN.md#readers-read-table"""
+def table_schema(spark: SparkSession, sf_dir: str, name: str):
+    """Memoized footer-inferred schema of one test table (metadata only;
+    see _SCHEMA_MEMO). Shared by read_table and the streaming ts probe."""
     import os
 
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
-        pin_events_time_confs(spark)
     try:
         key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
     except OSError:
@@ -52,7 +50,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         schema = spark.read.parquet(path).schema
         if key:
             _SCHEMA_MEMO[key] = schema
-    df = spark.read.schema(schema).parquet(path)
+    return schema
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Convenience scan for the driver test tables (TESTDATA.md). Design
+    notes: docs/DESIGN.md#readers-read-table"""
+    if name == "events":
+        pin_events_time_confs(spark)
+    schema = table_schema(spark, sf_dir, name)
+    df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         return normalize_events_ts(df, dict(df.dtypes).get("ts"))
     return df
