@@ -31,12 +31,10 @@ __all__ = [
 
 def _bucket_sql(item_sql: str, row: int, width: int) -> str:
     """SQL text of the bucket of ``item_sql`` under hash row ``row``:
-    first 12 hex chars of md5(row|item) as an integer, mod width. 48 bits
-    of hash >> any sane width, so the mod bias is negligible. String form,
-    not Column calls: one parse per probe vs ~8 py4j round trips (the
-    r15 plan-construction discipline; chr(0) spells the NUL sentinel the
-    parser can't carry in a literal). Design notes:
-    docs/DESIGN.md#sketches--bucket"""
+    first 12 hex chars of md5(row|item) mod width (48 hash bits >> any
+    sane width, negligible mod bias). String form = one parse per probe
+    vs ~8 py4j calls (r15); chr(0) spells the NUL sentinel the parser
+    can't hold in a literal. Design: docs/DESIGN.md#sketches--bucket"""
     safe = f"coalesce({item_sql}, concat(chr(0), '<null>'))"
     return (
         f"CAST(CAST(conv(substring(md5(concat('{row}|', {safe})), 1, 12),"

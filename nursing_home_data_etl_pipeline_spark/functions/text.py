@@ -89,10 +89,8 @@ def avg_word_len(text: Column, w: Column | None = None) -> Column:
     bound attribute evaluates once per row. Same contract on every stat
     below."""
     w = words(text) if w is None else w
-    # Σ length(word) == length(array_join(w, '')): words never contain
-    # NULLs, so the codegen'd join replaces the interpreted transform+
-    # aggregate HOF fold (round 15; 0.40 -> 0.21 s at sf0.1). Integer
-    # totals are exact in double up to 2^53 — same sum the fold produced.
+    # Σ length(word) == length(array_join(w, '')) — words carry no NULLs;
+    # codegen'd join, not an interpreted HOF fold (r15, 0.40 -> 0.21 s).
     total = F.length(F.array_join(w, "")).cast("double")
     # round_half_away, not F.round: count-derived ratios hit 7-decimal
     # repr midpoints where F.round and DuckDB ROUND disagree (round 8)

@@ -31,17 +31,15 @@ def shingle_table(
         .filter(F.col("_norm").isNotNull() & (F.col("_norm") != ""))
     )
     norm = F.col("_norm")
-    # Word count straight off the single-space-collapsed text (spaces + 1)
-    # — no array materialization.
+    # word count = spaces + 1 on the collapsed text — no array needed
     nw = F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + 1
-    # Overlapping k-gram extraction in ONE codegen'd regex pass (round 15;
-    # replaces the interpreted transform+slice+concat HOF, 0.61 -> 0.43 s
-    # at sf0.1): the lookahead captures k space-separated words, the match
-    # consumes exactly one word+space so the scan steps word start to word
-    # start; a mid-word retry can never fire because it only happens where
-    # fewer than k words remain, where the lookahead fails everywhere. The
-    # sentinel trailing space keeps the LAST word consumable (k=1 and the
-    # final shingle's first word otherwise lack a trailing space).
+    # Overlapping k-gram extraction in ONE codegen'd regex pass (replaces
+    # the interpreted transform+slice HOF, r15): lookahead captures k
+    # words, the match consumes one word+space so the scan steps word
+    # start to word start (mid-word retries only occur where <k words
+    # remain, where the lookahead fails anyway); the sentinel trailing
+    # space keeps the LAST word consumable (k=1 needs it). Multiset
+    # equality vs the HOF reference: test_shingle_table_matches_hof_reference.
     pat = rf"(?=((?:\S+ ){{{k - 1}}}\S+))\S+ "
     shingles = F.when(nw < k, F.array(norm)).otherwise(
         F.array_distinct(
@@ -316,13 +314,9 @@ def simhash_signatures(
     ).withColumn(
         "_h", F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
     )
-    # The 60 bit-sum aggregates and the 60-term signature rebuild are built
-    # as SQL strings, not Column objects: the Column form cost ~1.3 s of
-    # driver-side py4j round trips per plan build (r15 A/B, OPTIMIZATION_
-    # r15.md#dedup_near_pairs); one parse per expression is ~5x cheaper.
-    # BRANCH-FREE bit sums (r15): sum of ±1 votes > 0 ⟺ 2*Σbit_j > n, so
-    # each update is a shift+mask add instead of a CASE — 1.6 -> 1.0 s at
-    # sf0.1, bit-identical signatures (exceptAll-pinned).
+    # SQL strings, not Column objects (~1.3 s of py4j per build otherwise,
+    # r15), and BRANCH-FREE: Σ(±1) > 0 ⟺ 2*Σbit_j > n, so each update is
+    # a shift+mask add instead of a CASE (1.6 -> 1.0 s, bit-identical).
     bit_sums = [
         F.expr(f"sum(shiftright(_h, {j}) & 1) AS b{j}")
         for j in range(SIMHASH_BITS)
