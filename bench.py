@@ -26,6 +26,31 @@ def execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calib_ref_sec(spark, reps: int = 3) -> float:
+    """Fixed trivial-floor reference (VERDICT r15 #2): xxhash64-sum over
+    4M generated rows on 8 partitions via the noop sink. No table input
+    and no engine code under test, so the time moves only with the HOST
+    (CPU contention, scheduling) — r15's 32-core driver run regressed
+    untouched queries up to 9x with no plan change and only an 8-core
+    rerun exposed it. Min of ``reps`` so one scheduling hiccup can't
+    fake a slow host."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        # xor-fold, not sum: summing 4M hashes overflows long under ANSI
+        execute(spark.range(0, 1 << 22, 1, 8).selectExpr(
+            "bit_xor(xxhash64(id)) AS h"))
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _loadavg_1m() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without loadavg: calibration stays best-effort
+        return -1.0
+
+
 def main() -> int:
     warm_n = 1
     argv = sys.argv[1:]
@@ -80,6 +105,11 @@ def main() -> int:
     except Exception as ex:
         print(f"bench streaming warm-up skipped: {ex!r}", file=sys.stderr)
 
+    # Host calibration brackets the timed region (start AND end): the
+    # ratio ref_sec/its historical floor is a mechanical host-health
+    # check for any consumer comparing runs across dates.
+    load_start, ref_start = _loadavg_1m(), _calib_ref_sec(spark)
+
     samples: dict[str, list[float]] = {n: [] for n in catalog.entries()}
     for _ in range(warm_n):
         for name, entry in sorted(catalog.entries().items()):
@@ -123,6 +153,15 @@ def main() -> int:
         "queries": timings,
         "errors": n_errors,
         "sf": sf,
+        # Additions-only calibration block (VERDICT r15 #2); existing
+        # fields, env vars and the one-line contract are untouched.
+        "calib": {
+            "cpu_count": os.cpu_count(),
+            "loadavg_1m_start": load_start,
+            "loadavg_1m_end": _loadavg_1m(),
+            "ref_sec_start": ref_start,
+            "ref_sec_end": _calib_ref_sec(spark),
+        },
     }
     if warm_n > 1:
         record["warm"] = warm_n
