@@ -56,9 +56,12 @@ def cms_build(
     df: DataFrame, item_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:
     """Build a CMS over ``df[item_col]`` (one occurrence per input row;
-    pre-weight upstream). Output (row, bucket, cnt), at most depth*width
-    rows; plan = one Expand (depth copies) + one hash aggregate with
-    map-side partials before the single shuffle."""
+    pre-weight upstream). ``item_col`` must be a TOP-LEVEL column name —
+    it is backtick-quoted whole, so a dotted name means a literal column,
+    never a struct-field path (ADVICE r15; same contract in cms_estimate).
+    Output (row, bucket, cnt), at most depth*width rows; plan = one
+    Expand (depth copies) + one hash aggregate with map-side partials
+    before the single shuffle."""
     item_sql = f"CAST(`{item_col.replace('`', '``')}` AS STRING)"
     rows = _row_bucket_explode(item_sql, depth, width).alias("rb")
     return (
@@ -149,25 +152,32 @@ def cms_estimate(
     width: int | None = None,
 ) -> DataFrame:
     """Point-query each DISTINCT probe row: estimate = MIN over the d hash
-    rows of the addressed counter (absent = 0). The depth*width sketch
-    side always broadcasts; the items side streams — a 10^9-row candidate
-    list is a map-side join + small aggregate, never a corpus shuffle.
-    Design notes: docs/DESIGN.md#sketches-cms-estimate"""
+    rows of the addressed counter (absent = 0). ``item_col`` must be a
+    TOP-LEVEL column name (backtick-quoted whole — see cms_build). The
+    depth*width sketch side always broadcasts; the items side streams — a
+    10^9-row candidate list is a map-side join + small aggregate, never a
+    corpus shuffle. Design notes: docs/DESIGN.md#sketches-cms-estimate"""
     depth, width = _cms_params(cms, depth, width, "cms_estimate")
     clash = {"row", "bucket", "cnt", "rb", "est"} & set(items.columns)
     if clash:
         raise ValueError(f"items columns collide with CMS internals: {clash}")
     item_sql = f"CAST(`{item_col.replace('`', '``')}` AS STRING)"
+    # Three Datasets, not five (r16): the probe struct joins by its FIELDS
+    # (no flattening projection) and the absent-counter zero rides inside
+    # the aggregate (min(coalesce(cnt, 0)) == fillna(0) then min) — each
+    # dropped op was a full re-analysis of the probe-side tree.
     probes = items.select(
         "*",
         _row_bucket_explode(item_sql, depth, width).alias("rb"),
-    ).select("*", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-    joined = probes.join(F.broadcast(cms), ["row", "bucket"], "left").fillna(
-        0, subset=["cnt"]
+    )
+    joined = probes.join(
+        F.broadcast(cms),
+        (F.col("rb.row") == F.col("row")) & (F.col("rb.bucket") == F.col("bucket")),
+        "left",
     )
     return (
         joined.groupBy(*items.columns)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
 
 

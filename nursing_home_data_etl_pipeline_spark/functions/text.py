@@ -11,6 +11,8 @@ Full policy + probe notes: docs/DESIGN.md#text-case-folding."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -125,7 +127,14 @@ def _stopword_hits(w: Column, lang: str) -> Column:
     lookarounds make whole-token matches that mirror array_contains
     equality (consecutive hits overlap only at the shared space). NULL w
     -> NULL join -> size() = -1, exactly the HOF's size(NULL)."""
-    alt = "|".join(STOPWORDS[lang])
+    # re.escape keeps the alternation literal if a future stopword carries
+    # a regex metacharacter; a whitespace-bearing entry would break the
+    # token-boundary assumption itself, so refuse it loudly (ADVICE r15).
+    assert all(not any(ch.isspace() for ch in s) for s in STOPWORDS[lang]), (
+        f"STOPWORDS[{lang!r}] contains whitespace — the space-rejoin "
+        "token-boundary rewrite assumes single-token entries"
+    )
+    alt = "|".join(re.escape(s) for s in STOPWORDS[lang])
     joined = F.concat(F.lit(" "), F.array_join(w, " "), F.lit(" "))
     return F.size(F.regexp_extract_all(
         joined, F.lit(f"(?<= )(?:{alt})(?= )"), 0))

@@ -295,6 +295,15 @@ def simhash_signatures(
     Plan shape: explode distinct words -> one hash aggregate with 60
     conditional-sum columns -> rebuild the signature in a single project.
     """
+    # The aggregate emits reserved internals b0..b59 and n alongside
+    # id_col; an id_col with one of those names would make the signature
+    # rebuild's references ambiguous at analysis (ADVICE r15).
+    reserved = {"n"} | {f"b{j}" for j in range(SIMHASH_BITS)}
+    if id_col in reserved:
+        raise ValueError(
+            f"simhash_signatures: id_col {id_col!r} collides with the "
+            "aggregate's internal columns (b0..b59, n); rename it upstream"
+        )
     # NULL/blank texts emit no signature (n blank docs would simhash-pair
     # O(n^2); blanks are exact_dedup's job), NULL-id docs excluded (GROUP
     # BY would chimera-merge them) — same contracts as minhash_signatures.

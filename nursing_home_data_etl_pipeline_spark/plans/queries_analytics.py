@@ -466,17 +466,26 @@ _OK_COLS = ("distinct_ok", "p50_ok", "p95_ok",
 )
 def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    # NULL-safe join key AS the group key: grouping by
+    # coalesce(event_type, chr(0)-sentinel) is bijective with event_type
+    # (sentinel absent from data — the same assumption the former
+    # post-aggregate withColumn('_jk') made), so the three aggregates join
+    # directly on their own group key. Kills the per-frame
+    # withColumn/drop chain (each op re-analyzed the whole tree, ~0.3 s
+    # of the build, r16) AND lets every join reuse the aggregates'
+    # _jk hash-partitioning at scale instead of re-deriving a key.
+    _jk = F.coalesce(F.col("event_type"), F.lit("\x00null")).alias("_jk")
     # Exact COUNT(DISTINCT) in its OWN aggregate: mixing the Expand-based
     # distinct rewrite with sketch buffers forces every sketch through the
     # multiplied multi-phase plan (~5x slower measured at sf0.1).
-    exact = ev.groupBy("event_type").agg(
+    exact = ev.groupBy(_jk).agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("_exact_d"),
     )
     # Band bounds are DISCRETE data values at band RANKS: approx/KLL
     # promise rank accuracy, never value accuracy (round-8 fuzz); the
     # sorted-values twin is verification-only (dropped at 100 TB).
-    sk = ev.groupBy("event_type").agg(
+    sk = ev.groupBy(_jk).agg(
         F.approx_count_distinct("user_id", rsd=0.05).alias("_approx_d"),
         F.sort_array(F.collect_list(F.col("value").cast("double"))).alias("_vals"),
         F.percentile_approx("value", 0.5).alias("_p50"),
@@ -485,7 +494,7 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mergeable path: all three partial sketches in ONE per-(type, day)
     # aggregate, then ONE rollup merge to event_type (HLL/theta union aggs;
     # KLL folded with the higher-order reduce — #days entries per group).
-    partials = ev.groupBy("event_type", F.to_date("ts").alias("_day")).agg(
+    partials = ev.groupBy(_jk, F.to_date("ts").alias("_day")).agg(
         F.hll_sketch_agg(F.col("user_id").cast("string"), 12).alias("_hs"),
         F.theta_sketch_agg(F.col("user_id").cast("string"), 12).alias("_ts"),
         F.kll_sketch_agg_double(F.col("value").cast("double"), F.lit(200)).alias(
@@ -494,39 +503,23 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.sketches import _fold_binary
 
-    merged = (
-        partials.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("_hs", True)).alias("_hll_d"),
-            F.theta_sketch_estimate(F.theta_union_agg("_ts", 12)).alias("_theta_d"),
-            # the ONE KLL fold idiom (functions.sketches) — no inline copy
-            _fold_binary("_ks", "kll_sketch_merge_double").alias("_kll_m"),
-        )
-        .withColumn(
-            # an all-NULL-value group folds to an EMPTY sketch buffer and
-            # get_quantile on it RAISES (KLL_INVALID_INPUT_SKETCH_BUFFER)
-            # rather than returning NULL — same guard as kll_rollup_quantiles
-            "_kll_p50",
-            F.expr(
-                "CASE WHEN _kll_m IS NULL OR kll_sketch_get_n_double(_kll_m) = 0 "
-                "THEN NULL ELSE kll_sketch_get_quantile_double(_kll_m, 0.5) END"
-            ),
-        )
-        .drop("_kll_m")
+    merged = partials.groupBy("_jk").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_hs", True)).alias("_hll_d"),
+        F.theta_sketch_estimate(F.theta_union_agg("_ts", 12)).alias("_theta_d"),
+        # the ONE KLL fold idiom (functions.sketches) — no inline copy
+        _fold_binary("_ks", "kll_sketch_merge_double").alias("_kll_m"),
+    )
+    # an all-NULL-value group folds to an EMPTY sketch buffer and
+    # get_quantile on it RAISES (KLL_INVALID_INPUT_SKETCH_BUFFER) rather
+    # than returning NULL — same guard as kll_rollup_quantiles; inlined
+    # into the final select (a withColumn+drop pair re-analyzed the
+    # whole tree twice, r16).
+    kll_p50 = F.expr(
+        "CASE WHEN _kll_m IS NULL OR kll_sketch_get_n_double(_kll_m) = 0 "
+        "THEN NULL ELSE kll_sketch_get_quantile_double(_kll_m, 0.5) END"
     )
 
-    # NULL-safe three-way join: an equi-join would drop the NULL-
-    # event_type group GROUP BY keeps — join on a chr(0)-sentinel key.
-    def _jk(frame: DataFrame) -> DataFrame:
-        return frame.withColumn(
-            "_jk", F.coalesce(F.col("event_type"), F.lit("\x00null"))
-        )
-
-    g = (
-        _jk(exact)
-        .join(_jk(sk).drop("event_type"), "_jk")
-        .join(_jk(merged).drop("event_type"), "_jk")
-    )
+    g = exact.join(sk, "_jk").join(merged, "_jk")
     # 3 sigma of the requested 5% relative standard deviation, floored for
     # tiny groups where one-off error dominates the relative bound.
     tol = F.greatest(F.col("_exact_d") * 0.15, F.lit(2.0))
@@ -547,7 +540,8 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     p95_lo, p95_hi = band(0.92, 0.98)
     bands = g.select(
         F.lit("sketch_bands").alias("variant"),
-        F.col("event_type").alias("key"),
+        # recover event_type from the bijective sentinel key
+        F.nullif(F.col("_jk"), F.lit("\x00null")).alias("key"),
         "n",
         (F.abs(F.col("_approx_d") - F.col("_exact_d")) <= tol).alias("distinct_ok"),
         vac(F.col("_p50").between(p50_lo, p50_hi)).alias("p50_ok"),
@@ -556,7 +550,7 @@ def approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("_theta_d") - F.col("_exact_d")) <= tol).alias(
             "theta_merge_ok"
         ),
-        vac(F.col("_kll_p50").between(p50_lo, p50_hi)).alias("kll_merge_ok"),
+        vac(kll_p50.between(p50_lo, p50_hi)).alias("kll_merge_ok"),
     )
     # CMS heavy-hitter branch: NULL keys are excluded on BOTH sides — the
     # semi-join refine would drop the NULL group SQL GROUP BY keeps.

@@ -199,6 +199,10 @@ def events_lag_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs/CONTRACTS.md#window_rank_values",
 )
 def window_rank_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT LAZY, unlike every other builder here: constructing this frame
+    runs one Spark job (the sampled-percentile `.first()` below) so the
+    ≤127 ntile cut points can embed as literals (ADVICE r15). Callers
+    that only want the plan still pay that one job."""
     orders = read_table(spark, sf_dir, "orders")
     # ranks on the aggregated (status, priority) table
     w_cum = (Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nursing_home_data_etl_pipeline_spark.functions.vectors import cosine_rounded
@@ -98,6 +99,13 @@ def test_simhash_near_for_near_dups(spark):
     d = {(r.id_a, r.id_b): r.hamming for r in pairs}
     assert d.get((1, 4)) == 0
     assert (1, 2) in d
+
+
+def test_simhash_reserved_id_col_raises(spark):
+    # b0..b59 and n are the aggregate's internal columns (ADVICE r15)
+    df = _docs(spark).withColumnRenamed("doc_id", "n")
+    with pytest.raises(ValueError, match="internal columns"):
+        simhash_signatures(df, id_col="n")
 
 
 def test_ngram_jaccard_exact(spark):

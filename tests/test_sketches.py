@@ -60,6 +60,19 @@ def test_sketch_size_bounded(spark, tokens):
     assert cms.count() <= 3 * 8
 
 
+def test_probe_absent_item_estimates_zero(spark, tokens):
+    # Pins the r16 internals rewrite (left-join NULL counter -> 0 now via
+    # min(coalesce(cnt, 0)) instead of fillna): an item absent from the
+    # build whose buckets nobody else hit must estimate exactly 0, and the
+    # est column must stay a non-null LONG.
+    cms = cms_build(tokens, "tok", depth=4, width=4096)
+    probes = spark.createDataFrame([("never-inserted-item",)], "tok string")
+    out = cms_estimate(cms, probes, "tok", depth=4, width=4096)
+    rows = out.collect()
+    assert out.schema["est"].dataType.simpleString() == "bigint"
+    assert [(r.tok, r.est) for r in rows] == [("never-inserted-item", 0)]
+
+
 def test_probe_plan_broadcasts_sketch(spark, tokens):
     cms = cms_build(tokens, "tok", depth=2, width=32)
     plan = (
